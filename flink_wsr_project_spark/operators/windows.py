@@ -1,0 +1,86 @@
+"""Event-time windowed aggregation builders (SURVEY.md §2.3, A2-A13).
+
+The reference hand-rolls every windowed count as a Flink
+``AggregateFunction`` + ``WindowFunction`` pair (incremental
+pre-aggregation to avoid O(window) state — rationale comments at
+``/root/reference/src/main/scala/com/hong/hotItems/HotItems.scala:89-92``)
+and even adds manual two-stage salting for hot keys
+(``networkflow/analysis/PageView.scala:42-68``).
+
+Spark-first: ``groupBy(window(ts, dur, slide), *keys).agg(...)``.
+Catalyst's HashAggregate already does partial (map-side) + final
+aggregation, so the incremental-accumulator and salting tricks are
+subsumed; AQE handles residual skew at scale. ``window.end`` comes for
+free where the reference needed a ``WindowFunction`` to attach it.
+
+Scale note: the only shuffle is the single hash exchange on
+(window, keys); with slide windows each input row expands to
+``dur/slide`` (window, key) pairs *after* the map-side partial
+aggregation, so shuffled volume is bounded by distinct keys ×
+windows, not input rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds (Long, floor) from TIMESTAMP or TIMESTAMP_NTZ.
+
+    Parquet NTZ timestamps can't cast straight to numeric; routing
+    through an LTZ cast is exact because the session TZ is pinned UTC.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def epoch_double(col: Column | str) -> Column:
+    """Epoch seconds with fractional part (Double), TZ-safe as above."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str | None = None,
+    keys: Sequence[str | Column] = (),
+    aggs: Sequence[Column] = (),
+    window_end_alias: str = "window_end",
+) -> DataFrame:
+    """Tumbling (``slide=None``) or sliding event-time window aggregation.
+
+    Emits ``window_end`` as epoch-seconds Long (matching the reference's
+    ``windowEnd: Long`` output fields, e.g. ``ItemViewCount`` at
+    ``HotItems.scala:220``) — and keeping the oracle comparison
+    timestamp-precision-free.
+    """
+    w = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+    grouped = df.groupBy(w.alias("_w"), *keys)
+    out = grouped.agg(*aggs)
+    return out.withColumn(window_end_alias, epoch_seconds(F.col("_w.end"))).drop("_w")
+
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    """Deterministic money/measure arithmetic: double → integer
+    hundredths BEFORE summation.
+
+    Summing doubles is order-dependent (and Spark partition order is
+    nondeterministic), which breaks bit-exact oracle comparison and is
+    generally unsound for reconciliation workloads. Converting each row
+    to an integer number of cents and summing Longs is exact,
+    order-independent, and overflow-safe up to ~9e16 cents (100 TB scale
+    still fits for per-group sums).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def money_sum(col: Column | str, alias: str, scale: int = 100) -> Column:
+    """Exact sum of a double measure, returned as double(2dp):
+    sum(cents)/100.0."""
+    return (F.sum(cents(col, scale)) / float(scale)).alias(alias)

@@ -1,0 +1,650 @@
+"""Reference-domain queries (SURVEY.md §2) mapped onto the driver's
+``events`` + star-schema testdata.
+
+Each query is the Spark-first re-expression of one reference job, with
+the testdata analogue documented (events.user_id plays the
+itemId/userId key roles; event_type plays behavior/channel/url roles;
+orders+lineitem play the create/pay two-stream roles). Constants
+(window sizes, thresholds, deadlines) are scaled to the testdata's
+30-day span where the reference's seconds-scale constants would
+degenerate to empty results; the operator shape is unchanged.
+
+All oracles are DuckDB ANSI SQL over the same parquet views. Sliding
+windows are expanded arithmetically (a row belongs to dur/slide
+epoch-aligned windows), matching Spark's ``window()`` alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from flink_wsr_project_spark.operators.topn import topn_per_group
+from flink_wsr_project_spark.operators.windows import (
+    epoch_double,
+    epoch_seconds,
+    money_sum,
+    windowed_agg,
+)
+from flink_wsr_project_spark.plans.registry import register
+from flink_wsr_project_spark.sources.readers import load_table
+
+
+def _hop_expand(slide_s: int, dur_s: int, table: str = "events", where: str = "") -> str:
+    """DuckDB fragment: expand each row into its dur/slide sliding
+    windows; emits ``window_end`` (epoch s) alongside all columns."""
+    n = dur_s // slide_s
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT {table}.*, (CAST(floor(epoch(ts)) AS BIGINT) // {slide_s}) * {slide_s}"
+        f" - g.i * {slide_s} + {dur_s} AS window_end"
+        f" FROM {table}, generate_series(0, {n - 1}) AS g(i){w}"
+    )
+
+
+_TUMBLE_END = "(CAST(floor(epoch({ts})) AS BIGINT) // {dur}) * {dur} + {dur}"
+
+
+# ---------------------------------------------------------------------------
+# hotItems: top-5 items per 1 h window sliding 5 min
+# (HotItems.scala — A2 sliding agg + R1 rank; HotItems_3_SQL.scala — R3)
+# ---------------------------------------------------------------------------
+
+_HOT_ITEMS_ORACLE = f"""
+WITH hopped AS ({_hop_expand(300, 3600, where="event_type = 'view'")}),
+counts AS (
+  SELECT window_end, user_id AS item_id, count(*) AS cnt
+  FROM hopped GROUP BY 1, 2
+)
+SELECT window_end, item_id, cnt, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+
+@register("hot_items_topn", oracle=_HOT_ITEMS_ORACLE, tags=("A2", "R1"))
+def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-viewed items per 1 h window sliding every 5 min.
+
+    Reference: hotItems/HotItems.scala:42-82 (filter 'pv' → keyBy itemId
+    → 1h/5m window count → keyBy windowEnd → ListState+timer sort top-5).
+    Spark: one sliding-window groupBy + row_number — the ListState/timer
+    machinery is subsumed by the rank window function.
+    """
+    events = load_table(spark, "events", sf_dir)
+    counts = windowed_agg(
+        events.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        "5 minutes",
+        keys=[F.col("user_id").alias("item_id")],
+        aggs=[F.count("*").alias("cnt")],
+    )
+    return topn_per_group(counts, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).select(
+        "window_end", "item_id", "cnt", "rank"
+    )
+
+
+@register("hot_items_topn_sql", oracle=_HOT_ITEMS_ORACLE, tags=("A12", "A13", "R3"))
+def hot_items_topn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the pure-SQL entry point.
+
+    Reference: hotItems/HotItems_3_SQL.scala:45-64 (HOP window + ROW_NUMBER
+    retract stream); HotItems_2_Table.scala:43-63 (Table API Slide window).
+    Spark SQL's window()/ROW_NUMBER is the direct analogue; batch output
+    makes the retract stream moot.
+    """
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT window_end, item_id, cnt, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                     PARTITION BY window_end ORDER BY cnt DESC, item_id) AS BIGINT) AS rank
+          FROM (
+            SELECT user_id AS item_id,
+                   CAST(window.end AS BIGINT) AS window_end,
+                   count(*) AS cnt
+            FROM events
+            WHERE event_type = 'view'
+            GROUP BY window(ts, '1 hour', '5 minutes'), user_id
+          )
+        ) WHERE rank <= 5
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# networkflow: top-3 hot pages per 10 min window sliding 5 s
+# (NetworkFlowTopNPage_经典演示迟到数据.scala — A3 + R2, late-data variant)
+# ---------------------------------------------------------------------------
+
+_HOT_PAGES_ORACLE = f"""
+WITH src AS (
+  SELECT '/page/' || CAST(user_id % 20 AS VARCHAR) AS url, ts FROM events
+  WHERE event_type IN ('view', 'click')
+),
+hopped AS ({_hop_expand(60, 600, table="src")}),
+counts AS (SELECT window_end, url, count(*) AS cnt FROM hopped GROUP BY 1, 2)
+SELECT window_end, url, cnt, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, url) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
+@register("hot_pages_topn", oracle=_HOT_PAGES_ORACLE, tags=("A3", "R2", "P2"))
+def hot_pages_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hot URLs per 10 min window sliding 1 min.
+
+    Reference: networkflow/analysis/NetworkFlowTopNPage_经典演示迟到数据.scala:52-70
+    (keyBy url → 10m/5s window count → MapState/dual-timer top-3). The
+    MapState idempotent-upsert machinery (:99-176) existed only to make
+    late re-fires safe; batch recomputation removes the hazard. Slide
+    scaled 5s→1min for the testdata's 30-day span. URL derived
+    deterministically from user_id (testdata has no url column).
+    """
+    events = load_table(spark, "events", sf_dir)
+    src = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.concat(F.lit("/page/"), (F.col("user_id") % 20).cast("string")).alias("url"),
+        "ts",
+    )
+    counts = windowed_agg(
+        src, "ts", "10 minutes", "1 minute", keys=["url"], aggs=[F.count("*").alias("cnt")]
+    )
+    return topn_per_group(counts, ["window_end"], "cnt", 3, tiebreakers=["url"]).select(
+        "window_end", "url", "cnt", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# networkflow: hourly PV / UV
+# (PageView.scala — A4; UniqueVisitor_01/02 — A8/A9; UniqueVisitor_03_Bloom — A10)
+# ---------------------------------------------------------------------------
+
+_PV_ORACLE = f"""
+SELECT {_TUMBLE_END.format(ts="ts", dur=3600)} AS window_end, count(*) AS cnt
+FROM events WHERE event_type = 'view' GROUP BY 1
+"""
+
+
+@register("pv_hourly", oracle=_PV_ORACLE, tags=("A4",))
+def pv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly page-view count (1 h tumbling).
+
+    Reference: networkflow/analysis/PageView.scala:41-52 — which
+    manually salts the constant key into 4 random subkeys and re-merges
+    per windowEnd with keyed state (:63-109) to dodge the single-reducer
+    bottleneck. Spark's HashAggregate does partial (map-side) + final
+    aggregation natively, so the salting stage is deliberately absent.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return windowed_agg(
+        events.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        aggs=[F.count("*").alias("cnt")],
+    ).select("window_end", "cnt")
+
+
+_UV_ORACLE = f"""
+SELECT {_TUMBLE_END.format(ts="ts", dur=3600)} AS window_end,
+       count(DISTINCT user_id) AS uv
+FROM events WHERE event_type = 'view' GROUP BY 1
+"""
+
+
+@register("uv_hourly", oracle=_UV_ORACLE, tags=("A8", "A9"))
+def uv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly unique visitors — exact windowed COUNT DISTINCT.
+
+    Reference: networkflow/analysis/UniqueVisitor_01_Set.scala:34-61
+    (full-window Set buffer at parallelism 1) and
+    UniqueVisitor_02_Set.scala:41-72 (incremental Set accumulator).
+    Spark expands countDistinct to a two-phase distinct aggregate
+    (partial per-partition dedup → final) automatically — the
+    incremental/mergeable concern is built in.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return windowed_agg(
+        events.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        aggs=[F.countDistinct("user_id").alias("uv")],
+    ).select("window_end", "uv")
+
+
+@register("uv_hourly_approx", oracle=None, tags=("A10",))
+def uv_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly unique visitors — approximate (HyperLogLog++).
+
+    Reference: networkflow/analysis/UniqueVisitor_03_Bloom.scala:44-176 —
+    a hand-rolled Bloom filter over a 2^30-bit Redis bitmap with a
+    per-element FIRE_AND_PURGE trigger. ``approx_count_distinct`` (HLL++,
+    2% rsd here) is strictly better: mergeable, bounded-memory, no
+    external store. No SQL oracle: HLL estimates are engine-specific
+    (driver records the rows-only check); exactness is covered by
+    ``uv_hourly``.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return windowed_agg(
+        events.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        aggs=[F.approx_count_distinct("user_id", 0.02).alias("uv_approx")],
+    ).select("window_end", "uv_approx")
+
+
+# ---------------------------------------------------------------------------
+# market: app-marketing counts by channel/behavior + total
+# (AppMarketingByChannel.scala — A5; AppMarketingAllChannel.scala — A6)
+# ---------------------------------------------------------------------------
+
+_MARKET_CHANNEL_ORACLE = f"""
+WITH hopped AS ({_hop_expand(300, 3600)})
+SELECT window_end - 3600 AS window_start, window_end,
+       event_type AS channel, count(*) AS cnt
+FROM hopped GROUP BY 1, 2, 3
+"""
+
+
+@register("market_by_channel", oracle=_MARKET_CHANNEL_ORACLE, tags=("A5",))
+def market_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Install/click counts per (channel) per 1 h window sliding 5 min.
+
+    Reference: market/AppMarketingByChannel.scala:28-57 (filter
+    UNINSTALL → keyBy (channel, behavior) → 1h/5s window →
+    full-window ProcessWindowFunction counting elements.size). Spark
+    counts incrementally inside HashAggregate — no full-window buffer.
+    event_type plays the channel role; windowStart is emitted like the
+    reference's MarketCount (:60-64).
+    """
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_agg(
+        events,
+        "ts",
+        "1 hour",
+        "5 minutes",
+        keys=[F.col("event_type").alias("channel")],
+        aggs=[F.count("*").alias("cnt")],
+    )
+    return out.select(
+        (F.col("window_end") - 3600).alias("window_start"), "window_end", "channel", "cnt"
+    )
+
+
+_MARKET_TOTAL_ORACLE = f"""
+WITH hopped AS ({_hop_expand(300, 3600)})
+SELECT window_end, count(*) AS cnt FROM hopped GROUP BY 1
+"""
+
+
+@register("market_total", oracle=_MARKET_TOTAL_ORACLE, tags=("A6", "P5"))
+def market_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total marketing events per 1 h window sliding 5 min (no key).
+
+    Reference: market/AppMarketingAllChannel.scala:26-57 — maps every
+    row to a constant ("total", 1) key then window-counts. Spark: a
+    global windowed count; the constant key is unnecessary (partial
+    aggregation removes the single-reducer bottleneck, SURVEY §4 O2).
+    """
+    events = load_table(spark, "events", sf_dir)
+    return windowed_agg(events, "ts", "1 hour", "5 minutes", aggs=[F.count("*").alias("cnt")]).select(
+        "window_end", "cnt"
+    )
+
+
+_VALUE_STATS_ORACLE = f"""
+SELECT {_TUMBLE_END.format(ts="ts", dur=3600)} AS window_end, event_type,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS avg_value,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("value_stats_hourly", oracle=_VALUE_STATS_ORACLE, tags=("A11",))
+def value_stats_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly sum/avg of the value measure per event_type.
+
+    Reference: hotItems/HotItems.scala:116-128 (didactic (sum,count)
+    AVG accumulator). Spark's sum/avg are built-in; double measures go
+    through integer-cents (operators.windows.cents) so the sums are
+    order-independent and bit-exact vs the oracle.
+    """
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_agg(
+        events,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            money_sum("value", "sum_value"),
+            (F.sum((F.round(F.col("value") * 100)).cast("long")) / F.count("*") / 100.0).alias(
+                "avg_value"
+            ),
+            F.count("*").alias("cnt"),
+        ],
+    )
+    return out.select("window_end", "event_type", "sum_value", "avg_value", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# market: ad clicks by province + click-fraud blacklist
+# (AdAnalysisByProvince_BlackList.scala — A7; z_FilterBlackListUser.scala — C5)
+# ---------------------------------------------------------------------------
+
+_AD_PROVINCE_ORACLE = """
+SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 2592000) * 2592000 + 2592000 AS window_end,
+       n_name AS province, count(*) AS cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("ad_clicks_by_province", oracle=_AD_PROVINCE_ORACLE, tags=("A7", "A1"))
+def ad_clicks_by_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-province windowed counts (30-day tumble on orders, nation as
+    province) — the star-schema analogue of ad-click-by-province.
+
+    Reference: market/AdAnalysisByProvince_BlackList.scala:41-52
+    (keyBy province → 1h/5s window count). Here the categorical key
+    comes from a dimension join; nation (25 rows) and customer are
+    broadcast so the only shuffle is the final aggregation.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("o_orderdate").alias("ts"), F.col("n_name").alias("province"))
+    )
+    return windowed_agg(
+        joined, "ts", "30 days", keys=["province"], aggs=[F.count("*").alias("cnt")]
+    ).select("window_end", "province", "cnt")
+
+
+_BLACKLIST_WARN_ORACLE = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS click_count,
+       'WARNING: click count over 3 today' AS msg
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2 HAVING count(*) > 3
+"""
+
+
+@register("blacklist_warnings", oracle=_BLACKLIST_WARN_ORACLE, tags=("C5",))
+def blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-fraud blacklist warnings: users exceeding N clicks on one
+    day (threshold 3, scaled from the reference's 100 to the testdata's
+    click density).
+
+    Reference: market/z_FilterBlackListUser.scala:8-43 — per-(user,ad)
+    ValueState counter, one-time side-output warning past 100, cleared
+    by a processing-time midnight timer (:20-22). Batch form re-keys on
+    the event date (deterministic daily reset — SURVEY §7.4.5) and the
+    side output becomes a HAVING filter.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("click_count"))
+        .filter(F.col("click_count") > 3)
+        .withColumn("msg", F.lit("WARNING: click count over 3 today"))
+        .select("user_id", "day", "click_count", "msg")
+    )
+
+
+_BLACKLIST_FILTER_ORACLE = """
+SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, rn
+FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+) WHERE rn <= 3
+"""
+
+
+@register("blacklist_filtered_clicks", oracle=_BLACKLIST_FILTER_ORACLE, tags=("C5",))
+def blacklist_filtered_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pass-through side of the blacklist: at most the first 3
+    clicks per (user, day) survive.
+
+    Reference: the suppress path of z_FilterBlackListUser.scala:25-34
+    (count ≤ threshold → collect, else drop). Batch: row_number over
+    (user, day) ordered by (ts, event_id).
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# loginmonitor: consecutive login failures within a bound
+# (LoginFail_CEP.scala — C1 strict contiguity; LoginFail.scala — C2)
+# ---------------------------------------------------------------------------
+
+_LOGIN_FAIL_ORACLE = """
+SELECT user_id,
+       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail,
+       'login fail 2 times in 30min' AS msg
+FROM (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type = 'error' AND prev_type = 'error'
+  AND epoch(ts) - epoch(prev_ts) <= 1800
+"""
+
+
+@register("login_fail_detect", oracle=_LOGIN_FAIL_ORACLE, tags=("C1", "C2"))
+def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two *consecutive* failures per user within 30 min → warning.
+
+    Reference: loginmonitor/LoginFail_CEP.scala:31-46 —
+    ``Pattern.begin("firstFail").next("secondFail").within(2 s)`` (strict
+    contiguity: `next`, not `followedBy`). The hand-rolled twin
+    (LoginFail.scala:38-98) under-reports on interleaved successes —
+    the CEP semantics are authoritative (SURVEY §2.9 Q3). Batch: lag()
+    per user ordered by (ts, event_id); strict adjacency = consecutive
+    rows. Bound scaled 2s→30min for testdata density; 'error' plays
+    'fail'.
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "error")
+            & (epoch_double("ts") - epoch_double("prev_ts") <= 1800)
+        )
+    )
+    return flagged.select(
+        "user_id",
+        epoch_seconds("prev_ts").alias("first_fail"),
+        epoch_seconds("ts").alias("last_fail"),
+        F.lit("login fail 2 times in 30min").alias("msg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orderpay_detect: order-timeout detection
+# (OrderTimeout_CEP.scala — C3; OrderTimeout_PF.scala — C4 four-label variant)
+# ---------------------------------------------------------------------------
+
+_ORDER_TIMEOUT_ORACLE = """
+SELECT user_id,
+       CAST(floor(epoch(min(ts) FILTER (event_type = 'signup'))) AS BIGINT) AS create_ts,
+       CAST(floor(epoch(min(ts) FILTER (event_type = 'purchase'))) AS BIGINT) AS pay_ts,
+       CASE
+         WHEN count(*) FILTER (event_type = 'purchase') = 0 THEN 'order timeout'
+         WHEN count(*) FILTER (event_type = 'signup') = 0
+           THEN 'already payed but not found created log'
+         WHEN epoch(min(ts) FILTER (event_type = 'purchase'))
+              <= epoch(min(ts) FILTER (event_type = 'signup')) + 86400
+           THEN 'payed successfully'
+         ELSE 'payed but already timeout'
+       END AS status
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+GROUP BY user_id
+"""
+
+
+@register("order_timeout", oracle=_ORDER_TIMEOUT_ORACLE, tags=("C3", "C4"))
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Created-but-unpaid detection with the process-function variant's
+    four outcome labels.
+
+    Reference: orderpay_detect/OrderTimeout_CEP.scala:35-57 (CEP
+    create→pay within 15 s, timeout side output) and
+    OrderTimeout_PF.scala:50-131 (ValueState machine handling
+    pay-before-create; 15 min deadline at :85; the four labels at
+    :72-115). Batch: conditional min-FILTER aggregation per key
+    reproduces all outcomes in one pass. events analogue: per user_id,
+    'signup' plays create, 'purchase' plays pay; deadline 1 day.
+    """
+    events = load_table(spark, "events", sf_dir)
+    sig = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    pay = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    n_sig = F.count(F.when(F.col("event_type") == "signup", 1))
+    n_pay = F.count(F.when(F.col("event_type") == "purchase", 1))
+    agg = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            epoch_seconds(sig).alias("create_ts"),
+            epoch_seconds(pay).alias("pay_ts"),
+            n_sig.alias("_ns"),
+            n_pay.alias("_np"),
+            epoch_double(sig).alias("_sig_d"),
+            epoch_double(pay).alias("_pay_d"),
+        )
+    )
+    status = (
+        F.when(F.col("_np") == 0, "order timeout")
+        .when(F.col("_ns") == 0, "already payed but not found created log")
+        .when(F.col("_pay_d") <= F.col("_sig_d") + 86400, "payed successfully")
+        .otherwise("payed but already timeout")
+    )
+    return agg.select("user_id", "create_ts", "pay_ts", status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# orderpay_detect: pay ↔ receipt reconciliation
+# (OrderPayTxMatch_2Flow_Join.scala — J1 interval join;
+#  OrderPayTxMatch_2Flow_Co.scala — J2 full-outer match + unmatched channels)
+# ---------------------------------------------------------------------------
+
+_TX_INTERVAL_JOIN_ORACLE = """
+SELECT o_orderkey AS order_id, l_linenumber AS line_no,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       CAST(round(l_extendedprice * 100) AS BIGINT) / 100.0 AS amount
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@register("tx_interval_join", oracle=_TX_INTERVAL_JOIN_ORACLE, tags=("J1",))
+def tx_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-range) equi-join: ship events within [create,
+    create+30 d] of their order.
+
+    Reference: orderpay_detect/OrderPayTxMatch_2Flow_Join.scala:46-66 —
+    ``orderEvents.keyBy(txId).intervalJoin(receiptEvents).between(-3s, +5s)``.
+    Spark: equi-join on the key + range predicate; Catalyst plans a
+    single shuffle on the equi-key with the range as a post-join filter
+    (no nested-loop). orders/lineitem play pay/receipt.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return j.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        ((F.round(F.col("l_extendedprice") * 100)).cast("long") / 100.0).alias("amount"),
+    )
+
+
+_TX_RECONCILE_ORACLE = """
+WITH pays AS (
+  SELECT o_orderkey AS order_id, o_orderdate FROM orders WHERE o_orderstatus <> 'F'
+),
+receipts AS (
+  SELECT l_orderkey AS order_id, min(l_shipdate) AS first_ship, count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(p.order_id, r.order_id) AS order_id,
+       CASE WHEN p.order_id IS NULL THEN 'unmatched receipt'
+            WHEN r.order_id IS NULL THEN 'unmatched pay'
+            ELSE 'matched' END AS status,
+       strftime(p.o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(r.first_ship, '%Y-%m-%d') AS first_ship,
+       coalesce(r.n_lines, 0) AS n_lines
+FROM pays p FULL OUTER JOIN receipts r ON p.order_id = r.order_id
+"""
+
+
+@register("tx_reconcile", oracle=_TX_RECONCILE_ORACLE, tags=("J2", "K4"))
+def tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream full-outer reconciliation with unmatched side channels.
+
+    Reference: orderpay_detect/OrderPayTxMatch_2Flow_Co.scala:48-124 —
+    connect + CoProcessFunction buffering each side in ValueState,
+    emitting matches on the main output and per-side timeout timers to
+    'unmatched-pays'/'unmatched-receipts' side outputs. Batch: full
+    outer join; NULL sides *are* the unmatched channels, labeled in one
+    status column (split into three DataFrames by filter if separate
+    sinks are wanted — operators expose exactly that in streaming/).
+    Non-final orders play pays; per-order lineitem rollups play receipts.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pays = orders.filter(F.col("o_orderstatus") != "F").select(
+        F.col("o_orderkey").alias("p_order_id"), "o_orderdate"
+    )
+    receipts = li.groupBy(F.col("l_orderkey").alias("r_order_id")).agg(
+        F.min("l_shipdate").alias("first_ship"), F.count("*").alias("n_lines")
+    )
+    j = pays.join(receipts, pays.p_order_id == receipts.r_order_id, "full_outer")
+    status = (
+        F.when(F.col("p_order_id").isNull(), "unmatched receipt")
+        .when(F.col("r_order_id").isNull(), "unmatched pay")
+        .otherwise("matched")
+    )
+    return j.select(
+        F.coalesce("p_order_id", "r_order_id").alias("order_id"),
+        status.alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("first_ship", "yyyy-MM-dd").alias("first_ship"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )

@@ -1,0 +1,75 @@
+"""Query registry — the single source of truth consumed by
+``__spark_entry__.py`` (driver contract) and the parity tests.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus, when
+the semantics are ANSI-expressible, the DuckDB oracle SQL string the
+driver runs side-by-side. Column names/aliases MUST match between the
+two (the driver sorts columns by name before value-hashing).
+
+Determinism rules every registered query follows:
+  * window boundaries emitted as epoch-second Longs, dates as strings;
+  * double aggregations go through integer-cents (see
+    ``operators.windows.cents``) so sums are order-independent and
+    bit-exact across engines;
+  * every ranking has explicit tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tags)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every plan module so its ``@register`` calls run."""
+    from flink_wsr_project_spark.plans import (  # noqa: F401
+        reference_queries,
+        tpch_queries,
+        pipeline_queries,
+    )
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    _load_all()
+    return {q.name: q.spark_fn for q in _REGISTRY.values()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+
+
+def get(name: str) -> Query:
+    _load_all()
+    return _REGISTRY[name]

@@ -1,0 +1,222 @@
+"""Star-schema breadth queries (SURVEY.md §7.3 M7a).
+
+Beyond reference parity: standard scan/filter/join/agg/rank shapes over
+the driver's TPC-H-ish tables, exercising every relational surface at
+the scale the engine targets. Join strategy is explicit: dimension
+tables (region/nation/customer/supplier/part — small even at 100 TB
+fact scale) are broadcast; only fact-side aggregations shuffle.
+
+All money arithmetic goes through integer cents (order-independent,
+bit-exact vs the oracle — see operators.windows.cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_wsr_project_spark.operators.topn import topn_per_group
+from flink_wsr_project_spark.plans.registry import register
+from flink_wsr_project_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / count(*) / 100.0 AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*) / 100.0 AS avg_price,
+       sum(CAST(round(l_discount * 10000) AS BIGINT)) / count(*) / 10000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE, tags=("tpch", "A1"))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2-key groupBy, 8 aggregates,
+    predicate pushed to the parquet scan (only 7 of 11 columns read)."""
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def c(expr, scale=100):
+        return F.round(expr * scale).cast("long")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(c(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(c(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(c(disc_price)) / 100.0).alias("sum_disc_price"),
+            (F.sum(c(charge)) / 100.0).alias("sum_charge"),
+            (F.sum(c(F.col("l_quantity"))) / F.count("*") / 100.0).alias("avg_qty"),
+            (F.sum(c(F.col("l_extendedprice"))) / F.count("*") / 100.0).alias("avg_price"),
+            (F.sum(c(F.col("l_discount"), 10000)) / F.count("*") / 10000.0).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority (3-way join + top-10)
+# ---------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT order_id, revenue, order_date, rank FROM (
+  SELECT order_id, revenue, order_date,
+         row_number() OVER (ORDER BY revenue DESC, order_id) AS rank
+  FROM (
+    SELECT l_orderkey AS order_id,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+  )
+) WHERE rank <= 10
+"""
+
+
+@register("shipping_priority_topn", oracle=_SHIPPING_PRIORITY_ORACLE, tags=("tpch", "R1", "J1"))
+def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: customer⋈orders⋈lineitem, revenue per order,
+    global top-10. customer is broadcast; orders⋈lineitem shuffles on
+    orderkey once and the aggregation reuses that partitioning."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("order_id"), F.col("o_orderdate"))
+        .agg((F.sum(rev) / 100.0).alias("revenue"))
+        .select(
+            "order_id", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+    )
+    return topn_per_group(agg, [], "revenue", 10, tiebreakers=["order_id"]).select(
+        "order_id", "revenue", "order_date", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+_NATION_VOLUME_ORACLE = """
+SELECT n_name AS nation,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("nation_volume", oracle=_NATION_VOLUME_ORACLE, tags=("tpch", "J1", "A1"))
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: revenue by supplier nation within one
+    region. Every dimension side is broadcast; the plan has exactly one
+    shuffle (the final groupBy on n_name), which is what survives a
+    100× fact scale-up."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev) / 100.0).alias("revenue"), F.count("*").alias("n_items"))
+        .select("nation", "revenue", "n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group over a join (rank breadth: per-nation top customers)
+# ---------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT nation, customer_id, total_spend, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY nation
+                               ORDER BY total_spend DESC, customer_id) AS rank
+  FROM (
+    SELECT n_name AS nation, c_custkey AS customer_id,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+  )
+) WHERE rank <= 3
+"""
+
+
+@register("top_customers_per_nation", oracle=_TOP_CUSTOMERS_ORACLE, tags=("tpch", "R1"))
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by total order value per nation — the reference's
+    per-window top-N shape (R1) applied to a categorical partition."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey").alias("customer_id"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_spend"))
+    )
+    return topn_per_group(
+        agg, ["nation"], "total_spend", 3, tiebreakers=["customer_id"]
+    ).select("nation", "customer_id", "total_spend", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti join breadth (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_ORDERS_NO_LINES_ORACLE = """
+SELECT o_orderkey AS order_id, o_orderstatus AS status
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@register("orders_without_lineitems", oracle=_ORDERS_NO_LINES_ORACLE, tags=("tpch", "J2"))
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join — the set-difference side channel
+    shape (reference's unmatched-pays, J2) as a standalone operator."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select(F.col("o_orderkey").alias("order_id"), F.col("o_orderstatus").alias("status"))
+    )

@@ -1,0 +1,60 @@
+"""Spark-vs-DuckDB parity checker — mirrors the driver's compare:
+row count, schema (column name set), and order-insensitive values.
+
+Stricter than a hash: on mismatch it reports which rows differ, which
+is what we iterate against. Values must match exactly (our queries are
+engineered for bit-exact cross-engine determinism — integer-cents
+aggregation, explicit tie-breakers, epoch-long window bounds).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from flink_wsr_project_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), key=lambda s: s.astype(str)).reset_index(
+            drop=True
+        )
+    return pdf
+
+
+def assert_parity(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
+    got = _normalize(spark_df.toPandas())
+    con = duckdb_con(sf_dir)
+    want = _normalize(con.sql(oracle).df())
+    con.close()
+
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch spark={sorted(got.columns)} oracle={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} oracle={len(want)}"
+    for col in got.columns:
+        g, w = got[col], want[col]
+        for i, (a, b) in enumerate(zip(g, w)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+                b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+                if a_nan and b_nan:
+                    continue
+                assert not (a_nan or b_nan) and float(a) == float(b), (
+                    f"{name}: col {col} row {i}: spark={a!r} oracle={b!r}"
+                )
+            else:
+                assert str(a) == str(b), f"{name}: col {col} row {i}: spark={a!r} oracle={b!r}"
