@@ -1,0 +1,171 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Cross-engine determinism contract: every hash primitive is defined as a
+pair of SQL fragments — one Spark SQL, one DuckDB — built from the SAME
+Python constants, so the oracle comparison is bit-exact:
+
+* ``h28(s)``: first 7 hex chars of md5 → 28-bit positive int
+  (md5 is identical in both engines; 28 bits keeps ``a*h + b`` within
+  int64 for 31-bit coefficients).
+* MinHash permutation k: ``(a_k * h28(shingle) + b_k) mod p`` with
+  ``p = 2^31 - 1`` and fixed (a_k, b_k) literals.
+* SimHash: 32-bit, ±1 vote per token hash bit, majority per bit.
+
+Scale design: signatures are computed in one pass per document (no
+row explosion for minhash — higher-order array functions fold over the
+shingle array in place). LSH banding turns the O(n²) pair search into
+an equi-join on (band_index, band_hash): candidates shuffle only on
+band keys, and the exact-Jaccard verify runs per candidate pair. At
+100 TB the only quadratic term is within-bucket pairs, which banding
+bounds.
+"""
+
+from __future__ import annotations
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+N_PERMS = 16
+BAND_SIZE = 4
+N_BANDS = N_PERMS // BAND_SIZE
+
+# fixed permutation coefficients (deterministic literals baked into both engines)
+PERMS = [
+    ((2 * k + 1) * 1_299_721 % MINHASH_P, (k * 15_485_863 + 32_452_843) % MINHASH_P)
+    for k in range(N_PERMS)
+]
+
+
+def h28(s: str, engine: str) -> str:
+    """28-bit md5-prefix hash of a string expression."""
+    if engine == "spark":
+        return f"cast(conv(substr(md5({s}),1,7),16,10) as bigint)"
+    return f"('0x'||substr(md5({s}),1,7))::BIGINT"
+
+
+def toks_expr(text: str, engine: str) -> str:
+    """Whitespace tokenization."""
+    if engine == "spark":
+        return f"split(trim({text}), '\\\\s+')"
+    return rf"regexp_split_to_array(trim({text}), '\s+')"
+
+
+def shingles_from_toks(t: str, text: str, engine: str, n: int = 3) -> str:
+    """Word n-gram shingles from a token-array column ``t`` (n=3);
+    whole trimmed text if shorter than n tokens."""
+    if engine == "spark":
+        gram = ", ".join(f"{t}[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN size({t}) < {n} THEN array(trim({text})) "
+            f"ELSE transform(sequence(0, size({t})-{n}), i -> concat_ws(' ', {gram})) END"
+        )
+    gram = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"CASE WHEN len({t}) < {n} THEN [trim({text})] "
+        f"ELSE list_transform(range(len({t})-{n - 1}), i -> {gram}) END"
+    )
+
+
+def shingled_cte(engine: str, source: str = "documents") -> str:
+    """CTE producing (doc_id, sh): tokenize once, then shingle."""
+    return (
+        f"tokd AS (SELECT doc_id, text, {toks_expr('text', engine)} AS t FROM {source}),\n"
+        f"shingled AS (SELECT doc_id, {shingles_from_toks('t', 'text', engine)} AS sh FROM tokd)"
+    )
+
+
+def minhash_expr(shingles: str, k: int, engine: str) -> str:
+    """MinHash value for permutation k over a shingle-array expression."""
+    a, b = PERMS[k]
+    hv = h28("s", engine)
+    body = f"({a} * {hv} + {b}) % {MINHASH_P}"
+    if engine == "spark":
+        return f"array_min(transform({shingles}, s -> {body}))"
+    return f"list_min(list_transform({shingles}, s -> {body}))"
+
+
+def band_hash_expr(mh_cols: list[str], engine: str) -> str:
+    """Stable string hash of one band's minhash values."""
+    if engine == "spark":
+        inner = ", ".join(f"cast({c} as string)" for c in mh_cols)
+        return f"md5(concat_ws('_', {inner}))"
+    inner = " || '_' || ".join(f"{c}::VARCHAR" for c in mh_cols)
+    return f"md5({inner})"
+
+
+def signature_sql(engine: str, source: str = "documents") -> str:
+    """Full signature projection: doc_id, mh0..mhK-1, band0..bandB-1.
+
+    Single scan, no explode: minhash folds over the shingle array.
+    """
+    mh_cols = ",\n       ".join(
+        f"{minhash_expr('sh', k, engine)} AS mh{k}" for k in range(N_PERMS)
+    )
+    bands = ",\n       ".join(
+        band_hash_expr([f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], engine)
+        + f" AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"WITH {shingled_cte(engine, source)},\n"
+        f"sigs AS (SELECT doc_id,\n       {mh_cols}\n  FROM shingled)\n"
+        f"SELECT doc_id,\n       {bands}\n  FROM sigs"
+    )
+
+
+def jaccard_expr(a: str, b: str, engine: str) -> str:
+    """Exact Jaccard over two shingle-array expressions (distinct sets).
+
+    int/int division → double in both engines; intersection/union sizes
+    are integers, so the result is a single deterministic IEEE op.
+    """
+    if engine == "spark":
+        na, nb = f"size(array_distinct({a}))", f"size(array_distinct({b}))"
+        inter = f"size(array_intersect({a}, {b}))"
+    else:
+        na, nb = f"len(list_distinct({a}))", f"len(list_distinct({b}))"
+        inter = f"len(list_intersect({a}, {b}))"
+    return f"{inter} / ({na} + {nb} - {inter})"
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_bit_sums(hv: str, engine: str) -> list[str]:
+    """±1 vote per bit of a token-hash column; one SUM expr per bit."""
+    out = []
+    for b in range(SIMHASH_BITS):
+        shifted = f"shiftright({hv}, {b})" if engine == "spark" else f"({hv} >> {b})"
+        out.append(f"sum(CASE WHEN ({shifted} & 1) = 1 THEN 1 ELSE -1 END) AS bs{b}")
+    return out
+
+
+def simhash_combine(engine: str) -> str:
+    """Fold the 32 bit-majority sums into one BIGINT."""
+    terms = " + ".join(
+        f"(CASE WHEN bs{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return terms
+
+
+def simhash_sql(engine: str, source: str = "documents") -> str:
+    """doc_id → 32-bit SimHash over whitespace tokens (frequency-weighted
+    via duplicate tokens)."""
+    t = toks_expr("text", engine)
+    if engine == "spark":
+        tok = f"SELECT doc_id, explode({t}) AS tok FROM {source}"
+    else:
+        tok = f"SELECT doc_id, unnest({t}) AS tok FROM {source}"
+    hv = h28("tok", engine)
+    sums = ",\n       ".join(simhash_bit_sums("hv", engine))
+    return (
+        f"WITH tok AS ({tok}),\n"
+        f"h AS (SELECT doc_id, {hv} AS hv FROM tok),\n"
+        f"bits AS (SELECT doc_id,\n       {sums}\n  FROM h GROUP BY doc_id)\n"
+        f"SELECT doc_id, {simhash_combine(engine)} AS simhash FROM bits"
+    )
+
+
+def hamming_expr(a: str, b: str, engine: str) -> str:
+    if engine == "spark":
+        return f"cast(bit_count({a} ^ {b}) as bigint)"
+    return f"CAST(bit_count(CAST(xor({a}, {b}) AS BIGINT)) AS BIGINT)"

@@ -1,0 +1,67 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale mandate:
+
+* **Brute-force cosine top-k** — the exactness baseline. Query set ×
+  corpus join, cosine per pair, row_number per query. Correct at any
+  k; O(|Q|·|C|·d) — fine for |Q| small, and the broadcast of the query
+  side means the corpus is scanned exactly once with no shuffle.
+* **SRP-LSH (signed random projection)** — the scale path. Each vector
+  folds into an 8-bit bucket (sign of dot with 8 fixed deterministic
+  hyperplanes); candidate pairs only form within a bucket, turning the
+  O(n²) pair space into per-bucket blocks. Hyperplane weights come from
+  an LCG formula, identical literals in both engines.
+
+Determinism: dot products are explicit left folds over the array in
+index order with element-wise float→double casts — both engines
+perform the identical IEEE op sequence, so cosines are bit-exact and
+oracle-checkable (no "approximately equal" needed).
+"""
+
+from __future__ import annotations
+
+SRP_BITS = 8
+# LCG-derived hyperplane weight in [-1, 1): w(j, i) deterministic literal math
+_LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 65_536
+
+
+def srp_weight_expr(j: int, i: str, engine: str) -> str:
+    """Weight of hyperplane j at dimension i (expression in i)."""
+    idx = f"CAST({j} * 64 + {i} AS BIGINT)"
+    lcg = f"((CAST({_LCG_A} AS BIGINT) * {idx} + {_LCG_C}) % {_LCG_M})"
+    return f"({lcg} / 32768.0 - 1.0)"
+
+
+def dot_expr(a: str, b: str, engine: str) -> str:
+    """Left-fold dot product of two float arrays, promoted to double."""
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(range(len({a})), i -> "
+        f"CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def cosine_expr(a: str, b: str, engine: str) -> str:
+    return f"({dot_expr(a, b, engine)} / (sqrt({dot_expr(a, a, engine)}) * sqrt({dot_expr(b, b, engine)})))"
+
+
+def srp_bucket_expr(v: str, engine: str) -> str:
+    """8-bit SRP bucket id of a vector expression."""
+    terms = []
+    for j in range(SRP_BITS):
+        if engine == "spark":
+            proj = (
+                f"aggregate(transform({v}, (x, i) -> cast(x as double) * {srp_weight_expr(j, 'i', 'spark')}), "
+                f"cast(0.0 as double), (acc, p) -> acc + p)"
+            )
+        else:
+            proj = (
+                f"list_reduce(list_transform(range(len({v})), i -> "
+                f"CAST({v}[i+1] AS DOUBLE) * {srp_weight_expr(j, 'i', 'duckdb')}), (x, y) -> x + y)"
+            )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -13,8 +13,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from flink_wsr_project_spark.operators.dedup import (
+    hamming_expr,
+    jaccard_expr,
+    shingled_cte,
+    signature_sql,
+    simhash_sql,
+)
+from flink_wsr_project_spark.operators.similarity import cosine_expr, srp_bucket_expr
+from flink_wsr_project_spark.operators.text import fingerprint_sql, lang_id_sql
 from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
+
+
+def _sql_query(build, views=("documents",)):
+    """Wrap an engine-parameterized SQL builder as a registry callable."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for v in views:
+            load_table(spark, v, sf_dir).createOrReplaceTempView(v)
+        return spark.sql(build("spark"))
+
+    fn.__doc__ = build.__doc__
+    return fn
 
 # stopword list shared by quality scoring and language-id heuristics
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -102,3 +123,239 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signatures_sql(engine: str) -> str:
+    """Per-doc MinHash band signatures (16 perms, 4 bands of 4) —
+    single scan, signature folds over the in-row shingle array (no
+    explode, no shuffle)."""
+    return signature_sql(engine)
+
+
+@register(
+    "minhash_signatures", oracle=_minhash_signatures_sql("duckdb"), tags=("pipeline", "dedup")
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_minhash_signatures_sql("spark"))
+
+
+def _dedup_minhash_lsh_sql(engine: str) -> str:
+    """MinHash-LSH near-dup pairs: band-equality candidates (equi-join
+    per band, UNION-dedup) → exact 3-gram Jaccard verify ≥ 0.4.
+    The pair space is only within-band — never O(n²)."""
+    sig = signature_sql(engine)
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
+        for b_ in range(4)
+    )
+    jac = jaccard_expr("sa.sh", "sb.sh", engine)
+    return f"""
+WITH sigs AS ({sig}),
+{shingled_cte(engine)},
+cand AS (
+{cands}
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= 0.4
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_dedup_minhash_lsh_sql("duckdb"), tags=("pipeline", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_dedup_minhash_lsh_sql("spark"))
+
+
+def _ngram_jaccard_sql(engine: str) -> str:
+    """Exact all-pairs n-gram Jaccard on a bounded id range (the
+    exactness baseline the LSH path approximates)."""
+    jac = jaccard_expr("a.sh", "b.sh", engine)
+    return f"""
+WITH {shingled_cte(engine)}
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+  WHERE a.doc_id < 150 AND b.doc_id < 150
+) WHERE jaccard >= 0.2
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_ngram_jaccard_sql("duckdb"), tags=("pipeline", "dedup"))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_ngram_jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(engine: str) -> str:
+    """32-bit SimHash per document (±1 vote per token-hash bit)."""
+    return simhash_sql(engine)
+
+
+@register("dedup_simhash", oracle=_simhash_sql("duckdb"), tags=("pipeline", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+def _simhash_neardup_sql(engine: str) -> str:
+    """SimHash near-dup pairs: Hamming distance ≤ 3. The self-join is
+    bounded here (≤5k docs); the 100 TB path blocks on simhash bytes
+    (join on one of 4 rotated byte-prefixes) before the Hamming check."""
+    ham = hamming_expr("a.simhash", "b.simhash", engine)
+    return f"""
+WITH s AS ({simhash_sql(engine)})
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register("simhash_neardup_pairs", oracle=_simhash_neardup_sql("duckdb"), tags=("pipeline", "dedup"))
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_simhash_neardup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID / fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register("lang_id", oracle=lang_id_sql("duckdb"), tags=("pipeline", "text"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word counts per language, argmax
+    with fixed tie order. Dictionary literals shared with the oracle."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(lang_id_sql("spark"))
+
+
+@register("doc_fingerprint", oracle=fingerprint_sql("duckdb"), tags=("pipeline", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full md5 + min-shingle-hash."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(fingerprint_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _ann_brute_force_sql(engine: str) -> str:
+    """Brute-force cosine top-10: query set (vec_id % 50 = 0) ×
+    corpus; Spark broadcasts the query side so the corpus streams
+    through a single nested-loop stage with no shuffle."""
+    cos = cosine_expr("q.qv", "e.embedding", engine)
+    rn = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+    if engine == "spark":
+        rn = f"CAST({rn} AS BIGINT)"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, {rn} AS rank FROM pairs
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_ann_brute_force_sql("duckdb"),
+    tags=("pipeline", "similarity"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_ann_brute_force_sql("spark"))
+
+
+def _ann_srp_sql(engine: str) -> str:
+    """SRP-LSH candidate pairs: 8-bit signed-random-projection bucket
+    per vector; pairs form only within a bucket, then cosine ≥ 0.3
+    verify. The scale path: pair space is per-bucket, not O(n²)."""
+    bucket = srp_bucket_expr("embedding", engine)
+    cos = cosine_expr("a.embedding", "b.embedding", engine)
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT vec_a, vec_b, bucket, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+"""
+
+
+@register("ann_srp_lsh_pairs", oracle=_ann_srp_sql("duckdb"), tags=("pipeline", "similarity"))
+def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_ann_srp_sql("spark"))
+
+
+def _embedding_neardup_sql(engine: str) -> str:
+    """Embedding-cosine near-dup pairs within a blocking key (label)."""
+    cos = cosine_expr("a.embedding", "b.embedding", engine)
+    return f"""
+SELECT vec_a, vec_b, label, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+"""
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=_embedding_neardup_sql("duckdb"),
+    tags=("pipeline", "dedup", "similarity"),
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_embedding_neardup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
+# ---------------------------------------------------------------------------
+
+_MEDIA_FEATURES_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       strlen(text) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(least(n_chars % 1920, 256) AS INTEGER) AS thumb_w,
+       CAST(least(n_chars % 1080, 256) AS INTEGER) AS thumb_h,
+       CAST(greatest((n_chars * 40) // 1000, 1) AS INTEGER) AS n_frames_sampled,
+       'stub' AS decode_status
+FROM documents
+"""
+
+
+@register("media_features", oracle=_MEDIA_FEATURES_ORACLE, tags=("pipeline", "multimodal"))
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow/mapInPandas
+    path (operators.multimodal). The decode itself is a stub; the
+    byte-level metadata the UDF emits is deterministic, so even this
+    Pandas-UDF operator is oracle-checked exactly."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_assets,
+    )
+
+    return extract_features(synthesize_media_assets(spark, sf_dir))
