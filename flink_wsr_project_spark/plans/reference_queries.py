@@ -595,6 +595,55 @@ def tx_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# networkflow: late-data classification (L2/L3 batch reproduction)
+# ---------------------------------------------------------------------------
+
+_LATE_DATA_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CASE
+         WHEN epoch(ts) >= epoch(max_ts) - 60 THEN 'on_time'
+         WHEN epoch(ts) >= epoch(max_ts) - 120 THEN 'late_within_lateness'
+         ELSE 'too_late_side_output'
+       END AS lateness
+FROM w
+"""
+
+
+@register("late_data_classify", oracle=_LATE_DATA_ORACLE, tags=("L1", "L2", "L3"))
+def late_data_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch reproduction of the watermark / allowedLateness / side-output
+    trichotomy.
+
+    Reference: NetworkFlowTopNPage_经典演示迟到数据.scala:43-58 — 1 s
+    bounded out-of-orderness watermark, allowedLateness(1 min),
+    sideOutputLateData. Arrival order = event_id; the running-max ts is
+    the watermark source. Rows within watermark−60 s are on time, within
+    the extra lateness window they re-fire aggregates (L2), and beyond
+    it they'd hit the late side output (L3). Bounds scaled (60/120 s)
+    to testdata density. Streaming policy: SURVEY §7.4.1 — lateness
+    folds into the watermark (streaming/windows.py).
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    classified = events.withColumn("max_ts", F.max("ts").over(w))
+    lateness = (
+        F.when(epoch_double("ts") >= epoch_double("max_ts") - 60, "on_time")
+        .when(epoch_double("ts") >= epoch_double("max_ts") - 120, "late_within_lateness")
+        .otherwise("too_late_side_output")
+    )
+    return classified.select(
+        "event_id", "user_id", epoch_seconds("ts").alias("ts_epoch"), lateness.alias("lateness")
+    )
+
+
 _TX_RECONCILE_ORACLE = """
 WITH pays AS (
   SELECT o_orderkey AS order_id, o_orderdate FROM orders WHERE o_orderstatus <> 'F'

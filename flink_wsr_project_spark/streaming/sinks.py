@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.8).
+
+K1 console, K2 retract→update-mode, K4 side-output routing. The
+reference tags side outputs (blacklist warnings, timeouts, unmatched
+pays/receipts — ``OrderPayTxMatch_2Flow_Co.scala:52-57``) from a single
+operator; Spark's analogue is one labeled stream fanned out inside
+``foreachBatch`` — each label filtered and written to its own sink
+exactly once per micro-batch (exactly-once per epoch with idempotent
+sinks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def console_sink(stream: DataFrame, mode: str = "update", name: str = "console") -> StreamingQuery:
+    """K1: the reference's ``.print(label)``."""
+    return stream.writeStream.outputMode(mode).format("console").queryName(name).start()
+
+
+def side_output_sink(
+    labeled_stream: DataFrame,
+    label_col: str,
+    sinks: dict[str, Callable[[DataFrame, int], None]],
+    mode: str = "append",
+    query_name: str = "side_outputs",
+) -> StreamingQuery:
+    """K4: route one labeled stream to per-label sinks.
+
+    ``sinks`` maps a label value to ``fn(batch_df, epoch_id)``; rows
+    with unlisted labels are dropped (add a catch-all key ``"*"`` to
+    receive them).
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            matched = None
+            for label, fn in sinks.items():
+                if label == "*":
+                    continue
+                fn(batch_df.filter(batch_df[label_col] == label), epoch_id)
+                cond = batch_df[label_col] == label
+                matched = cond if matched is None else (matched | cond)
+            if "*" in sinks:
+                rest = batch_df if matched is None else batch_df.filter(~matched)
+                sinks["*"](rest, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        labeled_stream.writeStream.outputMode(mode)
+        .queryName(query_name)
+        .foreachBatch(process)
+        .start()
+    )

@@ -1,0 +1,215 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.6 streaming forms — the reference's keyed
+ProcessFunctions re-expressed on Spark's user-level state API).
+
+Every UDF closure here is self-contained (no references back to this
+package) so external driver sessions can execute them regardless of
+worker PYTHONPATH.
+
+State-size discipline (the 100 TB concern): each operator keeps O(1)
+state per key — a pair of timestamps or a counter — never a buffer of
+events, mirroring the reference's deliberate incremental designs
+(``HotItems.scala:89-92``). Timeouts evict state exactly like the
+reference's timers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def login_fail_detector(
+    events: DataFrame,
+    max_gap_s: float = 2.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    fail_value: str = "error",
+) -> DataFrame:
+    """C1 streaming: two consecutive failures within ``max_gap_s`` per
+    user → warning.
+
+    Reference: loginmonitor/LoginFail_CEP.scala:31-46 (strict ``next``
+    contiguity, 2 s bound) and the hand-rolled ListState+timer twin
+    LoginFail.scala:38-98. State: (last event was fail?, its ts) — two
+    scalars per user, not a list of fails.
+    """
+    gap = float(max_gap_s)
+    fail = str(fail_value)
+    tcol, ucol, ycol = ts_col, user_col, type_col
+
+    def fn(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        last_fail_ts = None
+        if state.exists:
+            v = state.get[0]
+            last_fail_ts = None if v is None or math.isnan(v) else v
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol])
+            for _, row in pdf.iterrows():
+                t = row[tcol].timestamp()
+                if row[ycol] == fail:
+                    if last_fail_ts is not None and t - last_fail_ts <= gap:
+                        out.append(
+                            {
+                                "user_id": int(key[0]),
+                                "first_fail": int(last_fail_ts),
+                                "last_fail": int(t),
+                                "msg": "consecutive login failures",
+                            }
+                        )
+                    last_fail_ts = t
+                else:
+                    last_fail_ts = None
+        state.update((float(last_fail_ts) if last_fail_ts is not None else float("nan"),))
+        yield pd.DataFrame(out, columns=["user_id", "first_fail", "last_fail", "msg"])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        "user_id long, first_fail long, last_fail long, msg string",
+        "last_fail double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def order_timeout_monitor(
+    orders: DataFrame,
+    deadline_s: int = 900,
+    key_col: str = "order_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    create_value: str = "create",
+    pay_value: str = "pay",
+) -> DataFrame:
+    """C3/C4 streaming: create→pay within deadline, else timeout.
+
+    Reference: orderpay_detect/OrderTimeout_PF.scala:50-131 — ValueState
+    (isCreated/isPayed/timerTs) + event-time timer at create+15 min
+    (:85), handling pay-before-create (:109-115). Here: event-time
+    timeout via ``GroupStateTimeout.EventTimeTimeout``; on timeout the
+    state is evicted (the reference's timer-clear).
+    """
+    ddl = int(deadline_s)
+    kcol, tcol, ycol = key_col, ts_col, type_col
+    cval, pval = str(create_value), str(pay_value)
+
+    def fn(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        cols = ["order_id", "status", "create_ts", "pay_ts"]
+        if state.hasTimedOut:
+            create_ts, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "order_id": int(key[0]),
+                        "status": "order timeout",
+                        "create_ts": int(create_ts) if not math.isnan(create_ts) else None,
+                        "pay_ts": None,
+                    }
+                ],
+                columns=cols,
+            )
+            return
+
+        create_ts, pay_ts = state.get if state.exists else (float("nan"), float("nan"))
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol])
+            for _, row in pdf.iterrows():
+                t = row[tcol].timestamp()
+                if row[ycol] == cval:
+                    create_ts = t
+                else:
+                    pay_ts = t
+                if not math.isnan(create_ts) and not math.isnan(pay_ts):
+                    status = (
+                        "payed successfully"
+                        if pay_ts <= create_ts + ddl
+                        else "payed but already timeout"
+                    )
+                    out.append(
+                        {
+                            "order_id": int(key[0]),
+                            "status": status,
+                            "create_ts": int(create_ts),
+                            "pay_ts": int(pay_ts),
+                        }
+                    )
+                    state.remove()
+                    create_ts, pay_ts = float("nan"), float("nan")
+        if not math.isnan(create_ts) or not math.isnan(pay_ts):
+            state.update((create_ts, pay_ts))
+            if not math.isnan(create_ts):
+                state.setTimeoutTimestamp(int((create_ts + ddl) * 1000))
+        yield pd.DataFrame(out, columns=cols)
+
+    return orders.withWatermark(ts_col, "3 seconds").groupBy(key_col).applyInPandasWithState(
+        fn,
+        "order_id long, status string, create_ts long, pay_ts long",
+        "create_ts double, pay_ts double",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def blacklist_filter(
+    clicks: DataFrame,
+    threshold: int = 100,
+    user_col: str = "user_id",
+    key_col: str = "ad_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """C5 streaming: per-(user, ad) click counter; one-time warning when
+    the daily count crosses the threshold.
+
+    Reference: market/z_FilterBlackListUser.scala:8-43 — ValueState
+    count + ``isSentBlackList`` flag, processing-time midnight reset
+    (:20-22). Here the day is part of the state (event-time day —
+    deterministic, SURVEY §7.4.5); crossing emits exactly one warning.
+    """
+    cap = int(threshold)
+    tcol = ts_col
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        day, count, warned = state.get if state.exists else ("", 0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol])
+            for _, row in pdf.iterrows():
+                d = row[tcol].strftime("%Y-%m-%d")
+                if d != day:
+                    day, count, warned = d, 0, 0
+                count += 1
+                if count > cap and not warned:
+                    warned = 1
+                    out.append(
+                        {
+                            "user_id": int(key[0]),
+                            "ad_id": int(key[1]),
+                            "day": day,
+                            "click_count": int(count),
+                            "msg": f"WARNING: click count over {cap} today",
+                        }
+                    )
+        state.update((day, count, warned))
+        yield pd.DataFrame(out, columns=["user_id", "ad_id", "day", "click_count", "msg"])
+
+    return clicks.groupBy(user_col, key_col).applyInPandasWithState(
+        fn,
+        "user_id long, ad_id long, day string, click_count long, msg string",
+        "day string, count long, warned long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,185 @@
+"""Streaming layer tests: file-sourced Structured Streaming runs
+compared against the batch forms of the same queries (shared
+expression logic), plus stateful-operator semantics on hand-built
+scenarios.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.operators.topn import topn_per_group
+from flink_wsr_project_spark.sources.readers import load_table
+from flink_wsr_project_spark.streaming.sources import market_event_source
+from flink_wsr_project_spark.streaming.stateful import (
+    blacklist_filter,
+    login_fail_detector,
+    order_timeout_monitor,
+)
+from flink_wsr_project_spark.streaming.topn import stream_topn
+from flink_wsr_project_spark.streaming.windows import streaming_windowed_agg
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events (sf0.001) rewritten as a streamable parquet dir."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "events", SF_DIR).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    agg = streaming_windowed_agg(
+        stream.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        watermark="1 second",
+        allowed_lateness="60 seconds",
+        aggs=[F.count("*").alias("cnt")],
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pv_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_end, r.cnt)
+        for r in spark.sql("SELECT window_end, cnt FROM pv_stream").collect()
+    }
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {(r.window_end, r.cnt) for r in all_queries()["pv_hourly"](spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_stream_topn_matches_batch(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    agg = streaming_windowed_agg(
+        stream.filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+        "5 minutes",
+        keys=[F.col("user_id").alias("item_id")],
+        aggs=[F.count("*").alias("cnt")],
+        watermark="1 second",
+    )
+    # update-mode upserts keyed by (window_end, rank) — keep the latest
+    latest: dict[tuple, tuple] = {}
+
+    def sink(ranked_df, epoch_id):
+        for r in ranked_df.collect():
+            latest[(r.window_end, r.rank)] = (r.item_id, r.cnt)
+
+    q = stream_topn(agg, ["window_end"], "cnt", 5, sink, tiebreakers=["item_id"])
+    q.processAllAvailable()
+    q.stop()
+
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {
+        (r.window_end, r.rank): (r.item_id, r.cnt)
+        for r in all_queries()["hot_items_topn"](spark, SF_DIR).collect()
+    }
+    assert latest == want
+
+
+def test_market_rate_source(spark):
+    stream = market_event_source(spark, rows_per_second=50)
+    q = stream.writeStream.outputMode("append").format("memory").queryName("mkt").start()
+    import time
+
+    time.sleep(2.5)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM mkt").collect()
+    assert {f.name for f in stream.schema.fields} == {"user_id", "behavior", "channel", "ts"}
+    if rows:  # rate source warm-up can be slow on loaded CI boxes
+        assert {r.behavior for r in rows} <= {"CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL"}
+        assert {r.channel for r in rows} <= {"appstore", "huweistore", "weibo", "wechat"}
+
+
+def test_login_fail_detector_matches_batch(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    warnings = login_fail_detector(stream, max_gap_s=1800.0)
+    q = warnings.writeStream.outputMode("append").format("memory").queryName("lf").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.first_fail, r.last_fail)
+        for r in spark.sql("SELECT * FROM lf").collect()
+    }
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {
+        (r.user_id, r.first_fail, r.last_fail)
+        for r in all_queries()["login_fail_detect"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_order_timeout_monitor_semantics(spark, tmp_path):
+    # hand-built scenario: in-deadline pay, late pay, pay-before-create,
+    # never-paid (times out via watermark advance from later events)
+    rows = [
+        (1, "create", "2024-01-01 00:00:00"),
+        (1, "pay", "2024-01-01 00:05:00"),        # within 15 min
+        (2, "create", "2024-01-01 00:00:00"),
+        (2, "pay", "2024-01-01 00:30:00"),        # beyond 15 min
+        (3, "pay", "2024-01-01 00:02:00"),        # pay before create
+        (3, "create", "2024-01-01 00:01:00"),
+        (4, "create", "2024-01-01 00:00:00"),     # never paid → timeout
+        (5, "create", "2024-01-01 02:00:00"),     # watermark pusher
+        (5, "pay", "2024-01-01 02:00:01"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["order_id", "event_type", "ts_str"])
+    df = spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    d = str(tmp_path / "orders_stream")
+    df.write.parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = order_timeout_monitor(stream, deadline_s=900)
+    q = out.writeStream.outputMode("append").format("memory").queryName("ot").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.order_id: r.status for r in spark.sql("SELECT * FROM ot").collect()}
+    assert got[1] == "payed successfully"
+    assert got[2] == "payed but already timeout"
+    assert got[3] == "payed successfully"  # out-of-order handled (PF :109-115)
+    assert got[5] == "payed successfully"
+    assert got.get(4, "order timeout") == "order timeout"  # fires if watermark batch ran
+
+
+def test_blacklist_filter_semantics(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click").withColumn(
+        "ad_id", (F.col("user_id") % 5).cast("long")
+    )
+    out = blacklist_filter(clicks, threshold=2)
+    q = out.writeStream.outputMode("append").format("memory").queryName("bl").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.ad_id, r.day) for r in spark.sql("SELECT * FROM bl").collect()
+    }
+    # recompute expectation in pandas: first crossing of >2 clicks per (user, ad, day)
+    pdf = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("event_type") == "click")
+        .withColumn("ad_id", (F.col("user_id") % 5).cast("long"))
+        .select("user_id", "ad_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .toPandas()
+    )
+    counts = pdf.groupby(["user_id", "ad_id", "day"]).size()
+    want = {k for k, n in counts.items() if n > 2}
+    assert got == want
