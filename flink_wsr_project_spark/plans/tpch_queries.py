@@ -220,3 +220,73 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
         .select(F.col("o_orderkey").alias("order_id"), F.col("o_orderstatus").alias("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / set operations (SURVEY §2.9 Q7: absent in the reference,
+# native in Spark — included for engine completeness)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
+@register("orders_rollup", oracle=_ROLLUP_ORACLE, tags=("tpch", "rollup"))
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year): hierarchical subtotals + grand total in
+    one pass (Expand + single shuffle)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("yr"), "o_totalprice")
+    )
+    out = j.rollup("n_name", "yr").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_price"),
+    )
+    return out.select(
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+        "n_orders",
+        "total_price",
+    )
+
+
+_SETOPS_ORACLE = """
+SELECT user_id, 'purchaser_never_error' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'clicker_and_viewer' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+)
+"""
+
+
+@register("user_segments_setops", oracle=_SETOPS_ORACLE, tags=("setops",))
+def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL over user cohorts."""
+    events = load_table(spark, "events", sf_dir)
+
+    def ids(et: str) -> DataFrame:
+        return events.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    never_err = ids("purchase").exceptAll(ids("error")).distinct()
+    both = ids("click").intersect(ids("view"))
+    return never_err.withColumn("segment", F.lit("purchaser_never_error")).unionAll(
+        both.withColumn("segment", F.lit("clicker_and_viewer"))
+    )

@@ -22,6 +22,34 @@ def console_sink(stream: DataFrame, mode: str = "update", name: str = "console")
     return stream.writeStream.outputMode(mode).format("console").queryName(name).start()
 
 
+def kafka_sink(
+    df: DataFrame, topic: str, servers: str = "localhost:9092", value_cols: list[str] | None = None
+):
+    """S5: Kafka producer (reference ``KafkaProducerUtil.scala:13-34``
+    replays CSV lines into a topic). Rows serialize as CSV into the
+    Kafka ``value``. Works for batch (``df.write``) and streaming
+    (``df.writeStream``) — requires the spark-sql-kafka package on the
+    classpath, so tests exercise the serialization projection only.
+    """
+    from pyspark.sql import functions as F
+
+    cols = value_cols or df.columns
+    payload = df.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
+    )
+    if payload.isStreaming:
+        return (
+            payload.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("topic", topic)
+        )
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+    )
+
+
 def side_output_sink(
     labeled_stream: DataFrame,
     label_col: str,

@@ -1,0 +1,63 @@
+"""Parser-path tests (SURVEY.md §2.2 P1/P2): CSV-line and apache-log
+parsing through the JVM-side from_csv / regexp route."""
+
+from __future__ import annotations
+
+import datetime
+
+from flink_wsr_project_spark import schemas
+from flink_wsr_project_spark.sources.readers import (
+    parse_apache_log_lines,
+    parse_csv_lines,
+)
+from flink_wsr_project_spark.streaming.sinks import kafka_sink
+
+
+def test_parse_user_behavior_csv(spark):
+    # UserBehavior.csv format (HotItems.scala:50-60)
+    lines = spark.createDataFrame(
+        [("543462,1715,1464116,pv,1511658000",), ("662867,2244074,1575622,buy,1511658060",)],
+        ["value"],
+    )
+    rows = parse_csv_lines(lines, schemas.USER_BEHAVIOR).collect()
+    assert rows[0].user_id == 543462
+    assert rows[0].item_id == 1715
+    assert rows[0].behavior == "pv"
+    assert rows[0].ts_epoch == 1511658000
+    assert rows[1].behavior == "buy"
+
+
+def test_parse_order_event_csv_empty_txid(spark):
+    # OrderLog.csv: create rows carry an empty txId (OrderPayTxMatch…:30)
+    lines = spark.createDataFrame(
+        [("34729,create,,1558430842",), ("34730,pay,3sab34fd,1558430844",)], ["value"]
+    )
+    rows = parse_csv_lines(lines, schemas.ORDER_EVENT).collect()
+    assert rows[0].event_type == "create" and rows[0].tx_id is None
+    assert rows[1].tx_id == "3sab34fd"
+
+
+def test_parse_apache_log(spark):
+    # apache.log format (NetworkFlowTopNPage…scala:34-42)
+    line = "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/logstash/"
+    df = parse_apache_log_lines(spark.createDataFrame([(line,)], ["value"]))
+    r = df.collect()[0]
+    assert r.ip == "83.149.9.216"
+    assert r.method == "GET"
+    assert r.url == "/presentations/logstash/"
+    assert r.event_time == datetime.datetime(2015, 5, 17, 10, 5, 3)
+
+
+def test_kafka_sink_serialization(spark):
+    # serialization projection only (no broker in the container)
+    df = spark.createDataFrame([(1, "a", 2.5)], ["x", "y", "z"])
+    writer = kafka_sink(df, topic="t")
+    # the writer is configured for kafka; verify the value projection
+    from flink_wsr_project_spark.streaming import sinks as _s  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    payload = df.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value")
+    ).collect()
+    assert payload[0].value == "1,a,2.5"
