@@ -1,0 +1,178 @@
+"""Analytics breadth queries: sessionization, as-of attribution,
+running windows, pivot — standard large-scale event-analytics shapes
+built from the same operator kit (SURVEY.md §7.3 M7 breadth; all
+oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from flink_wsr_project_spark.operators.windows import epoch_seconds
+from flink_wsr_project_spark.plans.registry import register
+from flink_wsr_project_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session
+# ---------------------------------------------------------------------------
+
+_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("user_sessions", oracle=_SESSIONS_ORACLE, tags=("session",))
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap + running sum (the batch form of
+    streaming ``session_window``): one shuffle on user_id, reused by
+    both window functions and the final aggregate."""
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("timestamp").cast("double")
+               - F.lag("ts").over(w).cast("timestamp").cast("double") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        epoch_seconds(F.min("ts")).alias("session_start"),
+        epoch_seconds(F.max("ts")).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of attribution: most recent prior view for each purchase
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH vp AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_id AS purchase_event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(last_view_ts)) AS BIGINT) AS last_view_ts
+FROM vp WHERE event_type = 'purchase'
+"""
+
+
+@register("purchase_attribution_asof", oracle=_ASOF_ORACLE, tags=("asof", "J1"))
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a carry-forward window (Spark lacks a
+    native ASOF): union the two event kinds, sort once per user, take
+    ``last(view_ts) IGNORE NULLS`` strictly before each purchase.
+    Equivalent to DuckDB's ASOF JOIN but with a single shuffle and no
+    per-row probe."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    vp = events.withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return vp.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        epoch_seconds("ts").alias("purchase_ts"),
+        epoch_seconds("last_view_ts").alias("last_view_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running / moving aggregates
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_value,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS moving_avg_7
+FROM events
+"""
+
+
+@register("user_running_value", oracle=_RUNNING_ORACLE, tags=("window-fn",))
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum + 7-row moving average per user (integer
+    cents → exact), one shuffle shared by all three frames."""
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = base.rowsBetween(-6, W.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(run) / 100.0).alias("running_value"),
+        (F.sum(cents).over(mov) / F.count("*").over(mov) / 100.0).alias("moving_avg_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register("event_type_pivot", oracle=_PIVOT_ORACLE, tags=("pivot",))
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user counts pivoted by event_type (explicit value list so the
+    plan needs no distinct-scan pre-pass — required at scale)."""
+    events = load_table(spark, "events", sf_dir)
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )

@@ -330,6 +330,25 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_embedding_neardup_sql("spark"))
 
 
+def _dedup_keep_list_sql(engine: str) -> str:
+    """End-to-end dedup decision: LSH-verified near-dup pairs (Jaccard
+    ≥ 0.5) collapse to the lowest doc_id; every other doc is kept."""
+    pairs = _dedup_minhash_lsh_sql(engine)
+    return f"""
+WITH pairs AS ({pairs}),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
+SELECT d.doc_id,
+       CASE WHEN dr.doc_id IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+"""
+
+
+@register("dedup_keep_list", oracle=_dedup_keep_list_sql("duckdb"), tags=("pipeline", "dedup"))
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_dedup_keep_list_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------

@@ -54,6 +54,7 @@ def register(
 def _load_all() -> None:
     """Import every plan module so its ``@register`` calls run."""
     from flink_wsr_project_spark.plans import (  # noqa: F401
+        analytics_queries,
         reference_queries,
         tpch_queries,
         pipeline_queries,

@@ -1,0 +1,76 @@
+"""Stream-stream join tests (J1/J2 streaming forms) — two file-sourced
+streams joined with watermarks + time bounds, vs the same join run in
+batch on identical data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.streaming.joins import interval_join, reconcile_full_outer
+
+_PAYS = [
+    (1, "tx_a", "2024-01-01 00:00:10"),
+    (2, "tx_b", "2024-01-01 00:00:20"),
+    (3, "tx_c", "2024-01-01 00:00:30"),  # receipt too late (+9s)
+    (4, "tx_d", "2024-01-01 00:00:40"),  # no receipt at all
+]
+_RECEIPTS = [
+    ("tx_a", "wechat", "2024-01-01 00:00:12"),   # +2s → match
+    ("tx_b", "alipay", "2024-01-01 00:00:18"),   # -2s → match
+    ("tx_c", "wechat", "2024-01-01 00:00:39"),   # +9s → outside [-3, +5]
+    ("tx_e", "alipay", "2024-01-01 00:00:50"),   # receipt-only
+]
+
+
+@pytest.fixture(scope="module")
+def two_stream_dirs(spark, tmp_path_factory):
+    d1 = str(tmp_path_factory.mktemp("pays"))
+    d2 = str(tmp_path_factory.mktemp("receipts"))
+    pays = spark.createDataFrame(
+        pd.DataFrame(_PAYS, columns=["order_id", "tx_id", "ts_str"])
+    ).withColumn("pay_ts", F.to_timestamp("ts_str")).drop("ts_str")
+    receipts = spark.createDataFrame(
+        pd.DataFrame(_RECEIPTS, columns=["tx_id", "pay_channel", "ts_str"])
+    ).withColumn("receipt_ts", F.to_timestamp("ts_str")).drop("ts_str")
+    pays.write.mode("overwrite").parquet(d1)
+    receipts.write.mode("overwrite").parquet(d2)
+    return d1, d2
+
+
+def _stream(spark, d):
+    return spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+
+
+def test_interval_join_stream(spark, two_stream_dirs):
+    d1, d2 = two_stream_dirs
+    pays, receipts = _stream(spark, d1), _stream(spark, d2).withColumnRenamed("tx_id", "r_tx_id")
+    joined = interval_join(
+        pays, receipts.withColumnRenamed("r_tx_id", "tx_id"), "tx_id",
+        "pay_ts", "receipt_ts", lower_s=-3, upper_s=5,
+    ).select(F.col("l.order_id"), F.col("l.tx_id"), F.col("r.pay_channel"))
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ij").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.order_id, r.tx_id, r.pay_channel) for r in spark.sql("SELECT * FROM ij").collect()}
+    assert got == {(1, "tx_a", "wechat"), (2, "tx_b", "alipay")}
+
+
+def test_reconcile_full_outer_batch(spark, two_stream_dirs):
+    # same operator on batch frames: NULL sides are the unmatched channels
+    d1, d2 = two_stream_dirs
+    pays, receipts = spark.read.parquet(d1), spark.read.parquet(d2)
+    out = reconcile_full_outer(
+        pays, receipts, "tx_id", "pay_ts", "receipt_ts", tolerance_s=5
+    )
+    rows = out.select(
+        F.coalesce(F.col("l.tx_id"), F.col("r.tx_id")).alias("tx"), "status"
+    ).collect()
+    status = {}
+    for r in rows:
+        status.setdefault(r.tx, set()).add(r.status)
+    assert "matched" in status["tx_a"] and "matched" in status["tx_b"]
+    assert status["tx_d"] == {"unmatched_left"}       # pay with no receipt
+    assert status["tx_e"] == {"unmatched_right"}      # receipt with no pay
+    assert "unmatched_left" in status["tx_c"] and "unmatched_right" in status["tx_c"]
