@@ -176,3 +176,40 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated — identical linear formula both engines)
+# ---------------------------------------------------------------------------
+
+_PERCENTILES_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       quantile_cont(cents, 0.25) / 100.0 AS p25,
+       quantile_cont(cents, 0.50) / 100.0 AS p50,
+       quantile_cont(cents, 0.75) / 100.0 AS p75,
+       quantile_cont(cents, 0.95) / 100.0 AS p95,
+       count(*) AS n
+FROM c GROUP BY event_type
+"""
+
+
+@register("value_percentiles", oracle=_PERCENTILES_ORACLE, tags=("percentile",))
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event_type, on
+    integer cents so both engines interpolate between the same exact
+    ranks. (At 100 TB the same query swaps percentile →
+    approx_percentile, trading exactness for a mergeable sketch.)"""
+    events = load_table(spark, "events", sf_dir)
+    c = events.select(
+        "event_type", F.round(F.col("value").cast("double") * 100).cast("long").alias("cents")
+    )
+    return c.groupBy("event_type").agg(
+        (F.expr("percentile(cents, 0.25)") / 100.0).alias("p25"),
+        (F.expr("percentile(cents, 0.50)") / 100.0).alias("p50"),
+        (F.expr("percentile(cents, 0.75)") / 100.0).alias("p75"),
+        (F.expr("percentile(cents, 0.95)") / 100.0).alias("p95"),
+        F.count("*").alias("n"),
+    )

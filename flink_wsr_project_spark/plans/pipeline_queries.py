@@ -349,6 +349,177 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dedup_keep_list_sql("spark"))
 
 
+def _dedup_components_oracle() -> str:
+    """Transitive-closure oracle: reachability via recursive CTE, then
+    min reachable id per doc. Only viable at oracle scale — the Spark
+    side uses distributed label propagation instead."""
+    pairs = _dedup_minhash_lsh_sql("duckdb")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+"""
+
+
+@register("dedup_components", oracle=_dedup_components_oracle(), tags=("pipeline", "dedup"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over LSH-verified pairs
+    (Jaccard ≥ 0.5), canonical = min doc_id per component — the
+    transitively-correct version of ``dedup_keep_list``.
+
+    Spark-first CC: iterative min-label propagation (one join + one
+    groupBy per round, O(component diameter) rounds — near-dup clusters
+    are shallow). Each round is fully distributed; convergence is
+    detected by the monotonically decreasing label sum, so no per-row
+    driver collect. At 100 TB the same loop holds (labels/edges are
+    shuffled on doc_id only); pathological diameters would call for
+    large-star/small-star, which this loop structure accommodates.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(_dedup_minhash_lsh_sql("spark")).filter(F.col("jaccard") >= 0.5)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).cache()
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(50):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Token vocabulary (BPE-training-style corpus statistics)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token FROM documents
+),
+freqs AS (SELECT token, count(*) AS freq FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, freq, rank FROM (
+  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM freqs
+) WHERE rank <= 100
+"""
+
+
+@register("token_vocab_topk", oracle=_VOCAB_ORACLE, tags=("pipeline", "text"))
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (the first step of
+    BPE/vocab training). explode → count is one shuffle on token; the
+    global rank is cheap because its input is |vocab| aggregated rows
+    and WindowGroupLimit pre-prunes to 100 per partition before the
+    single-partition exchange."""
+    from flink_wsr_project_spark.operators.topn import topn_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return topn_per_group(freqs, [], "freq", 100, tiebreakers=["token"]).select(
+        "token", "freq", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest-neighbor search
+# ---------------------------------------------------------------------------
+
+
+def _ann_ivf_sql(engine: str) -> str:
+    """IVF top-5: train centroids (per-label component-wise mean via
+    integer-scaled sums — order-independent, bit-exact), assign each
+    query to its nearest centroid (nprobe=1), then search only that
+    inverted list. The probed fraction is ~1/n_lists of the corpus —
+    the scale path vs the brute-force baseline."""
+    if engine == "spark":
+        exploded = (
+            "SELECT label, pos, CAST(x AS DOUBLE) AS x "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x"
+        )
+        centroid_list = (
+            "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
+        )
+        rank_cast = lambda rn: f"CAST({rn} AS BIGINT)"  # noqa: E731
+    else:
+        exploded = (
+            "SELECT label, generate_subscripts(embedding, 1) AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
+        )
+        centroid_list = "list(val ORDER BY pos)"
+        rank_cast = lambda rn: rn  # noqa: E731
+    cos_qc = cosine_expr("q.qv", "c.cv", engine)
+    cos_qe = cosine_expr("a.qv", "e.embedding", engine)
+    rn_probe = "row_number() OVER (PARTITION BY query_id ORDER BY cos_c DESC, probe_label)"
+    rn_final = rank_cast(
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+    )
+    return f"""
+WITH exploded AS ({exploded}),
+comp AS (
+  SELECT label, pos,
+         sum(CAST(round(x * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS val
+  FROM exploded GROUP BY label, pos
+),
+centroids AS (SELECT label, {centroid_list} AS cv FROM comp GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, probe_label FROM (
+    SELECT *, {rn_probe} AS rn FROM (
+      SELECT q.query_id, q.qv, c.label AS probe_label, {cos_qc} AS cos_c
+      FROM q CROSS JOIN centroids c
+    )
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id, {cos_qe} AS cosine
+  FROM probes a JOIN embeddings e ON e.label = a.probe_label AND e.vec_id <> a.query_id
+)
+SELECT query_id, probe_label, neighbor_id, cosine, rank FROM (
+  SELECT *, {rn_final} AS rank FROM pairs
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_ann_ivf_sql("duckdb"), tags=("pipeline", "similarity"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_ann_ivf_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------

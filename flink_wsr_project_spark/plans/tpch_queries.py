@@ -290,3 +290,103 @@ def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return never_err.withColumn("segment", F.lit("purchaser_never_error")).unionAll(
         both.withColumn("segment", F.lit("clicker_and_viewer"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all subtotal combinations in one pass
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_cube", oracle=_CUBE_ORACLE, tags=("tpch", "cube"))
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations via one
+    Expand + single shuffle (vs 4 separate scans)."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_price"),
+    )
+    return out.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "total_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style promo revenue (conditional aggregation over a broadcast join)
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS promo_pct,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+"""
+
+
+@register("promo_revenue", oracle=_PROMO_ORACLE, tags=("tpch", "join"))
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per ship-year. part is broadcast, so the
+    fact table never shuffles for the join — the only exchange is the
+    final tiny per-year aggregation."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            (F.sum(rev) / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4-style order priority check (EXISTS → left-semi join)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_CHECK_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_check", oracle=_PRIORITY_CHECK_ORACLE, tags=("tpch", "semi-join"))
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no fact-row duplication, dedup-free);
+    the date filter prunes orders before the shuffle."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    sj = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
