@@ -213,3 +213,59 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(cents, 0.95)") / 100.0).alias("p95"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("json_props_stats", oracle=_JSON_ORACLE, tags=("json",))
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column and aggregate. get_json_object is JVM-side (Jackson);
+    at scale prefer from_json with an explicit schema once the shape is
+    known — same plan, vectorizable, and the scan still prunes to the
+    single props column."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization via built-in session_window (same oracle as user_sessions)
+# ---------------------------------------------------------------------------
+
+
+@register("user_sessions_swf", oracle=_SESSIONS_ORACLE, tags=("session",))
+def user_sessions_swf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-min-gap sessionization through Spark's native
+    ``session_window`` (the operator the streaming layer uses), proving
+    the two formulations agree. Per-user session ordinals come from one
+    extra rank over the already-aggregated (tiny) session rows."""
+    events = load_table(spark, "events", sf_dir)
+    sessions = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        epoch_seconds(F.min("ts")).alias("session_start"),
+        epoch_seconds(F.max("ts")).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    w = W.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

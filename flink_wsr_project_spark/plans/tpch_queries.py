@@ -390,3 +390,45 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return sj.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: above-average-balance customers with no orders
+# (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+_IDLE_RICH_ORACLE = """
+WITH avg_bal AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer c, avg_bal
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("idle_rich_customers", oracle=_IDLE_RICH_ORACLE, tags=("tpch", "anti-join"))
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders since 2000.
+    Scalar subquery (global avg balance, broadcast as a 1-row cross
+    join) + NOT EXISTS as a left-anti join; both anti-join inputs are
+    pre-pruned (balance filter / date filter) before the shuffle."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(bal_cents) / F.count("*")).alias("ab"))
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(bal_cents > F.col("ab"))
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum(bal_cents) / 100.0).alias("total_bal"),
+    )

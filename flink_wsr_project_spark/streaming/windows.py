@@ -57,3 +57,33 @@ def streaming_windowed_agg(
         .agg(*aggs)
     )
     return out.withColumn(window_end_alias, epoch_seconds(F.col("_w.end"))).drop("_w")
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str | Column] = (),
+    aggs: Sequence[Column] = (),
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """Watermarked session-window aggregation (dynamic-gap windows the
+    reference never had — Flink 1.10 session windows existed but are
+    unused there; included for completeness of the window family).
+
+    Emits ``session_start``/``session_end`` epoch-second bounds of the
+    *observed* events (min/max ts), not the gap-padded window end, so
+    batch runs of the same builder agree with the lag-gap formulation
+    (plans/analytics_queries.user_sessions).
+    """
+    sw = F.session_window(ts_col, gap)
+    src = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(sw.alias("_sw"), *keys)
+        .agg(
+            epoch_seconds(F.min(ts_col)).alias("session_start"),
+            epoch_seconds(F.max(ts_col)).alias("session_end"),
+            *aggs,
+        )
+        .drop("_sw")
+    )

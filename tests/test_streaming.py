@@ -183,3 +183,32 @@ def test_blacklist_filter_semantics(spark, events_stream_dir):
     counts = pdf.groupby(["user_id", "ad_id", "day"]).size()
     want = {k for k, n in counts.items() if n > 2}
     assert got == want
+
+
+def test_streaming_session_agg_matches_batch(spark, events_stream_dir):
+    from flink_wsr_project_spark.streaming.windows import streaming_session_agg
+
+    stream = _read_stream(spark, events_stream_dir)
+    sess = streaming_session_agg(
+        stream, "ts", "30 minutes",
+        keys=["user_id"], aggs=[F.count("*").alias("n_events")],
+    )
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_stream").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = streaming_session_agg(
+        spark.read.parquet(events_stream_dir), "ts", "30 minutes",
+        keys=["user_id"], aggs=[F.count("*").alias("n_events")],
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
