@@ -240,7 +240,7 @@ def uv_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MARKET_CHANNEL_ORACLE = f"""
-WITH hopped AS ({_hop_expand(300, 3600)})
+WITH hopped AS ({_hop_expand(300, 3600, where="event_type <> 'error'")})
 SELECT window_end - 3600 AS window_start, window_end,
        event_type AS channel, count(*) AS cnt
 FROM hopped GROUP BY 1, 2, 3
@@ -252,13 +252,14 @@ def market_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Install/click counts per (channel) per 1 h window sliding 5 min.
 
     Reference: market/AppMarketingByChannel.scala:28-57 (filter
-    UNINSTALL → keyBy (channel, behavior) → 1h/5s window →
+    UNINSTALL — here: event_type <> 'error' — → keyBy (channel,
+    behavior) → 1h/5s window →
     full-window ProcessWindowFunction counting elements.size). Spark
     counts incrementally inside HashAggregate — no full-window buffer.
     event_type plays the channel role; windowStart is emitted like the
     reference's MarketCount (:60-64).
     """
-    events = load_table(spark, "events", sf_dir)
+    events = load_table(spark, "events", sf_dir).filter(F.col("event_type") != "error")
     out = windowed_agg(
         events,
         "ts",

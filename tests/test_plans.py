@@ -1,0 +1,114 @@
+"""Physical-plan audits — the 100 TB posture, enforced.
+
+Correctness tests prove the small-SF answer; these prove the *shape*
+of every plan survives a 1000× scale-up: no row-at-a-time Python in
+any hot path, filters pushed into the parquet scan, column pruning,
+dimension joins broadcast, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_wsr_project_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+# Arrow-batched Pandas paths are allowed only where declared.
+_PANDAS_OK = {"media_features"}
+
+# Deliberate tiny-side cross joins (1-row scalar subquery / ≤10-row
+# centroid table); everything else must never be cartesian.
+_CROSS_OK = {"ann_ivf_topk", "idle_rich_customers"}
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_row_python_udf(spark, name):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned outright;
+    Arrow paths (ArrowEvalPython / MapInPandas) only where declared."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in _PANDAS_OK:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name}: undeclared Pandas path"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - _CROSS_OK))
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+@pytest.mark.parametrize(
+    ("name", "pushed_fragment"),
+    [
+        ("hot_items_topn", "EqualTo(event_type,view)"),
+        ("order_priority_check", "GreaterThanOrEqual(o_orderdate"),
+        ("market_by_channel", "Not(EqualTo(event_type,error))"),
+    ],
+)
+def test_filter_pushdown_reaches_scan(spark, name, pushed_fragment):
+    """Predicates must reach the parquet reader (storage-level skip),
+    not just a post-scan Filter node."""
+    assert pushed_fragment in _plan(spark, name), f"{name}: filter not pushed to scan"
+
+
+@pytest.mark.parametrize(
+    ("name", "table", "max_cols"),
+    [
+        ("pv_hourly", "events", 2),          # ts + event_type only
+        ("hot_items_topn", "events", 3),     # ts, user_id, event_type
+        ("dedup_exact", "documents", 2),     # doc_id, text
+    ],
+)
+def test_column_pruning(spark, name, table, max_cols):
+    """The scan must read only the referenced columns (ReadSchema
+    appears once per scan; check the narrowest mention)."""
+    import re
+
+    plan = _plan(spark, name)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"{name}: no ReadSchema in plan"
+    n_cols = min(len([c for c in s.split(",") if c]) for s in schemas)
+    assert n_cols <= max_cols, f"{name}: scan reads {n_cols} cols, want <= {max_cols}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["nation_volume", "promo_revenue", "top_customers_per_nation", "orders_rollup"],
+)
+def test_dimension_join_broadcasts(spark, name):
+    """Dimension-table joins must be broadcast (no fact-side shuffle
+    for the join itself)."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: dimension join is not broadcast"
+    )
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("pricing_summary", 1),   # one agg shuffle, nothing else
+        ("pv_hourly", 1),
+        ("promo_revenue", 2),     # broadcast build + one agg shuffle
+        ("user_sessions", 1),     # one shuffle reused by both window fns + agg
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    """Exchange (shuffle) count is the scale cost driver — pin it."""
+    plan = _plan(spark, name)
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    )
+    assert n <= max_exchanges, f"{name}: {n} shuffles, budget {max_exchanges}"
