@@ -432,3 +432,32 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         (F.sum(bal_cents) / 100.0).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: distribution of orders per customer (left join + histogram)
+# ---------------------------------------------------------------------------
+
+_ORDER_HISTOGRAM_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
+"""
+
+
+@register("customer_order_histogram", oracle=_ORDER_HISTOGRAM_ORACLE, tags=("tpch", "histogram"))
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer histogram (Q13 shape). The fact side is
+    pre-aggregated to one row per custkey BEFORE the outer join, so the
+    join input is |customers|, not |orders|; zero-order customers come
+    from the left join's null side."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust_orders = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    per_cust = customer.join(
+        per_cust_orders, customer.c_custkey == per_cust_orders.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
