@@ -1,0 +1,169 @@
+"""Property-based tests: core operators vs brute-force Python models
+on hypothesis-generated inputs (SURVEY §5 — strictly stronger than the
+reference's print-and-eyeball validation).
+
+Example counts are small (each example is a Spark job), but every run
+explores fresh shapes: duplicate timestamps, empty groups, ties,
+out-of-order arrival, boundary-exact gaps.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.operators.topn import topn_per_group
+from flink_wsr_project_spark.operators.windows import windowed_agg
+from flink_wsr_project_spark.sources.readers import epoch_to_ts
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (user, ts) event rows; ts in a 2-hour span so sliding windows overlap
+_events = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 7200)),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_sliding_window_count_matches_model(spark, rows):
+    """groupBy(window(1h, 5m), key).count() == per-(window,key) brute count."""
+    df = spark.createDataFrame(rows, ["uid", "ts_epoch"]).withColumn(
+        "ts", epoch_to_ts("ts_epoch")
+    )
+    got = {
+        (r.window_end, r.uid): r.cnt
+        for r in windowed_agg(
+            df, "ts", "1 hour", "5 minutes", keys=["uid"],
+            aggs=[F.count("*").alias("cnt")],
+        ).collect()
+    }
+    model: Counter = Counter()
+    for uid, ts in rows:
+        # windows [start, start+3600) with start multiple of 300 containing ts
+        first_start = (ts // 300) * 300 - 3600 + 300
+        for start in range(first_start, ts + 1, 300):
+            if start <= ts < start + 3600:
+                model[(start + 3600, uid)] += 1
+    assert got == dict(model)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_tumbling_distinct_matches_model(spark, rows):
+    df = spark.createDataFrame(rows, ["uid", "ts_epoch"]).withColumn(
+        "ts", epoch_to_ts("ts_epoch")
+    )
+    got = {
+        r.window_end: r.uv
+        for r in windowed_agg(
+            df, "ts", "1 hour", aggs=[F.countDistinct("uid").alias("uv")]
+        ).collect()
+    }
+    model: defaultdict[int, set] = defaultdict(set)
+    for uid, ts in rows:
+        model[(ts // 3600) * 3600 + 3600].add(uid)
+    assert got == {we: len(s) for we, s in model.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=80,
+    ),
+    n=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_topn_matches_model(spark, rows, n):
+    """row_number top-N with tie-breaker == python sort top-N."""
+    df = spark.createDataFrame(rows, ["grp", "cnt", "tie"]).dropDuplicates(
+        ["grp", "tie"]
+    )
+    data = [(r.grp, r.cnt, r.tie) for r in df.collect()]
+    got = {
+        (r.grp, r.rank): (r.cnt, r.tie)
+        for r in topn_per_group(df, ["grp"], "cnt", n, tiebreakers=["tie"]).collect()
+    }
+    model = {}
+    by_grp: defaultdict[int, list] = defaultdict(list)
+    for grp, cnt, tie in data:
+        by_grp[grp].append((cnt, tie))
+    for grp, items in by_grp.items():
+        for rank, (cnt, tie) in enumerate(
+            sorted(items, key=lambda x: (-x[0], x[1]))[:n], start=1
+        ):
+            model[(grp, rank)] = (cnt, tie)
+    assert got == model
+
+
+@given(
+    pays=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 60)), max_size=30),
+    receipts=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 60)), max_size=30),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_model(spark, pays, receipts):
+    """Batch interval join == nested-loop model over [ts-3, ts+5]."""
+    from flink_wsr_project_spark.streaming.joins import interval_join
+
+    if not pays or not receipts:
+        return
+    lp = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pays)], ["key", "lts_epoch", "lid"]
+    ).withColumn("lts", epoch_to_ts("lts_epoch"))
+    rp = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(receipts)], ["key", "rts_epoch", "rid"]
+    ).withColumn("rts", epoch_to_ts("rts_epoch"))
+    out = interval_join(lp, rp, "key", "lts", "rts", lower_s=-3, upper_s=5)
+    got = {(r.lid, r.rid) for r in out.select(F.col("l.lid"), F.col("r.rid")).collect()}
+    model = {
+        (i, j)
+        for i, (lk, lt) in enumerate(pays)
+        for j, (rk, rt) in enumerate(receipts)
+        if lk == rk and lt - 3 <= rt <= lt + 5
+    }
+    assert got == model
+
+
+@given(
+    logins=st.lists(
+        st.tuples(st.integers(0, 2), st.booleans(), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda x: (x[0], x[2]),
+    )
+)
+@settings(**_SETTINGS)
+def test_login_fail_lag_matches_model(spark, logins, tmp_path_factory):
+    """Consecutive-fail detection == python scan over per-user timeline."""
+    from flink_wsr_project_spark import jobs
+
+    d = tmp_path_factory.mktemp("prop_login")
+    lines = [
+        f"{uid},ip{uid},{'fail' if is_fail else 'success'},{ts}"
+        for uid, is_fail, ts in logins
+    ]
+    (d / "LoginLog.csv").write_text("\n".join(lines))
+    got = {
+        (r.user_id, r.first_fail_ts, r.last_fail_ts)
+        for r in jobs.login_fail_warnings(spark, str(d / "LoginLog.csv")).collect()
+    }
+    timelines: defaultdict[int, list] = defaultdict(list)
+    for uid, is_fail, ts in logins:
+        timelines[uid].append((ts, "fail" if is_fail else "success"))
+    model = set()
+    for uid, tl in timelines.items():
+        tl.sort()
+        for (t1, e1), (t2, e2) in zip(tl, tl[1:]):
+            if e1 == e2 == "fail" and t2 - t1 <= 2:
+                model.add((uid, t1, t2))
+    assert got == model
