@@ -1,0 +1,51 @@
+"""Batch write path — partitioned and bucketed parquet output.
+
+The reference only prints to console/Redis/Kafka (SURVEY §2.8); a
+100 TB pipeline's primary sink is columnar files laid out for the NEXT
+query:
+
+* **partitionBy** → directory-level partition pruning for readers
+  filtering on the partition key (PartitionFilters in their scans);
+* **bucketBy** → pre-shuffled, co-located layout: equi-joins and
+  aggregations on the bucket key run with ZERO exchange at read time
+  (asserted in tests/test_writers.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet. Partition columns should be
+    low-cardinality (date, type, lang); high-cardinality keys belong in
+    bucketBy instead (small-files problem)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (metastore-backed). Joins/aggs keyed on
+    ``bucket_cols`` against another table with the same bucketing skip
+    their shuffle entirely."""
+    w = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

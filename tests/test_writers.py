@@ -1,0 +1,71 @@
+"""Write-path tests: partition pruning and shuffle-free bucketed joins
+— the layout features a 100 TB pipeline depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.sources.readers import load_table
+from flink_wsr_project_spark.sources.writers import (
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def _shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    )
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_part")) + "/out"
+    events = load_table(spark, "events", SF_DIR)
+    write_partitioned(events, d, ["event_type"])
+
+    back = spark.read.parquet(d).filter(F.col("event_type") == "view")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a directory-level PartitionFilter, not a scan filter
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == events.filter("event_type = 'view'").count()
+
+
+def test_bucketed_join_no_shuffle(spark):
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = load_table(spark, "orders", SF_DIR)
+    lineitem = load_table(spark, "lineitem", SF_DIR)
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+
+    ob, lb = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+    # force the sort-merge path (tiny test tables would broadcast,
+    # which also avoids the shuffle but proves nothing about layout)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        # co-located layout: the equi-join runs with zero shuffles
+        assert _shuffles(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+
+
+def test_bucketed_agg_no_shuffle(spark):
+    lb = read_table(spark, "lineitem_b")
+    agg = lb.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    assert _shuffles(agg) == 0
+    assert agg.count() == load_table(spark, "lineitem", SF_DIR).select("l_orderkey").distinct().count()
