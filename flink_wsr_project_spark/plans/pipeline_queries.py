@@ -549,3 +549,41 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_features(synthesize_media_assets(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bigram statistics (n-gram LM-style corpus counts)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_sql(engine: str) -> str:
+    """Top-50 bigrams. Tokens stay in-row (array ops) until the single
+    explode feeding one count shuffle — same discipline as the vocab
+    query."""
+    if engine == "spark":
+        toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        bigrams = (
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+            "(a, b) -> concat(a, ' ', b)))"
+        )
+        guard = "size(t) >= 2"
+        rn = "CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS BIGINT)"
+    else:
+        toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        bigrams = "unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))"
+        guard = "len(t) >= 2"
+        rn = "row_number() OVER (ORDER BY freq DESC, bigram)"
+    return f"""
+WITH toks AS (SELECT {toks} AS t FROM documents),
+bi AS (SELECT {bigrams} AS bigram FROM toks WHERE {guard}),
+freqs AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY bigram)
+SELECT bigram, freq, rank FROM (
+  SELECT bigram, freq, {rn} AS rank FROM freqs
+) WHERE rank <= 50
+"""
+
+
+@register("bigram_topk", oracle=_bigram_sql("duckdb"), tags=("pipeline", "text"))
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_bigram_sql("spark"))

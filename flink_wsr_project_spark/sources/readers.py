@@ -113,3 +113,16 @@ def kafka_stream(spark: SparkSession, topic: str, servers: str = "localhost:9092
 def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     """S3: socket line source (``NetworkFlowTopNPage…scala:31``)."""
     return spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — at 100 TB schema
+    inference is a second full scan, so it is never allowed; malformed
+    rows surface in the standard ``_corrupt_record``-free PERMISSIVE
+    mode as nulls rather than failing the pipeline."""
+    return spark.read.schema(schema).json(path)
+
+
+def jsonl_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Streaming JSON-lines directory source (same explicit-schema rule)."""
+    return spark.readStream.schema(schema).json(path)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -82,6 +82,42 @@ def side_output_sink(
 
     return (
         labeled_stream.writeStream.outputMode(mode)
+        .queryName(query_name)
+        .foreachBatch(process)
+        .start()
+    )
+
+
+def idempotent_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "parquet_sink",
+) -> StreamingQuery:
+    """Exactly-once parquet output under retries: each micro-batch
+    writes (epoch-tagged) into its own partition with dynamic partition
+    overwrite, so a replayed epoch overwrites itself instead of
+    duplicating — the foreachBatch idempotence pattern for sinks
+    without a transaction log.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .foreachBatch(process)
         .start()

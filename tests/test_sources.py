@@ -61,3 +61,25 @@ def test_kafka_sink_serialization(spark):
         F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value")
     ).collect()
     assert payload[0].value == "1,a,2.5"
+
+
+def test_read_jsonl(spark, tmp_path):
+    from flink_wsr_project_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "user_id": 7, "event_type": "view", "value": 1.5}\n'
+        '{"event_id": 2, "user_id": 8, "event_type": "click", "value": 0.25}\n'
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(p), schema).orderBy("event_id").collect()
+    assert [(r.event_id, r.event_type) for r in rows] == [(1, "view"), (2, "click")]

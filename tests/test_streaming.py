@@ -244,3 +244,37 @@ def test_streaming_dedup_exact(spark, tmp_path_factory):
 
     batch = dedup_stream_exact(spark.read.parquet(d), "text", "ts")
     assert batch.count() == 3
+
+
+def test_idempotent_parquet_sink(spark, tmp_path_factory):
+    from flink_wsr_project_spark.streaming.sinks import idempotent_parquet_sink
+
+    src = str(tmp_path_factory.mktemp("sink_src"))
+    out = str(tmp_path_factory.mktemp("sink_out")) + "/data"
+    cp = str(tmp_path_factory.mktemp("sink_cp"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    df.write.mode("overwrite").parquet(src)
+
+    stream = _read_stream(spark, src)
+    q = idempotent_parquet_sink(stream, out, cp)
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+
+    # replaying the same epoch (sink retry) must not duplicate rows
+    from pyspark.sql import functions as F2
+
+    epoch = first.select(F2.max("_epoch")).collect()[0][0]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(src)
+            .withColumn("_epoch", F2.lit(epoch))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert spark.read.parquet(out).count() == 3
