@@ -269,3 +269,45 @@ def user_sessions_swf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frames (RANGE BETWEEN n PRECEDING)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) / 100.0
+         AS value_10m,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10m
+FROM e
+"""
+
+
+@register("user_trailing_10m", oracle=_RANGE_FRAME_ORACLE, tags=("window-fn", "range-frame"))
+def user_trailing_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-minute per-user totals via a RANGE (time-value)
+    frame — the window-function form of a sliding window that emits one
+    row per event instead of one per (window, key). Same single shuffle
+    on user_id; the frame bound is resolved by the sort, no expansion."""
+    events = load_table(spark, "events", sf_dir)
+    e = events.select(
+        "event_id",
+        "user_id",
+        epoch_seconds("ts").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-600, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum("cents").over(w) / 100.0).alias("value_10m"),
+        F.count("*").over(w).alias("n_10m"),
+    )
