@@ -278,3 +278,67 @@ def test_idempotent_parquet_sink(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     assert spark.read.parquet(out).count() == 3
+
+
+def test_login_fail_state_across_microbatches(spark, tmp_path):
+    """State must persist across micro-batches: the two fails arrive in
+    SEPARATE triggers; the warning can only come from carried state."""
+    d = str(tmp_path / "login_stream")
+    rows_a = [(9, "error", "2024-01-01 00:00:00")]
+    rows_b = [(9, "error", "2024-01-01 00:00:01")]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["user_id", "event_type", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write(rows_a)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = login_fail_detector(stream, max_gap_s=2.0)
+    q = out.writeStream.outputMode("append").format("memory").queryName("lf2").start()
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM lf2").count() == 0  # one fail so far
+
+    write(rows_b)
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.user_id, r.first_fail, r.last_fail)
+        for r in spark.sql("SELECT * FROM lf2").collect()
+    ]
+    t0 = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    assert got == [(9, t0, t0 + 1)]
+
+
+def test_order_timeout_state_across_microbatches(spark, tmp_path):
+    """create in batch 1, pay (within deadline) in batch 2 → success
+    emitted only once the second trigger runs."""
+    d = str(tmp_path / "orders_stream2")
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["order_id", "event_type", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([(7, "create", "2024-01-01 00:00:00")])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = order_timeout_monitor(stream, deadline_s=900)
+    q = out.writeStream.outputMode("append").format("memory").queryName("ot2").start()
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM ot2").count() == 0
+
+    write([(7, "pay", "2024-01-01 00:05:00")])
+    q.processAllAvailable()
+    q.stop()
+    got = {r.order_id: r.status for r in spark.sql("SELECT * FROM ot2").collect()}
+    assert got == {7: "payed successfully"}
