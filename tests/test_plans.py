@@ -100,6 +100,26 @@ def test_dimension_join_broadcasts(spark, name):
         ("pv_hourly", 1),
         ("promo_revenue", 2),     # broadcast build + one agg shuffle
         ("user_sessions", 1),     # one shuffle reused by both window fns + agg
+        ("hot_items_topn", 2),    # window agg + rank partition
+        ("hot_pages_topn", 2),
+        ("uv_hourly", 2),         # two-phase distinct
+        ("market_by_channel", 1),
+        ("tx_reconcile", 2),      # both sides keyed on tx
+        ("dedup_exact", 1),
+        ("token_vocab_topk", 2),  # token count + global-rank partition
+        ("bigram_topk", 2),
+        ("shipping_priority_topn", 1),
+        ("nation_volume", 1),     # dims broadcast; single fact agg
+        ("top_customers_per_nation", 2),
+        ("order_priority_check", 1),
+        ("orders_cube", 1),       # CUBE = one Expand, one shuffle
+        ("customer_order_histogram", 2),
+        ("value_percentiles", 1),
+        ("event_type_pivot", 2),
+        ("json_props_stats", 1),
+        ("user_trailing_10m", 1),
+        ("purchase_attribution_asof", 1),
+        ("idle_rich_customers", 2),  # scalar-subquery agg + final agg
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
