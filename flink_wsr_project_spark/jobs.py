@@ -286,3 +286,41 @@ def tx_match(
         "unmatched_pays": unmatched_pays,
         "unmatched_receipts": unmatched_receipts,
     }
+
+
+# ---------------------------------------------------------------------------
+# hotItems streaming form — the full reference chain under readStream
+# (S2 stream → P1 parse → P6 watermark → A2 window agg → R1 rank)
+# ---------------------------------------------------------------------------
+
+
+def hot_items_stream(
+    spark: SparkSession,
+    csv_dir: str,
+    sink,
+    n: int = 5,
+    watermark: str = "3 seconds",
+):
+    """Streaming hot-items: watch ``csv_dir`` for UserBehavior-format
+    CSV files, maintain the sliding 1 h/5 min counts incrementally, and
+    rank per micro-batch in foreachBatch (the reference's
+    ListState+timer stage). ``sink(ranked_df, epoch_id)`` receives the
+    top-N rows each trigger. Returns the StreamingQuery."""
+    from flink_wsr_project_spark.streaming.topn import stream_topn
+    from flink_wsr_project_spark.streaming.windows import streaming_windowed_agg
+
+    lines = spark.readStream.text(csv_dir)
+    ub = parse_csv_lines(lines, schemas.USER_BEHAVIOR)
+    counts = streaming_windowed_agg(
+        ub.filter(F.col("behavior") == "pv").withColumn("ts", epoch_to_ts("ts_epoch")),
+        "ts",
+        "1 hour",
+        "5 minutes",
+        keys=["item_id"],
+        aggs=[F.count("*").alias("cnt")],
+        watermark=watermark,
+    )
+    return stream_topn(
+        counts, ["window_end"], "cnt", n, sink, tiebreakers=["item_id"],
+        query_name="hot_items_stream",
+    )

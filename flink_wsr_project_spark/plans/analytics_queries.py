@@ -311,3 +311,46 @@ def user_trailing_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").over(w) / 100.0).alias("value_10m"),
         F.count("*").over(w).alias("n_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact second moments (variance/stddev via integer sums)
+# ---------------------------------------------------------------------------
+
+_VARIANCE_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * s2 - s1 * s1) / (n * n * 10000.0) AS var_value,
+       sqrt((n * s2 - s1 * s1) / (n * n * 10000.0)) AS std_value
+FROM m
+"""
+
+
+@register("value_variance", oracle=_VARIANCE_ORACLE, tags=("moments",))
+def value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population variance/stddev per event_type: both moments
+    accumulate as integers (order-independent under any partitioning),
+    with a single double division at the end — the same mergeable
+    (n, Σx, Σx²) shape a distributed sketch would ship between
+    executors."""
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * F.col("n") * 10000.0
+    )
+    return m.select(
+        "event_type", "n", var.alias("var_value"), F.sqrt(var).alias("std_value")
+    )

@@ -26,17 +26,6 @@ from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
 
 
-def _sql_query(build, views=("documents",)):
-    """Wrap an engine-parameterized SQL builder as a registry callable."""
-
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        for v in views:
-            load_table(spark, v, sf_dir).createOrReplaceTempView(v)
-        return spark.sql(build("spark"))
-
-    fn.__doc__ = build.__doc__
-    return fn
-
 # stopword list shared by quality scoring and language-id heuristics
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)

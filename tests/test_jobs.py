@@ -151,3 +151,27 @@ def test_tx_match_job(spark, fixture_dir):
     assert matched == {("txA", "wechat")}
     assert {r.tx_id for r in out["unmatched_pays"].collect()} == {"txB", "txD"}
     assert {r.tx_id for r in out["unmatched_receipts"].collect()} == {"txB", "txZ"}
+
+
+def test_hot_items_stream_matches_batch(spark, fixture_dir, tmp_path):
+    """The streaming form of the flagship converges to the batch answer
+    once all input is consumed."""
+    import shutil
+
+    d = tmp_path / "ub_stream"
+    d.mkdir()
+    shutil.copy(fixture_dir / "UserBehavior.csv", d / "part1.csv")
+
+    collected: dict[tuple, tuple] = {}
+
+    def sink(ranked, epoch_id):
+        for r in ranked.collect():
+            collected[(r.window_end, r.rank)] = (r.item_id, r.cnt)
+
+    q = jobs.hot_items_stream(spark, str(d), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = jobs.hot_items(spark, str(fixture_dir / "UserBehavior.csv"))
+    want = {(r.window_end, r.rank): (r.item_id, r.cnt) for r in batch.collect()}
+    assert collected == want and len(want) > 0

@@ -83,3 +83,21 @@ def test_read_jsonl(spark, tmp_path):
     )
     rows = read_jsonl(spark, str(p), schema).orderBy("event_id").collect()
     assert [(r.event_id, r.event_type) for r in rows] == [(1, "view"), (2, "click")]
+
+
+def test_parse_csv_malformed_rows_dont_fail(spark):
+    """PERMISSIVE parse: garbage lines become nulls, never exceptions —
+    at 100 TB a single bad row must not kill the pipeline."""
+    lines = spark.createDataFrame(
+        [
+            ("543462,1715,1464116,pv,1511658000",),   # good
+            ("not,a,number,row,xxx",),                 # bad types
+            ("too,few",),                              # missing fields
+            ("",),                                     # empty
+        ],
+        ["value"],
+    )
+    rows = parse_csv_lines(lines, schemas.USER_BEHAVIOR).collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r.user_id is not None]
+    assert len(good) == 1 and good[0].item_id == 1715
