@@ -576,3 +576,41 @@ SELECT bigram, freq, rank FROM (
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_bigram_sql("spark"))
+
+
+def _simhash_blocked_spark_sql() -> str:
+    """The 100 TB SimHash path: pigeonhole blocking. A 32-bit simhash
+    splits into 4 byte-blocks; any pair with Hamming ≤ 3 must agree on
+    ≥ 1 block, so candidates come from 4 equi-joins on block values
+    (shuffle-hashable, never O(n²)) and the Hamming check only runs on
+    candidates. Registered against the SAME oracle as the exhaustive
+    self-join (simhash_neardup_pairs) — the match proves the blocking
+    is lossless."""
+    blocks = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" a.simhash AS sh_a, b.simhash AS sh_b"
+        f" FROM s a JOIN s b"
+        f" ON (shiftright(a.simhash, {8 * b_}) & 255) = (shiftright(b.simhash, {8 * b_}) & 255)"
+        f" AND a.doc_id < b.doc_id"
+        for b_ in range(4)
+    )
+    ham = hamming_expr("sh_a", "sh_b", "spark")
+    return f"""
+WITH s AS ({simhash_sql('spark')}),
+cand AS (
+{blocks}
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, {ham} AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+
+
+@register(
+    "simhash_neardup_blocked",
+    oracle=_simhash_neardup_sql("duckdb"),
+    tags=("pipeline", "dedup"),
+)
+def simhash_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_simhash_blocked_spark_sql())
