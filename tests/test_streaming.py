@@ -342,3 +342,58 @@ def test_order_timeout_state_across_microbatches(spark, tmp_path):
     q.stop()
     got = {r.order_id: r.status for r in spark.sql("SELECT * FROM ot2").collect()}
     assert got == {7: "payed successfully"}
+
+
+def test_side_output_sink_routes_labels(spark, tmp_path):
+    """K4: one labeled stream fans out to per-label sinks + catch-all."""
+    from flink_wsr_project_spark.streaming.sinks import side_output_sink
+
+    d = str(tmp_path / "labeled")
+    rows = [(1, "matched"), (2, "unmatched_left"), (3, "matched"), (4, "weird")]
+    spark.createDataFrame(rows, ["id", "status"]).write.parquet(d)
+    stream = _read_stream(spark, d)
+
+    got: dict[str, list] = {"matched": [], "unmatched_left": [], "rest": []}
+
+    def mk(key):
+        def fn(batch_df, epoch_id):
+            got[key].extend(r.id for r in batch_df.collect())
+        return fn
+
+    q = side_output_sink(
+        stream, "status",
+        {"matched": mk("matched"), "unmatched_left": mk("unmatched_left"), "*": mk("rest")},
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got["matched"]) == [1, 3]
+    assert got["unmatched_left"] == [2]
+    assert got["rest"] == [4]
+
+
+def test_streaming_approx_distinct_matches_batch(spark, events_stream_dir):
+    """A10 streaming: HLL++ windowed distinct under readStream equals
+    the same aggregation run in batch (same rsd → same sketch)."""
+    stream = _read_stream(spark, events_stream_dir)
+    agg = streaming_windowed_agg(
+        stream, "ts", "1 hour", watermark="1 second",
+        aggs=[F.approx_count_distinct("user_id", 0.01).alias("uv")],
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("uv_stream").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.window_end, r.uv) for r in spark.sql("SELECT * FROM uv_stream").collect()}
+    from flink_wsr_project_spark.operators.windows import windowed_agg as batch_agg
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    want = {
+        (r.window_end, r.uv)
+        for r in batch_agg(
+            load_table(spark, "events", SF_DIR), "ts", "1 hour",
+            aggs=[F.approx_count_distinct("user_id", 0.01).alias("uv")],
+        ).collect()
+    }
+    assert got == want and len(want) > 0
