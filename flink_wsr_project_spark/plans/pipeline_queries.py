@@ -614,3 +614,71 @@ SELECT doc_a, doc_b, hamming FROM (
 def simhash_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_simhash_blocked_spark_sql())
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation stats & cross-source contamination
+# ---------------------------------------------------------------------------
+
+_SOURCE_QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks, length(text) AS n FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(toks)) AS total_tokens,
+       sum(CASE WHEN len(toks) BETWEEN 10 AND 10000
+                 AND n / len(toks) BETWEEN 3 AND 15 THEN 1 ELSE 0 END) AS n_pass,
+       sum(CASE WHEN len(toks) BETWEEN 10 AND 10000
+                 AND n / len(toks) BETWEEN 3 AND 15 THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS pass_rate
+FROM t GROUP BY source
+"""
+
+
+@register("source_quality_summary", oracle=_SOURCE_QUALITY_ORACLE, tags=("pipeline", "text"))
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc/token counts and the Gopher
+    gate pass-rate (the aggregate that drives keep/drop decisions per
+    crawl/source at corpus scale). Single scan, one small shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    passes = (
+        F.size(toks).between(10, 10000)
+        & (F.length("text") / F.size(toks)).between(3, 15)
+    ).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+        F.sum(passes).cast("long").alias("n_pass"),
+        (F.sum(passes) * 1.0 / F.count("*")).alias("pass_rate"),
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH pairs AS ({_dedup_minhash_lsh_sql("duckdb")})
+SELECT p.doc_a, p.doc_b, a.source AS source_a, b.source AS source_b, p.jaccard
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+WHERE a.source <> b.source
+"""
+
+
+@register("cross_source_contamination", oracle=_CONTAMINATION_ORACLE, tags=("pipeline", "dedup"))
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage check: near-duplicate content (LSH-verified,
+    Jaccard >= 0.4) appearing under two different sources. At 100 TB
+    the same shape runs against a benchmark-fingerprint table with the
+    small benchmark side broadcast; the pair space stays within-band."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+WITH pairs AS ({_dedup_minhash_lsh_sql("spark")})
+SELECT p.doc_a, p.doc_b, a.source AS source_a, b.source AS source_b, p.jaccard
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+WHERE a.source <> b.source
+"""
+    )
