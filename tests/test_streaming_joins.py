@@ -74,3 +74,58 @@ def test_reconcile_full_outer_batch(spark, two_stream_dirs):
     assert status["tx_d"] == {"unmatched_left"}       # pay with no receipt
     assert status["tx_e"] == {"unmatched_right"}      # receipt with no pay
     assert "unmatched_left" in status["tx_c"] and "unmatched_right" in status["tx_c"]
+
+
+def test_reconcile_full_outer_stream_emits_unmatched(spark, tmp_path):
+    """J2 streaming: the full-outer stream-stream join emits matched
+    rows immediately and unmatched rows once the watermark passes their
+    join window (driven here by a later watermark-pusher row)."""
+    d1 = str(tmp_path / "pays_s")
+    d2 = str(tmp_path / "receipts_s")
+
+    def write(d, rows, cols, ts_col):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn(ts_col, F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write(d1, [(1, "tx_a", "2024-01-01 00:00:10"),
+               (2, "tx_b", "2024-01-01 00:00:20")],  # tx_b: no receipt
+          ["order_id", "tx_id", "ts_str"], "pay_ts")
+    write(d2, [("tx_a", "wechat", "2024-01-01 00:00:12")],
+          ["tx_id", "pay_channel", "ts_str"], "receipt_ts")
+
+    pays = spark.readStream.schema(spark.read.parquet(d1).schema).parquet(d1)
+    receipts = (
+        spark.readStream.schema(spark.read.parquet(d2).schema).parquet(d2)
+        .withColumnRenamed("tx_id", "r_tx_id")
+        .withColumnRenamed("r_tx_id", "tx_id")
+    )
+    out = reconcile_full_outer(
+        pays, receipts, "tx_id", "pay_ts", "receipt_ts", tolerance_s=5,
+        left_watermark="2 seconds", right_watermark="2 seconds",
+    ).select(
+        F.coalesce(F.col("l.tx_id"), F.col("r.tx_id")).alias("tx"), "status"
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("rec").start()
+    q.processAllAvailable()
+
+    # push the watermark far past tx_b's window on both sides
+    write(d1, [(9, "tx_z", "2024-01-01 01:00:00")],
+          ["order_id", "tx_id", "ts_str"], "pay_ts")
+    write(d2, [("tx_z", "alipay", "2024-01-01 01:00:01")],
+          ["tx_id", "pay_channel", "ts_str"], "receipt_ts")
+    q.processAllAvailable()
+    # one more empty-ish trigger lets the state store evict + emit
+    write(d1, [(10, "tx_y", "2024-01-01 02:00:00")],
+          ["order_id", "tx_id", "ts_str"], "pay_ts")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {(r.tx, r.status) for r in spark.sql("SELECT * FROM rec").collect()}
+    assert ("tx_a", "matched") in rows
+    assert ("tx_b", "unmatched_left") in rows
