@@ -354,3 +354,79 @@ def value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", var.alias("var_value"), F.sqrt(var).alias("std_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense time series: gap-filled hourly counts
+# ---------------------------------------------------------------------------
+
+_DENSE_ORACLE = """
+WITH counts AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600 AS window_end,
+         count(*) AS cnt
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+bounds AS (SELECT min(window_end) AS lo, max(window_end) AS hi FROM counts),
+hours AS (SELECT unnest(generate_series(lo, hi, 3600)) AS window_end FROM bounds)
+SELECT h.window_end, coalesce(c.cnt, 0) AS cnt
+FROM hours h LEFT JOIN counts c ON c.window_end = h.window_end
+"""
+
+
+@register("pv_hourly_dense", oracle=_DENSE_ORACLE, tags=("timeseries",))
+def pv_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly PV: empty hours appear as zero rows. The hour
+    spine is generated from a 1-row bounds aggregate (sequence +
+    explode — no driver loop), broadcast-joined back to the counts;
+    at 100 TB the spine is |hours|, trivially small."""
+    events = load_table(spark, "events", sf_dir)
+    counts = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(
+            ((epoch_seconds("ts") / 3600).cast("long") * 3600 + 3600).alias("window_end")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = counts.agg(
+        F.min("window_end").alias("lo"), F.max("window_end").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_end")
+    )
+    return hours.join(counts, "window_end", "left").select(
+        "window_end", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (weekly)
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH w AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, wk FROM w)
+SELECT c.cohort_week, a.wk - c.cohort_week AS weeks_since, count(*) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("weekly_retention", oracle=_RETENTION_ORACLE, tags=("cohort",))
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted per
+    weeks-since-cohort. Three aggregations all keyed on user_id — one
+    shuffle sets up the partitioning, the cohort side joins co-located."""
+    events = load_table(spark, "events", sf_dir)
+    w = events.select(
+        "user_id", (epoch_seconds("ts") / 604800).cast("long").alias("wk")
+    )
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = w.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count("*").alias("n_users"))
+    )
