@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
+    h28,
     hamming_expr,
     jaccard_expr,
     shingled_cte,
@@ -682,3 +683,64 @@ JOIN documents b ON b.doc_id = p.doc_b
 WHERE a.source <> b.source
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-based) sampling & stratified source mixing
+# ---------------------------------------------------------------------------
+
+_SOURCE_RATES = {"cc": 20, "wiki": 80, "books": 60}  # percent, else 10
+
+
+def _stratified_sample_sql(engine: str) -> str:
+    """Hash-gated sampling: keep iff h(doc) mod 100 < rate(source).
+    Deterministic (same sample every run, any cluster size, no RNG
+    state) — the property reservoir/random sampling loses under
+    retries and repartitioning. Rates are literal per-source weights."""
+    h = h28("text", engine)
+    rate = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in _SOURCE_RATES.items()
+    ) + " ELSE 10 END"
+    return f"""
+SELECT doc_id, source, sampled FROM (
+  SELECT doc_id, source,
+         CAST({h} % 100 < {rate} AS BOOLEAN) AS sampled
+  FROM documents
+)
+"""
+
+
+@register("stratified_sample", oracle=_stratified_sample_sql("duckdb"), tags=("pipeline", "sampling"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_stratified_sample_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (within LSH candidate buckets)
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy_prefix_sql(engine: str) -> str:
+    """Levenshtein over 40-char prefixes, but ONLY within MinHash-LSH
+    candidate pairs — the blocking keeps the quadratic string-distance
+    kernel off the full corpus (it runs on |candidates|, not n²)."""
+    pairs = _dedup_minhash_lsh_sql(engine)
+    lev = (
+        "levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))"
+        if engine == "spark"
+        else "levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))"
+    )
+    return f"""
+WITH pairs AS ({pairs})
+SELECT p.doc_a, p.doc_b, CAST({lev} AS BIGINT) AS prefix_edit_distance, p.jaccard
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""
+
+
+@register("fuzzy_prefix_pairs", oracle=_fuzzy_prefix_sql("duckdb"), tags=("pipeline", "dedup"))
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_fuzzy_prefix_sql("spark"))
