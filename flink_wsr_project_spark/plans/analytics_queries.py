@@ -430,3 +430,100 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel (sequential pattern: view → click → purchase ≤ 1 h)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+),
+f AS (
+  SELECT v.user_id,
+         CASE WHEN p.purchase_ts IS NOT NULL
+                AND CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                  - CAST(floor(epoch(v.view_ts)) AS BIGINT) <= 3600 THEN 3
+              WHEN c.click_ts IS NOT NULL
+                AND CAST(floor(epoch(c.click_ts)) AS BIGINT)
+                  - CAST(floor(epoch(v.view_ts)) AS BIGINT) <= 3600 THEN 2
+              ELSE 1 END AS reached
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+)
+SELECT stage, count(*) AS n_users FROM (
+  SELECT user_id, 1 AS stage FROM f
+  UNION ALL SELECT user_id, 2 FROM f WHERE reached >= 2
+  UNION ALL SELECT user_id, 3 FROM f WHERE reached >= 3
+) GROUP BY stage
+"""
+
+
+@register("conversion_funnel", oracle=_FUNNEL_ORACLE, tags=("funnel", "cep"))
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (the relational form of CEP
+    ``view followedBy click followedBy purchase within 1h``): each
+    stage is a per-user min-timestamp aggregate constrained to follow
+    the previous stage. All three aggregates and both joins are keyed
+    on user_id — one partitioning reused throughout."""
+    events = load_table(spark, "events", sf_dir)
+
+    def first_after(event_type: str, after: DataFrame, after_col: str, alias: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == event_type).alias("e")
+        a = after.alias("a")
+        return (
+            e.join(a, F.col("e.user_id") == F.col("a.user_id"))
+            .filter(F.col("e.ts") > F.col(f"a.{after_col}"))
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias(alias))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = first_after("click", v, "view_ts", "click_ts")
+    p = first_after("purchase", c, "click_ts", "purchase_ts")
+
+    f = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("purchase_ts").isNotNull()
+                & (
+                    F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+                    <= 3600
+                ),
+                3,
+            )
+            .when(
+                F.col("click_ts").isNotNull()
+                & (F.col("click_ts").cast("long") - F.col("view_ts").cast("long") <= 3600),
+                2,
+            )
+            .otherwise(1)
+            .alias("reached"),
+        )
+    )
+    stages = (
+        f.select(F.lit(1).alias("stage"))
+        .unionAll(f.filter(F.col("reached") >= 2).select(F.lit(2).alias("stage")))
+        .unionAll(f.filter(F.col("reached") >= 3).select(F.lit(3).alias("stage")))
+    )
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
