@@ -106,15 +106,22 @@ def order_timeout_monitor(
 
         cols = ["order_id", "status", "create_ts", "pay_ts"]
         if state.hasTimedOut:
-            create_ts, _ = state.get
+            create_ts, pay_ts = state.get
             state.remove()
+            # pay with no create (OrderTimeout_PF.scala:109-115) vs
+            # create with no pay (:85-95)
+            pay_only = math.isnan(create_ts) and not math.isnan(pay_ts)
             yield pd.DataFrame(
                 [
                     {
                         "order_id": int(key[0]),
-                        "status": "order timeout",
+                        "status": (
+                            "already payed but not found created log"
+                            if pay_only
+                            else "order timeout"
+                        ),
                         "create_ts": int(create_ts) if not math.isnan(create_ts) else None,
-                        "pay_ts": None,
+                        "pay_ts": int(pay_ts) if not math.isnan(pay_ts) else None,
                     }
                 ],
                 columns=cols,
@@ -149,8 +156,10 @@ def order_timeout_monitor(
                     create_ts, pay_ts = float("nan"), float("nan")
         if not math.isnan(create_ts) or not math.isnan(pay_ts):
             state.update((create_ts, pay_ts))
-            if not math.isnan(create_ts):
-                state.setTimeoutTimestamp(int((create_ts + ddl) * 1000))
+            # timer on whichever side arrived (PF registers one for the
+            # pay-first case too, OrderTimeout_PF.scala:109-115)
+            base = create_ts if not math.isnan(create_ts) else pay_ts
+            state.setTimeoutTimestamp(int((base + ddl) * 1000))
         yield pd.DataFrame(out, columns=cols)
 
     return orders.withWatermark(ts_col, "3 seconds").groupBy(key_col).applyInPandasWithState(

@@ -140,16 +140,31 @@ def test_order_timeout_monitor_semantics(spark, tmp_path):
         (3, "pay", "2024-01-01 00:02:00"),        # pay before create
         (3, "create", "2024-01-01 00:01:00"),
         (4, "create", "2024-01-01 00:00:00"),     # never paid → timeout
+        (6, "pay", "2024-01-01 00:00:30"),        # pay, create never arrives
         (5, "create", "2024-01-01 02:00:00"),     # watermark pusher
         (5, "pay", "2024-01-01 02:00:01"),
     ]
     pdf = pd.DataFrame(rows, columns=["order_id", "event_type", "ts_str"])
     df = spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
     d = str(tmp_path / "orders_stream")
-    df.write.parquet(d)
+    df.coalesce(1).write.parquet(d)
     stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
     out = order_timeout_monitor(stream, deadline_s=900)
     q = out.writeStream.outputMode("append").format("memory").queryName("ot").start()
+    q.processAllAvailable()
+    # second trigger past the watermark so the event-time timers fire
+    late = pd.DataFrame(
+        [(7, "create", "2024-01-01 03:00:00")],
+        columns=["order_id", "event_type", "ts_str"],
+    )
+    (
+        spark.createDataFrame(late)
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(d)
+    )
     q.processAllAvailable()
     q.stop()
     got = {r.order_id: r.status for r in spark.sql("SELECT * FROM ot").collect()}
@@ -157,7 +172,8 @@ def test_order_timeout_monitor_semantics(spark, tmp_path):
     assert got[2] == "payed but already timeout"
     assert got[3] == "payed successfully"  # out-of-order handled (PF :109-115)
     assert got[5] == "payed successfully"
-    assert got.get(4, "order timeout") == "order timeout"  # fires if watermark batch ran
+    assert got[4] == "order timeout"
+    assert got[6] == "already payed but not found created log"
 
 
 def test_blacklist_filter_semantics(spark, events_stream_dir):
