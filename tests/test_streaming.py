@@ -413,3 +413,75 @@ def test_streaming_approx_distinct_matches_batch(spark, events_stream_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_topn_retract_updates_across_triggers(spark, tmp_path):
+    """K2 retract analogue: when a later trigger changes the leader,
+    the new epoch re-emits the (window_end, rank) key with the new
+    item — consumers treat output as upserts."""
+    d = str(tmp_path / "retract_src")
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["item_id", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([(101, "2024-01-01 00:10:00")] * 2 + [(202, "2024-01-01 00:10:00")])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    counts = streaming_windowed_agg(
+        stream, "ts", "1 hour", keys=["item_id"],
+        aggs=[F.count("*").alias("cnt")], watermark="1 second",
+    )
+    epochs: dict[int, dict] = {}
+
+    def sink(ranked, epoch_id):
+        for r in ranked.collect():
+            epochs.setdefault(epoch_id, {})[(r.window_end, r.rank)] = (r.item_id, r.cnt)
+
+    q = stream_topn(counts, ["window_end"], "cnt", 1, sink, tiebreakers=["item_id"])
+    q.processAllAvailable()
+    write([(202, "2024-01-01 00:20:00")] * 3)  # 202 overtakes: 4 > 2
+    q.processAllAvailable()
+    q.stop()
+
+    nonempty = [e for e in sorted(epochs) if epochs[e]]
+    assert len(nonempty) >= 2
+    first, last = epochs[nonempty[0]], epochs[nonempty[-1]]
+    we = next(iter(first))[0]
+    assert first[(we, 1)][0] == 101          # 101 leads after trigger 1
+    assert last[(we, 1)] == (202, 4)         # upsert: 202 leads after trigger 2
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop → restart from checkpoint: the restarted query resumes from
+    the committed offset and the sink stays exactly-once (no dup/loss)."""
+    from flink_wsr_project_spark.streaming.sinks import idempotent_parquet_sink
+
+    src = str(tmp_path / "ck_src")
+    out = str(tmp_path / "ck_out")
+    cp = str(tmp_path / "ck_cp")
+
+    def write(rows):
+        spark.createDataFrame(rows, ["k", "v"]).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        return idempotent_parquet_sink(stream, out, cp, query_name="ck_sink")
+
+    write([(1, "a"), (2, "b")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    write([(3, "c")])
+    q = start()          # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.k for r in spark.read.parquet(out).select("k").collect())
+    assert got == [1, 2, 3]  # each row exactly once across the restart
