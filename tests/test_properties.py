@@ -167,3 +167,27 @@ def test_login_fail_lag_matches_model(spark, logins, tmp_path_factory):
             if e1 == e2 == "fail" and t2 - t1 <= 2:
                 model.add((uid, t1, t2))
     assert got == model
+
+
+def test_operators_on_empty_input(spark):
+    """Zero-row inputs flow through the operator kit without errors."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert (
+        windowed_agg(empty, "ts", "1 hour", "5 minutes", keys=["uid"],
+                     aggs=[F.count("*").alias("cnt")]).count() == 0
+    )
+    assert topn_per_group(empty, ["uid"], "cnt", 3).count() == 0
+    from flink_wsr_project_spark.streaming.joins import reconcile_full_outer
+
+    assert (
+        reconcile_full_outer(empty, empty, "uid", "ts", "ts", tolerance_s=5).count() == 0
+    )

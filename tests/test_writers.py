@@ -69,3 +69,18 @@ def test_bucketed_agg_no_shuffle(spark):
     agg = lb.groupBy("l_orderkey").agg(F.count("*").alias("n"))
     assert _shuffles(agg) == 0
     assert agg.count() == load_table(spark, "lineitem", SF_DIR).select("l_orderkey").distinct().count()
+
+
+def test_compact_parquet(spark, tmp_path):
+    from flink_wsr_project_spark.sources.writers import compact_parquet
+
+    d = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("g", F.col("id") % 7)
+    df.repartition(50).write.parquet(d)  # fragment into 50 files
+    import glob
+
+    assert len(glob.glob(d + "/part-*")) == 50
+    n = compact_parquet(spark, d, target_files=4, sort_cols=["id"])
+    assert n == 1000
+    assert len(glob.glob(d + "/part-*")) == 4
+    assert spark.read.parquet(d).count() == 1000
