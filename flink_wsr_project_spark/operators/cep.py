@@ -1,0 +1,147 @@
+"""Generic CEP pattern matching — the FlinkCEP surface (SURVEY §2.6)
+as a small Pattern API compiled to window-function / join plans.
+
+Reference API (loginmonitor/LoginFail_CEP.scala:31-46,
+orderpay_detect/OrderTimeout_CEP.scala:35-57):
+
+    Pattern.begin("first").where(pred)
+           .next("second").where(pred)        // strict contiguity
+           .followedBy("third").where(pred)   // relaxed contiguity
+           .within(Time.seconds(n))
+
+Here:
+
+    p = (Pattern.begin("first", F.col("event_type") == "error")
+                .next("second", F.col("event_type") == "error")
+                .within(2))
+    matches = match_pattern(events, ["user_id"], "ts", p)
+
+Semantics (documented subset of FlinkCEP):
+
+* **strict chains** (``begin`` + only ``next`` steps): every run of
+  adjacent rows matching the step predicates is a match — identical to
+  FlinkCEP's strict contiguity emitting all matches. Compiled to one
+  shuffle per key + a lag() chain over pre-evaluated step-match
+  booleans (single window pass, no joins, no state).
+* **chains containing ``followedBy``**: first-match-per-key semantics
+  (FlinkCEP's AFTER MATCH SKIP PAST LAST with earliest events): step k
+  binds to the earliest row matching its predicate strictly after step
+  k-1's row. Compiled to per-step min-ts aggregates joined on the key
+  — each step is one co-partitioned aggregate, the funnel plan shape.
+* ``within(s)``: total span (last step ts − first step ts) ≤ s,
+  applied to the bound events in both modes.
+
+Scale: both compilations shuffle only on the key columns; the strict
+path is a single window pass, the relaxed path is (steps) aggregates
+reusing one partitioning. No state exists outside the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+@dataclass
+class _Step:
+    name: str
+    predicate: Column
+    contiguity: str  # "begin" | "next" | "followedBy"
+
+
+@dataclass
+class Pattern:
+    steps: list[_Step] = field(default_factory=list)
+    within_s: int | None = None
+
+    @staticmethod
+    def begin(name: str, predicate: Column) -> "Pattern":
+        return Pattern(steps=[_Step(name, predicate, "begin")])
+
+    def next(self, name: str, predicate: Column) -> "Pattern":
+        """Strict contiguity: the immediately following row."""
+        return Pattern(self.steps + [_Step(name, predicate, "next")], self.within_s)
+
+    def followedBy(self, name: str, predicate: Column) -> "Pattern":
+        """Relaxed contiguity: any later row (earliest binds)."""
+        return Pattern(self.steps + [_Step(name, predicate, "followedBy")], self.within_s)
+
+    def within(self, seconds: int) -> "Pattern":
+        return Pattern(self.steps, int(seconds))
+
+    @property
+    def is_strict(self) -> bool:
+        return all(s.contiguity in ("begin", "next") for s in self.steps)
+
+
+def match_pattern(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    pattern: Pattern,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Match ``pattern`` per key; returns one row per match with
+    ``<step>_ts`` epoch-second columns for every step."""
+    steps = pattern.steps
+    if not steps or steps[0].contiguity != "begin":
+        raise ValueError("pattern must start with Pattern.begin(...)")
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    if pattern.is_strict:
+        return _match_strict(df, key_cols, ts_col, ts_s, pattern, tiebreakers or [])
+    return _match_relaxed(df, key_cols, ts_s, pattern)
+
+
+def _match_strict(df, key_cols, ts_col, ts_s, pattern, tiebreakers) -> DataFrame:
+    """All k-length adjacent runs via a lag chain over pre-evaluated
+    step-match booleans (one window pass)."""
+    steps = pattern.steps
+    k = len(steps)
+    w = W.partitionBy(*key_cols).orderBy(ts_col, *tiebreakers)
+    cur = df.withColumn("_ts_s", ts_s)
+    for i, s in enumerate(steps):
+        cur = cur.withColumn(f"_m{i}", s.predicate)
+    # the current row holds the LAST step; lag(j) reaches step k-1-j
+    cond = F.col(f"_m{k - 1}")
+    for j in range(1, k):
+        cur = cur.withColumn(f"_lag_ts_{j}", F.lag("_ts_s", j).over(w))
+        cur = cur.withColumn(f"_lag_m_{j}", F.lag(f"_m{k - 1 - j}", j).over(w))
+        cond = cond & F.col(f"_lag_m_{j}") & F.col(f"_lag_ts_{j}").isNotNull()
+    if pattern.within_s is not None and k > 1:
+        cond = cond & (F.col("_ts_s") - F.col(f"_lag_ts_{k - 1}") <= pattern.within_s)
+    out = cur.filter(cond)
+    sel = list(key_cols)
+    for i, s in enumerate(steps):
+        j = k - 1 - i
+        src = "_ts_s" if j == 0 else f"_lag_ts_{j}"
+        sel.append(F.col(src).alias(f"{s.name}_ts"))
+    return out.select(*sel)
+
+
+def _match_relaxed(df, key_cols, ts_s, pattern) -> DataFrame:
+    """First-match-per-key: per-step earliest-after aggregates."""
+    steps = pattern.steps
+    base = df.withColumn("_ts_s", ts_s)
+    bound = (
+        base.filter(steps[0].predicate)
+        .groupBy(*key_cols)
+        .agg(F.min("_ts_s").alias(f"{steps[0].name}_ts"))
+    )
+    prev_col = f"{steps[0].name}_ts"
+    for s in steps[1:]:
+        nxt = (
+            base.filter(s.predicate)
+            .join(bound.select(*key_cols, prev_col), key_cols)
+            .filter(F.col("_ts_s") > F.col(prev_col))
+            .groupBy(*key_cols)
+            .agg(F.min("_ts_s").alias(f"{s.name}_ts"))
+        )
+        bound = bound.join(nxt, key_cols)
+        prev_col = f"{s.name}_ts"
+    if pattern.within_s is not None:
+        bound = bound.filter(
+            F.col(f"{steps[-1].name}_ts") - F.col(f"{steps[0].name}_ts")
+            <= pattern.within_s
+        )
+    return bound

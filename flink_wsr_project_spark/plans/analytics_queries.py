@@ -527,3 +527,37 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(f.filter(F.col("reached") >= 3).select(F.lit(3).alias("stage")))
     )
     return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Pattern-API (CEP) form of the login-fail query
+# ---------------------------------------------------------------------------
+
+_CEP_LOGIN_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         lag(event_type) OVER w AS pt,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, pf AS first_ts, t AS second_ts
+FROM l WHERE event_type = 'error' AND pt = 'error' AND t - pf <= 1800
+"""
+
+
+@register("login_fail_cep_pattern", oracle=_CEP_LOGIN_ORACLE, tags=("C1", "cep"))
+def login_fail_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C1 query expressed through the generic Pattern API
+    (operators/cep.py) — ``begin(error).next(error).within(1800)`` —
+    proving the FlinkCEP-surface operator reproduces the hand-built
+    lag query (strict contiguity, all matches)."""
+    from flink_wsr_project_spark.operators.cep import Pattern, match_pattern
+
+    events = load_table(spark, "events", sf_dir)
+    p = (
+        Pattern.begin("first", F.col("event_type") == "error")
+        .next("second", F.col("event_type") == "error")
+        .within(1800)
+    )
+    return match_pattern(events, ["user_id"], "ts", p, tiebreakers=["event_id"])

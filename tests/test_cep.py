@@ -1,0 +1,85 @@
+"""Pattern API tests (operators/cep.py) — strict and relaxed
+contiguity, within-bounds, multi-step chains, on planted scenarios."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.operators.cep import Pattern, match_pattern
+from flink_wsr_project_spark.sources.readers import epoch_to_ts
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "t"]).withColumn(
+        "ts", epoch_to_ts("t")
+    )
+
+
+def test_strict_two_step_all_matches(spark):
+    rows = [
+        (1, "fail", 100), (1, "fail", 101), (1, "fail", 102),   # two adjacent pairs
+        (2, "fail", 100), (2, "success", 101), (2, "fail", 102),  # interleaved → none
+        (3, "fail", 100), (3, "fail", 103),                     # gap 3 > within 2
+    ]
+    p = (
+        Pattern.begin("first", F.col("event_type") == "fail")
+        .next("second", F.col("event_type") == "fail")
+        .within(2)
+    )
+    out = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
+    got = {(r.user_id, r.first_ts, r.second_ts) for r in out.collect()}
+    assert got == {(1, 100, 101), (1, 101, 102)}  # every adjacent run, like FlinkCEP
+
+
+def test_strict_three_step_chain(spark):
+    rows = [
+        (1, "a", 10), (1, "b", 11), (1, "c", 12),   # full chain
+        (2, "a", 10), (2, "x", 11), (2, "b", 12), (2, "c", 13),  # broken adjacency
+    ]
+    p = (
+        Pattern.begin("s1", F.col("event_type") == "a")
+        .next("s2", F.col("event_type") == "b")
+        .next("s3", F.col("event_type") == "c")
+        .within(5)
+    )
+    out = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
+    got = {(r.user_id, r.s1_ts, r.s2_ts, r.s3_ts) for r in out.collect()}
+    assert got == {(1, 10, 11, 12)}
+
+
+def test_relaxed_followed_by_with_timeout(spark):
+    rows = [
+        (1, "create", 100), (1, "noise", 150), (1, "pay", 200),   # within 900
+        (2, "create", 100), (2, "pay", 2000),                     # beyond 900
+        (3, "pay", 100),                                          # no create
+        (4, "create", 100), (4, "pay", 90),                       # pay BEFORE create
+    ]
+    p = (
+        Pattern.begin("create", F.col("event_type") == "create")
+        .followedBy("pay", F.col("event_type") == "pay")
+        .within(900)
+    )
+    out = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
+    got = {(r.user_id, r.create_ts, r.pay_ts) for r in out.collect()}
+    assert got == {(1, 100, 200)}
+
+
+def test_relaxed_binds_earliest(spark):
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "click", 30), (1, "buy", 40),
+    ]
+    p = (
+        Pattern.begin("view", F.col("event_type") == "view")
+        .followedBy("click", F.col("event_type") == "click")
+        .followedBy("buy", F.col("event_type") == "buy")
+    )
+    out = match_pattern(_df(spark, rows), ["user_id"], "ts", p).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.view_ts, r.click_ts, r.buy_ts) == (10, 20, 40)  # earliest click binds
+
+
+def test_pattern_must_begin(spark):
+    with pytest.raises(ValueError):
+        match_pattern(_df(spark, [(1, "a", 1)]), ["user_id"], "ts", Pattern())
