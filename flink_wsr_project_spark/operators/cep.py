@@ -145,3 +145,74 @@ def _match_relaxed(df, key_cols, ts_s, pattern) -> DataFrame:
             <= pattern.within_s
         )
     return bound
+
+
+def match_pattern_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    pattern: Pattern,
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """Streaming executor for STRICT patterns (begin + next chains):
+    per-key state is the trailing k-1 rows' (ts, step-match flags) —
+    O(pattern length) per key, never a growing buffer. Adjacency is
+    preserved across micro-batches (the reference's CEP NFA state,
+    reduced to the strict-chain case it actually uses).
+
+    Relaxed (followedBy) patterns are batch-only here; their streaming
+    form belongs to a per-key state machine like
+    streaming.stateful.order_timeout_monitor.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = pattern.steps
+    if not steps or steps[0].contiguity != "begin":
+        raise ValueError("pattern must start with Pattern.begin(...)")
+    if not pattern.is_strict:
+        raise ValueError("match_pattern_stream supports strict (next) chains only")
+    k = len(steps)
+    within = pattern.within_s
+    names = [s.name for s in steps]
+
+    pre = stream.withColumn("_ts_s", F.col(ts_col).cast("timestamp").cast("long"))
+    for i, s in enumerate(steps):
+        pre = pre.withColumn(f"_m{i}", s.predicate.cast("integer"))
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in key_cols)
+        + ", "
+        + ", ".join(f"{n}_ts long" for n in names)
+    )
+    # state: flattened trailing window [(ts, m0..mk-1) * (k-1)] as a json string
+    state_schema = "buf string"
+
+    def fn(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        buf = json.loads(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_ts_s"])
+            for _, row in pdf.iterrows():
+                cur = [int(row["_ts_s"])] + [int(row[f"_m{i}"]) for i in range(k)]
+                window = buf + [cur]
+                if len(window) >= k:
+                    run = window[-k:]
+                    ok = all(run[i][1 + i] == 1 for i in range(k))
+                    if ok and (within is None or run[-1][0] - run[0][0] <= within):
+                        rec = {c: str(key[i]) for i, c in enumerate(key_cols)}
+                        for i, n in enumerate(names):
+                            rec[f"{n}_ts"] = run[i][0]
+                        out.append(rec)
+                buf = window[-(k - 1):] if k > 1 else []
+        state.update((json.dumps(buf),))
+        cols = list(key_cols) + [f"{n}_ts" for n in names]
+        yield pd.DataFrame(out, columns=cols)
+
+    keyed = pre.withWatermark(ts_col, watermark) if stream.isStreaming else pre
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

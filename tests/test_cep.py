@@ -83,3 +83,68 @@ def test_relaxed_binds_earliest(spark):
 def test_pattern_must_begin(spark):
     with pytest.raises(ValueError):
         match_pattern(_df(spark, [(1, "a", 1)]), ["user_id"], "ts", Pattern())
+
+
+def test_stream_pattern_adjacency_across_batches(spark, tmp_path):
+    """A strict pair split across micro-batches still matches — the
+    trailing-row state carries adjacency over the trigger boundary."""
+    from flink_wsr_project_spark.operators.cep import match_pattern_stream
+
+    d = str(tmp_path / "cep_stream")
+
+    def write(rows):
+        (
+            _df(spark, rows)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([(1, "fail", 100)])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    p = (
+        Pattern.begin("first", F.col("event_type") == "fail")
+        .next("second", F.col("event_type") == "fail")
+        .within(2)
+    )
+    out = match_pattern_stream(stream, ["user_id"], "ts", p)
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_s").start()
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM cep_s").count() == 0
+
+    write([(1, "fail", 101), (1, "success", 102), (1, "fail", 103)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in spark.sql("SELECT * FROM cep_s").collect()
+    }
+    assert got == {("1", 100, 101)}  # cross-batch pair; 102/103 broken by success
+
+
+def test_stream_pattern_matches_batch(spark, tmp_path):
+    from flink_wsr_project_spark.operators.cep import match_pattern_stream
+
+    rows = [
+        (1, "fail", 100), (1, "fail", 101), (1, "fail", 102),
+        (2, "fail", 100), (2, "success", 101), (2, "fail", 102),
+    ]
+    d = str(tmp_path / "cep_stream_b")
+    _df(spark, rows).write.parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    p = (
+        Pattern.begin("first", F.col("event_type") == "fail")
+        .next("second", F.col("event_type") == "fail")
+        .within(2)
+    )
+    out = match_pattern_stream(stream, ["user_id"], "ts", p)
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_b").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (int(r.user_id), r.first_ts, r.second_ts)
+        for r in spark.sql("SELECT * FROM cep_b").collect()
+    }
+    batch = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
+    want = {(r.user_id, r.first_ts, r.second_ts) for r in batch.collect()}
+    assert got == want == {(1, 100, 101), (1, 101, 102)}
