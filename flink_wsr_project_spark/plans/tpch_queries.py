@@ -461,3 +461,88 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust_orders, customer.c_custkey == per_cust_orders.o_custkey, "left"
     ).select(F.coalesce("cnt", F.lit(0)).alias("n_orders"))
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Q6-style forecast revenue (pure scan-side filter + aggregate)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue", oracle=_Q6_ORACLE, tags=("tpch",))
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: every predicate reaches the parquet scan (date range,
+    discount band, quantity cap), then a single global aggregate — the
+    canonical scan-bound query; zero joins, one tiny shuffle."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")) / 100.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style returned-item revenue (fact-fact join + dims + top-N)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rc
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c_custkey, c_name, n_name, rc / 100.0 AS revenue, rank FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name, r.rc,
+         row_number() OVER (ORDER BY r.rc DESC, c.c_custkey) AS rank
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rank <= 20
+"""
+
+
+@register("returned_item_revenue", oracle=_Q10_ORACLE, tags=("tpch", "join"))
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: lost-revenue ranking for customers who returned
+    items. lineitem is pre-filtered (returnflag pushed to the scan) and
+    pre-aggregated per custkey BEFORE the dimension joins; customer and
+    nation broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rc = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    ).alias("rc")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(rc)
+    )
+    j = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    from flink_wsr_project_spark.operators.topn import topn_per_group
+
+    ranked = topn_per_group(
+        j.select("c_custkey", "c_name", "n_name", "rc"),
+        [], "rc", 20, tiebreakers=["c_custkey"],
+    )
+    return ranked.select(
+        "c_custkey", "c_name", "n_name", (F.col("rc") / 100.0).alias("revenue"), "rank"
+    )
