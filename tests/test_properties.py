@@ -191,3 +191,40 @@ def test_operators_on_empty_input(spark):
     assert (
         reconcile_full_outer(empty, empty, "uid", "ts", "ts", tolerance_s=5).count() == 0
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda x: (x[0], x[2]),
+    )
+)
+@settings(**_SETTINGS)
+def test_cep_strict_matches_model(spark, rows):
+    """Strict 2-step pattern == python adjacency scan (all matches)."""
+    from flink_wsr_project_spark.operators.cep import Pattern, match_pattern
+
+    df = spark.createDataFrame(rows, ["uid", "ev", "t"]).withColumn(
+        "ts", epoch_to_ts("t")
+    )
+    p = (
+        Pattern.begin("first", F.col("ev") == "a")
+        .next("second", F.col("ev") == "a")
+        .within(3)
+    )
+    got = {
+        (r.uid, r.first_ts, r.second_ts)
+        for r in match_pattern(df, ["uid"], "ts", p).collect()
+    }
+    timelines: defaultdict[int, list] = defaultdict(list)
+    for uid, ev, t in rows:
+        timelines[uid].append((t, ev))
+    model = set()
+    for uid, tl in timelines.items():
+        tl.sort()
+        for (t1, e1), (t2, e2) in zip(tl, tl[1:]):
+            if e1 == e2 == "a" and t2 - t1 <= 3:
+                model.add((uid, t1, t2))
+    assert got == model
