@@ -101,3 +101,10 @@ def test_parse_csv_malformed_rows_dont_fail(spark):
     assert len(rows) == 4
     good = [r for r in rows if r.user_id is not None]
     assert len(good) == 1 and good[0].item_id == 1715
+
+
+def test_cli_list_and_unknown():
+    from flink_wsr_project_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    assert main(["run", "no_such_query"]) == 2
