@@ -561,3 +561,48 @@ def login_fail_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(1800)
     )
     return match_pattern(events, ["user_id"], "ts", p, tiebreakers=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report (declarative expectations, one aggregate pass)
+# ---------------------------------------------------------------------------
+
+_QUALITY_REPORT_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_user_not_null,
+         sum(CASE WHEN value BETWEEN 0 AND 1000000 THEN 0 ELSE 1 END) AS v_value_range,
+         sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                  THEN 0 ELSE 1 END) AS v_known_type
+  FROM events
+)
+SELECT 'user_not_null' AS rule, v_user_not_null AS violations, n AS rows_checked,
+       1.0 - v_user_not_null / n AS pass_rate FROM m
+UNION ALL
+SELECT 'value_range', v_value_range, n, 1.0 - v_value_range / n FROM m
+UNION ALL
+SELECT 'known_type', v_known_type, n, 1.0 - v_known_type / n FROM m
+"""
+
+
+@register("events_quality_report", oracle=_QUALITY_REPORT_ORACLE, tags=("quality",))
+def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules evaluated in ONE aggregate pass
+    (operators/quality.py): each rule is a conditional sum sharing the
+    same scan — the cheapest shape for rule suites at corpus scale."""
+    from flink_wsr_project_spark.operators.quality import (
+        in_range,
+        not_null,
+        one_of,
+        quality_report,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return quality_report(
+        events,
+        {
+            "user_not_null": not_null("user_id"),
+            "value_range": in_range("value", 0, 1000000),
+            "known_type": one_of("event_type", ["view", "click", "purchase", "signup", "error"]),
+        },
+    )

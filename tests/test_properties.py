@@ -228,3 +228,19 @@ def test_cep_strict_matches_model(spark, rows):
             if e1 == e2 == "a" and t2 - t1 <= 3:
                 model.add((uid, t1, t2))
     assert got == model
+
+
+def test_quality_enforce_split(spark):
+    """enforce() partitions rows exactly; quarantine carries reasons."""
+    from flink_wsr_project_spark.operators.quality import enforce, in_range, not_null
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 5.0), (None, -2.0)], ["uid", "v"]
+    )
+    passing, quarantined = enforce(
+        df, {"uid_not_null": not_null("uid"), "v_range": in_range("v", 0, 10)}
+    )
+    assert passing.count() == 1
+    q = {tuple(r.violated_rules) for r in quarantined.collect()}
+    assert q == {("v_range",), ("uid_not_null",), ("uid_not_null", "v_range")}
+    assert passing.count() + quarantined.count() == df.count()
