@@ -84,3 +84,33 @@ def test_compact_parquet(spark, tmp_path):
     assert n == 1000
     assert len(glob.glob(d + "/part-*")) == 4
     assert spark.read.parquet(d).count() == 1000
+
+
+def test_incremental_aggregate_matches_full_recompute(spark, tmp_path):
+    """merge(agg(day0), agg(day1)) == agg(day0 ∪ day1) for mergeable
+    aggregates — history never re-read."""
+    from flink_wsr_project_spark.operators.incremental import update_aggregate_table
+
+    state = str(tmp_path / "agg_state")
+    day0 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], ["k", "v"]
+    )
+    day1 = spark.createDataFrame(
+        [("a", 10), ("c", 7)], ["k", "v"]
+    )
+    aggs = {
+        "n": F.count("*"),
+        "total": F.sum("v"),
+        "vmin": F.min("v"),
+        "vmax": F.max("v"),
+    }
+    merge_fns = {"n": "sum", "total": "sum", "vmin": "min", "vmax": "max"}
+
+    update_aggregate_table(spark, state, day0, ["k"], aggs, merge_fns)
+    got = update_aggregate_table(spark, state, day1, ["k"], aggs, merge_fns)
+
+    full = day0.unionByName(day1).groupBy("k").agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    want = {(r.k, r.n, r.total, r.vmin, r.vmax) for r in full.collect()}
+    assert {(r.k, r.n, r.total, r.vmin, r.vmax) for r in got.collect()} == want
