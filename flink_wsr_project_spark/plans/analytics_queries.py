@@ -606,3 +606,55 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "known_type": one_of("event_type", ["view", "click", "purchase", "signup", "error"]),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: z-score outliers per event_type
+# ---------------------------------------------------------------------------
+
+_OUTLIERS_ORACLE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1, CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+),
+s AS (
+  SELECT event_type, s1 * 1.0 / n AS mean_c,
+         sqrt((n * s2 - s1 * s1) * 1.0 / (n * n)) AS std_c
+  FROM m
+)
+SELECT c.event_type, count(*) AS n_outliers
+FROM c JOIN s ON c.event_type = s.event_type
+WHERE abs(c.cents - s.mean_c) > 3 * s.std_c
+GROUP BY c.event_type
+"""
+
+
+@register("value_outliers", oracle=_OUTLIERS_ORACLE, tags=("anomaly",))
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier counts per event_type. Moments come from exact
+    integer sums (one aggregate), broadcast back onto the rows — two
+    passes over the scan, no shuffle of the fact rows themselves."""
+    events = load_table(spark, "events", sf_dir)
+    c = events.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    s = m.select(
+        "event_type",
+        (F.col("s1") * 1.0 / F.col("n")).alias("mean_c"),
+        F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0
+               / (F.col("n") * F.col("n"))).alias("std_c"),
+    )
+    joined = c.join(F.broadcast(s), "event_type")
+    return (
+        joined.filter(F.abs(F.col("cents") - F.col("mean_c")) > 3 * F.col("std_c"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )

@@ -485,3 +485,35 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r.k for r in spark.read.parquet(out).select("k").collect())
     assert got == [1, 2, 3]  # each row exactly once across the restart
+
+
+def test_streaming_to_incremental_state_bridge(spark, tmp_path):
+    """foreachBatch + update_aggregate_table: a stream maintains a
+    persisted mergeable aggregate; final state equals batch recompute."""
+    from flink_wsr_project_spark.operators.incremental import update_aggregate_table
+
+    src = str(tmp_path / "inc_src")
+    state = str(tmp_path / "inc_state")
+
+    def write(rows):
+        spark.createDataFrame(rows, ["k", "v"]).coalesce(1).write.mode("append").parquet(src)
+
+    write([("a", 1), ("b", 2)])
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    def process(batch_df, epoch_id):
+        if batch_df.count():
+            update_aggregate_table(
+                batch_df.sparkSession, state, batch_df, ["k"],
+                {"n": F.count("*"), "total": F.sum("v")},
+                {"n": "sum", "total": "sum"},
+            )
+
+    q = stream.writeStream.outputMode("append").foreachBatch(process).start()
+    q.processAllAvailable()
+    write([("a", 10), ("c", 5)])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.k, r.n, r.total) for r in spark.read.parquet(state).collect()}
+    assert got == {("a", 2, 11), ("b", 1, 2), ("c", 1, 5)}
