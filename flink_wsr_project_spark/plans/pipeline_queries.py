@@ -744,3 +744,25 @@ JOIN documents b ON b.doc_id = p.doc_b
 def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_fuzzy_prefix_sql("spark"))
+
+
+# attach SQL-builder docstrings to the thin wrapper registrations
+from flink_wsr_project_spark.plans.registry import set_doc as _set_doc  # noqa: E402
+
+for _n, _b in {
+    "minhash_signatures": _minhash_signatures_sql,
+    "dedup_minhash_lsh": _dedup_minhash_lsh_sql,
+    "ngram_jaccard_pairs": _ngram_jaccard_sql,
+    "dedup_simhash": _simhash_sql,
+    "simhash_neardup_pairs": _simhash_neardup_sql,
+    "simhash_neardup_blocked": _simhash_blocked_spark_sql,
+    "ann_cosine_topk": _ann_brute_force_sql,
+    "ann_srp_lsh_pairs": _ann_srp_sql,
+    "embedding_cosine_neardup": _embedding_neardup_sql,
+    "ann_ivf_topk": _ann_ivf_sql,
+    "dedup_keep_list": _dedup_keep_list_sql,
+    "stratified_sample": _stratified_sample_sql,
+    "fuzzy_prefix_pairs": _fuzzy_prefix_sql,
+    "bigram_topk": _bigram_sql,
+}.items():
+    _set_doc(_n, _b.__doc__)

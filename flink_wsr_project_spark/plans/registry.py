@@ -51,6 +51,13 @@ def register(
     return deco
 
 
+def set_doc(name: str, doc: str | None) -> None:
+    """Attach a docstring to a registered query (used by thin SQL-wrapper
+    registrations whose documentation lives on the SQL builder)."""
+    if name in _REGISTRY and doc:
+        _REGISTRY[name].doc = doc
+
+
 def _load_all() -> None:
     """Import every plan module so its ``@register`` calls run."""
     from flink_wsr_project_spark.plans import (  # noqa: F401
