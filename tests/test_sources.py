@@ -108,3 +108,16 @@ def test_cli_list_and_unknown():
 
     assert main(["list"]) == 0
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cli_run_and_explain(spark, capsys):
+    from flink_wsr_project_spark.__main__ import main
+
+    assert main(["run", "market_total", "--sf-dir", "/root/testdata/sf0.001",
+                 "--limit", "3", "--cpus", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "window_end" in out
+    assert main(["explain", "pv_hourly", "--sf-dir", "/root/testdata/sf0.001",
+                 "--cpus", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out or "AdaptiveSparkPlan" in out
