@@ -244,3 +244,47 @@ def test_quality_enforce_split(spark):
     q = {tuple(r.violated_rules) for r in quarantined.collect()}
     assert q == {("v_range",), ("uid_not_null",), ("uid_not_null", "v_range")}
     assert passing.count() + quarantined.count() == df.count()
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_python_model(spark, texts):
+    """The shared shingle+Jaccard SQL (used by minhash-LSH verify and
+    ngram_jaccard_pairs) == a pure-Python 3-gram set model — an
+    independent third implementation breaking any DuckDB/Spark
+    shared-assumption tie."""
+    from flink_wsr_project_spark.operators.dedup import jaccard_expr, shingled_cte
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView("documents")
+    jac = jaccard_expr("a.sh", "b.sh", "spark")
+    out = spark.sql(
+        f"""
+WITH {shingled_cte('spark')}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+"""
+    ).collect()
+
+    import re
+
+    def spark_toks(t: str) -> list:
+        return re.split(r"\s+", t.strip())
+
+    def model_shingles(t: str) -> set:
+        toks = spark_toks(t)
+        if len(toks) < 3:
+            return {t.strip()}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in out:
+        sa, sb = model_shingles(texts[r.doc_a]), model_shingles(texts[r.doc_b])
+        inter = len(sa & sb)
+        want = inter / (len(sa) + len(sb) - inter)
+        assert abs(r.jaccard - want) < 1e-12, (texts[r.doc_a], texts[r.doc_b])
