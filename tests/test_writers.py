@@ -114,3 +114,17 @@ def test_incremental_aggregate_matches_full_recompute(spark, tmp_path):
     )
     want = {(r.k, r.n, r.total, r.vmin, r.vmax) for r in full.collect()}
     assert {(r.k, r.n, r.total, r.vmin, r.vmax) for r in got.collect()} == want
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Long-lived datasets grow columns: mergeSchema unifies old and
+    new files; old rows surface NULL for added columns."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], ["id", "a"]).write.mode("append").parquet(d)
+    spark.createDataFrame([(2, "y", 9.5)], ["id", "a", "score"]).write.mode(
+        "append"
+    ).parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "a", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
