@@ -546,3 +546,216 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "c_custkey", "c_name", "n_name", (F.col("rc") / 100.0).alias("revenue"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style bilateral trade volume (supplier nation <-> customer nation)
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, sum(cents) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("bilateral_trade_volume", oracle=_Q7_ORACLE, tags=("tpch", "join"))
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations per year, in
+    both directions. Both nation filters are applied INSIDE the
+    broadcast dimension sides (supplier+nation, customer+nation), so
+    lineitem and orders are each cut to ~2/25 of rows before the one
+    fact-fact shuffle join on orderkey."""
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, "nation", sf_dir).filter(F.col("n_name").isin(*nations))
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, "orders", sf_dir).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style market share (one nation's share of a region's import revenue)
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS nation_cents,
+       sum(cents) AS total_cents,
+       sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) / CAST(sum(cents) AS DOUBLE)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         n2.n_name AS supp_nation
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+"""
+
+
+@register("market_share", oracle=_Q8_ORACLE, tags=("tpch", "join"))
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of revenue sold into ASIA per
+    order-year. Numerator and denominator accumulate as integer cents
+    in ONE aggregate pass (conditional sum, no second scan); the share
+    is a single long/long IEEE division — bit-exact cross-engine."""
+    nat_c = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(load_table(spark, "nation", sf_dir)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, "orders", sf_dir).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0))
+    ).alias("nation_cents")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(nation_cents, F.sum(cents).alias("total_cents"))
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents") / F.col("total_cents").cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-flavored late-shipment split by order priority
+# ---------------------------------------------------------------------------
+
+_LATE_SHIP_ORACLE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
+@register("late_shipment_priority", oracle=_LATE_SHIP_ORACLE, tags=("tpch", "join"))
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the schema has no shipmode/commitdate,
+    so lateness = shipped >= 90 days after order date): urgent-vs-other
+    line counts per ship year. A genuine fact-fact join — orders is NOT
+    broadcast-able at 100 TB — so both sides shuffle once on orderkey
+    (sort-merge; bucketing both tables on orderkey would remove it) and
+    orders is pruned to 3 columns before the exchange."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large-volume customers
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey AS order_id,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price,
+       sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+) big JOIN orders ON big.l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("large_volume_customers", oracle=_Q18_ORACLE, tags=("tpch", "semi-join"))
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    their customer. The HAVING-filtered aggregate is tiny (<1% of
+    orders) so it broadcasts INTO orders — the orders scan never
+    shuffles; customer broadcasts as usual."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("total_price"),
+            "sum_qty",
+        )
+    )

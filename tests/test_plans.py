@@ -120,6 +120,10 @@ def test_dimension_join_broadcasts(spark, name):
         ("user_trailing_10m", 1),
         ("purchase_attribution_asof", 1),
         ("idle_rich_customers", 2),  # scalar-subquery agg + final agg
+        ("bilateral_trade_volume", 3),  # fact-fact join (2) + agg
+        ("market_share", 3),
+        ("late_shipment_priority", 3),  # sort-merge at scale; broadcast at test SF
+        ("large_volume_customers", 2),  # qty agg; HAVING result broadcasts into orders
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
