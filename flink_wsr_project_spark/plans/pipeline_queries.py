@@ -766,3 +766,176 @@ for _n, _b in {
     "bigram_topk": _bigram_sql,
 }.items():
     _set_doc(_n, _b.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-style rep filters exact-dup misses)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       (CAST(len(toks) AS BIGINT) - CAST(len(list_distinct(toks)) AS BIGINT))
+         / CAST(len(toks) AS BIGINT) AS dup_token_ratio,
+       CAST(list_max(list_transform(list_distinct(toks),
+                                    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+         / CAST(len(toks) AS BIGINT) AS top_token_ratio
+FROM t
+"""
+
+
+@register("doc_repetition_ratio", oracle=_REPETITION_ORACLE, tags=("pipeline", "text"))
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style): duplicate-token
+    fraction and most-frequent-token fraction. Everything stays in-row
+    (higher-order array functions, no explode, no shuffle) — per-doc
+    cost is O(tokens x distinct) which is bounded by doc length, so the
+    operator is embarrassingly parallel at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nt = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    maxf = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        ((nt - nd) / nt).alias("dup_token_ratio"),
+        (maxf / nt).alias("top_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly: fixed token budget per bin)
+# ---------------------------------------------------------------------------
+
+_SEQ_PACKING_ORACLE = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+  FROM documents
+), c AS (
+  SELECT source, doc_id, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, (cum - toks) // 512 AS bin_id,
+       count(*) AS n_docs, sum(toks) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY source, bin_id
+"""
+
+
+@register("seq_packing", oracle=_SEQ_PACKING_ORACLE, tags=("pipeline", "packing"))
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs are laid out in deterministic
+    (source, doc_id) order and cut into 512-token bins by the running
+    token count — the batch-assembly step before training. One shuffle
+    on source for the running sum; the (source, bin) rollup is a
+    second, already-partial-aggregated exchange. Deterministic on any
+    cluster (no wall-clock, no partition-order dependence)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn("cum", F.sum("toks").over(w)).withColumn(
+        "bin_id", F.expr("(cum - toks) div 512")
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix weights (per-source token share)
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(toks) AS src_tokens,
+       sum(toks) * 1000000 // (SELECT sum(toks) FROM t) AS weight_ppm
+FROM t GROUP BY source
+"""
+
+
+@register("data_mix_weights", oracle=_MIX_WEIGHTS_ORACLE, tags=("pipeline", "sampling"))
+def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a training mix: each source's
+    share of total tokens, in integer parts-per-million (exact — no
+    float aggregation anywhere). One scan: the global total is a
+    single-partition rollup OVER the tiny per-source aggregate (source
+    cardinality is 10s-100s even at 100 TB), not a second pass over
+    documents."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("toks"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("src_tokens")
+    )
+    total = F.sum("src_tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("src_tokens * 1000000").cast("long").alias("_num"),
+        total.alias("_tot"),
+    ).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("_num div _tot").alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length histogram (power-of-two buckets per source)
+# ---------------------------------------------------------------------------
+
+_LENGTH_HIST_ORACLE = """
+SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS bucket_bits,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY source, bucket_bits
+"""
+
+
+@register("doc_length_histogram", oracle=_LENGTH_HIST_ORACLE, tags=("pipeline", "text"))
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in power-of-two buckets per source
+    (bucket = bit-length of n_chars — integer-exact in both engines,
+    no floating log2 at bucket boundaries). Single aggregation
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast("long")
+    return docs.groupBy("source", bucket.alias("bucket_bits")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -124,6 +124,10 @@ def test_dimension_join_broadcasts(spark, name):
         ("market_share", 3),
         ("late_shipment_priority", 3),  # sort-merge at scale; broadcast at test SF
         ("large_volume_customers", 2),  # qty agg; HAVING result broadcasts into orders
+        ("doc_repetition_ratio", 0),  # pure in-row array ops, no shuffle at all
+        ("seq_packing", 2),           # window on source (+ rollup may reuse)
+        ("data_mix_weights", 2),      # per-source agg + tiny single-partition total
+        ("doc_length_histogram", 1),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
