@@ -658,3 +658,22 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_outliers"))
     )
+
+
+@register("value_quantiles_approx", oracle=None, tags=("percentile", "sketch"))
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of value per event_type via
+    ``approx_percentile`` (KLL-style mergeable quantile sketch, relative
+    accuracy 1/10000). The sketch is the 100 TB path: fixed-size state
+    merged map-side, one shuffle, no sort of the full column — the
+    exact twin (``value_percentiles``) needs a per-group sort that a
+    quantile over 10^11 rows cannot afford. Rows-only check: sketch
+    internals differ across engines by design."""
+    ev = load_table(spark, "events", sf_dir)
+    pct = F.percentile_approx(F.col("value"), [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        pct.getItem(0).alias("p50_approx"),
+        pct.getItem(1).alias("p90_approx"),
+        pct.getItem(2).alias("p99_approx"),
+        F.count("*").alias("n"),
+    )

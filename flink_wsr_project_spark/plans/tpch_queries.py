@@ -759,3 +759,27 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (non-hierarchical — neither cube nor rollup)
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("orders_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("tpch", "grouping-sets"))
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent one-dimension rollups
+    (by status, by priority) in ONE scan + ONE shuffle via Expand,
+    where the naive form is two scans unioned. Identical SQL runs on
+    both engines."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)

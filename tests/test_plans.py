@@ -128,6 +128,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("seq_packing", 2),           # window on source (+ rollup may reuse)
         ("data_mix_weights", 2),      # per-source agg + tiny single-partition total
         ("doc_length_histogram", 1),
+        ("orders_grouping_sets", 1),  # Expand + one shuffle
+        ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
