@@ -939,3 +939,50 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary ratio (corpus-derived vocab, broadcast back)
+# ---------------------------------------------------------------------------
+
+_OOV_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+    FROM toks GROUP BY token
+  ) WHERE rk <= 100
+)
+SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS in_vocab,
+       (count(*) - count(v.token)) / CAST(count(*) AS DOUBLE) AS oov_ratio
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register("doc_oov_ratio", oracle=_OOV_ORACLE, tags=("pipeline", "text"))
+def doc_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary ratio against the corpus's own
+    top-100 token vocabulary (ties broken lexically). Two passes over
+    documents by construction (vocab must exist before scoring), but
+    the vocab result is tiny and BROADCAST back, so the scoring pass
+    never shuffles for the join — only the per-doc rollup does."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(100)
+        .select("token")
+    )
+    joined = toks.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("in_v").alias("in_vocab"),
+        ((F.count("*") - F.count("in_v")) / F.count("*").cast("double")).alias("oov_ratio"),
+    )

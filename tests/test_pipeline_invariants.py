@@ -1,0 +1,74 @@
+"""Cross-query invariants for the training-pipeline operators —
+properties that must hold at ANY scale factor, independent of the
+DuckDB oracle (they catch errors the oracle shares, e.g. a wrong
+constant used identically on both sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def test_mix_weights_sum_to_one_million(spark):
+    """ppm weights are floor-divided, so they sum to <= 1e6 and the
+    shortfall is bounded by the number of sources."""
+    rows = _Q["data_mix_weights"](spark, SF_DIR).collect()
+    total = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total <= 1_000_000
+    assert all(r.weight_ppm >= 0 for r in rows)
+
+
+def test_seq_packing_conserves_tokens(spark):
+    """Bins partition the corpus: per-source bin totals equal the
+    per-source token totals, and bin ids are dense from 0."""
+    bins = _Q["seq_packing"](spark, SF_DIR)
+    per_src = bins.groupBy("source").agg(
+        F.sum("bin_tokens").alias("toks"),
+        F.sum("n_docs").alias("docs"),
+        F.min("bin_id").alias("min_bin"),
+        F.max("bin_id").alias("max_bin"),
+        F.count("*").alias("n_bins"),
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks")
+    )
+    want = docs.groupBy("source").agg(F.sum("toks").alias("toks"), F.count("*").alias("docs"))
+    j = per_src.join(want, "source")
+    bad = j.filter(
+        (per_src.toks != want.toks)
+        | (per_src.docs != want.docs)
+        | (F.col("min_bin") != 0)
+        | (F.col("n_bins") != F.col("max_bin") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_repetition_ratios_bounded(spark):
+    df = _Q["doc_repetition_ratio"](spark, SF_DIR)
+    bad = df.filter(
+        (F.col("dup_token_ratio") < 0)
+        | (F.col("dup_token_ratio") >= 1)
+        | (F.col("top_token_ratio") * F.col("n_tokens") < 1)
+        | (F.col("top_token_ratio") > 1)
+        | (F.col("n_distinct") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_oov_ratio_consistency(spark):
+    df = _Q["doc_oov_ratio"](spark, SF_DIR)
+    bad = df.filter(
+        (F.col("in_vocab") > F.col("n_tokens"))
+        | (F.col("oov_ratio") < 0)
+        | (F.col("oov_ratio") > 1)
+    )
+    assert bad.count() == 0
+    # vocab covers the most frequent tokens, so SOME doc must have
+    # in-vocab tokens at any non-degenerate SF
+    assert df.filter(F.col("in_vocab") > 0).count() > 0
