@@ -84,3 +84,47 @@ def money_sum(col: Column | str, alias: str, scale: int = 100) -> Column:
     """Exact sum of a double measure, returned as double(2dp):
     sum(cents)/100.0."""
     return (F.sum(cents(col, scale)) / float(scale)).alias(alias)
+
+
+def sliding_count_two_stage(
+    df: DataFrame,
+    ts_col: str,
+    dur_s: int,
+    slide_s: int,
+    keys: Sequence[str | Column] = (),
+    count_alias: str = "cnt",
+    window_end_alias: str = "window_end",
+) -> DataFrame:
+    """Sliding-window count via tumble-then-roll — the shuffle-minimal
+    form for fine slides.
+
+    ``window(ts, dur, slide)`` expands every RAW row into dur/slide
+    window replicas before the partial aggregate, and the one exchange
+    carries (key, window) groups — dur/slide× more groups than (key,
+    bucket). This variant aggregates to slide-granularity buckets
+    first (exchange 1 carries one row per (key, bucket) partial), then
+    explodes only the AGGREGATED rows into their dur/slide windows and
+    merges (exchange 2, input already globally deduped). For the
+    reference's 1h/5min hot-items shape that is 12× less exchange-1
+    volume at 100 TB, at the cost of one extra (cheap) exchange.
+
+    Semantics are identical to ``windowed_agg`` (epoch-aligned windows,
+    ``window_end`` as epoch-second Long); counts are mergeable so the
+    two-stage split is exact.
+    """
+    dur_s, slide_s = int(dur_s), int(slide_s)
+    if dur_s % slide_s:
+        raise ValueError("duration must be a multiple of slide")
+    bucket = ((epoch_seconds(ts_col) / slide_s).cast("long") * slide_s).alias("_bucket")
+    s1 = df.groupBy(bucket, *keys).agg(F.count("*").alias("_partial"))
+    wend = F.explode(
+        F.sequence(
+            F.col("_bucket") + slide_s, F.col("_bucket") + dur_s, F.lit(slide_s)
+        )
+    ).alias(window_end_alias)
+    key_names = [c for c in s1.columns if c not in ("_bucket", "_partial")]
+    return (
+        s1.select(wend, "_partial", *key_names)
+        .groupBy(window_end_alias, *key_names)
+        .agg(F.sum("_partial").alias(count_alias))
+    )

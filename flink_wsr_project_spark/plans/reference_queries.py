@@ -698,3 +698,26 @@ def tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_ship", "yyyy-MM-dd").alias("first_ship"),
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
     )
+
+
+@register("hot_items_topn_2stage", oracle=_HOT_ITEMS_ORACLE, tags=("A2", "R1", "opt"))
+def hot_items_topn_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-minimal variant of ``hot_items_topn`` (same oracle, same
+    rows): tumble to 5-min buckets first, then roll 12 buckets into
+    each sliding window (operators.windows.sliding_count_two_stage).
+    Exchange 1 carries (item, bucket) groups — 12× fewer than the
+    (item, window) groups ``window()`` ships — which is the difference
+    that matters when the raw side is 100 TB."""
+    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
+
+    events = load_table(spark, "events", sf_dir)
+    counts = sliding_count_two_stage(
+        events.filter(F.col("event_type") == "view"),
+        "ts",
+        3600,
+        300,
+        keys=[F.col("user_id").alias("item_id")],
+    )
+    return topn_per_group(counts, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).select(
+        "window_end", "item_id", "cnt", "rank"
+    )

@@ -129,6 +129,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("data_mix_weights", 2),      # per-source agg + tiny single-partition total
         ("doc_length_histogram", 1),
         ("orders_grouping_sets", 1),  # Expand + one shuffle
+        ("hot_items_topn_2stage", 3),  # bucket agg + window merge + rank
         ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
     ],
 )
