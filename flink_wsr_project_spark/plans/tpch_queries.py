@@ -783,3 +783,36 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q16-flavored supplier variety (distinct agg over a broadcast join)
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_VARIETY_ORACLE = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand, p_size
+"""
+
+
+@register("supplier_variety", oracle=_SUPPLIER_VARIETY_ORACLE, tags=("tpch", "distinct"))
+def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor (no partsupp table in the testdata, so supplier
+    variety comes from lineitem): distinct suppliers per (brand, size).
+    part broadcasts with its filter applied inside the build side; the
+    distinct-agg expands to the standard two-phase plan — shuffle on
+    (brand, size, suppkey) then (brand, size) — no per-group Set
+    buffering anywhere."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 25)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("line_cnt"),
+        )
+    )

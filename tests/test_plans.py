@@ -130,6 +130,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("doc_length_histogram", 1),
         ("orders_grouping_sets", 1),  # Expand + one shuffle
         ("hot_items_topn_2stage", 3),  # bucket agg + window merge + rank
+        ("supplier_variety", 2),  # two-phase distinct agg
         ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
     ],
 )

@@ -288,3 +288,29 @@ FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
         inter = len(sa & sb)
         want = inter / (len(sa) + len(sb) - inter)
         assert abs(r.jaccard - want) < 1e-12, (texts[r.doc_a], texts[r.doc_b])
+
+
+@given(rows=_events, spec=st.sampled_from([(3600, 300), (600, 60), (120, 40)]))
+@settings(**_SETTINGS)
+def test_two_stage_sliding_count_matches_one_pass(spark, rows, spec):
+    """sliding_count_two_stage == windowed_agg for arbitrary event sets
+    and several dur/slide shapes (alignment, boundary rows, empty
+    buckets, duplicate timestamps)."""
+    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
+
+    dur_s, slide_s = spec
+    df = spark.createDataFrame(rows, ["uid", "ts_epoch"]).withColumn(
+        "ts", epoch_to_ts("ts_epoch")
+    )
+    one = {
+        (r.window_end, r.uid): r.cnt
+        for r in windowed_agg(
+            df, "ts", f"{dur_s} seconds", f"{slide_s} seconds", keys=["uid"],
+            aggs=[F.count("*").alias("cnt")],
+        ).collect()
+    }
+    two = {
+        (r.window_end, r.uid): r.cnt
+        for r in sliding_count_two_stage(df, "ts", dur_s, slide_s, keys=["uid"]).collect()
+    }
+    assert one == two
