@@ -13,6 +13,7 @@ bit-exact vs the oracle — see operators.windows.cents).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from flink_wsr_project_spark.operators.topn import topn_per_group
 from flink_wsr_project_spark.plans.registry import register
@@ -815,4 +816,430 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
             F.count("*").alias("line_cnt"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style product-type profit (multi-way join, derived cost)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT nation, o_year, sum(profit_cents) / 100.0 AS profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           - CAST(round(p_retailprice * l_quantity * 10) AS BIGINT) AS profit_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+"""
+
+
+@register("product_profit", oracle=_Q9_ORACLE, tags=("tpch", "join"))
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table, so unit cost is derived as
+    10% of p_retailprice): profit per supplier-nation per order-year
+    for parts matching a name pattern. part (with the LIKE filter
+    inside the build side) and supplier+nation broadcast into
+    lineitem, cutting the fact before its one shuffle join with
+    orders on orderkey; the final (nation, year) aggregate is tiny.
+    Profit is a difference of two independently-rounded cent values —
+    order-independent, bit-exact cross-engine.
+
+    Reference scope note: joins/agg breadth beyond the reference per
+    SURVEY.md §7.3 M7."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    nat = load_table(spark, "nation", sf_dir)
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir)
+    profit_cents = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        - F.round(F.col("p_retailprice") * F.col("l_quantity") * 10).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style min-cost supplier (min-per-group + join-back rank)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT p_partkey, p_name, s_name, best_cents / 100.0 AS best_price
+FROM (
+  SELECT p_partkey, p_name, s_name, best_cents,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY best_cents, s_suppkey) AS rn
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS best_cents
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  ) cat
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20 AND r_name = 'EUROPE'
+) WHERE rn = 1
+"""
+
+
+@register("min_price_supplier", oracle=_Q2_ORACLE, tags=("tpch", "rank", "R1"))
+def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: the supplier catalog is derived
+    from observed lineitem unit prices): for each STANDARD mid-size
+    part, the EUROPE supplier with the lowest observed unit price.
+    Q2's correlated MIN subquery is re-expressed as min-per-group +
+    rank-1 join-back: one shuffle for the (part, supplier) catalog
+    aggregate, broadcast dimension joins, one rank partition on
+    p_partkey. Unit price is IEEE double division rounded to cents —
+    identical on both engines; s_suppkey breaks ties."""
+    cat = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+            ).alias("best_cents")
+        )
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    nat = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = load_table(spark, "supplier", sf_dir).join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ranked = topn_per_group(
+        cat.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")),
+        ["p_partkey"],
+        "best_cents",
+        1,
+        tiebreakers=["s_suppkey"],
+        descending=False,
+    )
+    return ranked.select(
+        "p_partkey", "p_name", "s_name", (F.col("best_cents") / 100.0).alias("best_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style important parts (group value vs global-total scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey AS part_id,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT part_id, value_cents / 100.0 AS part_value
+FROM pv WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM pv)
+"""
+
+
+@register("important_parts", oracle=_Q11_ORACLE, tags=("tpch", "scalar-subquery"))
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: inventory value is observed
+    lineitem value supplied from a nation group): parts whose value
+    exceeds 0.1% of the group's total. The global total is a 1-row
+    broadcast (scalar-subquery shape), never a second fact pass; the
+    threshold compare is pure integer math (value*1000 > total), so no
+    float epsilon can disagree cross-engine."""
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    sup = load_table(spark, "supplier", sf_dir).join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    pv = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("value_cents"))
+    )
+    total = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("part_id", (F.col("value_cents") / 100.0).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style top supplier (max-revenue scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supp_id,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier ON supp_id = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+"""
+
+
+@register("top_revenue_supplier", oracle=_Q15_ORACLE, tags=("tpch", "scalar-subquery"))
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a quarter. The view
+    becomes a per-supplier cent aggregate (one shuffle over the
+    date-pruned scan); the MAX is a 1-row broadcast joined back with
+    integer equality (exact ties surface all winners, as in the spec —
+    no float compare)."""
+    rev = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supp_id"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    best = rev.agg(F.max("rev_cents").alias("max_cents"))
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(sup), F.col("supp_id") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_cents") / 100.0).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style small-quantity revenue (per-part average via window)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0 / 100.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM (
+  SELECT l_extendedprice,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+         sum(CAST(round(l_quantity * 100) AS BIGINT))
+           OVER (PARTITION BY l_partkey) AS sum_qc,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+)
+WHERE qty_cents * 5 * cnt < sum_qc
+"""
+
+
+@register("small_qty_revenue", oracle=_Q17_ORACLE, tags=("tpch", "window"))
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from lineitems whose quantity is below 20%
+    of the part's average. Q17's correlated AVG subquery becomes a
+    window sum/count over l_partkey: the brand filter broadcasts into
+    lineitem first (~4% survives), then ONE shuffle on partkey serves
+    the window, and `qty*5*cnt < sum` keeps the 0.2×avg compare in
+    exact integer math. No second fact scan, no join-back."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    small = (
+        li.withColumn("qty_cents", qty_cents)
+        .withColumn("sum_qc", F.sum("qty_cents").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("qty_cents") * 5 * F.col("cnt") < F.col("sum_qc"))
+    )
+    return small.agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 7.0 / 100.0).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style disjunctive-predicate revenue (OR-of-ANDs join filter)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("brand_size_revenue", oracle=_Q19_ORACLE, tags=("tpch", "disjunctive"))
+def brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue matching an OR of three (brand, size,
+    quantity) conjunction groups. The part-only implication of the
+    disjunction (brand IN ... AND size <= 15) is applied INSIDE the
+    broadcast build side, and the lineitem-only implication
+    (quantity in [1, 30]) prunes the fact scan — both derived by
+    hand because a disjunction straddling two tables defeats automatic
+    pushdown; the exact OR evaluates post-join on the survivors."""
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") & (F.col("p_size") <= 15)
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg((F.sum(cents) / 100.0).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style waiting suppliers (sole-late-supplier per multi-supplier order)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, numwait, rank FROM (
+  SELECT s_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_name) AS rank
+  FROM (
+    SELECT s_name, count(*) AS numwait FROM (
+      SELECT max(CASE WHEN late THEN l_suppkey END) AS bad_supp
+      FROM (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+      )
+      GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) > 1
+         AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+    ) JOIN supplier ON bad_supp = s_suppkey
+    GROUP BY s_name
+  )
+) WHERE rank <= 10
+"""
+
+
+@register("waiting_suppliers", oracle=_Q21_ORACLE, tags=("tpch", "R1"))
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receiptdate column: "late" is shipped >365
+    days after the order date): top-10 suppliers who were the SOLE
+    late supplier on finalized multi-supplier orders. Q21's
+    EXISTS/NOT-EXISTS double self-join is re-expressed as one
+    per-order aggregate — distinct suppliers, distinct late suppliers,
+    and (when exactly one) that supplier's id — so the fact is scanned
+    ONCE and shuffled once on orderkey, instead of three lineitem
+    scans. s_name breaks ranking ties."""
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late"),
+            F.max("late_supp").alias("bad_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    counts = (
+        per_order.join(F.broadcast(sup), F.col("bad_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return topn_per_group(counts, [], "numwait", 10, tiebreakers=["s_name"]).select(
+        "s_name", "numwait", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style concentrated suppliers (share-of-part threshold via window)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name, count(*) AS n_parts
+FROM (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, qty_c, sum(qty_c) OVER (PARTITION BY l_partkey) AS total_c
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+  ) WHERE qty_c * 10 > total_c * 3
+)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("concentrated_suppliers", oracle=_Q20_ORACLE, tags=("tpch", "window"))
+def concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty: "excess" is shipping
+    >30% of a part's annual volume): per supplier, how many red parts
+    they dominated in 1997. The nested available-quantity subquery
+    becomes per-(part, supplier) sums + a window total over part —
+    the (part, supplier) shuffle is reused by the window (same key
+    prefix), and the share test `qty*10 > total*3` is integer-exact."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    shipped = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"))
+    )
+    dominant = shipped.withColumn(
+        "total_c", F.sum("qty_c").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("qty_c") * 10 > F.col("total_c") * 3)
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        dominant.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_parts"))
     )

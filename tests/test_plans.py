@@ -132,6 +132,14 @@ def test_dimension_join_broadcasts(spark, name):
         ("hot_items_topn_2stage", 3),  # bucket agg + window merge + rank
         ("supplier_variety", 2),  # two-phase distinct agg
         ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
+        ("product_profit", 3),   # dims broadcast; orders join broadcasts at test SF
+        ("min_price_supplier", 2),  # catalog agg + per-part rank
+        ("important_parts", 3),  # value agg + 1-row total broadcast + reuse
+        ("top_revenue_supplier", 3),  # rev agg + 1-row max broadcast
+        ("small_qty_revenue", 2),  # partkey window + global agg
+        ("brand_size_revenue", 1),  # broadcast join + single agg
+        ("waiting_suppliers", 3),  # orderkey join/agg + s_name agg + rank
+        ("concentrated_suppliers", 3),  # pair agg + part window + s_name agg
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
