@@ -986,3 +986,106 @@ def doc_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("in_v").alias("in_vocab"),
         ((F.count("*") - F.count("in_v")) / F.count("*").cast("double")).alias("oov_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (distributed element-wise vector mean)
+# ---------------------------------------------------------------------------
+
+
+def _label_centroid_sql(engine: str) -> str:
+    """Per-(label, dimension) centroid components for the embedding
+    corpus. The scale path for averaging 10^11 vectors: explode each
+    vector to (label, dim, value) rows so the element-wise mean is ONE
+    hash aggregate with map-side partial sums — no per-group vector
+    buffering, no driver-side math, and the 64-wide accumulator state
+    is (label × dim) rows regardless of corpus size. Values are
+    quantized to 1e-6 integers before summing, so the sum is
+    order-independent and bit-exact on any partitioning / any engine;
+    the mean is one exact-integer / count division at the end."""
+    if engine == "spark":
+        exploded = """
+  SELECT label, CAST(pos AS BIGINT) AS dim, val
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val"""
+    else:
+        exploded = """
+  SELECT label,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS BIGINT) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings"""
+    return f"""
+SELECT label, dim, count(*) AS n_vecs,
+       sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+         / count(*) / 1000000.0 AS mean_val
+FROM ({exploded})
+GROUP BY label, dim
+"""
+
+
+@register("label_centroids", oracle=_label_centroid_sql("duckdb"), tags=("pipeline", "similarity"))
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_label_centroid_sql("spark"))
+
+
+_set_doc("label_centroids", _label_centroid_sql.__doc__)
+
+
+def _nearest_centroid_sql(engine: str) -> str:
+    """Assign every vector to the label centroid with the highest dot
+    product, then cross-tabulate true vs assigned label (one k-means
+    classification step / embedding-quality confusion matrix). The
+    centroid matrix stays as exact integer SUMS (not means): the
+    per-vector score sum(q_val × q_sum) is a pure BIGINT fold, and the
+    mean's 1/n_label scaling is applied once per candidate as a single
+    exact-integer IEEE division — so the argmax is bit-identical on
+    any engine and any partitioning. Centroids are k×d rows (tiny at
+    any corpus size) joined on dim: the classic matrix-multiply-as-
+    join-aggregate shape; the vector side never collects, and the only
+    wide state is the (vec, candidate) partial-sum aggregate."""
+    if engine == "spark":
+        exploded = """
+  SELECT vec_id, label, CAST(pos AS BIGINT) AS dim,
+         CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS qval
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val"""
+    else:
+        exploded = """
+  SELECT vec_id, label,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qval
+  FROM embeddings"""
+    return f"""
+WITH exploded AS ({exploded}),
+cent AS (
+  SELECT label AS c_label, dim, sum(qval) AS sumq, count(*) AS n_label
+  FROM exploded GROUP BY label, dim
+),
+scores AS (
+  SELECT e.vec_id, e.label AS true_label, c.c_label,
+         sum(e.qval * c.sumq) / c.n_label AS score
+  FROM exploded e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, e.label, c.c_label, c.n_label
+),
+best AS (
+  SELECT vec_id, true_label, c_label AS assigned_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label) AS rn
+  FROM scores
+)
+SELECT true_label, assigned_label, count(*) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY true_label, assigned_label
+"""
+
+
+@register(
+    "nearest_centroid_confusion",
+    oracle=_nearest_centroid_sql("duckdb"),
+    tags=("pipeline", "similarity"),
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_nearest_centroid_sql("spark"))
+
+
+_set_doc("nearest_centroid_confusion", _nearest_centroid_sql.__doc__)

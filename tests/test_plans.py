@@ -140,6 +140,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("brand_size_revenue", 1),  # broadcast join + single agg
         ("waiting_suppliers", 3),  # orderkey join/agg + s_name agg + rank
         ("concentrated_suppliers", 3),  # pair agg + part window + s_name agg
+        ("label_centroids", 1),  # explode + one (label, dim) hash agg
+        ("nearest_centroid_confusion", 4),  # centroid agg + score agg + rank + confusion
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
