@@ -1089,3 +1089,91 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_doc("nearest_centroid_confusion", _nearest_centroid_sql.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive tokens (exact integer lift) + dataset splits
+# ---------------------------------------------------------------------------
+
+
+def _token_source_lift_sql(engine: str) -> str:
+    """Top-5 tokens most distinctive of each source by lift =
+    (freq in source) / (freq in corpus). Lift compares as
+    (c_st × n_total) / (c_t × n_s): both sides are exact BIGINT
+    products with ONE IEEE division at the end, so the per-source
+    ranking is engine- and order-independent (token breaks ties).
+    The shape is corpus-comparison at scale: one (source, token)
+    aggregate, then token totals / source totals / the corpus total
+    all come from window sums OVER the aggregate (vocabulary-bound,
+    never a second corpus scan)."""
+    if engine == "spark":
+        tok = r"""
+  SELECT source, token FROM documents
+  LATERAL VIEW explode(split(trim(text), '\\s+')) t AS token"""
+        rn = "CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, token) AS BIGINT)"
+    else:
+        tok = r"""
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents"""
+        rn = "row_number() OVER (PARTITION BY source ORDER BY lift DESC, token)"
+    return f"""
+WITH tok AS ({tok}),
+st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY source, token),
+enriched AS (
+  SELECT source, token, c_st,
+         sum(c_st) OVER (PARTITION BY token) AS c_t,
+         sum(c_st) OVER (PARTITION BY source) AS n_s,
+         sum(c_st) OVER () AS n_total
+  FROM st
+),
+scored AS (
+  SELECT source, token, c_st,
+         (c_st * n_total) / CAST(c_t * n_s AS DOUBLE) AS lift
+  FROM enriched WHERE c_st >= 20
+)
+SELECT source, token, c_st, lift, rank FROM (
+  SELECT source, token, c_st, lift, {rn} AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("token_source_lift", oracle=_token_source_lift_sql("duckdb"), tags=("pipeline", "text"))
+def token_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_token_source_lift_sql("spark"))
+
+
+_set_doc("token_source_lift", _token_source_lift_sql.__doc__)
+
+
+def _dataset_splits_sql(engine: str) -> str:
+    """Deterministic train/val/test assignment (80/10/10) by a stable
+    content-independent hash of doc_id — reproducible on any cluster,
+    any partitioning, any engine, and stable when the corpus grows
+    (adding docs never reassigns existing ones). Reported as
+    per-(source, split) counts with id bounds. One narrow scan +
+    one tiny aggregate; the assignment itself is pure row-local
+    expression work (zero shuffle before the rollup)."""
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    h = h28(f"concat('split:', CAST(doc_id AS {str_t}))", engine)
+    return f"""
+SELECT source, split, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM (
+  SELECT source, doc_id,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY source, split
+"""
+
+
+@register("dataset_splits", oracle=_dataset_splits_sql("duckdb"), tags=("pipeline", "sampling"))
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_dataset_splits_sql("spark"))
+
+
+_set_doc("dataset_splits", _dataset_splits_sql.__doc__)

@@ -142,6 +142,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("concentrated_suppliers", 3),  # pair agg + part window + s_name agg
         ("label_centroids", 1),  # explode + one (label, dim) hash agg
         ("nearest_centroid_confusion", 4),  # centroid agg + score agg + rank + confusion
+        ("token_source_lift", 2),  # (source, token) agg + window re-partitions
+        ("dataset_splits", 1),  # row-local hash assignment + one rollup
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
