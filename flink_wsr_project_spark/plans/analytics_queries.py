@@ -677,3 +677,55 @@ def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(2).alias("p99_approx"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: hourly wide metrics to long (metric, value) rows
+# ---------------------------------------------------------------------------
+
+_METRICS_LONG_ORACLE = """
+WITH agg AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600 AS window_end,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+  FROM events GROUP BY 1
+)
+SELECT window_end, 'n_events' AS metric, CAST(n_events AS DOUBLE) AS metric_value FROM agg
+UNION ALL
+SELECT window_end, 'n_users', CAST(n_users AS DOUBLE) FROM agg
+UNION ALL
+SELECT window_end, 'value_sum', value_sum FROM agg
+"""
+
+
+@register("hourly_metrics_long", oracle=_METRICS_LONG_ORACLE, tags=("unpivot",))
+def hourly_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt), the inverse of event_type_pivot:
+    hourly (events, users, value) metrics emitted as one
+    (window_end, metric, metric_value) row per measure via ``stack`` —
+    a single Generate over the aggregate, where the naive UNION-ALL
+    form (the oracle's spelling) re-reads the aggregate once per
+    metric. Long-format metric tables are the schema-stable way to add
+    measures without migrations at warehouse scale."""
+    from flink_wsr_project_spark.operators.windows import cents, windowed_agg
+
+    events = load_table(spark, "events", sf_dir)
+    agg = windowed_agg(
+        events,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(cents("value")) / 100.0).alias("value_sum"),
+        ],
+    )
+    return agg.select(
+        "window_end",
+        F.expr(
+            "stack(3, 'n_events', CAST(n_events AS DOUBLE),"
+            " 'n_users', CAST(n_users AS DOUBLE),"
+            " 'value_sum', value_sum) AS (metric, metric_value)"
+        ),
+    )

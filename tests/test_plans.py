@@ -144,6 +144,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("nearest_centroid_confusion", 4),  # centroid agg + score agg + rank + confusion
         ("token_source_lift", 2),  # (source, token) agg + window re-partitions
         ("dataset_splits", 1),  # row-local hash assignment + one rollup
+        ("hourly_metrics_long", 2),  # two-phase distinct agg; melt is shuffle-free
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
