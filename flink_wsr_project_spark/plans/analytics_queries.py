@@ -729,3 +729,51 @@ def hourly_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'value_sum', value_sum) AS (metric, metric_value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy ROLLUP: hypertable-style day/hour continuous aggregate
+# ---------------------------------------------------------------------------
+
+_TIME_ROLLUP_ORACLE = """
+SELECT coalesce(CAST(day_bucket AS VARCHAR), 'ALL') AS day_key,
+       coalesce(CAST(hour_bucket AS VARCHAR), 'ALL') AS hour_key,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_bucket,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_bucket,
+         value
+  FROM events
+)
+GROUP BY ROLLUP (day_bucket, hour_bucket)
+"""
+
+
+@register("events_time_rollup", oracle=_TIME_ROLLUP_ORACLE, tags=("rollup", "hypertable"))
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly, daily, and grand
+    totals in ONE scan + ONE shuffle via ROLLUP over (day, hour)
+    epoch buckets — the batch form of a TimescaleDB/Druid time rollup.
+    NULL rollup levels surface as 'ALL' string keys so the three
+    granularities are one stable schema (the long-format analog of
+    materializing each level separately)."""
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    bucketed = events.select(
+        ((epoch / 86400).cast("long") * 86400).alias("day_bucket"),
+        ((epoch / 3600).cast("long") * 3600).alias("hour_bucket"),
+        "value",
+    )
+    from flink_wsr_project_spark.operators.windows import cents
+
+    return (
+        bucketed.rollup("day_bucket", "hour_bucket")
+        .agg(F.count("*").alias("n_events"), (F.sum(cents("value")) / 100.0).alias("value_sum"))
+        .select(
+            F.coalesce(F.col("day_bucket").cast("string"), F.lit("ALL")).alias("day_key"),
+            F.coalesce(F.col("hour_bucket").cast("string"), F.lit("ALL")).alias("hour_key"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -145,6 +145,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("token_source_lift", 2),  # (source, token) agg + window re-partitions
         ("dataset_splits", 1),  # row-local hash assignment + one rollup
         ("hourly_metrics_long", 2),  # two-phase distinct agg; melt is shuffle-free
+        ("events_time_rollup", 1),  # ROLLUP = one Expand, one shuffle
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
