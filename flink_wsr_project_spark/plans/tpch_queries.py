@@ -956,7 +956,7 @@ WITH pv AS (
   GROUP BY l_partkey
 )
 SELECT part_id, value_cents / 100.0 AS part_value
-FROM pv WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM pv)
+FROM pv WHERE value_cents * (SELECT count(*) FROM pv) > 2 * (SELECT sum(value_cents) FROM pv)
 """
 
 
@@ -964,10 +964,12 @@ FROM pv WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM pv)
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp: inventory value is observed
     lineitem value supplied from a nation group): parts whose value
-    exceeds 0.1% of the group's total. The global total is a 1-row
+    exceeds 2x the MEAN part value — scale-invariant, so the result
+    stays non-empty at every SF (a fixed fraction-of-total threshold
+    goes empty as |parts| grows). The global (count, total) is a 1-row
     broadcast (scalar-subquery shape), never a second fact pass; the
-    threshold compare is pure integer math (value*1000 > total), so no
-    float epsilon can disagree cross-engine."""
+    compare is pure integer cross-multiplication (value*n > 2*total),
+    so no float epsilon can disagree cross-engine."""
     nat = load_table(spark, "nation", sf_dir).filter(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
@@ -980,10 +982,12 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("part_id"))
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("value_cents"))
     )
-    total = pv.agg(F.sum("value_cents").alias("total_cents"))
+    total = pv.agg(
+        F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
         .select("part_id", (F.col("value_cents") / 100.0).alias("part_value"))
     )
 
