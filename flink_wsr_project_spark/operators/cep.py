@@ -179,8 +179,11 @@ def match_pattern_stream(
     for i, s in enumerate(steps):
         pre = pre.withColumn(f"_m{i}", s.predicate.cast("integer"))
 
+    # Key columns keep their INPUT types (a long user_id stays long —
+    # stringifying keys would silently force casts on downstream joins).
+    key_types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     out_schema = (
-        ", ".join(f"{c} string" for c in key_cols)
+        ", ".join(f"{c} {key_types[c]}" for c in key_cols)
         + ", "
         + ", ".join(f"{n}_ts long" for n in names)
     )
@@ -203,7 +206,7 @@ def match_pattern_stream(
                     run = window[-k:]
                     ok = all(run[i][1 + i] == 1 for i in range(k))
                     if ok and (within is None or run[-1][0] - run[0][0] <= within):
-                        rec = {c: str(key[i]) for i, c in enumerate(key_cols)}
+                        rec = {c: key[i] for i, c in enumerate(key_cols)}
                         for i, n in enumerate(names):
                             rec[f"{n}_ts"] = run[i][0]
                         out.append(rec)

@@ -10,14 +10,14 @@ rows — history's raw data is never re-read.
     state_0 = aggregate(day_0)
     state_1 = merge(state_0, aggregate(day_1))      # == aggregate(day_0 ∪ day_1)
 
-The swap is temp-dir-then-move (same crash-safety discipline as
-sources.writers.compact_parquet).
+The swap is rename-aside (sources.writers.atomic_swap_dir): every
+intermediate crash state leaves a recoverable copy — either the old
+state dir, its ``__old`` rename, or both the new and ``__old`` dirs.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid as _uuid
 from collections.abc import Mapping
 
@@ -58,13 +58,14 @@ def update_aggregate_table(
     merge_fns: Mapping[str, str],
 ) -> DataFrame:
     """Read state (if any) → merge the delta's partial aggregate →
-    atomically replace the state dir. Returns the new state."""
+    replace the state dir via rename-aside (crash-recoverable at every
+    intermediate point). Returns the new state."""
+    from flink_wsr_project_spark.sources.writers import atomic_swap_dir
+
     delta_state = aggregate_delta(delta, keys, aggs)
     existing = spark.read.parquet(state_path) if os.path.exists(state_path) else None
     new_state = merge_aggregate_state(existing, delta_state, keys, merge_fns)
     tmp = f"{state_path.rstrip('/')}__merge_{_uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    shutil.move(tmp, state_path)
+    atomic_swap_dir(state_path, tmp)
     return spark.read.parquet(state_path)

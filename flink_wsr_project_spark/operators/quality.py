@@ -23,7 +23,9 @@ def quality_report(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
     total = F.count("*")
     aggs = [total.alias("_n")]
     for name, ok in checks.items():
-        aggs.append(F.sum((~ok).cast("long")).alias(f"_v_{name}"))
+        # A rule evaluating to NULL (e.g. in_range over a NULL value) is a
+        # violation: fail-closed, matching CASE WHEN ok THEN 0 ELSE 1 END.
+        aggs.append(F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias(f"_v_{name}"))
     row = df.agg(*aggs)
     out = None
     for name in checks:
@@ -43,7 +45,14 @@ def enforce(
     """(passing, quarantined) — quarantined rows carry the list of
     violated rule names."""
     reasons = F.array_compact(
-        F.array(*[F.when(~ok, F.lit(name)) for name, ok in checks.items()])
+        F.array(
+            *[
+                # NULL rule results quarantine too (fail-closed, same
+                # semantics as quality_report's violation count).
+                F.when(~F.coalesce(ok, F.lit(False)), F.lit(name))
+                for name, ok in checks.items()
+            ]
+        )
     )
     tagged = df.withColumn(reason_col, reasons)
     passing = tagged.filter(F.size(reason_col) == 0).drop(reason_col)

@@ -20,7 +20,7 @@ _SESSIONS_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -30,7 +30,7 @@ numbered AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
        count(*) AS n_events
@@ -42,7 +42,13 @@ FROM numbered GROUP BY user_id, session_id
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag-gap + running sum (the batch form of
     streaming ``session_window``): one shuffle on user_id, reused by
-    both window functions and the final aggregate."""
+    both window functions and the final aggregate.
+
+    Boundary semantics: a gap of EXACTLY the 1800 s threshold starts a
+    new session (``>=``), matching Spark's half-open
+    ``session_window`` interval [start, last_ts + gap) — so this form,
+    ``user_sessions_swf``, and the shared oracle agree on
+    second-granularity boundary gaps."""
     events = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.withColumn(
@@ -50,7 +56,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (F.col("ts").cast("timestamp").cast("double")
-               - F.lag("ts").over(w).cast("timestamp").cast("double") > 1800),
+               - F.lag("ts").over(w).cast("timestamp").cast("double") >= 1800),
             1,
         ).otherwise(0),
     )
@@ -221,7 +227,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events GROUP BY event_type
@@ -576,12 +582,15 @@ WITH m AS (
                   THEN 0 ELSE 1 END) AS v_known_type
   FROM events
 )
-SELECT 'user_not_null' AS rule, v_user_not_null AS violations, n AS rows_checked,
-       1.0 - v_user_not_null / n AS pass_rate FROM m
+SELECT 'user_not_null' AS rule, CAST(v_user_not_null AS BIGINT) AS violations,
+       n AS rows_checked,
+       CAST(1.0 - v_user_not_null / n AS DOUBLE) AS pass_rate FROM m
 UNION ALL
-SELECT 'value_range', v_value_range, n, 1.0 - v_value_range / n FROM m
+SELECT 'value_range', CAST(v_value_range AS BIGINT), n,
+       CAST(1.0 - v_value_range / n AS DOUBLE) FROM m
 UNION ALL
-SELECT 'known_type', v_known_type, n, 1.0 - v_known_type / n FROM m
+SELECT 'known_type', CAST(v_known_type AS BIGINT), n,
+       CAST(1.0 - v_known_type / n AS DOUBLE) FROM m
 """
 
 

@@ -429,17 +429,17 @@ SELECT token, freq, rank FROM (
 def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency (the first step of
     BPE/vocab training). explode → count is one shuffle on token; the
-    global rank is cheap because its input is |vocab| aggregated rows
-    and WindowGroupLimit pre-prunes to 100 per partition before the
-    single-partition exchange."""
-    from flink_wsr_project_spark.operators.topn import topn_per_group
+    global top-100 plans TakeOrderedAndProject (per-task heaps merged at
+    the driver — never a |vocab|-sized single-partition exchange, which
+    is what an unpartitioned row_number() would do at corpus scale)."""
+    from flink_wsr_project_spark.operators.topn import global_topn
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token")
     ).filter(F.col("token") != "")
     freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
-    return topn_per_group(freqs, [], "freq", 100, tiebreakers=["token"]).select(
+    return global_topn(freqs, "freq", 100, tiebreakers=["token"]).select(
         "token", "freq", "rank"
     )
 
@@ -549,7 +549,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_sql(engine: str) -> str:
     """Top-50 bigrams. Tokens stay in-row (array ops) until the single
     explode feeding one count shuffle — same discipline as the vocab
-    query."""
+    query. The Spark variant stops at the frequency table; the global
+    top-50 + rank is attached by ``global_topn`` (TakeOrderedAndProject,
+    not an unpartitioned row_number over the full bigram vocabulary)."""
     if engine == "spark":
         toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
         bigrams = (
@@ -557,12 +559,15 @@ def _bigram_sql(engine: str) -> str:
             "(a, b) -> concat(a, ' ', b)))"
         )
         guard = "size(t) >= 2"
-        rn = "CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS BIGINT)"
-    else:
-        toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-        bigrams = "unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))"
-        guard = "len(t) >= 2"
-        rn = "row_number() OVER (ORDER BY freq DESC, bigram)"
+        return f"""
+WITH toks AS (SELECT {toks} AS t FROM documents),
+bi AS (SELECT {bigrams} AS bigram FROM toks WHERE {guard})
+SELECT bigram, count(*) AS freq FROM bi GROUP BY bigram
+"""
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    bigrams = "unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))"
+    guard = "len(t) >= 2"
+    rn = "row_number() OVER (ORDER BY freq DESC, bigram)"
     return f"""
 WITH toks AS (SELECT {toks} AS t FROM documents),
 bi AS (SELECT {bigrams} AS bigram FROM toks WHERE {guard}),
@@ -575,8 +580,13 @@ SELECT bigram, freq, rank FROM (
 
 @register("bigram_topk", oracle=_bigram_sql("duckdb"), tags=("pipeline", "text"))
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_wsr_project_spark.operators.topn import global_topn
+
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_bigram_sql("spark"))
+    freqs = spark.sql(_bigram_sql("spark"))
+    return global_topn(freqs, "freq", 50, tiebreakers=["bigram"]).select(
+        "bigram", "freq", "rank"
+    )
 
 
 def _simhash_blocked_spark_sql() -> str:
@@ -627,9 +637,9 @@ WITH t AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(len(toks)) AS total_tokens,
-       sum(CASE WHEN len(toks) BETWEEN 10 AND 10000
-                 AND n / len(toks) BETWEEN 3 AND 15 THEN 1 ELSE 0 END) AS n_pass,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN len(toks) BETWEEN 10 AND 10000
+                 AND n / len(toks) BETWEEN 3 AND 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        sum(CASE WHEN len(toks) BETWEEN 10 AND 10000
                  AND n / len(toks) BETWEEN 3 AND 15 THEN 1 ELSE 0 END) * 1.0 / count(*)
          AS pass_rate
@@ -826,8 +836,8 @@ WITH t AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT source, (cum - toks) // 512 AS bin_id,
-       count(*) AS n_docs, sum(toks) AS bin_tokens,
+SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY source, bin_id
 """
@@ -874,8 +884,8 @@ WITH t AS (
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(toks) AS src_tokens,
-       sum(toks) * 1000000 // (SELECT sum(toks) FROM t) AS weight_ppm
+SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS src_tokens,
+       CAST(sum(toks) * 1000000 // (SELECT sum(toks) FROM t) AS BIGINT) AS weight_ppm
 FROM t GROUP BY source
 """
 
@@ -897,7 +907,12 @@ def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("toks").alias("src_tokens")
     )
-    total = F.sum("src_tokens").over(Window.partitionBy())
+    # One-group rollup over the tiny per-source aggregate via a
+    # non-foldable constant key (an EMPTY spec would plan the warned-about
+    # unpartitioned WindowExec; see operators.topn.one_group).
+    from flink_wsr_project_spark.operators.topn import one_group
+
+    total = F.sum("src_tokens").over(Window.partitionBy(one_group("source")))
     return per_src.select(
         "source",
         "n_docs",
@@ -919,7 +934,8 @@ def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LENGTH_HIST_ORACLE = """
 SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS bucket_bits,
        count(*) AS n_docs,
-       min(n_chars) AS min_chars, max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY source, bucket_bits
 """
@@ -1103,28 +1119,33 @@ def _token_source_lift_sql(engine: str) -> str:
     products with ONE IEEE division at the end, so the per-source
     ranking is engine- and order-independent (token breaks ties).
     The shape is corpus-comparison at scale: one (source, token)
-    aggregate, then token totals / source totals / the corpus total
-    all come from window sums OVER the aggregate (vocabulary-bound,
-    never a second corpus scan)."""
+    aggregate, then token totals / source totals come from partitioned
+    window sums OVER the aggregate and the corpus total from a 1-row
+    scalar aggregate broadcast back (a global ``sum() OVER ()`` would
+    single-partition the vocabulary-sized aggregate) — never a second
+    corpus scan."""
     if engine == "spark":
         tok = r"""
   SELECT source, token FROM documents
   LATERAL VIEW explode(split(trim(text), '\\s+')) t AS token"""
         rn = "CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, token) AS BIGINT)"
+        total = "CROSS JOIN (SELECT sum(c_st) AS n_total FROM st) tot"
+        n_total_col = ",\n         n_total"
     else:
         tok = r"""
   SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
   FROM documents"""
         rn = "row_number() OVER (PARTITION BY source ORDER BY lift DESC, token)"
+        total = ""
+        n_total_col = ",\n         sum(c_st) OVER () AS n_total"
     return f"""
 WITH tok AS ({tok}),
 st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY source, token),
 enriched AS (
   SELECT source, token, c_st,
          sum(c_st) OVER (PARTITION BY token) AS c_t,
-         sum(c_st) OVER (PARTITION BY source) AS n_s,
-         sum(c_st) OVER () AS n_total
-  FROM st
+         sum(c_st) OVER (PARTITION BY source) AS n_s{n_total_col}
+  FROM st {total}
 ),
 scored AS (
   SELECT source, token, c_st,

@@ -68,17 +68,22 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: hotItems/HotItems.scala:42-82 (filter 'pv' → keyBy itemId
     → 1h/5m window count → keyBy windowEnd → ListState+timer sort top-5).
-    Spark: one sliding-window groupBy + row_number — the ListState/timer
-    machinery is subsumed by the rank window function.
+    Spark: tumble-then-roll sliding count (exchange 1 carries (item,
+    5-min bucket) partials — 12× fewer groups than the naive
+    ``window()`` expand ships at 100 TB) + row_number per window_end —
+    the ListState/timer machinery is subsumed by the rank window
+    function. The built-in ``window()`` single-expand shape is kept as
+    ``hot_items_topn_expand`` for comparison.
     """
+    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
+
     events = load_table(spark, "events", sf_dir)
-    counts = windowed_agg(
+    counts = sliding_count_two_stage(
         events.filter(F.col("event_type") == "view"),
         "ts",
-        "1 hour",
-        "5 minutes",
+        3600,
+        300,
         keys=[F.col("user_id").alias("item_id")],
-        aggs=[F.count("*").alias("cnt")],
     )
     return topn_per_group(counts, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).select(
         "window_end", "item_id", "cnt", "rank"
@@ -142,15 +147,18 @@ def hot_pages_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     late re-fires safe; batch recomputation removes the hazard. Slide
     scaled 5s→1min for the testdata's 30-day span. URL derived
     deterministically from user_id (testdata has no url column).
+    Two-stage sliding count (tumble to 1-min buckets, roll 10 into each
+    window): exchange 1 carries (url, bucket) partials, 10× fewer
+    groups than the ``window()`` expand ships.
     """
+    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
+
     events = load_table(spark, "events", sf_dir)
     src = events.filter(F.col("event_type").isin("view", "click")).select(
         F.concat(F.lit("/page/"), (F.col("user_id") % 20).cast("string")).alias("url"),
         "ts",
     )
-    counts = windowed_agg(
-        src, "ts", "10 minutes", "1 minute", keys=["url"], aggs=[F.count("*").alias("cnt")]
-    )
+    counts = sliding_count_two_stage(src, "ts", 600, 60, keys=["url"])
     return topn_per_group(counts, ["window_end"], "cnt", 3, tiebreakers=["url"]).select(
         "window_end", "url", "cnt", "rank"
     )
@@ -600,6 +608,10 @@ def tx_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # networkflow: late-data classification (L2/L3 batch reproduction)
 # ---------------------------------------------------------------------------
 
+# Arrival-order prefix-max segment width (event_id units). Each task scans
+# at most one segment; the segment directory is |events| / width rows.
+_LATE_SEGMENT_WIDTH = 100_000
+
 _LATE_DATA_ORACLE = """
 WITH w AS (
   SELECT event_id, user_id, ts,
@@ -631,10 +643,42 @@ def late_data_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     it they'd hit the late side output (L3). Bounds scaled (60/120 s)
     to testdata density. Streaming policy: SURVEY §7.4.1 — lateness
     folds into the watermark (streaming/windows.py).
+
+    Scale: the arrival-order running max is a prefix scan, which a
+    single unpartitioned window would serialize onto one task. Instead
+    it is computed segmented: a per-segment running max (partitioned
+    window over contiguous event_id ranges), a tiny per-segment max
+    table whose exclusive prefix-max is taken over |segments| rows, and
+    a broadcast join back — the classic two-level scan decomposition,
+    so no stage ever holds more than one segment or the segment
+    directory.
     """
     events = load_table(spark, "events", sf_dir)
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    classified = events.withColumn("max_ts", F.max("ts").over(w))
+    seg = (F.col("event_id") / F.lit(_LATE_SEGMENT_WIDTH)).cast("long").alias("seg")
+    within_w = (
+        W.partitionBy("seg").orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = events.select("*", seg).withColumn(
+        "seg_run_max", F.max("ts").over(within_w)
+    )
+    seg_max = within.groupBy("seg").agg(F.max("ts").alias("seg_max"))
+    # Exclusive prefix max over the segment directory (|segments| rows —
+    # a one-group non-foldable key keeps the plan free of unpartitioned
+    # WindowExec; see operators.topn.one_group).
+    from flink_wsr_project_spark.operators.topn import one_group
+
+    prefix_w = (
+        W.partitionBy(one_group("seg")).orderBy("seg")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = seg_max.select(
+        "seg", F.max("seg_max").over(prefix_w).alias("prev_max")
+    )
+    classified = within.join(F.broadcast(prefix), "seg").withColumn(
+        "max_ts",
+        F.greatest("seg_run_max", F.coalesce("prev_max", "seg_run_max")),
+    )
     lateness = (
         F.when(epoch_double("ts") >= epoch_double("max_ts") - 60, "on_time")
         .when(epoch_double("ts") >= epoch_double("max_ts") - 120, "late_within_lateness")
@@ -700,23 +744,23 @@ def tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hot_items_topn_2stage", oracle=_HOT_ITEMS_ORACLE, tags=("A2", "R1", "opt"))
-def hot_items_topn_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-minimal variant of ``hot_items_topn`` (same oracle, same
-    rows): tumble to 5-min buckets first, then roll 12 buckets into
-    each sliding window (operators.windows.sliding_count_two_stage).
-    Exchange 1 carries (item, bucket) groups — 12× fewer than the
-    (item, window) groups ``window()`` ships — which is the difference
-    that matters when the raw side is 100 TB."""
-    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
-
+@register("hot_items_topn_expand", oracle=_HOT_ITEMS_ORACLE, tags=("A2", "R1", "opt"))
+def hot_items_topn_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-expand variant of ``hot_items_topn`` (same oracle, same
+    rows) using the built-in ``window(ts, '1 hour', '5 minutes')``
+    sliding window: every raw row is replicated into its 12 windows
+    BEFORE the partial aggregate, so exchange 1 carries (item, window)
+    groups — 12× the volume of the headline's tumble-then-roll plan.
+    Kept registered as the reference shape for the built-in API; use
+    the headline for anything at scale."""
     events = load_table(spark, "events", sf_dir)
-    counts = sliding_count_two_stage(
+    counts = windowed_agg(
         events.filter(F.col("event_type") == "view"),
         "ts",
-        3600,
-        300,
+        "1 hour",
+        "5 minutes",
         keys=[F.col("user_id").alias("item_id")],
+        aggs=[F.count("*").alias("cnt")],
     )
     return topn_per_group(counts, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).select(
         "window_end", "item_id", "cnt", "rank"

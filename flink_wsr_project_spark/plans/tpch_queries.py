@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from flink_wsr_project_spark.operators.topn import topn_per_group
+from flink_wsr_project_spark.operators.topn import global_topn, topn_per_group
 from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
 
@@ -94,7 +94,9 @@ SELECT order_id, revenue, order_date, rank FROM (
 def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: customer⋈orders⋈lineitem, revenue per order,
     global top-10. customer is broadcast; orders⋈lineitem shuffles on
-    orderkey once and the aggregation reuses that partitioning."""
+    orderkey once and the aggregation reuses that partitioning. The
+    top-10 is TakeOrderedAndProject (distributed partial heaps), never
+    a single-partition window over every qualifying order."""
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1998-01-01")
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1998-01-01")
@@ -108,7 +110,7 @@ def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_id", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
         )
     )
-    return topn_per_group(agg, [], "revenue", 10, tiebreakers=["order_id"]).select(
+    return global_topn(agg, "revenue", 10, tiebreakers=["order_id"]).select(
         "order_id", "revenue", "order_date", "rank"
     )
 
@@ -538,11 +540,9 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
-    from flink_wsr_project_spark.operators.topn import topn_per_group
-
-    ranked = topn_per_group(
+    ranked = global_topn(
         j.select("c_custkey", "c_name", "n_name", "rc"),
-        [], "rc", 20, tiebreakers=["c_custkey"],
+        "rc", 20, tiebreakers=["c_custkey"],
     )
     return ranked.select(
         "c_custkey", "c_name", "n_name", (F.col("rc") / 100.0).alias("revenue"), "rank"
@@ -612,8 +612,9 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS nation_cents,
-       sum(cents) AS total_cents,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
        sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) / CAST(sum(cents) AS DOUBLE)
          AS mkt_share
 FROM (
@@ -683,10 +684,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LATE_SHIP_ORACLE = """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
 GROUP BY 1
@@ -727,7 +728,7 @@ SELECT c_name, c_custkey, o_orderkey AS order_id,
        CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price,
        sum_qty
 FROM (
-  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
 ) big JOIN orders ON big.l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -1192,7 +1193,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
-    return topn_per_group(counts, [], "numwait", 10, tiebreakers=["s_name"]).select(
+    return global_topn(counts, "numwait", 10, tiebreakers=["s_name"]).select(
         "s_name", "numwait", "rank"
     )
 

@@ -51,6 +51,32 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def atomic_swap_dir(live: str, tmp: str) -> None:
+    """Replace directory ``live`` with sibling ``tmp`` so that EVERY
+    intermediate crash point leaves a recoverable copy:
+
+        live -> live__old_xxxx   (rename, atomic on one filesystem)
+        tmp  -> live             (rename)
+        rm   live__old_xxxx      (cleanup; stale __old dirs are safe to
+                                  delete on recovery)
+
+    The naive rmtree(live); move(tmp, live) sequence has a window where
+    a crash loses the state entirely and readers see a missing path.
+    On an object store, map the two renames to the store's atomic
+    rename/commit primitive (e.g. a metadata-catalog pointer swap).
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    old = f"{live.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(tmp, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -59,10 +85,10 @@ def compact_parquet(
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into
     ``target_files`` files (optionally sorted for better min/max
-    pruning). Writes to a sibling temp dir then atomically swaps, so a
-    failed compaction never corrupts the source. Returns the row count.
+    pruning). Writes to a sibling temp dir then swaps via
+    :func:`atomic_swap_dir` (rename-aside), so a crash at any point
+    leaves a recoverable copy of the source. Returns the row count.
     """
-    import shutil
     import uuid as _uuid
 
     df = spark.read.parquet(path)
@@ -72,6 +98,5 @@ def compact_parquet(
     tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    atomic_swap_dir(path, tmp)
     return n

@@ -24,6 +24,22 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_family(series: pd.Series) -> str:
+    """Collapse a pandas dtype to the family the driver's hash
+    distinguishes: integer / float / datetime / other(object, str, bool).
+    A nullable column arriving as object with int content is 'other' on
+    purpose — if ONE engine yields object and the other int64, that is a
+    real canonicalization divergence."""
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind in "mM":
+        return "datetime"
+    return "other"
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf):
@@ -43,6 +59,18 @@ def assert_parity(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
         f"{name}: column mismatch spark={sorted(got.columns)} oracle={sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count spark={len(got)} oracle={len(want)}"
+    # Dtype-kind parity: the driver's value hash canonicalizes by dtype, so
+    # an int64 Spark column vs a float64 oracle column (DuckDB returns
+    # HUGEINT for sum(BIGINT), which pandas maps to float64) hash-mismatches
+    # even when every value is numerically equal. Catch that drift here:
+    # every oracle output column must land in the same dtype family as the
+    # Spark result (fix = explicit CAST in the oracle SQL).
+    for col in got.columns:
+        gk, wk = _dtype_family(got[col]), _dtype_family(want[col])
+        assert gk == wk, (
+            f"{name}: col {col} dtype family spark={got[col].dtype}({gk}) "
+            f"oracle={want[col].dtype}({wk}) — add an explicit CAST in the oracle SQL"
+        )
     for col in got.columns:
         g, w = got[col], want[col]
         for i, (a, b) in enumerate(zip(g, w)):

@@ -119,7 +119,8 @@ def test_stream_pattern_adjacency_across_batches(spark, tmp_path):
         (r.user_id, r.first_ts, r.second_ts)
         for r in spark.sql("SELECT * FROM cep_s").collect()
     }
-    assert got == {("1", 100, 101)}  # cross-batch pair; 102/103 broken by success
+    # keys keep their input type (long), not a stringified copy
+    assert got == {(1, 100, 101)}  # cross-batch pair; 102/103 broken by success
 
 
 def test_stream_pattern_matches_batch(spark, tmp_path):
@@ -142,9 +143,11 @@ def test_stream_pattern_matches_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     got = {
-        (int(r.user_id), r.first_ts, r.second_ts)
+        (r.user_id, r.first_ts, r.second_ts)
         for r in spark.sql("SELECT * FROM cep_b").collect()
     }
     batch = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
     want = {(r.user_id, r.first_ts, r.second_ts) for r in batch.collect()}
     assert got == want == {(1, 100, 101), (1, 101, 102)}
+    # schema parity with the batch operator: key column type preserved
+    assert dict(spark.sql("SELECT * FROM cep_b").dtypes)["user_id"] == dict(batch.dtypes)["user_id"]

@@ -46,6 +46,33 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
 
 
+def _unpartitioned_windows(spark, name: str) -> list[str]:
+    """Window nodes in the optimized logical plan whose partitionSpec is
+    EMPTY — at scale these move the entire input to one task (Spark
+    4.1's InferWindowGroupLimit does NOT prune rank windows without a
+    partition spec). Global top-K must go through
+    operators.topn.global_topn (TakeOrderedAndProject) instead; tiny
+    deliberate single-group windows use a constant partition key."""
+    df = _QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            bad.append(node.simpleString(80))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_unpartitioned_window(spark, name):
+    bad = _unpartitioned_windows(spark, name)
+    assert not bad, f"{name}: unpartitioned Window (single-partition at scale): {bad}"
+
+
 @pytest.mark.parametrize(
     ("name", "pushed_fragment"),
     [
@@ -100,8 +127,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("pv_hourly", 1),
         ("promo_revenue", 2),     # broadcast build + one agg shuffle
         ("user_sessions", 1),     # one shuffle reused by both window fns + agg
-        ("hot_items_topn", 2),    # window agg + rank partition
-        ("hot_pages_topn", 2),
+        ("hot_items_topn", 3),    # bucket agg + window merge + rank
+        ("hot_pages_topn", 3),    # bucket agg + window merge + rank
         ("uv_hourly", 2),         # two-phase distinct
         ("market_by_channel", 1),
         ("tx_reconcile", 2),      # both sides keyed on tx
@@ -129,7 +156,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("data_mix_weights", 2),      # per-source agg + tiny single-partition total
         ("doc_length_histogram", 1),
         ("orders_grouping_sets", 1),  # Expand + one shuffle
-        ("hot_items_topn_2stage", 3),  # bucket agg + window merge + rank
+        ("hot_items_topn_expand", 2),  # single-expand window agg + rank
         ("supplier_variety", 2),  # two-phase distinct agg
         ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
         ("product_profit", 3),   # dims broadcast; orders join broadcasts at test SF
@@ -142,7 +169,11 @@ def test_dimension_join_broadcasts(spark, name):
         ("concentrated_suppliers", 3),  # pair agg + part window + s_name agg
         ("label_centroids", 1),  # explode + one (label, dim) hash agg
         ("nearest_centroid_confusion", 4),  # centroid agg + score agg + rank + confusion
-        ("token_source_lift", 2),  # (source, token) agg + window re-partitions
+        # Static plan shows 5, but the scalar-total subquery duplicates the
+        # (source, token) agg subtree, and AQE's stage cache reuses it at
+        # runtime (verified: final adaptive plan has 2 ReusedExchange) —
+        # true runtime cost: agg + 2 window re-partitions + one 1-row total.
+        ("token_source_lift", 5),
         ("dataset_splits", 1),  # row-local hash assignment + one rollup
         ("hourly_metrics_long", 2),  # two-phase distinct agg; melt is shuffle-free
         ("events_time_rollup", 1),  # ROLLUP = one Expand, one shuffle

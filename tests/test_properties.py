@@ -246,6 +246,35 @@ def test_quality_enforce_split(spark):
     assert passing.count() + quarantined.count() == df.count()
 
 
+def test_quality_null_rule_result_is_violation(spark):
+    """A rule evaluating to NULL (e.g. in_range over a NULL value) must
+    count as a violation and quarantine the row — fail-closed, matching
+    the oracle's CASE WHEN ok THEN 0 ELSE 1 semantics. (Regression:
+    sum((~ok).cast('long')) silently dropped NULL rows.)"""
+    from flink_wsr_project_spark.operators.quality import (
+        enforce,
+        in_range,
+        not_null,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 99.0)], ["uid", "v"]
+    )
+    checks = {"uid_not_null": not_null("uid"), "v_range": in_range("v", 0, 10)}
+    report = {r.rule: r for r in quality_report(df, checks).collect()}
+    # NULL v: in_range -> NULL, counted as a violation alongside 99.0
+    assert report["v_range"].violations == 2
+    assert report["v_range"].rows_checked == 3
+    assert abs(report["v_range"].pass_rate - 1 / 3) < 1e-12
+    assert report["uid_not_null"].violations == 0
+
+    passing, quarantined = enforce(df, checks)
+    assert passing.count() == 1  # only (1, 5.0)
+    q = {(r.uid, tuple(r.violated_rules)) for r in quarantined.collect()}
+    assert q == {(2, ("v_range",)), (3, ("v_range",))}
+
+
 @given(
     texts=st.lists(
         st.text(alphabet="ab c", min_size=1, max_size=40),

@@ -457,6 +457,67 @@ def test_stream_topn_retract_updates_across_triggers(spark, tmp_path):
     assert last[(we, 1)] == (202, 4)         # upsert: 202 leads after trigger 2
 
 
+def test_per_element_trigger_envelope_update_mode(spark, tmp_path):
+    """C6 (per-element FIRE_AND_PURGE trigger) divergence envelope.
+
+    The reference (UniqueVisitor_03_Bloom.scala:62-92) registers a
+    trigger that FIREs after EVERY element, emitting the running window
+    count continuously. The documented Spark approximation
+    (SURVEY §7.4.4; streaming/windows.py) is update mode + micro-batch
+    triggers: one emission per CHANGED window per trigger. This test
+    pins the exact divergence envelope instead of just claiming it:
+
+    1. every emitted count is a value from the reference's per-element
+       running sequence (emissions are boundary SAMPLES of the
+       reference stream — never an invented value);
+    2. per-window emissions increase monotonically (no retractions);
+    3. the final emission equals the reference's final value
+       (convergence at stream end);
+    4. emissions ≤ elements — the only divergence is the *omitted*
+       intermediate values between two trigger boundaries.
+    """
+    d = str(tmp_path / "c6_src")
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["user_id", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    # 5 elements, one 1-hour window; reference emits [1, 2, 3, 4, 5]
+    write([(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:10:00"),
+           (3, "2024-01-01 00:15:00")])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    agg = streaming_windowed_agg(
+        stream, "ts", "1 hour", aggs=[F.count("*").alias("cnt")],
+        watermark="1 second",
+    )
+    emitted: list[tuple[int, int, int]] = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emitted.append((epoch_id, r.window_end, r.cnt))
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    write([(4, "2024-01-01 00:20:00"), (5, "2024-01-01 00:25:00")])
+    q.processAllAvailable()
+    q.stop()
+
+    ref_seq = [1, 2, 3, 4, 5]  # per-element FIRE emissions
+    got = [c for (_e, _w, c) in sorted(emitted)]
+    assert got, "update mode emitted nothing"
+    assert all(c in ref_seq for c in got)  # (1) boundary samples only
+    assert got == sorted(set(got))         # (2) monotone, no retraction
+    assert got[-1] == ref_seq[-1] == 5     # (3) convergence
+    assert len(got) <= len(ref_seq)        # (4) strictly fewer emissions
+    assert 3 in got  # the trigger-1 boundary sample was observed
+
+
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Stop → restart from checkpoint: the restarted query resumes from
     the committed offset and the sink stays exactly-once (no dup/loss)."""
