@@ -786,3 +786,45 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant salted join (operators.skew)
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("segment_value_salted", oracle=_SALTED_JOIN_ORACLE, tags=("skew", "J1"))
+def segment_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value per customer segment through an 8-way SALTED
+    sort-merge join (operators.skew.salted_join): the fact side's hot
+    keys are spread over 8 (key, salt) sub-partitions, the customer
+    side is replicated once per salt. Same rows as the plain equi-join
+    (the oracle IS the plain join) — what changes is that no single
+    task can be pinned by one hot user_id at 100 TB. The reference
+    hand-rolled this trick for aggregation (PageView.scala:41-52);
+    join salting is the case Spark still needs it for.
+    """
+    from flink_wsr_project_spark.operators.skew import salted_join
+    from flink_wsr_project_spark.operators.windows import cents
+
+    events = load_table(spark, "events", sf_dir).select("user_id", "value")
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(events, cust, "user_id", n_salts=8)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select("segment", "n_events", "value_cents")
+    )

@@ -514,25 +514,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------
 
-_MEDIA_FEATURES_ORACLE = """
-SELECT doc_id AS asset_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       strlen(text) AS n_bytes,
-       md5(text) AS payload_md5,
+def _media_features_oracle() -> str:
+    """Audio rows model the REAL wave-codec decode of the synthetic
+    172-byte WAV payloads (44-byte constant header + 128 PCM bytes
+    derived from doc_id): n_bytes/md5 recompute the exact payload,
+    n_frames_sampled=1 is ceil of the decoded 16 ms duration, and
+    decode_status='decoded' asserts the codec ran. Image/video stay on
+    the documented stub path. payload_md5 is md5(upper-hex(payload)) —
+    expressible in both engines (DuckDB md5 is VARCHAR-only)."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        WAV_FRAMES,
+        WAV_HEADER_HEX,
+        WAV_PCM_BYTES,
+    )
+
+    wav_bytes = 44 + WAV_FRAMES
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, n_chars,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM documents
+)
+SELECT doc_id AS asset_id, kind,
+       CASE WHEN kind = 'audio' THEN {wav_bytes} ELSE strlen(text) END AS n_bytes,
+       CASE WHEN kind = 'audio'
+            THEN md5(hex(from_hex('{WAV_HEADER_HEX}')
+                         || encode(rpad(CAST(doc_id AS VARCHAR), {WAV_PCM_BYTES}, '0'))))
+            ELSE md5(hex(encode(text))) END AS payload_md5,
        CAST(least(n_chars % 1920, 256) AS INTEGER) AS thumb_w,
        CAST(least(n_chars % 1080, 256) AS INTEGER) AS thumb_h,
-       CAST(greatest((n_chars * 40) // 1000, 1) AS INTEGER) AS n_frames_sampled,
-       'stub' AS decode_status
-FROM documents
+       CAST(CASE WHEN kind = 'audio' THEN 1
+                 ELSE greatest((n_chars * 40) // 1000, 1) END AS INTEGER) AS n_frames_sampled,
+       CASE WHEN kind = 'audio' THEN 'decoded' ELSE 'stub' END AS decode_status
+FROM m
 """
 
 
-@register("media_features", oracle=_MEDIA_FEATURES_ORACLE, tags=("pipeline", "multimodal"))
+@register("media_features", oracle=_media_features_oracle(), tags=("pipeline", "multimodal"))
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the Arrow/mapInPandas
-    path (operators.multimodal). The decode itself is a stub; the
-    byte-level metadata the UDF emits is deterministic, so even this
-    Pandas-UDF operator is oracle-checked exactly."""
+    path (operators.multimodal). Audio is decoded FOR REAL (stdlib
+    wave codec over genuine WAV payloads); image/video probe their
+    codecs and fall back to the documented stub. Every emitted field —
+    including the decoded-audio sampling plan — is deterministic, so
+    even this Pandas-UDF operator is oracle-checked exactly."""
     from flink_wsr_project_spark.operators.multimodal import (
         extract_features,
         synthesize_media_assets,

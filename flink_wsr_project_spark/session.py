@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by TARGET SIZE, not up to the
+        # initial parallelism (the Spark-docs-recommended setting): tiny
+        # stages collapse to a handful of tasks instead of 32 near-empty
+        # ones. Scale-safe: AQE only MERGES partitions — the initial
+        # shuffle.partitions still governs scale-out, and at 100 TB
+        # partitions exceed the advisory size so coalescing is a no-op.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

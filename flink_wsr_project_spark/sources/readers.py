@@ -20,6 +20,13 @@ from flink_wsr_project_spark import schemas
 
 _DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Analyzed-DataFrame cache keyed by (session, dir, table) — the role a
+# metastore/catalog plays at scale: schema + file listing resolved once
+# per session instead of re-reading parquet footers on every query
+# construction. Safe because the testdata directories are immutable;
+# a mutable source would need an invalidation hook here.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = _DEFAULT_SF_DIR) -> DataFrame:
     """Parquet scan of one testdata table. Columnar, prunable.
@@ -28,14 +35,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = _DEFAULT_SF_DIR) ->
     session): pin UTC (oracle timestamps are UTC-naive) and read
     nanosecond parquet timestamps (events.ts) as Long, normalizing to
     TimestampType at microsecond precision — the same truncation DuckDB
-    applies when it scans the file.
+    applies when it scans the file. Both confs re-pin on EVERY call —
+    the caller's session may have been reconfigured between queries.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

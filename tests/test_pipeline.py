@@ -25,3 +25,43 @@ def test_curation_pipeline(spark):
 
     report = curation_report(stages).collect()[0]
     assert report["raw"] == counts["raw"]
+
+
+def test_wav_decode_is_real(spark):
+    """The audio path decodes ACTUAL bytes: a synthesized asset's WAV
+    payload parses with the stdlib wave codec to the advertised
+    geometry, and the feature extractor reports decoded status with a
+    duration-derived sampling plan. Image/video stay on the probe-stub
+    path in this codec-less container."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        WAV_FRAMES,
+        WAV_RATE,
+        decode_media,
+        extract_features,
+        synthesize_media_assets,
+    )
+
+    assets = synthesize_media_assets(spark, SF_DIR)
+    one_audio = assets.filter("kind = 'audio'").limit(1).collect()[0]
+    meta = decode_media(bytes(one_audio.payload), "audio")
+    assert meta == {
+        "channels": 1,
+        "sample_rate": WAV_RATE,
+        "n_frames": WAV_FRAMES,
+        "duration_ms": int(WAV_FRAMES * 1000 / WAV_RATE),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n", "image")
+
+    feats = {
+        r.kind: r
+        for r in extract_features(assets).dropDuplicates(["kind"]).collect()
+    }
+    assert feats["audio"].decode_status == "decoded"
+    assert feats["audio"].n_frames_sampled == 1  # ceil(16 ms) -> 1 s plan
+    assert feats["audio"].n_bytes == 44 + WAV_FRAMES
+    assert feats["image"].decode_status == "stub"
+    assert feats["video"].decode_status == "stub"

@@ -157,6 +157,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("doc_length_histogram", 1),
         ("orders_grouping_sets", 1),  # Expand + one shuffle
         ("hot_items_topn_expand", 2),  # single-expand window agg + rank
+        ("segment_value_salted", 3),  # probe + replicated-build shuffles + agg
         ("supplier_variety", 2),  # two-phase distinct agg
         ("value_quantiles_approx", 1),  # mergeable sketch, one shuffle
         ("product_profit", 3),   # dims broadcast; orders join broadcasts at test SF

@@ -343,3 +343,26 @@ def test_two_stage_sliding_count_matches_one_pass(spark, rows, spec):
         for r in sliding_count_two_stage(df, "ts", dur_s, slide_s, keys=["uid"]).collect()
     }
     assert one == two
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salt-invariance: salted_join returns exactly the plain join's
+    rows (inner and left, incl. unmatched probe keys), and the
+    physical plan is a sort-merge join keyed on (key, salt) — the
+    skew-spreading structure, not a broadcast that would make the
+    salt a no-op."""
+    from flink_wsr_project_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (1, 12.0), (2, 20.0), (9, 90.0)], ["k", "v"]
+    )
+    build = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "tag"])
+
+    for how in ("inner", "left"):
+        got = salted_join(probe, build, "k", n_salts=4, how=how)
+        want = probe.join(build, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = salted_join(probe, build, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
