@@ -828,3 +828,53 @@ def segment_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "n_events", "value_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (operators.rangejoin): pure point-in-interval match
+# ---------------------------------------------------------------------------
+
+_LAUNCH_WINDOW_ORACLE = """
+WITH launch AS (
+  SELECT event_type AS launch_type,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS w_start,
+         CAST(floor(epoch(min(ts))) AS BIGINT) + 172800 AS w_end
+  FROM events GROUP BY event_type
+)
+SELECT launch_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM launch JOIN events
+  ON CAST(floor(epoch(ts)) AS BIGINT) BETWEEN w_start AND w_end
+GROUP BY launch_type
+"""
+
+
+@register("launch_window_traffic", oracle=_LAUNCH_WINDOW_ORACLE, tags=("rangejoin", "J1"))
+def launch_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total traffic (all types) during each event type's 48 h launch
+    window — a join with NO equi-key, only ``ts BETWEEN start AND end``.
+    Naively that plans BroadcastNestedLoopJoin (points × intervals);
+    operators.rangejoin.banded_range_join quantizes time into 1 h
+    buckets so it runs as an equi-join on the bucket id: the interval
+    side replicates ≤ 49×, the 100 TB point side not at all, and no
+    cartesian/nested-loop node appears in the plan (mechanically
+    asserted by the registry-wide plan audit).
+    """
+    from flink_wsr_project_spark.operators.rangejoin import banded_range_join
+
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    launch = (
+        events.groupBy(F.col("event_type").alias("launch_type"))
+        .agg(F.min(epoch).alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + 172800)
+    )
+    points = events.select("user_id", epoch.alias("ts_epoch"))
+    j = banded_range_join(points, launch, "ts_epoch", "w_start", "w_end", bucket_s=3600)
+    return (
+        j.groupBy("launch_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("launch_type", "n_events", "n_users")
+    )

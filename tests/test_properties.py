@@ -366,3 +366,34 @@ def test_salted_join_equals_plain_join(spark):
     plan = salted_join(probe, build, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan and "_salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_banded_range_join_equals_naive(spark):
+    """Bucketing invariance: banded_range_join returns exactly the
+    naive range join's rows — including inclusive-boundary points
+    (ts == start, ts == end), intervals spanning many buckets,
+    bucket-straddling points, and unmatched points — and each
+    (point, interval) pair appears ONCE (they can only meet in the
+    point's bucket). The plan must be an equi-join: no nested-loop or
+    cartesian node."""
+    from flink_wsr_project_spark.operators.rangejoin import banded_range_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 199), (4, 200), (5, 201), (6, 999), (7, 350)],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, 100, 200), (11, 150, 650), (12, 0, 50)], ["iid", "lo", "hi"]
+    )
+    got = banded_range_join(points, intervals, "ts", "lo", "hi", bucket_s=100)
+    naive = points.join(
+        intervals, (points.ts >= intervals.lo) & (points.ts <= intervals.hi)
+    )
+    want = sorted((r.pid, r.iid) for r in naive.collect())
+    assert sorted((r.pid, r.iid) for r in got.collect()) == want
+    assert (1, 10) in want and (4, 10) in want  # inclusive bounds
+    assert (7, 11) in want                      # mid-interval, straddled bucket
+    assert all(p != 6 for p, _ in want)         # unmatched point stays out
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
