@@ -127,8 +127,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("pv_hourly", 1),
         ("promo_revenue", 2),     # broadcast build + one agg shuffle
         ("user_sessions", 1),     # one shuffle reused by both window fns + agg
-        ("hot_items_topn", 3),    # bucket agg + window merge + rank
-        ("hot_pages_topn", 3),    # bucket agg + window merge + rank
+        ("hot_items_topn", 2),    # bucket agg + window_end repartition (reused by roll-up AND rank)
+        ("hot_pages_topn", 2),    # bucket agg + window_end repartition (reused by roll-up AND rank)
         ("uv_hourly", 2),         # two-phase distinct
         ("market_by_channel", 1),
         ("tx_reconcile", 2),      # both sides keyed on tx
