@@ -878,3 +878,53 @@ def launch_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("launch_type", "n_events", "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalized as-of join (operators.asofjoin) vs DuckDB's NATIVE ASOF JOIN
+# ---------------------------------------------------------------------------
+
+_SIGNUP_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_ts
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register("purchase_signup_asof", oracle=_SIGNUP_ASOF_ORACLE, tags=("asof", "J1"))
+def purchase_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's most recent signup at or
+    before it — the generalized ``operators.asofjoin.asof_join`` (one
+    shuffle, union + carry-forward, no per-row probe), cross-checked
+    against DuckDB's NATIVE ``ASOF LEFT JOIN`` implementation rather
+    than a window-function paraphrase: two independent engines, two
+    independent algorithms, same rows."""
+    from flink_wsr_project_spark.operators.asofjoin import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("signup_raw"))
+        .distinct()
+    )
+    j = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_raw",
+        right_cols=[],
+        matched_ts_alias="signup_ts_raw",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        epoch_seconds("ts").alias("purchase_ts"),
+        epoch_seconds("signup_ts_raw").alias("signup_ts"),
+    )

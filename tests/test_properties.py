@@ -397,3 +397,90 @@ def test_banded_range_join_equals_naive(spark):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _asof_pandas_oracle(lp, rp, direction, allow_exact, tol=None):
+    """pandas.merge_asof as the independent oracle implementation."""
+    import pandas as pd
+
+    lp = lp.sort_values("ts").reset_index(drop=True)
+    rp = rp.sort_values("rts").reset_index(drop=True)
+    return pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k",
+        direction=direction, allow_exact_matches=allow_exact,
+        tolerance=tol,
+    )
+
+
+def _asof_case(spark, direction, strict, tol_s):
+    """asof_join vs pandas merge_asof on data with exact-boundary ties,
+    multi-key interleaving, and unmatched left rows."""
+    import pandas as pd
+
+    from flink_wsr_project_spark.operators.asofjoin import asof_join
+
+    rng = __import__("random").Random(42 + int(strict) + len(direction))
+    lrows = [(k, rng.randrange(0, 1000)) for k in (1, 2, 3) for _ in range(40)]
+    rrows = list({(k, rng.randrange(0, 1000)) for k in (1, 2) for _ in range(25)})
+    # plant exact-boundary collisions so strict vs inclusive differ
+    rrows += [(k, ts) for (k, ts) in lrows[:5]]
+    rrows = sorted(set(rrows))
+    left = spark.createDataFrame(lrows, ["k", "ts"])
+    right = spark.createDataFrame(
+        [(k, ts, ts * 10) for (k, ts) in rrows], ["k", "rts", "payload"]
+    )
+    got = (
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  direction=direction, strict=strict, tolerance_s=tol_s,
+                  matched_ts_alias="mts")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    want = _asof_pandas_oracle(
+        left.toPandas(), right.toPandas(), direction, not strict,
+        tol=None if tol_s is None else tol_s,
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(got) == len(left.toPandas()) == len(want)  # left semantics
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        assert (g.k, g.ts) == (w.k, w.ts)
+        gp = None if pd.isna(g.payload) else g.payload
+        wp = None if pd.isna(w.payload) else w.payload
+        assert gp == wp, f"{direction} strict={strict} tol={tol_s}: {g} vs {w}"
+        gm = None if pd.isna(g.mts) else g.mts
+        wm = None if pd.isna(w.rts) else w.rts
+        assert gm == wm
+    return got
+
+
+def test_asof_join_backward_inclusive(spark):
+    got = _asof_case(spark, "backward", strict=False, tol_s=None)
+    assert {"k", "ts", "payload", "mts"} <= set(got.columns)
+
+
+def test_asof_join_backward_strict_with_tolerance(spark):
+    _asof_case(spark, "backward", strict=True, tol_s=100)
+
+
+def test_asof_join_forward_inclusive(spark):
+    _asof_case(spark, "forward", strict=False, tol_s=None)
+
+
+def test_asof_join_forward_strict(spark):
+    _asof_case(spark, "forward", strict=True, tol_s=50)
+
+
+def test_asof_join_one_exchange_and_collision_guard(spark):
+    """The plan shuffles ONCE (union + window — no join node at all);
+    payload/left name collisions are rejected up front."""
+    import pytest as _pytest
+
+    from flink_wsr_project_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "ts", "payload"])
+    right = spark.createDataFrame([(1, 5, "y")], ["k", "rts", "payload"])
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+
+    out = asof_join(left.drop("payload"), right, on=["k"], left_ts="ts", right_ts="rts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
