@@ -928,3 +928,75 @@ def purchase_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("purchase_ts"),
         epoch_seconds("signup_ts_raw").alias("signup_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed dedup keep-first (operators.keepfirst) — the Flink SQL dedup idiom
+# ---------------------------------------------------------------------------
+
+_FIRST_TOUCH_ORACLE = """
+SELECT user_id, day, event_id, event_type, ts_epoch FROM (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("first_touch_per_user_day", oracle=_FIRST_TOUCH_ORACLE, tags=("dedup", "R3"))
+def first_touch_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, day) — the Flink SQL deduplication idiom
+    (ROW_NUMBER() = 1, which the reference engine would run as keyed
+    state keeping the first element). Spark-first:
+    ``operators.keepfirst.dedup_keep_first`` — Spark 4 plants a
+    ``WindowGroupLimit(Partial)`` below the exchange, so every map task
+    pre-prunes to one row per key and the wire carries ~|keys| rows,
+    not the table (the min_by aggregation alternative ships the same
+    rows but 35% slower — see operators/keepfirst.py)."""
+    from flink_wsr_project_spark.operators.keepfirst import dedup_keep_first
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "event_type",
+        epoch_seconds("ts").alias("ts_epoch"),
+    )
+    return dedup_keep_first(
+        events, ["user_id", "day"], order_by=["ts_epoch", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: hourly HLL sketches unioned to daily UV
+# ---------------------------------------------------------------------------
+
+
+@register("uv_daily_sketch_rollup", oracle=None, tags=("A10", "sketch"))
+def uv_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique visitors computed by UNIONING hourly HLL sketches —
+    the pre-aggregation pattern a 100 TB rollup pipeline runs: sketch
+    once at the finest grain (hour), answer every coarser grain (day,
+    week, ad-hoc ranges) by merging kilobyte sketches instead of
+    re-scanning raw data. ``hll_sketch_agg``/``hll_union_agg`` are
+    Apache DataSketches HLL (mergeable without error inflation).
+    No SQL oracle (sketch binaries are engine-specific — driver records
+    the rows-only check); tests/test_properties.py pins the
+    merge-invariance property (hourly→union == direct daily sketch,
+    bit-exact) and the estimate's error envelope vs exact."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uv_estimate"))
+        .select("day", "uv_estimate")
+    )

@@ -484,3 +484,56 @@ def test_asof_join_one_exchange_and_collision_guard(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_dedup_keep_first_two_forms_agree_and_plan_prunes(spark):
+    """Window form == min_by aggregation form (ties broken identically)
+    for both keep directions, and the window form's plan shows the
+    map-side WindowGroupLimit(Partial) prune below a single exchange —
+    the property that makes keyed dedup shuffle ~|keys| rows."""
+    from flink_wsr_project_spark.operators.keepfirst import (
+        dedup_keep_first,
+        dedup_keep_first_agg,
+    )
+
+    rows = [(k, ts, i, f"p{i}") for i, (k, ts) in enumerate(
+        [(1, 10), (1, 10), (1, 5), (2, 7), (2, 7), (3, 1)])]
+    df = spark.createDataFrame(rows, ["k", "ts", "uid", "payload"])
+
+    for keep in ("first", "last"):
+        got = dedup_keep_first(df, ["k"], ["ts", "uid"], keep=keep)
+        want = dedup_keep_first_agg(df, ["k"], ["ts", "uid"], keep=keep)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert got.count() == 3  # one row per key
+
+    plan = dedup_keep_first(df, ["k"], ["ts", "uid"])._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_hll_rollup_merge_invariance(spark):
+    """The scale property behind uv_daily_sketch_rollup: unioning
+    hourly sketches gives BIT-EXACT the same estimate as sketching the
+    day directly (DataSketches HLL union is lossless at equal lgK), and
+    the estimate lands within the configured rsd of exact."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf).filter(F.col("event_type") == "view")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    via_hours = (
+        events.groupBy(day, F.hour("ts").alias("h"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = events.groupBy(day).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    exact = events.groupBy(day).agg(F.countDistinct("user_id").alias("uv"))
+    a = {r.day: r.est for r in via_hours.collect()}
+    b = {r.day: r.est for r in direct.collect()}
+    x = {r.day: r.uv for r in exact.collect()}
+    assert a == b  # merge-invariance, bit-exact
+    for d, est in a.items():
+        assert abs(est - x[d]) / max(x[d], 1) < 0.05
