@@ -1223,3 +1223,63 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_doc("dataset_splits", _dataset_splits_sql.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size char windows with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+_CHUNK_ORACLE = f"""
+WITH exploded AS (
+  SELECT doc_id, text,
+         unnest(range(0, CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 1
+                              ELSE CAST(ceil((length(text) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+                         END)) AS chunk_id
+  FROM documents
+)
+SELECT doc_id, chunk_id,
+       substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE})) AS chunk_len
+FROM exploded
+"""
+
+
+@register("doc_chunks", oracle=_CHUNK_ORACLE, tags=("pipeline", "chunking"))
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks (size {size}, stride {stride}) —
+    the context-window splitter every training pipeline runs before
+    tokenization. NARROW plan: explode(sequence) + substring, all
+    whole-stage codegen, zero shuffles — each 100 TB input split chunks
+    independently; output row count is len/stride per doc with no skew
+    amplification beyond document length itself (cap outlier docs
+    upstream via doc_length_histogram's tail).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.coalesce(F.length("text"), F.lit(0))
+    n_chunks = (
+        F.when(n <= _CHUNK_SIZE, F.lit(1))
+        .otherwise(F.ceil((n - _CHUNK_SIZE) / F.lit(float(_CHUNK_STRIDE))) + 1)
+        .cast("long")
+    )
+    chunk = F.substr(
+        F.col("text"), F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)

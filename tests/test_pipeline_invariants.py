@@ -72,3 +72,29 @@ def test_oov_ratio_consistency(spark):
     # vocab covers the most frequent tokens, so SOME doc must have
     # in-vocab tokens at any non-degenerate SF
     assert df.filter(F.col("in_vocab") > 0).count() > 0
+
+
+def test_doc_chunks_reconstruct_documents(spark):
+    """Chunks are a lossless cover: stitching each doc's chunks (first
+    chunk whole, then the non-overlapping tail of each successive one)
+    reproduces the original text exactly; chunk_ids are dense from 0;
+    every chunk except possibly the last is exactly CHUNK_SIZE chars."""
+    from flink_wsr_project_spark.plans.pipeline_queries import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, "documents", SF_DIR).collect()}
+    chunks: dict[int, list] = {}
+    for r in _Q["doc_chunks"](spark, SF_DIR).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.chunk_len))
+    assert set(chunks) == set(docs)
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    for doc_id, parts in chunks.items():
+        parts.sort()
+        assert [cid for cid, _, _ in parts] == list(range(len(parts)))
+        assert all(ln == len(txt) for _, txt, ln in parts)
+        assert all(ln == _CHUNK_SIZE for _, txt, ln in parts[:-1])
+        rebuilt = parts[0][1] + "".join(txt[overlap:] for _, txt, _ in parts[1:])
+        assert rebuilt == docs[doc_id], f"doc {doc_id} not reconstructed"
