@@ -1283,3 +1283,32 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over embeddings (operators.pca)
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_pca_project", oracle=None, tags=("pipeline", "embedding", "pca"))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the corpus's top-2 principal
+    components — the dimensionality-reduction / visualization /
+    whitening primitive of an embedding pipeline. Data never moves:
+    per-task integer-scaled Gram partials (one row per task), an
+    O(d^2)-group merge, a driver-side 64x64 eigh, then a codegen'd
+    zip_with projection (operators/pca.py documents the overflow and
+    determinism budget). No SQL oracle — eigendecomposition is not
+    ANSI-expressible (driver records the rows-only check);
+    tests/test_properties.py pins exact covariance parity and
+    projection equality against a single-node numpy recompute."""
+    from flink_wsr_project_spark.operators.pca import pca_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = pca_project(emb, "embedding", d=64, k=2)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

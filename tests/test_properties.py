@@ -537,3 +537,52 @@ def test_hll_rollup_merge_invariance(spark):
     assert a == b  # merge-invariance, bit-exact
     for d, est in a.items():
         assert abs(est - x[d]) / max(x[d], 1) < 0.05
+
+
+def test_pca_matches_numpy_recompute(spark):
+    """Distributed integer-scaled Gram covariance == numpy's on the
+    same scaled data (bit-exact — associativity is the point of the
+    integer scaling), components match eigh up to the documented sign
+    canonicalization, and the codegen'd zip_with projection agrees
+    with the numpy projection to float tolerance. Partitioning
+    invariance is exercised by repartitioning to 7 uneven tasks."""
+    import numpy as np
+
+    from flink_wsr_project_spark.operators.pca import (
+        _SCALE,
+        covariance,
+        pca_components,
+        pca_project,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").repartition(7)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.stack([r.embedding for r in rows])
+
+    cov, mean, n = covariance(emb, "embedding", 64)
+    Xi = np.rint(X * _SCALE).astype(np.int64)
+    want_cov = (Xi.T @ Xi) / (len(X) * _SCALE**2) - np.outer(
+        Xi.sum(0) / (len(X) * _SCALE), Xi.sum(0) / (len(X) * _SCALE)
+    )
+    assert n == len(X)
+    assert np.array_equal(
+        np.asarray(cov), want_cov
+    ), "integer-scaled covariance must be bit-exact"
+
+    comps, evs = pca_components(cov, 2)
+    assert evs[0] >= evs[1] > 0
+    assert all(comp[int(np.argmax(np.abs(comp)))] > 0 for comp in comps)
+    for comp in comps:
+        assert abs(np.linalg.norm(comp) - 1.0) < 1e-9
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(emb, "embedding", 64, k=2)
+        .select("vec_id", "pc1", "pc2")
+        .collect()
+    }
+    proj = (X - mean) @ comps.T
+    for vid, p in zip(ids, proj):
+        assert abs(got[vid][0] - p[0]) < 1e-9 and abs(got[vid][1] - p[1]) < 1e-9
