@@ -781,6 +781,41 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fuzzy_prefix_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# Exact-k deterministic per-key sample (hash-order reservoir)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 50
+
+
+def _per_source_sample_sql(engine: str) -> str:
+    """Exactly min(k, n) documents per source, selected by content-hash
+    order — a deterministic reservoir sample: uniform (hash order is
+    independent of doc content ordering), exact-k (unlike rate-gating,
+    which only hits the rate in expectation), and stable under retries,
+    repartitioning, and cluster size. Spark plans the rank as
+    WindowGroupLimit(Partial): each map task pre-prunes to k rows per
+    source before the shuffle, so the wire carries O(k x sources x
+    tasks), never the corpus."""
+    h = h28("text", engine)
+    return f"""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+
+@register(
+    "per_source_doc_sample", oracle=_per_source_sample_sql("duckdb"), tags=("pipeline", "sampling")
+)
+def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_per_source_sample_sql("spark"))
+
+
 # attach SQL-builder docstrings to the thin wrapper registrations
 from flink_wsr_project_spark.plans.registry import set_doc as _set_doc  # noqa: E402
 
@@ -1223,6 +1258,7 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_doc("dataset_splits", _dataset_splits_sql.__doc__)
+_set_doc("per_source_doc_sample", _per_source_sample_sql.__doc__)
 
 
 # ---------------------------------------------------------------------------
