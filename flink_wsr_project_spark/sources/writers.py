@@ -100,3 +100,73 @@ def compact_parquet(
     n = spark.read.parquet(tmp).count()
     atomic_swap_dir(path, tmp)
     return n
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: ``repartitionByRange`` (sampled range
+    exchange → near-disjoint per-file key ranges) + in-file sort (tight
+    per-row-group min/max). A reader filtering on the leading cluster
+    column prunes to ~1/num_files of the data from footer stats alone —
+    at 100 TB the difference between touching one file and scanning the
+    dataset. Disjointness is verified mechanically from parquet footer
+    statistics in tests/test_writers.py."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into
+    one Long — built-in shift/or expressions only (codegen, no UDF).
+    Sorting by this key clusters data in BOTH dimensions at once, so a
+    2-D box predicate prunes files/row-groups on either column —
+    lexicographic sort can only serve its leading column.
+    ``bits`` caps each coordinate at 2^bits - 1 (values are clamped)."""
+    from pyspark.sql import Column, functions as F
+
+    def _col(c):
+        return F.col(c) if isinstance(c, str) else c
+
+    cap = (1 << bits) - 1
+    xs = F.least(F.greatest(_col(x), F.lit(0)), F.lit(cap)).cast("long")
+    ys = F.least(F.greatest(_col(y), F.lit(0)), F.lit(cap)).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet over two int dimensions: range-
+    partition + sort on the Morton key, drop the key on write. Readers
+    filtering a box on (x, y) prune most files via footer min/max on
+    EITHER column."""
+    keyed = df.withColumn("_zkey", zorder_key(x_col, y_col, bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -128,3 +128,94 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def _file_stats(path, col):
+    """Per-file (min, max) for one column from parquet footer stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_range_clustered_write_prunes_from_footer_stats(spark, tmp_path):
+    """Range-clustered files have pairwise-disjoint key ranges, so a
+    point/range predicate overlaps exactly one file (footer-stat
+    pruning) — an unsorted write overlaps all of them."""
+    from flink_wsr_project_spark.sources.writers import write_range_clustered
+
+    df = spark.range(0, 100_000).withColumn("k", (F.col("id") * 7919) % 100_000)
+    clustered = str(tmp_path / "clustered")
+    naive = str(tmp_path / "naive")
+    write_range_clustered(df, clustered, ["k"], num_files=8)
+    df.repartition(8).write.parquet(naive)
+
+    stats = _file_stats(clustered, "k")
+    assert len(stats) == 8
+
+    def overlapping(stats, point):
+        return sum(1 for lo, hi in stats if lo <= point <= hi)
+
+    naive_stats = _file_stats(naive, "k")
+    for probe in (5, 31_337, 50_000, 99_999):
+        assert overlapping(stats, probe) == 1, f"clustered probe {probe}"
+    # mid-domain probes hit every unsorted file (each spans ~the domain)
+    assert overlapping(naive_stats, 50_000) == len(naive_stats) > 1
+
+
+def test_zorder_write_prunes_boxes_on_both_dims(spark, tmp_path):
+    """Morton-key clustering bounds BOTH dimensions per file: a small
+    2-D box prunes most files via footer stats on either column, and a
+    lexicographic (x, y) sort cannot serve a y-only filter — its y
+    ranges span the domain in every file."""
+    from flink_wsr_project_spark.sources.writers import write_zordered, zorder_key
+
+    n, files = 1 << 16, 16
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 48271) % 256)
+        .withColumn("y", (F.col("id") * 16807) % 256)
+    )
+    zpath, lexpath = str(tmp_path / "zord"), str(tmp_path / "lex")
+    write_zordered(df, zpath, "x", "y", num_files=files, bits=8)
+    (
+        df.repartitionByRange(files, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.parquet(lexpath)
+    )
+
+    def overlapping(stats, lo, hi):
+        return sum(1 for fmin, fmax in stats if not (hi < fmin or lo > fmax))
+
+    # y-only filter: z-order bounds y per file; lexicographic does not
+    zy = overlapping(_file_stats(zpath, "y"), 0, 31)
+    lexy = overlapping(_file_stats(lexpath, "y"), 0, 31)
+    assert zy <= files // 2, f"z-order should prune y-filter, touched {zy}/{files}"
+    assert lexy == files, "lex layout serves only its leading column"
+    # x-filter: both layouts prune
+    assert overlapping(_file_stats(zpath, "x"), 0, 31) <= files // 2
+    assert overlapping(_file_stats(lexpath, "x"), 0, 31) <= files // 2
+
+    # the Morton key itself is the documented interleave
+    import itertools
+
+    rows = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product([0, 1, 2, 255], repeat=2)], ["x", "y"]
+    ).select("x", "y", zorder_key("x", "y", bits=8).alias("z")).collect()
+    for r in rows:
+        want = sum(((r.x >> i) & 1) << (2 * i) | ((r.y >> i) & 1) << (2 * i + 1)
+                   for i in range(8))
+        assert r.z == want
