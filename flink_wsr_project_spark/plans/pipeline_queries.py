@@ -1348,3 +1348,117 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (iterative algorithm, exact integers)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_INIT_US = 1_000_000  # per-node mass in micro-units
+
+
+def _pagerank_edges_sql(engine: str) -> str:
+    """Undirected near-dup edges (LSH-verified Jaccard >= 0.5), both
+    directions."""
+    pairs = _dedup_minhash_lsh_sql(engine)
+    return f"""
+WITH pairs AS ({pairs})
+SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5
+UNION
+SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB oracle: the SAME 10 iterations, fully unrolled as chained
+    CTEs with identical integer arithmetic (floor division everywhere),
+    so both engines are bit-exact — no float tolerance, no recursion."""
+    edges = _pagerank_edges_sql("duckdb")
+    # AS MATERIALIZED: DuckDB would otherwise inline the edges CTE (the
+    # whole LSH pipeline) at each of its ~20 uses across the unrolled
+    # iterations — hundreds of redundant scans.
+    parts = [
+        f"edges AS MATERIALIZED ({edges})",
+        "outdeg AS MATERIALIZED (SELECT a, count(*) AS outdeg FROM edges GROUP BY a)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        f"iter0 AS MATERIALIZED (SELECT doc_id, CAST({_PR_INIT_US} AS BIGINT) AS rank_us FROM documents)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        prev = f"iter{k - 1}"
+        parts.append(f"""iter{k} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(150000 + (85 * (COALESCE(inc.s, 0) +
+              (SELECT COALESCE(SUM(r.rank_us), 0) FROM {prev} r
+               LEFT JOIN outdeg od ON r.doc_id = od.a WHERE od.a IS NULL)
+              // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank_us
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.b, SUM(r.rank_us // od.outdeg) AS s
+    FROM edges e
+    JOIN {prev} r ON e.a = r.doc_id
+    JOIN outdeg od ON od.a = e.a
+    GROUP BY e.b
+  ) inc ON inc.b = d.doc_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id, rank_us FROM iter{_PR_ITERS}"
+    )
+
+
+@register("doc_pagerank", oracle=_pagerank_oracle(), tags=("pipeline", "graph", "iterative"))
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 iterations) over the LSH near-dup
+    graph — the canonical iterative join-aggregate algorithm, with the
+    house determinism rule applied to an ITERATIVE computation: ranks
+    live in integer micro-units and every division floors, so partial
+    sums are associative and the result is bit-identical on any
+    partitioning AND matches the DuckDB oracle (the same 10 iterations
+    unrolled as chained CTEs) exactly. Flooring leaks < outdeg micro-
+    units per node per iteration — bounded and deterministic, unlike
+    float summation order.
+
+    Scale: each iteration is one equi-join on the edge source + one
+    groupBy on the destination (both shuffle on doc_id), a broadcast of
+    the new ranks' lineage truncated by localCheckpoint (checkpoint to
+    durable storage on a real cluster). The only driver values are the
+    dangling-mass scalar and the node count — O(1) per iteration, like
+    dedup_components' convergence sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("documents")
+    edges = spark.sql(_pagerank_edges_sql("spark")).cache()
+    outdeg = edges.groupBy("a").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(outdeg, "a").select("a", "b", "outdeg").cache()
+    n_docs = docs.count()
+    ranks = docs.select("doc_id").withColumn(
+        "rank_us", F.lit(_PR_INIT_US).cast("long")
+    )
+    for _ in range(_PR_ITERS):
+        dangling = (
+            ranks.join(outdeg, ranks.doc_id == outdeg.a, "left_anti")
+            .agg(F.coalesce(F.sum("rank_us"), F.lit(0)))
+            .collect()[0][0]
+        )
+        share = dangling // n_docs
+        inc = (
+            edges_deg.join(ranks, edges_deg.a == ranks.doc_id)
+            .select("b", F.expr("rank_us div outdeg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            docs.select("doc_id")
+            .join(inc, docs.doc_id == inc.b, "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST(150000 + (85 * (COALESCE(s, 0) + {share})) div 100 AS BIGINT)"
+                ).alias("rank_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    edges_deg.unpersist()
+    return ranks
