@@ -2,18 +2,24 @@
 columns with typed metadata, processed by Arrow-batched Pandas UDFs
 over ``mapInPandas``.
 
-Decode is PROBE-BASED per modality:
+Decode is REAL for every modality, using only public container formats
+parseable with the stdlib (this build ships no codec libraries):
 
-* **audio** — REAL decode via the stdlib ``wave`` codec. The synthetic
-  assets carry genuine RIFF/WAVE payloads (44-byte header + 8-bit mono
-  PCM), constructed JVM-side from constants + ``doc_id``, so the
-  decode path parses actual bytes and its outputs (frame count, sample
-  rate → sampling plan) are oracle-checked exactly.
-* **image / video** — probe PIL / PyAV / cv2 and fall back to a
-  clearly-marked ``NotImplementedError`` when absent (this container
-  ships no image/video codecs). The Spark-side plumbing — schema,
-  binary payloads, Arrow batch shape, partition-parallel execution —
-  is identical to the audio path and therefore fully exercised.
+* **audio** — stdlib ``wave``: genuine RIFF/WAVE payloads (44-byte
+  header + 8-bit mono PCM), frame count / sample rate / duration come
+  from parsing actual bytes.
+* **image** — Windows BMP (BITMAPINFOHEADER, 24 bpp): the magic,
+  file size, data offset, dimensions, and bit depth are struct-parsed
+  from the payload; thumbnail dims derive from the DECODED geometry.
+* **video** — YUV4MPEG2 (Y4M): stream parameters (W/H/fps) parsed
+  from the header line, frames counted by their ``FRAME\\n`` markers,
+  payload length validated against W×H×3/2 per 4:2:0 frame; the
+  frame-sampling plan (every 2nd frame) runs over decoded frames.
+
+Compressed formats (PNG/JPEG, MP4/H.264) need codec libraries; the
+probe for PIL/PyAV is kept ahead of the stdlib parsers so richer
+codecs are used when the environment provides them — the container
+formats above make the decode path REAL either way.
 
 At 100 TB: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -30,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MEDIA_KINDS = ("image", "audio", "video")
-_MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+_MIME = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}
 
 # Synthetic WAV geometry: 8-bit mono PCM, 8 kHz, 128 frames (16 ms).
 WAV_RATE = 8000
@@ -47,18 +53,80 @@ _WAV_HEADER = (
 WAV_HEADER_HEX = _WAV_HEADER.hex().upper()
 WAV_PCM_BYTES = 128  # PCM body: doc_id zero-padded to 128 ASCII bytes
 
+# Synthetic BMP geometry: 24 bpp, height 4, width 4/8/12/16 by doc_id%4.
+# Widths are multiples of 4 so each 3·w-byte pixel row needs no padding:
+# body = 12·w bytes (doc_id zero-padded ASCII), file = 54 + 12·w bytes.
+BMP_WIDTHS = (4, 8, 12, 16)
+BMP_HEIGHT = 4
+
+
+def _bmp_header(w: int) -> bytes:
+    body = 3 * w * BMP_HEIGHT
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + body, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, BMP_HEIGHT, 1, 24, 0, body, 0, 0, 0, 0)
+    )
+
+
+BMP_HEADER_HEX = {w: _bmp_header(w).hex().upper() for w in BMP_WIDTHS}
+
+# Synthetic Y4M geometry: 4x4 4:2:0 at 25 fps -> 24 bytes per frame
+# (16 Y + 4 Cb + 4 Cr), 1-5 frames by doc_id%5. Frame bodies are the
+# doc_id zero-padded to 24 ASCII chars ('z' pad), so the FRAME marker
+# cannot occur inside a body.
+Y4M_HEADER = "YUV4MPEG2 W4 H4 F25:1 Ip A0:0 C420\n"
+Y4M_FRAME_BODY = 4 * 4 + 2 * (2 * 2)
+Y4M_FPS = 25
+
 FEATURE_SCHEMA = (
     "asset_id long, kind string, n_bytes long, payload_md5 string, "
     "thumb_w int, thumb_h int, n_frames_sampled int, decode_status string"
 )
 
 
+def _parse_bmp(payload: bytes) -> dict:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if file_size != len(payload):
+        raise ValueError("BMP size field does not match payload length")
+    return {
+        "width": width,
+        "height": abs(height),
+        "bpp": bpp,
+        "data_offset": data_offset,
+    }
+
+
+def _parse_y4m(payload: bytes) -> dict:
+    if not payload.startswith(b"YUV4MPEG2 "):
+        raise ValueError("not a Y4M payload")
+    header, _, rest = payload.partition(b"\n")
+    params = {p[:1]: p[1:] for p in header.split(b" ")[1:] if p}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    num, den = (int(x) for x in params.get(b"F", b"25:1").split(b":"))
+    n_frames = rest.count(b"FRAME\n")
+    frame_bytes = w * h * 3 // 2
+    if len(rest) != n_frames * (6 + frame_bytes):
+        raise ValueError("Y4M frame payload length mismatch")
+    return {
+        "width": w,
+        "height": h,
+        "fps": num / den,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 * den / num),
+    }
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
-    """Probe-based decode. Audio is REAL (stdlib ``wave``); image and
-    video raise ``NotImplementedError`` unless a codec library (PIL /
-    av / cv2) is importable — none are present in this build, and the
-    caller treats that as the documented stub path.
-    """
+    """Real decode per modality. Audio: stdlib ``wave``. Image: PIL if
+    present, else the stdlib BMP parser. Video: PyAV if present, else
+    the stdlib Y4M parser. Raises ``ValueError`` for bytes that match
+    no parsable container."""
     if kind == "audio":
         import io
         import wave
@@ -73,34 +141,32 @@ def decode_media(payload: bytes, kind: str) -> dict:
             }
     if kind == "image":
         try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "image decode requires PIL, not present in this build"
-            ) from e
-        import io
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        im = Image.open(io.BytesIO(payload))
-        return {"width": im.width, "height": im.height, "mode": im.mode}
+            im = Image.open(io.BytesIO(payload))
+            return {"width": im.width, "height": im.height, "mode": im.mode}
+        except ImportError:
+            return _parse_bmp(payload)
     if kind == "video":
         try:
             import av  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "video decode requires PyAV/ffmpeg, not present in this build"
-            ) from e
-        raise NotImplementedError("video decode path not wired")
+
+            raise NotImplementedError("PyAV decode path not wired")
+        except ImportError:
+            return _parse_y4m(payload)
     raise ValueError(f"unknown media kind {kind!r}")
 
 
 def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake media table derived from ``documents``: kind
-    round-robins by doc_id; AUDIO payloads are real 172-byte WAV files
-    (constant header + doc_id-derived PCM — built with JVM expressions,
-    no UDF), image/video payloads are utf-8 bytes of the text.
-    Exercises BinaryType end to end with oracle-checkable metadata."""
+    """Deterministic media table derived from ``documents``: kind
+    round-robins by doc_id; every payload is a GENUINE container —
+    172-byte WAV (audio), 24 bpp BMP with doc_id-dependent width
+    (image), multi-frame 4x4 Y4M stream with doc_id-dependent frame
+    count (video) — all built with JVM expressions (constant headers +
+    doc_id-derived bodies), no UDF. Exercises BinaryType end to end
+    with byte-exact oracle-checkable payloads."""
     from flink_wsr_project_spark.sources.readers import load_table
 
     docs = load_table(spark, "documents", sf_dir)
@@ -111,8 +177,34 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lit(WAV_HEADER_HEX)),
         F.encode(F.rpad(F.col("doc_id").cast("string"), WAV_PCM_BYTES, "0"), "UTF-8"),
     )
-    payload = F.when(kind == "audio", wav_payload).otherwise(
-        F.encode(F.col("text"), "UTF-8")
+    bmp_header = F.element_at(
+        F.array(*[F.lit(BMP_HEADER_HEX[w]) for w in BMP_WIDTHS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    bmp_payload = F.concat(
+        F.unhex(bmp_header),
+        F.encode(
+            F.expr(
+                f"rpad(cast(doc_id as string), 12 * 4 * cast(doc_id % 4 + 1 as int), '0')"
+            ),
+            "UTF-8",
+        ),
+    )
+    y4m_payload = F.encode(
+        F.concat(
+            F.lit(Y4M_HEADER),
+            F.expr(
+                "repeat(concat('FRAME', char(10), "
+                f"rpad(cast(doc_id as string), {Y4M_FRAME_BODY}, 'z')), "
+                "cast(doc_id % 5 + 1 as int))"
+            ),
+        ),
+        "UTF-8",
+    )
+    payload = (
+        F.when(kind == "audio", wav_payload)
+        .when(kind == "image", bmp_payload)
+        .otherwise(y4m_payload)
     )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -128,14 +220,20 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
+    """mapInPandas feature extraction over binary payloads — every
+    modality decoded for real:
 
-    Audio payloads are decoded for real (``wave``): the sampling plan
-    (1 frame per started second of DECODED duration) and
-    ``decode_status='decoded'`` come from parsing actual bytes.
-    Image/video probe their codecs and fall back to metadata-derived
-    fake features with ``decode_status='stub'`` — so the full Arrow
-    batch path runs for every modality and stays verifiable.
+    * audio — ``wave``; sampling plan = 1 frame per started second of
+      DECODED duration;
+    * image — BMP struct parse; thumbnail dims = decoded geometry
+      clipped to 256;
+    * video — Y4M parse; sampling plan = every 2nd DECODED frame
+      (ceil(n/2)); thumbnail dims = decoded geometry.
+
+    Audio thumbnails are 0×0 (no visual plane). Unparseable payloads
+    fall back to metadata-derived features with
+    ``decode_status='stub'`` — the error path stays observable rather
+    than throwing away the batch.
 
     ``payload_md5`` is the md5 of the UPPERCASE HEX of the payload
     (not of the raw bytes) so the same fingerprint is expressible in
@@ -145,25 +243,41 @@ def extract_features(assets: DataFrame) -> DataFrame:
     # NOTE: the closure must be self-contained (no references to this
     # module) — Spark's Python workers unpickle it in processes that may
     # not have the package on PYTHONPATH (the driver harness imports us
-    # by path). Imports happen inside; the probes are local.
+    # by path). Imports happen inside; the parsers are local.
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
+        import struct as _struct
         import wave as _wave
 
         import pandas as pd
 
         def _decode(payload, kind):
-            """Returns decoded duration_ms, raising when no codec."""
+            """(thumb_w, thumb_h, n_frames_sampled) from real bytes."""
+            b = bytes(payload)
             if kind == "audio":
-                with _wave.open(_io.BytesIO(bytes(payload))) as w:
-                    return int(w.getnframes() * 1000 / w.getframerate())
+                with _wave.open(_io.BytesIO(b)) as w:
+                    ms = int(w.getnframes() * 1000 / w.getframerate())
+                return 0, 0, max(1, ms // 1000)
             if kind == "image":
-                from PIL import Image  # ImportError -> stub path
-
-                Image.open(_io.BytesIO(bytes(payload)))
-                return 0
-            raise NotImplementedError(f"no codec for kind={kind!r}")
+                if b[:2] != b"BM":
+                    raise ValueError("not BMP")
+                (fsz,) = _struct.unpack_from("<I", b, 2)
+                w, h = _struct.unpack_from("<ii", b, 18)
+                if fsz != len(b):
+                    raise ValueError("BMP size mismatch")
+                return min(w, 256), min(abs(h), 256), 1
+            if kind == "video":
+                if not b.startswith(b"YUV4MPEG2 "):
+                    raise ValueError("not Y4M")
+                header, _, rest = b.partition(b"\n")
+                params = {p[:1]: p[1:] for p in header.split(b" ")[1:] if p}
+                w, h = int(params[b"W"]), int(params[b"H"])
+                n = rest.count(b"FRAME\n")
+                if len(rest) != n * (6 + w * h * 3 // 2):
+                    raise ValueError("Y4M length mismatch")
+                return min(w, 256), min(h, 256), (n + 1) // 2
+            raise ValueError(f"unknown kind {kind!r}")
 
         for pdf in it:
             out = {
@@ -176,18 +290,25 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     else None
                 ),
             }
-            status, frames = [], []
-            for k, p, meta_ms in zip(pdf["kind"], pdf["payload"], pdf["duration_ms"]):
+            status, tws, ths, frames = [], [], [], []
+            for k, p, mw, mh, meta_ms in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"],
+                pdf["duration_ms"],
+            ):
                 try:
-                    ms = _decode(p, k)
+                    tw, th, nf = _decode(p, k)
                     status.append("decoded")
-                    frames.append(max(1, int(ms // 1000)))
-                except (NotImplementedError, ImportError):
+                except (ValueError, EOFError, KeyError, _struct.error, _wave.Error):
                     status.append("stub")
+                    tw = min(int(mw) if mw is not None else 0, 256)
+                    th = min(int(mh) if mh is not None else 0, 256)
                     ms = int(meta_ms) if meta_ms is not None else 0
-                    frames.append(max(1, ms // 1000))
-            out["thumb_w"] = (pdf["width"].fillna(0).astype(int).clip(upper=256)).astype("int32")
-            out["thumb_h"] = (pdf["height"].fillna(0).astype(int).clip(upper=256)).astype("int32")
+                    nf = max(1, ms // 1000)
+                tws.append(tw)
+                ths.append(th)
+                frames.append(nf)
+            out["thumb_w"] = pd.Series(tws, index=pdf.index, dtype="int32")
+            out["thumb_h"] = pd.Series(ths, index=pdf.index, dtype="int32")
             out["n_frames_sampled"] = pd.Series(frames, index=pdf.index, dtype="int32")
             out["decode_status"] = status
             yield pd.DataFrame(out)[

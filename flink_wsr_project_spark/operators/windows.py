@@ -137,3 +137,49 @@ def sliding_count_two_stage(
         .groupBy(window_end_alias, *key_names)
         .agg(F.sum("_partial").alias(count_alias))
     )
+
+
+def cumulate_count(
+    df: DataFrame,
+    ts_col: str,
+    max_s: int,
+    step_s: int,
+    keys: Sequence[str | Column] = (),
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Flink's CUMULATE window TVF (early-firing partial results of a
+    tumbling window) as a batch operator: windows share a start aligned
+    to ``max_s`` and their ends grow by ``step_s`` —
+    ``[H, H+step), [H, H+2·step), …, [H, H+max)`` — so each row lands
+    in every cumulate window that closes at or after it within its
+    tumble span.
+
+    Same two-stage physics as :func:`sliding_count_two_stage`: tumble
+    to step-granularity buckets first (exchange 1 carries one partial
+    per (key, bucket)), then explode only AGGREGATED rows into the
+    remaining window ends of their span and merge. Expansion factor is
+    (max/step − position), ≤ max/step, applied after the partial
+    aggregate — never to raw rows.
+
+    Emits ``window_start``/``window_end`` epoch-second Longs.
+    """
+    max_s, step_s = int(max_s), int(step_s)
+    if max_s % step_s:
+        raise ValueError("max size must be a multiple of step")
+    start = ((epoch_seconds(ts_col) / max_s).cast("long") * max_s).alias("window_start")
+    bucket = ((epoch_seconds(ts_col) / step_s).cast("long") * step_s).alias("_bucket")
+    s1 = df.groupBy(start, bucket, *keys).agg(F.count("*").alias("_partial"))
+    wend = F.explode(
+        F.sequence(
+            F.col("_bucket") + step_s,
+            F.col("window_start") + max_s,
+            F.lit(step_s),
+        )
+    ).alias("window_end")
+    key_names = [c for c in s1.columns if c not in ("window_start", "_bucket", "_partial")]
+    return (
+        s1.select("window_start", wend, "_partial", *key_names)
+        .repartition("window_end")
+        .groupBy("window_start", "window_end", *key_names)
+        .agg(F.sum("_partial").alias(count_alias))
+    )

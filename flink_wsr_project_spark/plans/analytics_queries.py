@@ -405,6 +405,100 @@ def pv_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUMULATE window (Flink window-TVF parity: early-firing tumble partials)
+# ---------------------------------------------------------------------------
+
+_CUMULATE_ORACLE = """
+WITH e AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket
+  FROM events WHERE event_type = 'view'
+),
+x AS (
+  SELECT window_start,
+         unnest(generate_series(bucket + 900, window_start + 3600, 900)) AS window_end
+  FROM e
+)
+SELECT window_start, window_end, count(*) AS cnt
+FROM x GROUP BY 1, 2
+"""
+
+
+@register("pv_hourly_cumulate", oracle=_CUMULATE_ORACLE, tags=("cumulate", "A2"))
+def pv_hourly_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's CUMULATE window TVF (hourly tumble with 15-min
+    early-firing partials) — ``operators.windows.cumulate_count``.
+    Two-stage physics: tumble to 15-min buckets first, explode only
+    the AGGREGATED partials into the remaining window ends of their
+    hour, merge. Exchange 1 carries one row per bucket; expansion
+    (≤ max/step = 4×) applies only to aggregated rows — the same
+    discipline as the sliding-window headline plans."""
+    from flink_wsr_project_spark.operators.windows import cumulate_count
+
+    events = load_table(spark, "events", sf_dir)
+    return cumulate_count(
+        events.filter(F.col("event_type") == "view"), "ts", max_s=3600, step_s=900
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (warehouse-style change capture from an event log)
+# ---------------------------------------------------------------------------
+
+_SCD2_SENTINEL = 253402300800  # 9999-12-31T00:00:00Z: open-ended validity
+
+_SCD2_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS segment, ts_s AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, segment, valid_from,
+       coalesce(lead(valid_from) OVER w2, {_SCD2_SENTINEL}) AS valid_to,
+       CAST(lead(valid_from) OVER w2 IS NULL AS BOOLEAN) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+@register("user_segment_scd2", oracle=_SCD2_ORACLE, tags=("scd2", "cdc"))
+def user_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the raw event log:
+    each user's event_type acts as the tracked attribute; consecutive
+    repeats collapse, each change opens a validity interval
+    [valid_from, valid_to) closed by the next change (open-ended rows
+    carry the year-9999 sentinel and is_current=true). ONE shuffle on
+    user_id shared by the change-detection lag and the interval-closing
+    lead — the batch form of a CDC/changelog materialization."""
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        epoch_seconds("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.coalesce(nxt, F.lit(_SCD2_SENTINEL)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention (weekly)
 # ---------------------------------------------------------------------------
 

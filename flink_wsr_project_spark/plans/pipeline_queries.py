@@ -515,37 +515,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _media_features_oracle() -> str:
-    """Audio rows model the REAL wave-codec decode of the synthetic
-    172-byte WAV payloads (44-byte constant header + 128 PCM bytes
-    derived from doc_id): n_bytes/md5 recompute the exact payload,
-    n_frames_sampled=1 is ceil of the decoded 16 ms duration, and
-    decode_status='decoded' asserts the codec ran. Image/video stay on
-    the documented stub path. payload_md5 is md5(upper-hex(payload)) —
-    expressible in both engines (DuckDB md5 is VARCHAR-only)."""
+    """Models the REAL decode of all three synthetic containers
+    (operators/multimodal.py): 172-byte WAV (audio), 24 bpp BMP with
+    doc_id-dependent width (image), multi-frame 4x4 Y4M (video).
+    n_bytes and payload_md5 recompute the exact payload bytes; thumb
+    dims and the sampling plan mirror what the parsers derive from
+    those bytes; decode_status='decoded' everywhere asserts every
+    parser ran. payload_md5 is md5(upper-hex(payload)) — expressible
+    in both engines (DuckDB md5 is VARCHAR-only)."""
     from flink_wsr_project_spark.operators.multimodal import (
+        BMP_HEADER_HEX,
+        BMP_HEIGHT,
+        BMP_WIDTHS,
         WAV_FRAMES,
         WAV_HEADER_HEX,
         WAV_PCM_BYTES,
+        Y4M_FRAME_BODY,
+        Y4M_HEADER,
     )
 
     wav_bytes = 44 + WAV_FRAMES
+    bmp_header = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{BMP_HEADER_HEX[w]}'" for i, w in enumerate(BMP_WIDTHS)
+    ) + " END"
+    y4m_head = Y4M_HEADER.rstrip("\n")
     return f"""
 WITH m AS (
   SELECT doc_id, text, n_chars,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         4 * (doc_id % 4 + 1) AS bmp_w,
+         doc_id % 5 + 1 AS y4m_n
   FROM documents
 )
 SELECT doc_id AS asset_id, kind,
-       CASE WHEN kind = 'audio' THEN {wav_bytes} ELSE strlen(text) END AS n_bytes,
-       CASE WHEN kind = 'audio'
+       CASE kind WHEN 'audio' THEN {wav_bytes}
+                 WHEN 'image' THEN 54 + 3 * {BMP_HEIGHT} * bmp_w
+                 ELSE {len(Y4M_HEADER)} + y4m_n * (6 + {Y4M_FRAME_BODY}) END AS n_bytes,
+       CASE kind
+            WHEN 'audio'
             THEN md5(hex(from_hex('{WAV_HEADER_HEX}')
                          || encode(rpad(CAST(doc_id AS VARCHAR), {WAV_PCM_BYTES}, '0'))))
-            ELSE md5(hex(encode(text))) END AS payload_md5,
-       CAST(least(n_chars % 1920, 256) AS INTEGER) AS thumb_w,
-       CAST(least(n_chars % 1080, 256) AS INTEGER) AS thumb_h,
-       CAST(CASE WHEN kind = 'audio' THEN 1
-                 ELSE greatest((n_chars * 40) // 1000, 1) END AS INTEGER) AS n_frames_sampled,
-       CASE WHEN kind = 'audio' THEN 'decoded' ELSE 'stub' END AS decode_status
+            WHEN 'image'
+            THEN md5(hex(from_hex({bmp_header})
+                         || encode(rpad(CAST(doc_id AS VARCHAR),
+                                        CAST(3 * {BMP_HEIGHT} * bmp_w AS INTEGER), '0'))))
+            ELSE md5(hex(encode('{y4m_head}' || chr(10)
+                         || repeat('FRAME' || chr(10)
+                                   || rpad(CAST(doc_id AS VARCHAR), {Y4M_FRAME_BODY}, 'z'),
+                                   CAST(y4m_n AS INTEGER))))) END AS payload_md5,
+       CAST(CASE kind WHEN 'audio' THEN 0 WHEN 'image' THEN bmp_w ELSE 4 END
+            AS INTEGER) AS thumb_w,
+       CAST(CASE kind WHEN 'audio' THEN 0 WHEN 'image' THEN {BMP_HEIGHT} ELSE 4 END
+            AS INTEGER) AS thumb_h,
+       CAST(CASE kind WHEN 'video' THEN (y4m_n + 1) // 2 ELSE 1 END
+            AS INTEGER) AS n_frames_sampled,
+       'decoded' AS decode_status
 FROM m
 """
 
@@ -553,11 +577,14 @@ FROM m
 @register("media_features", oracle=_media_features_oracle(), tags=("pipeline", "multimodal"))
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the Arrow/mapInPandas
-    path (operators.multimodal). Audio is decoded FOR REAL (stdlib
-    wave codec over genuine WAV payloads); image/video probe their
-    codecs and fall back to the documented stub. Every emitted field —
-    including the decoded-audio sampling plan — is deterministic, so
-    even this Pandas-UDF operator is oracle-checked exactly."""
+    path (operators.multimodal). ALL three modalities decode FOR REAL
+    from genuine container bytes — WAV via the stdlib wave codec, BMP
+    via struct parsing, Y4M via stream-marker parsing (public formats
+    need no codec libraries; PIL/PyAV are probed first for compressed
+    formats when present). Every emitted field — dimensions, frame
+    counts, sampling plans — derives from parsed bytes and is
+    deterministic, so even this Pandas-UDF operator is oracle-checked
+    exactly."""
     from flink_wsr_project_spark.operators.multimodal import (
         extract_features,
         synthesize_media_assets,
@@ -1462,3 +1489,204 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     edges_deg.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph (oriented two-path + closure)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_sql(engine: str) -> str:
+    """Per-document triangle support in the LSH near-dup graph.
+
+    Classic distributed triangle enumeration: edges are ORIENTED
+    doc_a < doc_b (the LSH pair convention), so each triangle
+    a<b<c is generated exactly once as the two-path (a->b, b->c)
+    closed by the edge (a->c) — two equi-joins on node ids, no
+    direction dedup, no double counting. At 100 TB scale the two-path
+    join's skew is bounded by the max near-dup cluster degree; the
+    standard refinement (orient by degree, not id) drops in without
+    changing the closure join."""
+    pairs = _dedup_minhash_lsh_sql(engine)
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, count(*) AS n_triangles FROM (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY doc_id
+"""
+
+
+@register("doc_triangles", oracle=_triangle_sql("duckdb"), tags=("pipeline", "graph"))
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_triangle_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: corpus-weighted top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS dfq FROM tfc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, tfidf, rank FROM (
+  SELECT t.doc_id, t.token, t.tf,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfq), 6) AS tfidf,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfq), 6) DESC,
+                       t.token) AS BIGINT) AS rank
+  FROM tfc t JOIN dfreq d ON t.token = d.token CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
+@register("doc_tfidf_topk", oracle=_TFIDF_ORACLE, tags=("pipeline", "text"))
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Tokens stay in-row until ONE
+    explode feeds the (doc, token) count; document frequency reuses
+    that aggregate (shuffle on token), idf's corpus size is a 1-row
+    broadcast, and the per-doc rank partitions by doc_id (bounded
+    groups — WindowGroupLimit prunes to 3 per map task). The score is
+    rounded to 6 dp BEFORE ranking so both engines rank identical
+    values (ln differs in the last ulp across libms)."""
+    from flink_wsr_project_spark.operators.topn import topn_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfq"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return topn_per_group(
+        scored, ["doc_id"], "tfidf", 3, tiebreakers=["token"]
+    ).select("doc_id", "token", "tf", "tfidf", "rank")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction with per-class counts)
+# ---------------------------------------------------------------------------
+
+# Patterns avoid backslash classes ([0-9], not \d) so the SAME string is a
+# valid Java regex (Spark) and RE2 regex (DuckDB) with no escape divergence.
+_PII_EMAIL = "[a-z0-9.]+@[a-z0-9.-]+"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_scrub_sql(engine: str) -> str:
+    """Synthetic PII (email/phone/IPv4 derived from doc_id) is appended
+    to each document, then redacted class-by-class; counts come from
+    ``regexp_extract_all`` lengths and the scrubbed text is
+    fingerprinted. Redaction order matters (emails contain dots like
+    IPs) — both engines apply email → phone → ip."""
+    n = "len" if engine == "duckdb" else "size"
+    g = ", 'g'" if engine == "duckdb" else ""
+    # Spark's regexp_extract_all defaults to capture group 1; group 0 is
+    # the whole match (DuckDB's default).
+    g0 = "" if engine == "duckdb" else ", 0"
+    contaminated = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST(doc_id % 100 AS VARCHAR)"
+        if engine == "duckdb"
+        else
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@example.com or 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+        " ' at 10.0.', CAST(doc_id % 256 AS STRING), '.',"
+        " CAST(doc_id % 100 AS STRING))"
+    )
+    return f"""
+WITH raw AS (SELECT doc_id, {contaminated} AS dirty FROM documents),
+scrubbed AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(dirty, '{_PII_EMAIL}', '<EMAIL>'{g}),
+             '{_PII_PHONE}', '<PHONE>'{g}),
+           '{_PII_IP}', '<IP>'{g}) AS clean
+  FROM raw
+)
+SELECT doc_id,
+       CAST({n}(regexp_extract_all(dirty, '{_PII_EMAIL}'{g0})) AS BIGINT) AS n_emails,
+       CAST({n}(regexp_extract_all(dirty, '{_PII_PHONE}'{g0})) AS BIGINT) AS n_phones,
+       CAST({n}(regexp_extract_all(clean, '<IP>'{g0})) AS BIGINT) AS n_ips,
+       md5(clean) AS clean_md5
+FROM scrubbed
+"""
+
+
+@register("pii_scrub", oracle=_pii_scrub_sql("duckdb"), tags=("pipeline", "text", "privacy"))
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — the compliance pass every training-data
+    pipeline runs before tokenization. All JVM-side regexp functions
+    (whole-stage codegen, zero shuffles — a pure map over the corpus);
+    per-class counts and a fingerprint of the scrubbed text make the
+    redaction oracle-checkable byte-for-byte. At 100 TB this is the
+    cheapest operator class there is: narrow, no exchange, bounded by
+    scan bandwidth."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_pii_scrub_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (canonical form for dedup/tokenization)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_sql(engine: str) -> str:
+    g = ", 'g'" if engine == "duckdb" else ""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '{g}),
+                             '  +', ' '{g})) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       md5(clean) AS norm_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars_norm
+FROM norm
+"""
+
+
+@register("doc_normalize", oracle=_normalize_sql("duckdb"), tags=("pipeline", "text"))
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → non-alnum to space →
+    whitespace collapse → trim): the preprocessing contract that makes
+    exact-dedup hashes and shingle sets stable across crawls. Pure
+    codegen string ops, no shuffle; the canonical form is
+    fingerprinted, not materialized twice."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_normalize_sql("spark"))

@@ -3,6 +3,8 @@ survival, and the closure property (no near-dups remain after dedup)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_wsr_project_spark.pipeline import curate_corpus, curation_report, recheck_neardups
 from tests.conftest import SF_DIR
 
@@ -27,41 +29,66 @@ def test_curation_pipeline(spark):
     assert report["raw"] == counts["raw"]
 
 
-def test_wav_decode_is_real(spark):
-    """The audio path decodes ACTUAL bytes: a synthesized asset's WAV
-    payload parses with the stdlib wave codec to the advertised
-    geometry, and the feature extractor reports decoded status with a
-    duration-derived sampling plan. Image/video stay on the probe-stub
-    path in this codec-less container."""
+def test_media_decode_is_real(spark):
+    """Every modality decodes ACTUAL bytes in this codec-less
+    container: WAV through the stdlib wave codec, BMP through struct
+    parsing, Y4M through stream-marker parsing. Dimensions and frame
+    counts must come from the parsed payloads, and corrupt bytes must
+    be rejected — not silently passed through."""
     from flink_wsr_project_spark.operators.multimodal import (
+        BMP_HEIGHT,
         WAV_FRAMES,
         WAV_RATE,
+        Y4M_FPS,
         decode_media,
         extract_features,
         synthesize_media_assets,
     )
 
     assets = synthesize_media_assets(spark, SF_DIR)
-    one_audio = assets.filter("kind = 'audio'").limit(1).collect()[0]
-    meta = decode_media(bytes(one_audio.payload), "audio")
+    one = {
+        r.kind: r
+        for r in assets.dropDuplicates(["kind"]).collect()
+    }
+    meta = decode_media(bytes(one["audio"].payload), "audio")
     assert meta == {
         "channels": 1,
         "sample_rate": WAV_RATE,
         "n_frames": WAV_FRAMES,
         "duration_ms": int(WAV_FRAMES * 1000 / WAV_RATE),
     }
+    img_id = one["image"].asset_id
+    img = decode_media(bytes(one["image"].payload), "image")
+    assert img["width"] == 4 * (img_id % 4 + 1)  # geometry parsed from bytes
+    assert img["height"] == BMP_HEIGHT and img["bpp"] == 24
+
+    vid_id = one["video"].asset_id
+    vid = decode_media(bytes(one["video"].payload), "video")
+    assert vid["n_frames"] == vid_id % 5 + 1  # frame markers counted
+    assert (vid["width"], vid["height"], vid["fps"]) == (4, 4, float(Y4M_FPS))
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n", "image")
+    with _pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n" + b"\x00" * 64, "image")
+    with _pytest.raises(ValueError):
+        decode_media(b"RIFFnot-a-y4m" + b"\x00" * 64, "video")
 
     feats = {
         r.kind: r
         for r in extract_features(assets).dropDuplicates(["kind"]).collect()
     }
-    assert feats["audio"].decode_status == "decoded"
+    assert {f.decode_status for f in feats.values()} == {"decoded"}
     assert feats["audio"].n_frames_sampled == 1  # ceil(16 ms) -> 1 s plan
     assert feats["audio"].n_bytes == 44 + WAV_FRAMES
-    assert feats["image"].decode_status == "stub"
-    assert feats["video"].decode_status == "stub"
+    assert (feats["image"].thumb_w, feats["image"].thumb_h) == (
+        4 * (feats["image"].asset_id % 4 + 1), BMP_HEIGHT,
+    )
+    assert feats["video"].n_frames_sampled == (feats["video"].asset_id % 5 + 1 + 1) // 2
+
+    # corrupt payloads take the observable stub path, not an exception
+    bad = assets.withColumn(
+        "payload", F.encode(F.lit("corrupt"), "UTF-8")
+    )
+    bad_feats = extract_features(bad).dropDuplicates(["kind"]).collect()
+    assert {r.decode_status for r in bad_feats} == {"stub"}

@@ -578,3 +578,80 @@ def test_streaming_to_incremental_state_bridge(spark, tmp_path):
 
     got = {(r.k, r.n, r.total) for r in spark.read.parquet(state).collect()}
     assert got == {("a", 2, 11), ("b", 1, 2), ("c", 1, 5)}
+
+
+def test_uv_per_element_bloom_exact_fire_sequence(spark, tmp_path):
+    """C6 EXACT form: uv_per_element_bloom emits one row PER ELEMENT
+    with the post-element count — the reference's FIRE_AND_PURGE
+    sequence itself, not a trigger-boundary sample. Cross-checked
+    against a plain-Python simulation of the reference's Bloom
+    (polynomial hash seed 61, Int wrap, mask bits-1) over the same
+    arrival order, across TWO micro-batches (state — count AND bitmap —
+    must survive the batch boundary: user 7 repeats in batch 2 and must
+    NOT increment)."""
+    from flink_wsr_project_spark.streaming.stateful import uv_per_element_bloom
+
+    d = str(tmp_path / "uv_bloom_src")
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["user_id", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    batch1 = [(7, "2024-01-01 00:05:00"), (8, "2024-01-01 00:10:00"),
+              (7, "2024-01-01 00:15:00"), (9, "2024-01-01 00:20:00")]
+    batch2 = [(7, "2024-01-01 00:25:00"), (10, "2024-01-01 00:30:00"),
+              (11, "2024-01-01 01:05:00")]  # second window opens
+    write(batch1)
+    stream = _read_stream(spark, d)
+    out = uv_per_element_bloom(stream, bits=1 << 16)
+
+    rows: list[tuple[int, int, int, int]] = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            rows.append((epoch_id, r.window_end, r.user_id, r.uv))
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    write(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    # plain-Python reference simulation (same hash, same arrival order)
+    def simulate(batches):
+        state: dict[int, tuple[int, bytearray]] = {}
+        emitted = []
+        for batch in batches:
+            for uid, ts in sorted(batch, key=lambda r: (r[1], r[0])):
+                import datetime as dt
+
+                epoch = int(dt.datetime.fromisoformat(ts + "+00:00").timestamp())
+                we = (epoch // 3600 + 1) * 3600
+                count, bloom = state.get(we, (0, bytearray(1 << 13)))
+                h = 0
+                for ch in str(uid):
+                    h = (h * 61 + ord(ch)) & 0xFFFFFFFF
+                off = h & ((1 << 16) - 1)
+                if not bloom[off >> 3] & (1 << (off & 7)):
+                    bloom[off >> 3] |= 1 << (off & 7)
+                    count += 1
+                state[we] = (count, bloom)
+                emitted.append((we, uid, count))
+        return emitted
+
+    want = simulate([batch1, batch2])
+    got = [(w, u, c) for (_e, w, u, c) in sorted(rows)]
+    assert len(got) == len(batch1) + len(batch2)  # one FIRE per element
+    assert sorted(got) == sorted(want)
+    # the per-window FIRE sequences match the reference exactly
+    by_window: dict[int, list[int]] = {}
+    for _e, w, _u, c in sorted(rows):
+        by_window.setdefault(w, []).append(c)
+    assert by_window[max(by_window)] == [1]        # window 2: first element
+    assert max(by_window[min(by_window)]) == 4     # window 1: 4 distinct users
