@@ -185,7 +185,7 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(bmp_header),
         F.encode(
             F.expr(
-                f"rpad(cast(doc_id as string), 12 * 4 * cast(doc_id % 4 + 1 as int), '0')"
+                "rpad(cast(doc_id as string), 12 * 4 * cast(doc_id % 4 + 1 as int), '0')"
             ),
             "UTF-8",
         ),

@@ -1690,3 +1690,142 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinted, not materialized twice."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_normalize_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (fixed-memory mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def _cms_sql(engine: str) -> str:
+    """Count-Min heavy hitters, bit-identical in both engines.
+
+    Sketch: depth=4 hash rows × width=1024 buckets; row r hashes a
+    token as h28('r<r>:' || token) mod width — independent-enough rows
+    from the one house md5 primitive. Cells build from the AGGREGATED
+    (token, cnt) table (summing counts per cell ≡ per-occurrence
+    increments, at |vocab| rows instead of corpus tokens). A token's
+    estimate is MIN over its 4 cells — ≥ exact by construction; the
+    top-20 exact tokens are emitted with exact count, estimate, and
+    overestimate so the sketch error itself is oracle-checked.
+    """
+    if engine == "spark":
+        toks = (
+            "SELECT explode(split(lower(text), '[^a-z0-9]+')) AS token FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token"
+            " FROM documents"
+        )
+    salted = [h28(f"'r{r}:' || token", engine) for r in range(_CMS_DEPTH)]
+    hashed = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS r, token, cnt,"
+        f" {salted[r]} % {_CMS_WIDTH} AS bucket FROM freq"
+        for r in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS ({toks}),
+freq AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+hashed AS (
+{hashed}
+),
+cells AS (SELECT r, bucket, SUM(cnt) AS cell FROM hashed GROUP BY r, bucket),
+top20 AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 20)
+SELECT t.token, t.cnt AS exact_cnt,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cell) - t.cnt AS BIGINT) AS overestimate
+FROM top20 t
+JOIN hashed h ON h.token = t.token
+JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+GROUP BY t.token, t.cnt
+"""
+
+
+@register("token_cms_heavy_hitters", oracle=_cms_sql("duckdb"), tags=("pipeline", "sketch"))
+def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus heavy
+    hitters, next to their exact counts (overestimate included — the
+    sketch's error is itself oracle-checked).
+
+    100 TB story: the sketch is d×w = 4096 BIGINT cells REGARDLESS of
+    vocabulary size — one token shuffle builds it, shards merge by
+    cell-wise addition (sum-groupBy commutes), probes broadcast the
+    4 KB cell table. The exact twin (token_vocab_topk) carries the
+    full |vocab| aggregate; at extreme cardinality the sketch is the
+    fixed-memory option, and this query pins exactly what that trade
+    costs (min-of-cells ≥ exact, never under)."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_cms_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (what fraction of the corpus the top-k covers)
+# ---------------------------------------------------------------------------
+
+
+def _vocab_coverage_sql(engine: str) -> str:
+    if engine == "spark":
+        toks = "SELECT explode(split(lower(text), '[^a-z0-9]+')) AS token FROM documents"
+    else:
+        toks = (
+            "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token"
+            " FROM documents"
+        )
+    fdiv = "//" if engine == "duckdb" else "div"
+    return f"""
+WITH toks AS ({toks}),
+freq AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+total AS (SELECT SUM(cnt) AS n FROM freq),
+top AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 100)
+SELECT rank, token, cnt,
+       CAST(cum * 1000000 {fdiv} n AS BIGINT) AS coverage_ppm
+FROM (
+  SELECT token, cnt,
+         CAST(row_number() OVER (PARTITION BY n ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+         SUM(cnt) OVER (PARTITION BY n ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         n
+  FROM top CROSS JOIN total
+)
+"""
+
+
+@register("vocab_coverage_curve", oracle=_vocab_coverage_sql("duckdb"), tags=("pipeline", "text"))
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-100 tokens (the curve that
+    sizes a tokenizer vocabulary): rank + running-sum window over the
+    ALREADY-LIMITED top-100 (TakeOrderedAndProject first, window over
+    ≤ 100 rows partitioned by the joined total — never an unpartitioned
+    window over the vocabulary). Coverage is integer ppm with floored
+    division — exact across engines."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_vocab_coverage_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of predicted vs labeled lang
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_sql(engine: str) -> str:
+    lid = lang_id_sql(engine)
+    return f"""
+WITH preds AS ({lid})
+SELECT d.lang AS label_lang, p.predicted_lang, count(*) AS n_docs
+FROM preds p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.predicted_lang
+"""
+
+
+@register("lang_id_confusion", oracle=_lang_confusion_sql("duckdb"), tags=("pipeline", "text", "eval"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    dataset's language labels — the evaluation loop a corpus pipeline
+    runs before trusting a classifier gate. One aggregate over the
+    lang_id scores; |langs|² output rows."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_lang_confusion_sql("spark"))

@@ -81,3 +81,29 @@ def reconcile_full_outer(
         .otherwise(F.lit("matched"))
     )
     return joined.withColumn(status_col, status)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in practice (Flink's lookup/temporal-table join against a
+    bounded side; the reference joins every click stream to static
+    channel/province attributes it carries inline).
+
+    The static side is BROADCAST: each micro-batch probes an
+    executor-local hash map, no shuffle of the stream, no join state at
+    all (unlike stream-stream joins there is nothing to buffer). A
+    plan-embedded static side is FROZEN at query start (its file
+    listing lives in the running query's analyzed plan — even
+    ``refreshByPath`` cannot reach it, and rewriting the files fails
+    the query on the stale listing). For a dimension that UPDATES
+    mid-stream, call this inside ``foreachBatch`` on a freshly-read
+    dim — the Flink temporal-join pattern — as pinned by
+    tests/test_streaming_joins.py. At 100 TB stream volume this is the
+    only join shape whose cost is independent of stream history.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -129,3 +129,49 @@ def test_reconcile_full_outer_stream_emits_unmatched(spark, tmp_path):
     rows = {(r.tx, r.status) for r in spark.sql("SELECT * FROM rec").collect()}
     assert ("tx_a", "matched") in rows
     assert ("tx_b", "unmatched_left") in rows
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast enrichment via the foreachBatch
+    temporal-join pattern: the streamed result equals the batch join,
+    and because the dimension is re-read per micro-batch, an updated
+    dimension IS visible to the next trigger (the updatable-dim
+    contract documented on ``enrich_stream``)."""
+    from flink_wsr_project_spark.streaming.joins import enrich_stream
+
+    d = str(tmp_path / "enrich_src")
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def write(rows):
+        spark.createDataFrame(rows, ["user_id", "amount"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write([(1, 10), (2, 20), (3, 30)])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+
+    rows: list[tuple] = []
+
+    def sink(batch_df, epoch_id):
+        enriched = enrich_stream(batch_df, spark.read.parquet(dim_dir), "user_id")
+        for r in enriched.collect():
+            rows.append((epoch_id, r.user_id, r.amount, r.tier))
+
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+
+    got1 = {(u, a, t) for (_e, u, a, t) in rows}
+    assert got1 == {(1, 10, "gold"), (2, 20, "silver"), (3, 30, None)}
+
+    # dimension update: user 3 gains a tier; the per-batch re-read
+    # surfaces it at the very next trigger
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["user_id", "tier"]
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    write([(3, 31)])
+    q.processAllAvailable()
+    q.stop()
+    assert (3, 31, "bronze") in {(u, a, t) for (_e, u, a, t) in rows}
