@@ -655,3 +655,53 @@ def test_uv_per_element_bloom_exact_fire_sequence(spark, tmp_path):
         by_window.setdefault(w, []).append(c)
     assert by_window[max(by_window)] == [1]        # window 2: first element
     assert max(by_window[min(by_window)]) == 4     # window 1: 4 distinct users
+
+
+def test_stateful_operator_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state (the Bloom bitmap AND the count)
+    recovers from the checkpointed state store across a full query
+    stop/restart — not just source offsets: a user seen before the
+    restart must NOT re-increment the unique-visitor count after it."""
+    from flink_wsr_project_spark.streaming.stateful import uv_per_element_bloom
+
+    src = str(tmp_path / "uvck_src")
+    cp = str(tmp_path / "uvck_cp")
+    rows: list[tuple[int, int]] = []
+
+    def write(data):
+        (
+            spark.createDataFrame(data, ["user_id", "ts_str"])
+            .withColumn("ts", F.to_timestamp("ts_str"))
+            .drop("ts_str")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            rows.append((r.user_id, r.uv))
+
+    def start():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        return (
+            uv_per_element_bloom(stream, bits=1 << 16)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", cp)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    write([(7, "2024-01-01 00:05:00"), (8, "2024-01-01 00:10:00")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert rows == [(7, 1), (8, 2)]
+
+    # user 7 repeats AFTER the restart: only recovered bloom state can
+    # know it was already counted
+    write([(7, "2024-01-01 00:15:00"), (9, "2024-01-01 00:20:00")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert rows == [(7, 1), (8, 2), (7, 2), (9, 3)]
