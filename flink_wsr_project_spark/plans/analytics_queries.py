@@ -467,6 +467,52 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+_PIT_ORACLE = f"""
+WITH scd AS ({_SCD2_ORACLE})
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+       s.segment AS segment_at_event
+FROM events e
+JOIN scd s
+  ON e.user_id = s.user_id
+ AND s.valid_from <= CAST(floor(epoch(e.ts)) AS BIGINT)
+ AND CAST(floor(epoch(e.ts)) AS BIGINT) < s.valid_to
+"""
+
+
+@register("events_segment_pit", oracle=_PIT_ORACLE, tags=("scd2", "asof", "J1"))
+def events_segment_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension built by
+    ``user_segment_scd2``: each event joins the ONE segment version
+    whose half-open validity interval [valid_from, valid_to) contains
+    its timestamp — the temporal-join correctness contract that makes
+    training-data snapshots reproducible (no leakage from future
+    versions). Equi-join on user_id with a residual range predicate;
+    per-user version counts are small, so the range filter runs inside
+    co-partitioned joins, never as a nested loop. Every event matches
+    exactly once (the intervals tile each user's timeline; degenerate
+    same-second intervals are excluded by the half-open bound)."""
+    events = load_table(spark, "events", sf_dir)
+    scd = user_segment_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"), "segment", "valid_from", "valid_to"
+    )
+    ts_s = epoch_seconds("ts")
+    return (
+        events.join(
+            scd,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("valid_from") <= ts_s)
+            & (ts_s < F.col("valid_to")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            ts_s.alias("ts_s"),
+            F.col("segment").alias("segment_at_event"),
+        )
+    )
+
+
 @register("user_segment_scd2", oracle=_SCD2_ORACLE, tags=("scd2", "cdc"))
 def user_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) build from the raw event log:

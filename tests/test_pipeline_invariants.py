@@ -98,3 +98,25 @@ def test_doc_chunks_reconstruct_documents(spark):
         assert all(ln == _CHUNK_SIZE for _, txt, ln in parts[:-1])
         rebuilt = parts[0][1] + "".join(txt[overlap:] for _, txt, _ in parts[1:])
         assert rebuilt == docs[doc_id], f"doc {doc_id} not reconstructed"
+
+
+def test_scd2_intervals_tile_and_pit_join_is_total(spark):
+    """SCD2 invariants: per user, validity intervals are disjoint and
+    cover [first_event, inf) (exactly one is_current row, each interval
+    starts where the previous ended); consequently the point-in-time
+    join matches EVERY event exactly once."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    rows = _Q["user_segment_scd2"](spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.valid_from, r.valid_to, r.is_current))
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        assert sum(1 for _f, _t, cur in ivs if cur) == 1
+        assert ivs[-1][1] == 253402300800  # open-ended sentinel
+        for (f1, t1, _), (f2, _t2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2, f"user {uid}: gap/overlap {t1} != {f2}"
+
+    n_events = load_table(spark, "events", SF_DIR).count()
+    assert _Q["events_segment_pit"](spark, SF_DIR).count() == n_events

@@ -192,3 +192,24 @@ def test_python_datasource_stream_offsets(spark, tmp_path):
     first_two = [i for e, i in sorted(seen) if e in epochs[:2]]
     assert first_two == list(range(len(first_two)))  # contiguous indices
     assert _row(first_two[0])[0] == first_two[0]  # index-determined rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across parquet files (the 100 TB reality: a
+    column added mid-corpus): mergeSchema unions the schemas, old files
+    surface NULL for the new column, and filters on the new column
+    still push down to the scan."""
+    d = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", "extra")], ["id", "v", "tag"]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in df.collect()}
+    assert rows == {1: None, 2: "extra"}
+    assert df.filter(df.tag == "extra").count() == 1
+    assert df.filter(df.tag.isNull()).count() == 1
