@@ -92,3 +92,50 @@ def test_media_decode_is_real(spark):
     )
     bad_feats = extract_features(bad).dropDuplicates(["kind"]).collect()
     assert {r.decode_status for r in bad_feats} == {"stub"}
+
+
+def test_incremental_ingest_dedups_against_state(spark, tmp_path):
+    """ingest_batch: batch 2's exact copies and near-dups of batch-1
+    docs are rejected by the persisted signature state (history text is
+    never re-read), fresh docs are admitted, and re-running a committed
+    batch_id is a no-op (idempotent exactly-once admission)."""
+    from flink_wsr_project_spark.pipeline import ingest_batch
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    state = str(tmp_path / "ingest_state")
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    b1 = docs.filter("doc_id < 60")
+    r1 = ingest_batch(spark, state, b1, "b1")
+    admitted1 = {r.doc_id for r in r1["admitted"].collect()}
+    assert admitted1  # batch 1 admits its canonical docs
+    assert not r1["replayed"]
+
+    # batch 2: fresh docs + exact copies + a near-dup of an admitted doc
+    some = min(admitted1)
+    base = docs.filter("doc_id >= 60 AND doc_id < 100")
+    copies = (
+        docs.filter(F.col("doc_id").isin(*sorted(admitted1)[:3]))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    neardup = (
+        docs.filter(F.col("doc_id") == some)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    b2 = base.unionByName(copies).unionByName(neardup)
+    r2 = ingest_batch(spark, state, b2, "b2")
+    admitted2 = {r.doc_id for r in r2["admitted"].collect()}
+    de = {r.doc_id for r in r2["dropped_exact"].collect()}
+    dn = {r.doc_id for r in r2["dropped_neardup"].collect()}
+
+    assert {d + 100000 for d in sorted(admitted1)[:3]} <= de  # exact copies rejected
+    assert some + 200000 in dn                                # near-dup rejected
+    assert admitted2 and all(d < 100000 for d in admitted2)
+    assert admitted2 | de | dn == {r.doc_id for r in b2.collect()}
+
+    # idempotent replay
+    r2b = ingest_batch(spark, state, b2, "b2")
+    assert r2b["replayed"]
+    assert {r.doc_id for r in r2b["admitted"].collect()} == admitted2

@@ -705,3 +705,39 @@ def test_stateful_operator_state_survives_restart(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert rows == [(7, 1), (8, 2), (7, 2), (9, 3)]
+
+
+def test_streaming_continuous_ingest(spark, tmp_path):
+    """Continuous corpus curation: a document stream drained through
+    foreachBatch + ingest_batch(batch_id=epoch) — each micro-batch
+    dedups against the persisted signature state of everything admitted
+    before it; an exact copy arriving in a later batch is rejected."""
+    from flink_wsr_project_spark.pipeline import ingest_batch
+
+    src = str(tmp_path / "ing_src")
+    state = str(tmp_path / "ing_state")
+
+    def write(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "a completely different document about spark window aggregation"
+    write([(1, t1), (2, t2)])
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    admitted: list[int] = []
+
+    def sink(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        r = ingest_batch(spark, state, batch_df, f"epoch{epoch_id}")
+        admitted.extend(x.doc_id for x in r["admitted"].collect())
+
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    write([(3, t1), (4, "yet another unrelated document mentioning join physics")])
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(admitted) == [1, 2, 4]  # doc 3 == doc 1's text: rejected
