@@ -324,3 +324,32 @@ def hot_items_stream(
         counts, ["window_end"], "cnt", n, sink, tiebreakers=["item_id"],
         query_name="hot_items_stream",
     )
+
+
+def unique_visitor_stream(
+    spark: SparkSession,
+    csv_dir: str,
+    sink,
+    bits: int = 1 << 20,
+):
+    """Streaming UV with the reference's EXACT per-element semantics:
+    watch ``csv_dir`` for UserBehavior-format CSVs and emit one updated
+    (window_end, uv) row per pv element through the Bloom-deduped
+    FIRE_AND_PURGE operator (UniqueVisitor_03_Bloom.scala end-to-end —
+    trigger `:62-92`, Bloom process fn `:96-154` — with the state store
+    in place of Redis). ``sink(batch_df, epoch_id)`` receives the
+    per-element emissions each trigger. Returns the StreamingQuery."""
+    from flink_wsr_project_spark.streaming.stateful import uv_per_element_bloom
+
+    lines = spark.readStream.text(csv_dir)
+    ub = parse_csv_lines(lines, schemas.USER_BEHAVIOR)
+    pv = ub.filter(F.col("behavior") == "pv").withColumn(
+        "ts", epoch_to_ts("ts_epoch")
+    ).select("user_id", "ts")
+    out = uv_per_element_bloom(pv, bits=bits)
+    return (
+        out.writeStream.outputMode("append")
+        .queryName("unique_visitor_stream")
+        .foreachBatch(sink)
+        .start()
+    )

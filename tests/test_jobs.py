@@ -175,3 +175,31 @@ def test_hot_items_stream_matches_batch(spark, fixture_dir, tmp_path):
     batch = jobs.hot_items(spark, str(fixture_dir / "UserBehavior.csv"))
     want = {(r.window_end, r.rank): (r.item_id, r.cnt) for r in batch.collect()}
     assert collected == want and len(want) > 0
+
+
+def test_unique_visitor_stream_job(spark, fixture_dir, tmp_path):
+    """UniqueVisitor_03 end-to-end: CSV-dir stream → per-element Bloom
+    UV emissions; one row per pv element, final count = exact distinct
+    pv users of the fixture hour."""
+    import shutil
+
+    d = tmp_path / "uv_csv_dir"
+    d.mkdir()
+    shutil.copy(fixture_dir / "UserBehavior.csv", d / "part1.csv")
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend((r.window_end, r.user_id, r.uv) for r in batch_df.collect())
+
+    q = jobs.unique_visitor_stream(spark, str(d), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    # fixture: 8 pv in hour 1 (8 distinct users) + 1 pv in a later hour
+    assert len(rows) == 9
+    by_we: dict[int, list[int]] = {}
+    for we, _u, uv in rows:
+        by_we.setdefault(we, []).append(uv)
+    uvs = sorted(by_we.items())
+    assert [max(v) for _, v in uvs] == [8, 1]
+    assert sorted(by_we[uvs[0][0]]) == list(range(1, 9))  # per-element fires

@@ -586,3 +586,34 @@ def test_pca_matches_numpy_recompute(spark):
     proj = (X - mean) @ comps.T
     for vid, p in zip(ids, proj):
         assert abs(got[vid][0] - p[0]) < 1e-9 and abs(got[vid][1] - p[1]) < 1e-9
+
+
+def test_cumulate_final_step_equals_tumble_and_grows(spark):
+    """CUMULATE invariants at sf0.001: within each window_start the
+    counts are nondecreasing in window_end (early firings accumulate),
+    and the LAST step (window_start + max) equals the plain tumbling
+    count of that hour."""
+    from flink_wsr_project_spark.operators.windows import cumulate_count, windowed_agg
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, "events", SF_DIR).filter(F.col("event_type") == "view")
+    cum = cumulate_count(events, "ts", max_s=3600, step_s=900)
+    by_start: dict[int, list[tuple[int, int]]] = {}
+    for r in cum.collect():
+        by_start.setdefault(r.window_start, []).append((r.window_end, r.cnt))
+    tumble = {
+        r.window_end: r.cnt
+        for r in windowed_agg(
+            events, "ts", "1 hour", aggs=[F.count("*").alias("cnt")]
+        ).collect()
+    }
+    assert by_start
+    for start, steps in by_start.items():
+        steps.sort()
+        counts = [c for _, c in steps]
+        assert counts == sorted(counts)  # nondecreasing growth
+        last_end, last_cnt = steps[-1]
+        assert last_end == start + 3600
+        assert last_cnt == tumble[last_end]  # final firing == tumble
