@@ -11,7 +11,7 @@ or integer-scaled before aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
     h28,
@@ -1829,3 +1829,190 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_id scores; |langs|² output rows."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_lang_confusion_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Keep-best dedup: near-dup components -> retain the highest-quality doc
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    """Components via recursive CTE (oracle-scale only), then one
+    row_number per component ordered by quality (token count desc,
+    doc_id asc)."""
+    pairs = _dedup_minhash_lsh_sql("duckdb")
+    return rf"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT component_id, doc_id AS keep_doc_id, CAST(n_tokens AS BIGINT) AS keep_n_tokens,
+       n_docs
+FROM (
+  SELECT c.component_id, c.doc_id, q.n_tokens,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.n_tokens DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component_id) AS n_docs
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle(), tags=("pipeline", "dedup"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup curation: LSH pairs → connected components →
+    keep ONE document per component, chosen by quality (here: most
+    tokens, tie-broken by smallest doc_id) — the policy real corpus
+    dedup runs (keep the longest/cleanest copy, not an arbitrary one).
+
+    Spark-first: reuses ``dedup_components``' distributed min-label
+    propagation, joins per-doc token counts (one shuffle on doc_id),
+    and ranks within components via ``topn_per_group`` — partitioned
+    window, so WindowGroupLimit pre-prunes to 1 row per component
+    before the exchange. Component count ≪ doc count at any scale.
+    """
+    from flink_wsr_project_spark.operators.topn import topn_per_group
+
+    labels = dedup_components(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens")
+    )
+    per_doc = labels.join(ntok, "doc_id")
+    sized = per_doc.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("component_id"))
+    )
+    best = topn_per_group(
+        sized, ["component_id"], "n_tokens", 1, tiebreakers=["doc_id"]
+    )
+    return best.select(
+        "component_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_tokens").alias("keep_n_tokens"),
+        "n_docs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the vocabulary rank/frequency curve
+# ---------------------------------------------------------------------------
+
+
+def _zipf_fit_sql(engine: str) -> str:
+    """Log-log OLS fit of the top-1000 token rank/frequency curve.
+
+    Determinism discipline: ln(rank) and ln(freq) are scaled to
+    integer micro-units BEFORE summing, so the four regression sums
+    are exact integers on both engines (order-independent under any
+    partitioning); slope/intercept/r² are then single double
+    expressions over identical integers. (Summing raw doubles would be
+    partition-order-dependent — the same reason every money aggregate
+    here runs in integer cents.)"""
+    if engine == "spark":
+        toks = "SELECT explode(split(lower(text), '[^a-z0-9]+')) AS token FROM documents"
+    else:
+        toks = (
+            "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token"
+            " FROM documents"
+        )
+    return f"""
+WITH toks AS ({toks}),
+freq AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token),
+top AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 1000),
+ranked AS (
+  SELECT CAST(round(ln(row_number() OVER (PARTITION BY n ORDER BY cnt DESC, token))
+                    * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+  FROM top CROSS JOIN (SELECT count(*) AS n FROM top) t
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+         count(*) AS n_points
+  FROM ranked
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 1000000.0
+         AS zipf_intercept_ln,
+       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r_squared
+FROM s
+"""
+
+
+@register("vocab_zipf_fit", oracle=_zipf_fit_sql("duckdb"), tags=("pipeline", "text", "eval"))
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept/r²
+    of ln(freq) vs ln(rank) on the top-1000 tokens — the one-number
+    corpus-health check (natural text ≈ −1; boilerplate/spam skews it).
+    Rank comes from a window over the ALREADY-LIMITED top-1000
+    (TakeOrderedAndProject first), sums are integer-exact, and the fit
+    itself is a 1-row aggregate — nothing here grows with corpus size
+    except the token count shuffle."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_zipf_fit_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality terciles: percentile cutpoints -> head/middle/tail
+# ---------------------------------------------------------------------------
+
+
+def _quality_terciles_sql(engine: str) -> str:
+    """Value-based tercile bucketing via interpolated percentile
+    cutpoints broadcast back onto the rows — NOT ntile(): a global
+    ntile needs a total order (single-partition window at corpus
+    scale), while cutpoints are one tiny aggregate + a broadcast
+    compare, and the bucket boundaries are stable under re-partition."""
+    if engine == "spark":
+        # NB: Spark SQL string literals treat backslash as an escape, so
+        # the regex \s+ must be written \\s+ in the SQL text (DuckDB
+        # literals are standard-SQL, no escaping).
+        quantile, ntoks = "percentile", r"size(split(trim(text), '\\s+'))"
+    else:
+        quantile, ntoks = "quantile_cont", r"len(regexp_split_to_array(trim(text), '\s+'))"
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(round(length(text) * 1000.0 / {ntoks}) AS BIGINT) AS cpt_milli
+  FROM documents
+),
+cuts AS (
+  SELECT {quantile}(cpt_milli, 0.3333333333333333) AS c1,
+         {quantile}(cpt_milli, 0.6666666666666666) AS c2
+  FROM q
+)
+SELECT doc_id, cpt_milli,
+       CASE WHEN cpt_milli <= c1 THEN 'head'
+            WHEN cpt_milli <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q CROSS JOIN cuts
+"""
+
+
+@register(
+    "doc_quality_terciles", oracle=_quality_terciles_sql("duckdb"), tags=("pipeline", "text")
+)
+def doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing of documents by a quality
+    proxy (chars-per-token, integer milli-units): cutpoints are the
+    exact interpolated terciles (1-row aggregate, broadcast back), so
+    at 100 TB the bucket assignment is a broadcast-hash compare over
+    the scan — no global sort, no ntile. (The production swap-in is
+    approx_percentile for the cutpoints; exact here for the oracle.)"""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_quality_terciles_sql("spark"))
