@@ -48,9 +48,16 @@ def get_spark(
         # shuffle.partitions still governs scale-out, and at 100 TB
         # partitions exceed the advisory size so coalescing is a no-op.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Advisory sizing rule: ~(post-shuffle bytes / total cores), so
+        # every core gets work. The local harness shuffles tens of MB on
+        # 32 threads → 2m (measured: 8m coalesced the heavy agg stages to
+        # 1-2 tasks and cost ~25% of steady-state bench time). A cluster
+        # deployment at TB shuffle volumes sets 64m (Spark's default) via
+        # $SPARK_GRAFT_ADVISORY_PARTITION — the rule, not the constant,
+        # is what scales.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
