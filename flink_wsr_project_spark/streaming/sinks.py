@@ -122,3 +122,44 @@ def idempotent_parquet_sink(
         .foreachBatch(process)
         .start()
     )
+
+
+def rate_limited_sink(
+    stream: DataFrame,
+    sink_fn: Callable[[DataFrame, int], None],
+    interval: str = "1 second",
+    max_rows_per_trigger: int | None = None,
+    order_by: list[str] | None = None,
+    query_name: str = "rate_limited",
+) -> StreamingQuery:
+    """K5: sink-side rate limiting.
+
+    The reference throttles its console output with a blocking
+    ``Thread.sleep(1000)`` inside the sink operator
+    (``HotItems.scala:202``, ``NetworkFlowTopNPage…scala:172``) —
+    which stalls the TASK THREAD, backpressuring the whole pipeline to
+    1 emit/s. Spark-first, pacing belongs to the TRIGGER, not a sleep
+    on an executor thread: ``Trigger.ProcessingTime(interval)`` paces
+    epochs without blocking any task, and an optional per-epoch row cap
+    (deterministic ``orderBy().limit()``, i.e. TakeOrderedAndProject —
+    never a single-partition sort) bounds each emission the way the
+    reference's one-block-per-second print loop did. Rows beyond the
+    cap are dropped for that epoch by design (a print throttle, not a
+    queue); upstream state remains exact.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df
+        if max_rows_per_trigger is not None:
+            if order_by:
+                out = out.orderBy(*order_by)
+            out = out.limit(max_rows_per_trigger)
+        sink_fn(out, epoch_id)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .trigger(processingTime=interval)
+        .queryName(query_name)
+        .foreachBatch(process)
+        .start()
+    )

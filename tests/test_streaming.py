@@ -741,3 +741,34 @@ def test_streaming_continuous_ingest(spark, tmp_path):
     q.stop()
 
     assert sorted(admitted) == [1, 2, 4]  # doc 3 == doc 1's text: rejected
+
+
+def test_rate_limited_sink_caps_rows_and_paces_trigger(spark, tmp_path):
+    """K5: the trigger paces emission (no Thread.sleep on a task
+    thread) and the per-epoch cap is a deterministic ordered limit."""
+    from flink_wsr_project_spark.streaming.sinks import rate_limited_sink
+
+    d = str(tmp_path / "k5src")
+    rows = [(i, 100 - i) for i in range(20)]
+    spark.createDataFrame(rows, ["id", "score"]).write.parquet(d)
+    stream = _read_stream(spark, d)
+
+    emitted: list[list] = []
+
+    def fn(batch_df, epoch_id):
+        got = [r.id for r in batch_df.collect()]
+        if got:
+            emitted.append(got)
+
+    q = rate_limited_sink(
+        stream,
+        fn,
+        interval="1 second",
+        max_rows_per_trigger=5,
+        order_by=["id"],
+        query_name="k5_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # one micro-batch from the static source: capped at 5, lowest ids first
+    assert emitted == [[0, 1, 2, 3, 4]]
