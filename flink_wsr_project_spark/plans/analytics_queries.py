@@ -653,14 +653,14 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("purchase_ts").isNotNull()
                 & (
-                    F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+                    epoch_seconds("purchase_ts") - epoch_seconds("view_ts")
                     <= 3600
                 ),
                 3,
             )
             .when(
                 F.col("click_ts").isNotNull()
-                & (F.col("click_ts").cast("long") - F.col("view_ts").cast("long") <= 3600),
+                & (epoch_seconds("click_ts") - epoch_seconds("view_ts") <= 3600),
                 2,
             )
             .otherwise(1)
