@@ -215,7 +215,9 @@ def match_pattern_stream(
         cols = list(key_cols) + [f"{n}_ts" for n in names]
         yield pd.DataFrame(out, columns=cols)
 
-    keyed = pre.withWatermark(ts_col, watermark) if stream.isStreaming else pre
+    from flink_wsr_project_spark.operators.windows import ensure_event_time
+
+    keyed = ensure_event_time(pre, ts_col).withWatermark(ts_col, watermark) if stream.isStreaming else pre
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

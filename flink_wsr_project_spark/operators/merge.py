@@ -38,8 +38,12 @@ def merge_upsert(
 
     * the LATEST change per key wins (``order_by`` descending, ties
       resolved by its trailing columns — pass a unique id last);
-    * a winning change satisfying ``delete_predicate`` removes the key
-      (whether or not it existed in ``base``);
+    * a winning change satisfying ``delete_predicate`` — a plain
+      boolean ``Column`` over the change row's natural column names
+      (e.g. ``F.col("op_type") == "D"``), evaluated on the winning
+      change BEFORE the join — removes the key (whether or not it
+      existed in ``base``); NULL predicate values are treated as
+      not-a-delete;
     * keys only in ``base`` pass through (``op='kept'``), keys only in
       the changes insert (``'insert'``), both sides update
       (``'update'``).
@@ -50,27 +54,21 @@ def merge_upsert(
     keys = list(keys)
     value_cols = [c for c in base.columns if c not in keys]
     latest = dedup_keep_first(changes, keys, order_by, keep="last")
+    if delete_predicate is not None:
+        # Resolve against the change row's own columns, pre-rename: a
+        # delete marker must win even when base has the key.
+        latest = latest.withColumn("_c_delete", delete_predicate)
 
     b = base.withColumn("_b_present", F.lit(1))
     c = latest.select(
         *keys,
         *[F.col(col).alias(f"_c_{col}") for col in value_cols],
         F.lit(1).alias("_c_present"),
+        *([F.col("_c_delete")] if delete_predicate is not None else []),
     )
-    if delete_predicate is not None:
-        # Evaluate the predicate on the winning change row BEFORE the
-        # join: a delete marker must win even when base has the key.
-        c = c.withColumn(
-            "_c_delete",
-            delete_predicate(
-                latest if False else c.select(*keys, *[F.col(f"_c_{v}").alias(v) for v in value_cols])
-            )
-            if callable(delete_predicate)
-            else delete_predicate,
-        )
     j = b.join(c, keys, "full_outer")
     if delete_predicate is not None:
-        j = j.filter(F.col("_c_delete").isNull() | ~F.col("_c_delete"))
+        j = j.filter(~F.coalesce(F.col("_c_delete"), F.lit(False)))
 
     take_change = F.col("_c_present").isNotNull()
     merged_vals = [

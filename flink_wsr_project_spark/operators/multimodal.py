@@ -124,9 +124,12 @@ def _parse_y4m(payload: bytes) -> dict:
 
 def decode_media(payload: bytes, kind: str) -> dict:
     """Real decode per modality. Audio: stdlib ``wave``. Image: PIL if
-    present, else the stdlib BMP parser. Video: PyAV if present, else
-    the stdlib Y4M parser. Raises ``ValueError`` for bytes that match
-    no parsable container."""
+    present, else the stdlib BMP parser. Video: the stdlib Y4M struct
+    parser (uncompressed YUV4MPEG2 — a richer container format, e.g.
+    mp4 via PyAV/ffmpeg, would slot in here; only the per-row decode
+    body changes, the Spark plumbing — binary column in, typed struct
+    out, Arrow-batched — is format-agnostic). Raises ``ValueError``
+    for bytes that match no parsable container."""
     if kind == "audio":
         import io
         import wave
@@ -150,12 +153,7 @@ def decode_media(payload: bytes, kind: str) -> dict:
         except ImportError:
             return _parse_bmp(payload)
     if kind == "video":
-        try:
-            import av  # noqa: F401
-
-            raise NotImplementedError("PyAV decode path not wired")
-        except ImportError:
-            return _parse_y4m(payload)
+        return _parse_y4m(payload)
     raise ValueError(f"unknown media kind {kind!r}")
 
 

@@ -24,7 +24,26 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TimestampType (LTZ).
+
+    Spark 4 infers parquet ``timestamp[us]`` (no timezone annotation —
+    how the driver currently writes ``events.ts``) as TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects outright
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``) and which raw SQL can't
+    ``CAST(... AS BIGINT)``. With the session TZ pinned UTC the
+    NTZ→LTZ cast is exact (identical wall-clock instant), so one cast
+    here keeps batch SQL, DataFrame ops, and streaming watermarks on a
+    single timestamp type regardless of how the source parquet was
+    written. No-op (returns ``df`` unchanged) for any other type.
+    """
+    for f_ in df.schema.fields:
+        if f_.name == ts_col and isinstance(f_.dataType, T.TimestampNTZType):
+            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def epoch_seconds(col: Column | str) -> Column:

@@ -48,6 +48,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = _DEFAULT_SF_DIR) ->
     for f_ in df.schema.fields:
         if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f_.dataType, T.TimestampNTZType):
+            # Spark 4 reads tz-less parquet timestamps as TIMESTAMP_NTZ,
+            # which breaks withWatermark and raw-SQL numeric casts. UTC
+            # session TZ is pinned above, so LTZ normalization is exact.
+            # Covers every timestamp column, every driver regeneration
+            # shape (int64-nanos → the branch above; us/ns-NTZ → here).
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

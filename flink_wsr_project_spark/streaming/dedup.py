@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_wsr_project_spark.operators.windows import ensure_event_time
+
 
 def dedup_stream_exact(
     stream: DataFrame,
@@ -27,7 +29,7 @@ def dedup_stream_exact(
     """Keep the first-seen row per content hash within the watermark
     horizon. Hashing first (md5, JVM-side) means the state store keys
     on 32 bytes, never on the document text itself."""
-    hashed = stream.withColumn(hash_alias, F.md5(F.col(content_col)))
+    hashed = ensure_event_time(stream, ts_col).withColumn(hash_alias, F.md5(F.col(content_col)))
     if stream.isStreaming:
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             [hash_alias]
@@ -43,6 +45,7 @@ def dedup_stream_by_key(
 ) -> DataFrame:
     """Exactly-once by business key (e.g. event_id) within the
     watermark horizon."""
+    stream = ensure_event_time(stream, ts_col)
     if stream.isStreaming:
         return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             key_cols

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_wsr_project_spark.operators.windows import ensure_event_time
+
 
 def interval_join(
     left: DataFrame,
@@ -42,6 +44,7 @@ def interval_join(
     The reference's between(-3 s, +5 s) maps to lower_s=-3, upper_s=5
     *relative to the left (order) side's view of the receipt*.
     """
+    left, right = ensure_event_time(left, left_ts), ensure_event_time(right, right_ts)
     lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
     l_, r_ = lw.alias("l"), rw.alias("r")
@@ -66,6 +69,7 @@ def reconcile_full_outer(
 ) -> DataFrame:
     """Full-outer keyed match within ± tolerance; NULL sides labeled as
     the reference's unmatched side outputs."""
+    left, right = ensure_event_time(left, left_ts), ensure_event_time(right, right_ts)
     lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
     l_, r_ = lw.alias("l"), rw.alias("r")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from flink_wsr_project_spark.operators.windows import ensure_event_time
+
 
 def login_fail_detector(
     events: DataFrame,
@@ -162,6 +164,7 @@ def order_timeout_monitor(
             state.setTimeoutTimestamp(int((base + ddl) * 1000))
         yield pd.DataFrame(out, columns=cols)
 
+    orders = ensure_event_time(orders, ts_col)
     return orders.withWatermark(ts_col, "3 seconds").groupBy(key_col).applyInPandasWithState(
         fn,
         "order_id long, status string, create_ts long, pay_ts long",

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from flink_wsr_project_spark.operators.windows import epoch_seconds
+from flink_wsr_project_spark.operators.windows import ensure_event_time, epoch_seconds
 
 
 def streaming_windowed_agg(
@@ -52,7 +52,7 @@ def streaming_windowed_agg(
             watermark = f"{secs} seconds"
     w = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
     out = (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(w.alias("_w"), *keys)
         .agg(*aggs)
     )
@@ -77,6 +77,7 @@ def streaming_session_agg(
     (plans/analytics_queries.user_sessions).
     """
     sw = F.session_window(ts_col, gap)
+    stream = ensure_event_time(stream, ts_col)
     src = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
     return (
         src.groupBy(sw.alias("_sw"), *keys)
