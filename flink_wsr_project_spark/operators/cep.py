@@ -42,6 +42,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from flink_wsr_project_spark.operators.windows import ensure_event_time
+
 
 @dataclass
 class _Step:
@@ -87,6 +89,7 @@ def match_pattern(
     steps = pattern.steps
     if not steps or steps[0].contiguity != "begin":
         raise ValueError("pattern must start with Pattern.begin(...)")
+    df = ensure_event_time(df, ts_col)
     ts_s = F.col(ts_col).cast("timestamp").cast("long")
     if pattern.is_strict:
         return _match_strict(df, key_cols, ts_col, ts_s, pattern, tiebreakers or [])
@@ -175,7 +178,11 @@ def match_pattern_stream(
     within = pattern.within_s
     names = [s.name for s in steps]
 
-    pre = stream.withColumn("_ts_s", F.col(ts_col).cast("timestamp").cast("long"))
+    # Normalize event time ONCE, before the batch/stream branch — the
+    # _ts_s epoch extraction below is NTZ/TZ-sensitive, so both branches
+    # (not just the streaming one) must see a normalized LTZ column.
+    pre = ensure_event_time(stream, ts_col)
+    pre = pre.withColumn("_ts_s", F.col(ts_col).cast("timestamp").cast("long"))
     for i, s in enumerate(steps):
         pre = pre.withColumn(f"_m{i}", s.predicate.cast("integer"))
 
@@ -193,31 +200,54 @@ def match_pattern_stream(
     def fn(key, pdfs, state):
         import json
 
+        import numpy as np
         import pandas as pd
 
         buf = json.loads(state.get[0]) if state.exists else []
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["_ts_s"])
-            for _, row in pdf.iterrows():
-                cur = [int(row["_ts_s"])] + [int(row[f"_m{i}"]) for i in range(k)]
-                window = buf + [cur]
-                if len(window) >= k:
-                    run = window[-k:]
-                    ok = all(run[i][1 + i] == 1 for i in range(k))
-                    if ok and (within is None or run[-1][0] - run[0][0] <= within):
-                        rec = {c: key[i] for i, c in enumerate(key_cols)}
-                        for i, n in enumerate(names):
-                            rec[f"{n}_ts"] = run[i][0]
-                        out.append(rec)
-                buf = window[-(k - 1):] if k > 1 else []
-        state.update((json.dumps(buf),))
         cols = list(key_cols) + [f"{n}_ts" for n in names]
-        yield pd.DataFrame(out, columns=cols)
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((json.dumps(buf),))
+            yield pd.DataFrame([], columns=cols)
+            return
+        # One micro-batch-wide event-time sort (stable), then a fully
+        # vectorized rolling-window match: valid[j] requires row j-(k-1-i)
+        # to satisfy step i for every i, i.e. an AND of k shifted
+        # step-match columns — no per-row Python loop.
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("_ts_s", kind="mergesort")
+        n_buf = len(buf)
+        ts = np.concatenate(
+            [np.array([b[0] for b in buf], dtype=np.int64), pdf["_ts_s"].to_numpy(np.int64)]
+        )
+        n = len(ts)
+        m = np.zeros((n, k), dtype=bool)
+        for i in range(k):
+            if n_buf:
+                m[:n_buf, i] = [bool(b[1 + i]) for b in buf]
+            m[n_buf:, i] = pdf[f"_m{i}"].to_numpy() == 1
+        valid = np.ones(n, dtype=bool)
+        for i in range(k):
+            shift = k - 1 - i
+            col = m[:, i]
+            if shift:
+                col = np.concatenate([np.zeros(shift, dtype=bool), col[:-shift]])
+            valid &= col
+        # current row must be NEW (buffered rows were consumed last batch)
+        # and the window must be full (k rows available).
+        valid &= np.arange(n) >= max(k - 1, n_buf)
+        if within is not None and k > 1:
+            first_ts = np.concatenate([np.zeros(k - 1, dtype=np.int64), ts[: -(k - 1)]])
+            valid &= (ts - first_ts) <= within
+        idx = np.nonzero(valid)[0]
+        data = {c: [key[i_c]] * len(idx) for i_c, c in enumerate(key_cols)}
+        for i, nme in enumerate(names):
+            data[f"{nme}_ts"] = ts[idx - (k - 1) + i]
+        tail_lo = max(0, n - (k - 1)) if k > 1 else n
+        buf = [[int(ts[t])] + [int(m[t, i]) for i in range(k)] for t in range(tail_lo, n)]
+        state.update((json.dumps(buf),))
+        yield pd.DataFrame(data, columns=cols)
 
-    from flink_wsr_project_spark.operators.windows import ensure_event_time
-
-    keyed = ensure_event_time(pre, ts_col).withWatermark(ts_col, watermark) if stream.isStreaming else pre
+    keyed = pre.withWatermark(ts_col, watermark) if stream.isStreaming else pre
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

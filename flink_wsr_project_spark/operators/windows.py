@@ -34,7 +34,9 @@ def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     how the driver currently writes ``events.ts``) as TIMESTAMP_NTZ,
     which ``withWatermark`` rejects outright
     (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``) and which raw SQL can't
-    ``CAST(... AS BIGINT)``. With the session TZ pinned UTC the
+    ``CAST(... AS BIGINT)``. The cast is instant-exact ONLY under a
+    UTC session TZ (NTZ wall-clock values are UTC by data contract), so
+    the session TZ is pinned here before casting. With that pin the
     NTZ→LTZ cast is exact (identical wall-clock instant), so one cast
     here keeps batch SQL, DataFrame ops, and streaming watermarks on a
     single timestamp type regardless of how the source parquet was
@@ -42,6 +44,12 @@ def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """
     for f_ in df.schema.fields:
         if f_.name == ts_col and isinstance(f_.dataType, T.TimestampNTZType):
+            # Pin the session TZ BEFORE casting: streaming entry points
+            # (streaming/windows.py, joins.py, dedup.py, stateful.py,
+            # operators/cep.py) reach here without load_table's pin, and a
+            # non-UTC caller session would shift every instant, window
+            # boundary, and epoch output by the UTC offset.
+            df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
             return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

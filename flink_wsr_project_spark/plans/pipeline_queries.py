@@ -360,6 +360,50 @@ SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+def min_label_propagation(labels: DataFrame, edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: each round every node takes the min of its own label
+    and its neighbors' labels (one join + one groupBy, shuffled on the
+    node id only). O(component diameter) rounds; convergence detected
+    by the monotonically decreasing label sum — O(1) driver bytes per
+    round, never a per-row collect.
+
+    Each round's result is ``localCheckpoint``-ed (not just cached):
+    checkpointing truncates lineage, so the logical plan stays one
+    join deep regardless of round count — without it analysis/codegen
+    cost grows superlinearly with iterations (same pattern as the
+    ``doc_pagerank`` loop below).
+
+    ``labels``: (doc_id, component_id) initial labels (usually
+    component_id = doc_id). ``edges``: directed (a, b) pairs — pass
+    both orientations for an undirected graph.
+    """
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 @register("dedup_components", oracle=_dedup_components_oracle(), tags=("pipeline", "dedup"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over LSH-verified pairs
@@ -382,32 +426,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).cache()
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
-    for _ in range(50):
-        nbr_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
-            .cache()
-        )
-        new_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    out = min_label_propagation(labels, edges)
     edges.unpersist()
-    return labels
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -113,6 +113,19 @@ def read_csv_file(spark: SparkSession, path: str, schema: T.StructType) -> DataF
     return spark.read.csv(path, schema=schema)
 
 
+def kafka_source_options(topic: str, servers: str = "localhost:9092") -> dict[str, str]:
+    """S1 wiring: the exact reader options ``kafka_stream`` passes to the
+    ``kafka`` data source (mirrors the reference's consumer properties at
+    ``HotItems.scala:33-41``). Exposed separately so the plan-level test
+    can assert the wiring even when the spark-sql-kafka package (and a
+    broker) are absent from the environment."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": "latest",
+    }
+
+
 def kafka_stream(spark: SparkSession, topic: str, servers: str = "localhost:9092") -> DataFrame:
     """S1: Kafka consumer source (``HotItems.scala:33-46``). Returns the
     raw value as string; pipe through :func:`parse_csv_lines`.
@@ -122,9 +135,7 @@ def kafka_stream(spark: SparkSession, topic: str, servers: str = "localhost:9092
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
+        .options(**kafka_source_options(topic, servers))
         .load()
         .select(F.col("value").cast("string").alias("value"))
     )

@@ -22,6 +22,13 @@ def console_sink(stream: DataFrame, mode: str = "update", name: str = "console")
     return stream.writeStream.outputMode(mode).format("console").queryName(name).start()
 
 
+def kafka_sink_options(topic: str, servers: str = "localhost:9092") -> dict[str, str]:
+    """S5 wiring: the exact writer options ``kafka_sink`` passes to the
+    ``kafka`` format (the reference's producer properties,
+    ``KafkaProducerUtil.scala:13-20``); see ``kafka_source_options``."""
+    return {"kafka.bootstrap.servers": servers, "topic": topic}
+
+
 def kafka_sink(
     df: DataFrame, topic: str, servers: str = "localhost:9092", value_cols: list[str] | None = None
 ):
@@ -38,16 +45,8 @@ def kafka_sink(
         F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
     )
     if payload.isStreaming:
-        return (
-            payload.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", servers)
-            .option("topic", topic)
-        )
-    return (
-        payload.write.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic)
-    )
+        return payload.writeStream.format("kafka").options(**kafka_sink_options(topic, servers))
+    return payload.write.format("kafka").options(**kafka_sink_options(topic, servers))
 
 
 def side_output_sink(

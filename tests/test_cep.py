@@ -151,3 +151,36 @@ def test_stream_pattern_matches_batch(spark, tmp_path):
     assert got == want == {(1, 100, 101), (1, 101, 102)}
     # schema parity with the batch operator: key column type preserved
     assert dict(spark.sql("SELECT * FROM cep_b").dtypes)["user_id"] == dict(batch.dtypes)["user_id"]
+
+
+def test_stream_pattern_matches_batch_out_of_order(spark, tmp_path):
+    """LoginFail_CEP.scala:31-46 semantics under disorder: rows arrive
+    out of event-time order inside a micro-batch; the streaming matcher
+    (batch-wide event-time sort + vectorized rolling match) must agree
+    with the batch operator exactly."""
+    from flink_wsr_project_spark.operators.cep import match_pattern_stream
+
+    rows = [
+        (1, "fail", 102), (1, "fail", 100), (1, "fail", 101),  # shuffled adjacent run
+        (2, "fail", 102), (2, "success", 101), (2, "fail", 100),
+        (3, "fail", 105), (3, "fail", 100),                    # gap 5 > within 2
+    ]
+    d = str(tmp_path / "cep_ooo")
+    _df(spark, rows).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    p = (
+        Pattern.begin("first", F.col("event_type") == "fail")
+        .next("second", F.col("event_type") == "fail")
+        .within(2)
+    )
+    out = match_pattern_stream(stream, ["user_id"], "ts", p)
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_ooo").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in spark.sql("SELECT * FROM cep_ooo").collect()
+    }
+    batch = match_pattern(_df(spark, rows), ["user_id"], "ts", p)
+    want = {(r.user_id, r.first_ts, r.second_ts) for r in batch.collect()}
+    assert got == want == {(1, 100, 101), (1, 101, 102)}

@@ -118,3 +118,25 @@ def test_all_plans_build_on_current_testdata(spark, name):
     the round-2 class of breakage for all queries, not just hot_items."""
     df = registry.all_queries()[name](spark, SF_DIR)
     assert df.schema is not None
+
+
+def test_ensure_event_time_pins_utc_under_foreign_session_tz(spark, ntz_sf_dir):
+    """Round-3 advice: an NTZ stream normalized under a non-UTC caller
+    session (the driver may run America/New_York) must yield the same
+    instants/epochs as under UTC — ensure_event_time pins the TZ itself."""
+    raw_schema = spark.read.parquet(f"{ntz_sf_dir}/events.parquet").schema
+    assert isinstance(raw_schema["ts"].dataType, T.TimestampNTZType)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        raw = spark.read.parquet(f"{ntz_sf_dir}/events.parquet")
+        got = sorted(
+            r[0]
+            for r in ensure_event_time(raw, "ts").select(F.col("ts").cast("long")).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want = sorted(
+        r[0] for r in load_table(spark, "events", ntz_sf_dir).select(F.col("ts").cast("long")).collect()
+    )
+    assert got == want

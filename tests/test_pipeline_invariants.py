@@ -120,3 +120,30 @@ def test_scd2_intervals_tile_and_pit_join_is_total(spark):
 
     n_events = load_table(spark, "events", SF_DIR).count()
     assert _Q["events_segment_pit"](spark, SF_DIR).count() == n_events
+
+
+def test_min_label_propagation_chain_converges_with_bounded_plan(spark):
+    """A 10-node path graph needs ~9 propagation rounds (diameter), well
+    past the shallow near-dup shapes — the loop must converge AND keep
+    the logical plan depth constant across rounds (localCheckpoint
+    truncates lineage; without it the plan nests one join per round)."""
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.plans.pipeline_queries import min_label_propagation
+
+    n = 10
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["a", "b"]
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(n)], ["doc_id", "component_id"]
+    )
+    out = min_label_propagation(labels, edges)
+    rows = {r.doc_id: r.component_id for r in out.collect()}
+    assert rows == {i: 0 for i in range(n)}
+    # lineage was truncated: the converged result reads from a
+    # checkpointed RDD scan, not a 9-round nested join tree
+    plan = out._jdf.queryExecution().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert plan.count("Join") == 0

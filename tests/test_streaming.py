@@ -772,3 +772,116 @@ def test_rate_limited_sink_caps_rows_and_paces_trigger(spark, tmp_path):
     q.stop()
     # one micro-batch from the static source: capped at 5, lowest ids first
     assert emitted == [[0, 1, 2, 3, 4]]
+
+
+def test_late_data_refire_within_lateness_then_drop(spark, tmp_path):
+    """L2 (NetworkFlowTopNPage…scala:54): a late row arriving while the
+    window is inside watermark+allowedLateness re-fires an AMENDED count
+    in update mode; a row arriving after the combined bound is dropped
+    (the documented divergence envelope: Spark folds allowedLateness
+    into the watermark delay instead of keeping a side output)."""
+    d = str(tmp_path / "late_refire")
+
+    def write(ts_list):
+        (
+            spark.createDataFrame([(t,) for t in ts_list], ["t"])
+            .select(F.timestamp_seconds("t").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([100, 200, 3000])  # window [0, 3600), sets watermark to 3000-61
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    agg = streaming_windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        watermark="1 second",
+        allowed_lateness="60 seconds",
+        aggs=[F.count("*").alias("cnt")],
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_refire")
+        .start()
+    )
+    q.processAllAvailable()
+    emitted = lambda: sorted(  # noqa: E731
+        r.cnt for r in spark.sql("SELECT cnt FROM late_refire WHERE window_end = 3600").collect()
+    )
+    assert emitted() == [3]
+
+    write([500])  # late, but window end 3600 is still ≥ watermark → amended re-fire
+    q.processAllAvailable()
+    assert emitted() == [3, 4]
+
+    write([10000])  # advances watermark past 3600+61 → state evicted
+    q.processAllAvailable()
+    write([3500])  # beyond the combined bound → dropped, NO re-fire
+    q.processAllAvailable()
+    q.stop()
+    assert emitted() == [3, 4]
+
+
+def test_stream_topn_upsert_overwrite_across_epochs(spark, tmp_path):
+    """K2 (HotItems_2_Table.scala:63 retract stream): stream_topn's
+    update-mode output is keyed (window_end, rank); when the ranking
+    changes in a later epoch the re-emitted rows OVERWRITE the earlier
+    keys, and each epoch emits at most one row per key."""
+    d = str(tmp_path / "retract_topn")
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["item_id", "t"])
+            .select("item_id", F.timestamp_seconds("t").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([(1, 100), (1, 200), (1, 300), (2, 400)])  # epoch 1: item1=3, item2=1
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    agg = streaming_windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        keys=[F.col("item_id")],
+        aggs=[F.count("*").alias("cnt")],
+        watermark="1 second",
+    )
+    epochs: list[dict[tuple, tuple]] = []
+
+    def sink(ranked_df, epoch_id):
+        rows = ranked_df.collect()
+        if rows:
+            epochs.append({(r.window_end, r.rank): (r.item_id, r.cnt) for r in rows})
+            # per-epoch key uniqueness: one row per (window_end, rank)
+            assert len(rows) == len(epochs[-1])
+
+    q = stream_topn(agg, ["window_end"], "cnt", 5, sink, tiebreakers=["item_id"])
+    q.processAllAvailable()
+    # epoch 2: both items change → item2 overtakes item1 for rank 1
+    write([(1, 500), (2, 600), (2, 700), (2, 800), (2, 900)])
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(epochs) >= 2
+    first, last = epochs[0], epochs[-1]
+    assert first[(3600, 1)] == (1, 3) and first[(3600, 2)] == (2, 1)
+    # overwrite semantics: same keys, new owners/counts
+    assert last[(3600, 1)] == (2, 5) and last[(3600, 2)] == (1, 4)
+    # merging upserts by key reproduces the batch recompute on all data
+    merged: dict[tuple, tuple] = {}
+    for e in epochs:
+        merged.update(e)
+    batch = spark.read.parquet(d)
+    from flink_wsr_project_spark.operators.windows import windowed_agg
+
+    full = windowed_agg(batch, "ts", "1 hour", keys=[F.col("item_id")], aggs=[F.count("*").alias("cnt")])
+    want = {
+        (r.window_end, r.rank): (r.item_id, r.cnt)
+        for r in topn_per_group(full, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).collect()
+    }
+    assert merged == want
