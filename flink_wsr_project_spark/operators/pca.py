@@ -7,7 +7,8 @@ The 100 TB shape of principal-component analysis: the data never moves
    BLAS ``X^T X`` — the one place Python beats codegen because the
    inner loop is a matrix multiply): each task folds ALL its batches
    into a single (count, column-sum, Gram) partial and emits ONE row.
-   Values are integer-scaled (``round(x * scale)`` as int64) before
+   Values are integer-scaled (``floor(x*scale + 0.5)`` as int64, in
+   float64, half-up — reproducible in ANSI SQL) before
    multiplication, so partial sums are ASSOCIATIVE AND EXACT — the
    result is bit-identical under any partitioning, per the house
    determinism rule. (Overflow budget: |x|<=1, scale=1e3 -> 1e6 per
@@ -47,7 +48,14 @@ def gram_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.rint(np.stack(pdf[vec_col].values) * _SCALE).astype(np.int64)
+            # float64 + explicit half-up: Arrow hands float32 arrays, and
+            # single-precision *1000 rounds differently (0.3195f*1000 is
+            # exactly 319.5 in float32); np.rint's banker's ties would also
+            # diverge from SQL engines' half-away round. floor(x*s + 0.5)
+            # in float64 is the one quantization both sides express exactly.
+            x = np.floor(
+                np.stack(pdf[vec_col].values).astype(np.float64) * _SCALE + 0.5
+            ).astype(np.int64)
             n += len(x)
             colsum = x.sum(axis=0) if colsum is None else colsum + x.sum(axis=0)
             g = x.T @ x

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
     h28,
+    toks_expr,
     hamming_expr,
     jaccard_expr,
     shingled_cte,
@@ -1370,9 +1371,243 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (corpus compression statistics per source)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql(engine: str) -> str:
+    """Tokenizer fertility per source: chars per whitespace token and per
+    BPE-ish alnum-run token, in integer milli-units (floor) so the ratio
+    is bit-exact across engines. The per-doc projection is row-local
+    (whole-stage codegen); the only shuffle is the tiny per-source
+    rollup — the 100 TB plan is a map-side partial over every split
+    followed by |sources| final groups."""
+    wt = toks_expr("text", engine)
+    if engine == "spark":
+        bpe = "split(trim(text), '[^0-9A-Za-z]+')"
+        ln = "size"
+    else:
+        bpe = "regexp_split_to_array(trim(text), '[^0-9A-Za-z]+')"
+        ln = "len"
+    return f"""
+WITH t AS (
+  SELECT source, length(text) AS n_chars, {ln}({wt}) AS n_ws, {ln}({bpe}) AS n_bpe
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpeish_tokens,
+       CAST(floor(sum(n_chars) * 1000.0 / sum(n_ws)) AS BIGINT) AS chars_per_ws_token_milli,
+       CAST(floor(sum(n_chars) * 1000.0 / sum(n_bpe)) AS BIGINT) AS chars_per_bpeish_token_milli
+FROM t GROUP BY source
+"""
+
+
+@register("tokenizer_fertility", oracle=_fertility_sql("duckdb"), tags=("pipeline", "text"))
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_fertility_sql("spark"))
+
+
+_set_doc("tokenizer_fertility", _fertility_sql.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (line-analogue) boilerplate dedup
+# ---------------------------------------------------------------------------
+
+_PASSAGE_N = 5  # tokens per non-overlapping segment
+_PASSAGE_DOCS = 2  # boilerplate = segment present in > this many distinct docs
+
+
+def _passage_tokens(engine: str) -> str:
+    if engine == "spark":
+        return "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    return "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _boilerplate_sql(engine: str) -> str:
+    """Passage-level boilerplate detection — the corpus has no newlines,
+    so the line-dedup trick (drop lines shared by many pages, a la
+    CCNet/RefinedWeb) runs on fixed {n}-token non-overlapping segments:
+    a segment appearing in more than {d} distinct documents is
+    boilerplate; each document reports how much of it is boilerplate
+    (ppm, floored — integer-exact cross-engine).
+
+    Scale: tokenize + segment are row-local array ops; one shuffle
+    keyed on segment for the frequency count, one keyed on doc_id for
+    the report. Segment keys could hash (h28) at 100 TB to cut shuffle
+    bytes; kept as text here so the oracle stays readable."""
+    n, d = _PASSAGE_N, _PASSAGE_DOCS
+    tk = _passage_tokens(engine)
+    if engine == "spark":
+        segs = (
+            f"CASE WHEN size(tk) < {n} THEN array() "
+            f"ELSE transform(sequence(0, CAST(floor(size(tk) / {n}) AS INT) - 1), "
+            f"i -> concat_ws(' ', slice(tk, i * {n} + 1, {n}))) END"
+        )
+        expl = "explode(segs) AS seg"
+        seg_src = f"SELECT doc_id, {expl} FROM segd"
+    else:
+        segs = (
+            f"list_transform(range(CAST(floor(len(tk) / {n}) AS BIGINT)), "
+            f"i -> array_to_string(tk[i * {n} + 1 : i * {n} + {n}], ' '))"
+        )
+        seg_src = "SELECT doc_id, unnest(segs) AS seg FROM segd"
+    return f"""
+WITH tokd AS (SELECT doc_id, {tk} AS tk FROM documents),
+segd AS (SELECT doc_id, {segs} AS segs FROM tokd),
+segs AS ({seg_src}),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+SELECT s.doc_id AS doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN f.nd > {d} THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       CAST(floor(sum(CASE WHEN f.nd > {d} THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)
+         AS boilerplate_ppm
+FROM segs s JOIN freq f ON s.seg = f.seg
+GROUP BY s.doc_id
+"""
+
+
+@register("boilerplate_passages", oracle=_boilerplate_sql("duckdb"), tags=("pipeline", "dedup", "text"))
+def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_boilerplate_sql("spark"))
+
+
+_set_doc("boilerplate_passages", _boilerplate_sql.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # sliding n-gram length
+
+
+def _decontaminate_sql(engine: str) -> str:
+    """Benchmark decontamination: a train-split document is contaminated
+    if it shares any sliding {n}-token gram with any test-split document
+    (the standard exact n-gram-overlap decontamination of LLM training
+    sets). Splits reuse ``dataset_splits``' content-independent doc_id
+    hash, so the partition is reproducible. Output: per contaminated
+    train doc, how many distinct grams leak and from how many test docs.
+
+    Scale: grams are DISTINCT-ed per doc before the join, the join key
+    is md5(gram) (fixed 32 bytes regardless of n), and the shuffle is
+    keyed on the gram hash — no all-pairs anywhere; test-side grams are
+    a tiny fraction of the corpus (10% of docs)."""
+    n = _DECON_N
+    tk = _passage_tokens(engine)
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    h = h28(f"concat('split:', CAST(doc_id AS {str_t}))", engine)
+    if engine == "spark":
+        grams = (
+            f"CASE WHEN size(tk) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size(tk) - {n}), "
+            f"i -> concat_ws(' ', slice(tk, i + 1, {n}))) END"
+        )
+        gram_src = (
+            "SELECT DISTINCT doc_id, split, gh FROM "
+            "(SELECT doc_id, split, md5(g) AS gh FROM gramd LATERAL VIEW explode(grams) ex AS g)"
+        )
+    else:
+        grams = (
+            f"CASE WHEN len(tk) < {n} THEN [] "
+            f"ELSE list_transform(range(len(tk) - {n} + 1), "
+            f"i -> array_to_string(tk[i + 1 : i + {n}], ' ')) END"
+        )
+        gram_src = (
+            "SELECT DISTINCT doc_id, split, gh FROM "
+            "(SELECT doc_id, split, md5(unnest(grams)) AS gh FROM gramd)"
+        )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         {tk} AS tk
+  FROM documents
+),
+gramd AS (SELECT doc_id, split, {grams} AS grams FROM tokd WHERE split IN ('train', 'test')),
+grams AS ({gram_src})
+SELECT t.doc_id AS doc_id,
+       count(DISTINCT t.gh) AS n_contaminated_grams,
+       count(DISTINCT e.doc_id) AS n_test_docs
+FROM grams t JOIN grams e ON t.gh = e.gh AND t.split = 'train' AND e.split = 'test'
+GROUP BY t.doc_id
+"""
+
+
+@register("benchmark_decontaminate", oracle=_decontaminate_sql("duckdb"), tags=("pipeline", "dedup"))
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_decontaminate_sql("spark"))
+
+
+_set_doc("benchmark_decontaminate", _decontaminate_sql.__doc__)
+
+
 # ---------------------------------------------------------------------------
 # Distributed PCA over embeddings (operators.pca)
 # ---------------------------------------------------------------------------
+
+
+_GRAM_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(i - 1 AS BIGINT) AS i,
+         CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM (
+    SELECT vec_id,
+           unnest(embedding) AS u,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS v
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+@register("embedding_gram_upper", oracle=_GRAM_ORACLE, tags=("pipeline", "embedding", "pca"))
+def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper triangle of the corpus Gram matrix over integer-quantized
+    embeddings (``floor(x*1000 + 0.5)`` in float64 — the exact
+    quantization ``operators/pca.py`` feeds its covariance). This is the
+    externally-checkable half of the PCA pipeline: the Gram/covariance
+    accumulation is exact integer arithmetic (oracle-able in ANSI SQL),
+    while the eigendecomposition + projection stay covered by the local
+    numpy-parity test (``tests/test_properties.py``), which is not
+    SQL-expressible.
+
+    Scale: the mapInPandas partial emits ONE row per task (d + d^2
+    integers); the merge shuffles O(tasks * d^2) values and the result
+    is d(d+1)/2 = 2080 rows regardless of corpus size.
+    """
+    from flink_wsr_project_spark.operators.pca import gram_partials
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    parts = gram_partials(emb, "embedding", 64)
+    merged = (
+        parts.select(F.posexplode("gram").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    return (
+        merged.select(
+            (F.col("pos") / 64).cast("long").alias("i"),
+            (F.col("pos") % 64).cast("long").alias("j"),
+            "v",
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
 
 
 @register("embedding_pca_project", oracle=None, tags=("pipeline", "embedding", "pca"))
@@ -1397,6 +1632,146 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering over embeddings (iterative, exact integers)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ASSIGNS = 5  # assignment passes; centroids update between passes
+_KM_D = 64
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB oracle: the SAME Lloyd iterations fully unrolled as
+    chained CTEs with identical integer arithmetic — embeddings
+    quantized to milli-units (floor(x*1000+0.5), float64), distances
+    are exact int64 sums of squares, centroid updates floor the mean
+    back to milli-units, ties in assignment break to the smallest
+    centroid id. Bit-exact across engines, like the pagerank oracle."""
+    k, n_assign = _KM_K, _KM_ASSIGNS
+    parts = [
+        """q AS (
+  SELECT vec_id,
+         CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding) AS u, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+)""",
+        f"""seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        "c0 AS (SELECT s.cid, q.dim, q.x AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id)",
+    ]
+    for i in range(1, n_assign + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.x - c.c) * (q.x - c.c)), c.cid
+           ) AS rn
+    FROM q JOIN c{i - 1} c ON q.dim = c.dim
+    GROUP BY q.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+        )
+        if i < n_assign:
+            parts.append(
+                f"""c{i} AS (
+  SELECT a.cid, q.dim, CAST(floor(sum(q.x) * 1.0 / count(*)) AS BIGINT) AS c
+  FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cid, q.dim
+)"""
+            )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid AS cluster_id FROM a{n_assign}"
+    )
+
+
+@register("embedding_kmeans", oracle=_kmeans_oracle(), tags=("pipeline", "embedding", "iterative"))
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k={k}, {n} assignment passes) over integer-quantized
+    embeddings — the corpus-clustering primitive behind data-mix
+    curation and IVF coarse quantizers.
+
+    Spark-first iteration shape: centroids are O(k*d) scalars, so they
+    live on the DRIVER and enter each assignment pass as literal arrays
+    inside a codegen'd ``aggregate(zip_with(...))`` distance fold — the
+    data never shuffles for assignment (embarrassingly parallel scan).
+    The update step is one (cid, dim) aggregate per pass: posexplode to
+    (cid, dim, x), map-side partial sums, k*d = {kd} scalars back to
+    the driver. At 100 TB the same loop holds: per-pass cost is one
+    scan + one k*d-group aggregate, with no growing lineage (each pass
+    plans against the base scan with fresh literals). Exact integer
+    arithmetic end to end — see the oracle docstring.
+    """
+    k, n_assign, d = _KM_K, _KM_ASSIGNS, _KM_D
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    seeds = [
+        (i, list(r.q))
+        for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
+    ]
+    cents: list[tuple[int, list[int]]] = seeds  # [(cid, vector)] sorted by cid
+
+    def assign(cents):
+        dist_exprs = []
+        for _, vec in cents:
+            arr = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+            dist_exprs.append(
+                f"aggregate(zip_with(q, {arr}, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+            )
+        dists = "array(" + ",".join(dist_exprs) + ")"
+        # array_position returns the FIRST index of the min -> ties break
+        # to the smallest centroid id (cents is sorted by cid)
+        return q.withColumn(
+            "ci", (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int")
+        )
+
+    assigned = None
+    for it in range(n_assign):
+        assigned = assign(cents)
+        if it < n_assign - 1:
+            sums = (
+                assigned.select("ci", F.posexplode("q").alias("dim", "x"))
+                .groupBy("ci", "dim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_cid: dict[int, list[int]] = {}
+            counts: dict[int, int] = {}
+            for r in sums:
+                cid = cents[r.ci][0]
+                by_cid.setdefault(cid, [0] * d)[r.dim] = r.s
+                counts[cid] = r.n
+            import math
+
+            cents = sorted(
+                (cid, [int(math.floor(v * 1.0 / counts[cid])) for v in vec])
+                for cid, vec in by_cid.items()
+            )
+    cid_arr = "array(" + ",".join(str(c) for c, _ in cents) + ")"
+    return assigned.select(
+        "vec_id", F.expr(f"CAST({cid_arr}[ci] AS BIGINT)").alias("cluster_id")
+    )
+
+
+embedding_kmeans.__doc__ = embedding_kmeans.__doc__.format(
+    k=_KM_K, n=_KM_ASSIGNS, kd=_KM_K * _KM_D
+)
+_set_doc("embedding_kmeans", embedding_kmeans.__doc__)
 
 
 # ---------------------------------------------------------------------------

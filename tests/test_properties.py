@@ -562,7 +562,7 @@ def test_pca_matches_numpy_recompute(spark):
     X = np.stack([r.embedding for r in rows])
 
     cov, mean, n = covariance(emb, "embedding", 64)
-    Xi = np.rint(X * _SCALE).astype(np.int64)
+    Xi = np.floor(X * _SCALE + 0.5).astype(np.int64)  # half-up, mirrors gram_partials
     want_cov = (Xi.T @ Xi) / (len(X) * _SCALE**2) - np.outer(
         Xi.sum(0) / (len(X) * _SCALE), Xi.sum(0) / (len(X) * _SCALE)
     )
