@@ -1635,6 +1635,174 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# ---------------------------------------------------------------------------
+# Importance resampling to a uniform source mix
+# ---------------------------------------------------------------------------
+
+
+def _mix_resample_sql(engine: str) -> str:
+    """Deterministic importance resampling toward a UNIFORM per-source
+    token mix: each source's acceptance probability is
+    min(1, target_share / actual_share) in ppm (integer, floored), and
+    a document is kept iff a content-independent hash of its doc_id
+    falls under the source's acceptance threshold — the downsampling
+    step that turns ``data_mix_weights``' diagnosis into an actual
+    curated corpus, reproducible on any cluster/partitioning.
+
+    Scale: two scans of per-doc token counts (one for shares, one for
+    selection) joined on the tiny per-source table — broadcast join,
+    no row-level shuffle; the decision itself is row-local hashing."""
+    wt = toks_expr("text", engine)
+    ln = "size" if engine == "spark" else "len"
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    h = h28(f"concat('mix:', CAST(doc_id AS {str_t}))", engine)
+    return f"""
+WITH d AS (SELECT doc_id, source, {ln}({wt}) AS n_tok FROM documents),
+shares AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources FROM shares),
+p AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         LEAST(1000000, CAST(floor(t.total * 1000000.0 / t.n_sources / s.n_tokens) AS BIGINT))
+           AS accept_ppm
+  FROM shares s CROSS JOIN tot t
+)
+SELECT d.source AS source,
+       p.accept_ppm AS accept_ppm,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN {h} % 1000000 < p.accept_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(d.n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN {h} % 1000000 < p.accept_ppm THEN d.n_tok ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept
+FROM d JOIN p ON d.source = p.source
+GROUP BY d.source, p.accept_ppm
+"""
+
+
+@register("mix_resample", oracle=_mix_resample_sql("duckdb"), tags=("pipeline", "sampling"))
+def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_mix_resample_sql("spark"))
+
+
+_set_doc("mix_resample", _mix_resample_sql.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: global rank without a single-task window
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_BUCKET = 500  # milli-units of chars-per-token per coarse bucket
+
+
+_CURRICULUM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(floor(length(text) * 1000.0
+              / len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS score_milli
+  FROM documents
+)
+SELECT doc_id, score_milli,
+       CAST(row_number() OVER (ORDER BY score_milli, doc_id) AS BIGINT) AS global_rank
+FROM scored
+"""
+
+
+@register("curriculum_order", oracle=_CURRICULUM_ORACLE, tags=("pipeline", "sampling", "ordering"))
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum: every document gets a GLOBAL training
+    order (ascending chars-per-token milli-score, doc_id tie-break).
+
+    The naive plan — ``row_number() OVER (ORDER BY ...)`` with no
+    partition — moves the whole corpus through ONE task and is banned
+    by tests/test_plans.py::test_no_unpartitioned_window. The scale
+    pattern used instead is two-phase global numbering:
+
+    1. rank WITHIN coarse score buckets (window partitioned by bucket —
+       parallel, each bucket a slice of the score range);
+    2. add each bucket's global offset, computed from the per-bucket
+       counts (|buckets| rows — driver-side cumulative sum, broadcast
+       back as a literal CASE map).
+
+    Identical output to the single-task window (the oracle IS that
+    window in DuckDB), but every stage is partition-parallel: this is
+    how a 100 TB corpus gets a total training order.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.floor(
+            F.length("text") * 1000.0 / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).cast("long").alias("score_milli"),
+    ).withColumn("bucket", (F.col("score_milli") / _CURRICULUM_BUCKET).cast("long"))
+    counts = sorted(
+        (r.bucket, r.n)
+        for r in scored.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    offset_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("bucket")]
+    w = Window.partitionBy("bucket").orderBy("score_milli", "doc_id")
+    return scored.select(
+        "doc_id",
+        "score_milli",
+        (F.row_number().over(w) + offset_expr).cast("long").alias("global_rank"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization (text -> fixed-width integer vector)
+# ---------------------------------------------------------------------------
+
+_HASH_DIMS = 16
+
+
+def _hash_features_sql(engine: str) -> str:
+    """Hashing-trick bag-of-words: each token increments dimension
+    ``h28(token) % {d}`` of a fixed {d}-wide integer count vector — the
+    collision-accepting featurization (Weinberger et al.) that turns
+    raw text into the vectors the clustering / ANN stack consumes, with
+    no vocabulary to build or broadcast. Emitted long-form (doc_id,
+    dim, cnt), zero dims omitted; exact integers, so the oracle is
+    bit-for-bit.
+
+    Scale: tokenize + hash are row-local; the one shuffle is the
+    (doc_id, dim) count — and because dims per doc <= {d}, the
+    output is bounded by {d} x docs regardless of document length."""
+    d = _HASH_DIMS
+    tk = _passage_tokens(engine)
+    h = h28("tok", engine)
+    if engine == "spark":
+        expl = "SELECT doc_id, explode(tk) AS tok FROM tokd"
+    else:
+        expl = "SELECT doc_id, unnest(tk) AS tok FROM tokd"
+    return f"""
+WITH tokd AS (SELECT doc_id, {tk} AS tk FROM documents),
+toks AS ({expl})
+SELECT doc_id, CAST({h} % {d} AS BIGINT) AS dim, count(*) AS cnt
+FROM toks
+GROUP BY doc_id, {h} % {d}
+"""
+
+
+@register("doc_hash_features", oracle=_hash_features_sql("duckdb"), tags=("pipeline", "text", "embedding"))
+def doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_hash_features_sql("spark"))
+
+
+_set_doc("doc_hash_features", _hash_features_sql.__doc__.format(d=_HASH_DIMS))
+
+
 # ---------------------------------------------------------------------------
 # K-means clustering over embeddings (iterative, exact integers)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,71 @@ def side_output_sink(
     )
 
 
+class KeyValueStore:
+    """Minimal external-KV interface for :func:`external_kv_sink` —
+    the shape of the reference's Redis usage (``hset(map, key, value)``
+    / ``hget``, ``UniqueVisitor_03_Bloom.scala:136-149``). Implement
+    against Redis/DynamoDB/etc. in production; tests use
+    :class:`DictStore`. ``mset`` must be atomic per batch OR idempotent
+    under replay — foreachBatch may re-deliver an epoch after failure,
+    and upsert-by-key makes the replay a no-op."""
+
+    def mset(self, items: dict[str, str]) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class DictStore(KeyValueStore):
+    """In-memory store for tests and local runs."""
+
+    def __init__(self) -> None:
+        self.data: dict[str, str] = {}
+        self.epochs: list[int] = []
+
+    def mset(self, items: dict[str, str]) -> None:
+        self.data.update(items)
+
+
+def external_kv_sink(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    store: KeyValueStore,
+    mode: str = "update",
+    query_name: str = "kv_sink",
+) -> StreamingQuery:
+    """K3: per-epoch upsert of (key, value) rows into an external KV
+    store — the reference keeps its UV bitmap + count hash in Redis
+    (``UniqueVisitor_03_Bloom.scala:103,136-149``); Spark's analogue is
+    a foreachBatch that msets the micro-batch's changed rows keyed by
+    the aggregate key, so replays and late-data re-fires OVERWRITE
+    instead of duplicating (same idempotence contract as the
+    reference's hset).
+
+    The batch rows are collected per epoch — valid because update-mode
+    aggregate output is bounded by changed groups, not input rows; a
+    store with a bulk/pipelined writer should instead consume
+    ``batch_df.toLocalIterator()`` or ``foreachPartition`` to keep the
+    driver out of the data path at 100 TB.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        items = {
+            "|".join(str(r[c]) for c in key_cols): str(r[value_col]) for r in rows
+        }
+        if items:
+            store.mset(items)
+        if hasattr(store, "epochs"):
+            store.epochs.append(epoch_id)
+
+    return (
+        stream.writeStream.outputMode(mode)
+        .queryName(query_name)
+        .foreachBatch(process)
+        .start()
+    )
+
+
 def idempotent_parquet_sink(
     stream: DataFrame,
     path: str,

@@ -885,3 +885,37 @@ def test_stream_topn_upsert_overwrite_across_epochs(spark, tmp_path):
         for r in topn_per_group(full, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).collect()
     }
     assert merged == want
+
+
+def test_external_kv_sink_upserts_by_key_across_epochs(spark, tmp_path):
+    """K3 (UniqueVisitor_03_Bloom.scala:136-149): the external-store
+    sink upserts (key, value) per epoch — a re-fired window OVERWRITES
+    its key (Redis hset semantics), never duplicates."""
+    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink
+
+    d = str(tmp_path / "kv_sink")
+
+    def write(ts_list):
+        (
+            spark.createDataFrame([(t,) for t in ts_list], ["t"])
+            .select(F.timestamp_seconds("t").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    write([100, 200, 3000])
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    agg = streaming_windowed_agg(
+        stream, "ts", "1 hour", watermark="1 second",
+        allowed_lateness="60 seconds", aggs=[F.count("*").alias("cnt")],
+    )
+    store = DictStore()
+    q = external_kv_sink(agg, ["window_end"], "cnt", store)
+    q.processAllAvailable()
+    assert store.data == {"3600": "3"}
+    write([500])  # late re-fire → overwrite, not duplicate
+    q.processAllAvailable()
+    q.stop()
+    assert store.data == {"3600": "4"}
+    assert len(store.epochs) >= 2
