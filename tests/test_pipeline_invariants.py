@@ -147,3 +147,35 @@ def test_min_label_propagation_chain_converges_with_bounded_plan(spark):
     plan = out._jdf.queryExecution().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert plan.count("Join") == 0
+
+
+def test_kmeans_partitioning_invariance(spark):
+    """embedding_kmeans is bit-exact under any partitioning: integer
+    distances, driver-resident centroids, floor-mean updates — so a
+    7-way uneven repartition of the input must produce the identical
+    assignment (the determinism contract every oracle-checked query
+    carries, exercised here on the iterative path)."""
+    from flink_wsr_project_spark.plans.registry import all_queries
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.vec_id, r.cluster_id)
+        for r in all_queries()["embedding_kmeans"](spark, sf).collect()
+    }
+    # force a different physical layout through the cached-table path
+    emb = load_table(spark, "embeddings", sf)
+    from flink_wsr_project_spark.sources import readers
+
+    key = next(k for k in readers._TABLE_CACHE if k[2] == "embeddings" and k[1] == sf)
+    prev = readers._TABLE_CACHE[key]
+    readers._TABLE_CACHE[key] = emb.repartition(7)
+    try:
+        alt = {
+            (r.vec_id, r.cluster_id)
+            for r in all_queries()["embedding_kmeans"](spark, sf).collect()
+        }
+    finally:
+        readers._TABLE_CACHE[key] = prev
+    assert base == alt
+    assert len({c for _, c in base}) > 1  # clustering is non-degenerate
