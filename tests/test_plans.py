@@ -178,6 +178,14 @@ def test_dimension_join_broadcasts(spark, name):
         ("dataset_splits", 1),  # row-local hash assignment + one rollup
         ("hourly_metrics_long", 2),  # two-phase distinct agg; melt is shuffle-free
         ("events_time_rollup", 1),  # ROLLUP = one Expand, one shuffle
+        ("tokenizer_fertility", 1),  # row-local projection + per-source rollup
+        ("boilerplate_passages", 3),  # segment freq agg + join + per-doc agg
+        ("benchmark_decontaminate", 4),  # per-split distinct grams + hash join + 2-phase distinct agg
+        ("embedding_kmeans", 0),  # assignment pass is scan-only: centroids are literals
+        ("embedding_gram_upper", 1),  # one-row-per-task partials + d^2-group merge
+        ("mix_resample", 3),  # shares rollup + broadcast-joined selection + final agg
+        ("curriculum_order", 1),  # bucket-partitioned rank; offsets are literals
+        ("doc_hash_features", 1),  # tokenize in-row + one (doc, dim) count
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
