@@ -32,3 +32,41 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_rotation_order():
+    """The external harness checks only the first 50 queries() entries,
+    so ordering is load-bearing: every query appears exactly once, the
+    never-externally-verified queries and this round's changed-operator
+    canaries come first, and within the rest staleness is ascending
+    (least-recently-verified first)."""
+    import json
+    from pathlib import Path
+
+    from flink_wsr_project_spark.plans import registry
+
+    names = list(_QUERIES)
+    assert len(names) == len(set(names))
+    assert set(_ORACLES) <= set(names)
+
+    last = registry._last_verified_round()
+    if not last:  # fresh checkout: registration order, nothing to assert
+        return
+    # repo root really is where the CORRECTNESS files live
+    root = Path(registry.__file__).resolve().parents[2]
+    assert any(root.glob("CORRECTNESS_r*.json"))
+
+    def rank(n):
+        if n in registry._CHANGED_OPERATOR_CANARIES or last.get(n, 0) == 0:
+            return 0
+        return last[n]
+
+    ranks = [rank(n) for n in names]
+    assert ranks == sorted(ranks), "queries() must be least-recently-verified first"
+    # the 50-query window actually picks up every never-verified query
+    window = set(names[:50])
+    never = {n for n in names if last.get(n, 0) == 0}
+    missing = never - window if len(never) <= 50 else set()
+    assert not missing, f"never-verified queries outside the window: {missing}"
+    assert set(registry._CHANGED_OPERATOR_CANARIES) <= set(names)
+    assert set(registry._CHANGED_OPERATOR_CANARIES) <= window
