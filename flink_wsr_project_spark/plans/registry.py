@@ -91,7 +91,9 @@ def _last_verified_round() -> dict[str, int]:
     parity), ``all_queries()`` orders by least-recently-verified so the
     50-query window rotates automatically: never-verified queries first,
     then oldest-verified, with the original registration order as the
-    deterministic tie-break. Queries never seen externally map to 0.
+    deterministic tie-break. Queries never seen externally map to 0 —
+    and so does a query whose last row was red (mismatch/error): it
+    stays in the window until it earns a green row.
     """
     repo_root = Path(__file__).resolve().parents[2]
     last: dict[str, int] = {}
@@ -105,8 +107,22 @@ def _last_verified_round() -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                last[name] = max(last.get(name, 0), rnd)
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                green = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ) or (
+                    # genuinely non-SQL-expressible queries get the
+                    # driver's weaker rows-only check; a completed one
+                    # still counts as externally exercised
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if green:
+                    last[name] = max(last.get(name, 0), rnd)
     return last
 
 
