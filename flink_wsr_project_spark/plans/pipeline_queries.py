@@ -533,6 +533,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ann_ivf_sql("spark"))
 
 
+
+def _ann_recall_sql(engine: str) -> str:
+    """ANN quality evaluation: recall@5 of the IVF index against the
+    exact brute-force neighbors, per query vector — the metric that
+    decides whether an approximate index is good enough to replace the
+    exact scan. Both member pipelines are the registered queries
+    (`ann_cosine_topk`, `ann_ivf_topk`) verbatim, so this composes two
+    already-verified plans; ties and ordering are deterministic in
+    both, making recall itself exact. recall_ppm is floored ppm.
+
+    Scale: cost is the two member pipelines + one (query_id,
+    neighbor_id) equi-join over <= 10 rows per query."""
+    exact = _ann_brute_force_sql(engine)
+    ivf = _ann_ivf_sql(engine)
+    return f"""
+WITH exact AS ({exact}),
+ivf AS ({ivf})
+SELECT e.query_id AS query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(floor(count(i.neighbor_id) * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+FROM (SELECT * FROM exact WHERE rank <= 5) e
+LEFT JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_ann_recall_sql("duckdb"),
+    doc=_ann_recall_sql.__doc__,
+    tags=("pipeline", "similarity"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_ann_recall_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------
@@ -1801,6 +1838,75 @@ def doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_doc("doc_hash_features", _hash_features_sql.__doc__.format(d=_HASH_DIMS))
+
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: balanced training-file assignment
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SHARD_BUCKET = 50  # tokens per coarse rank bucket
+
+
+_SHARD_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM ranked GROUP BY 1
+"""
+
+
+@register("shard_manifest", oracle=_SHARD_ORACLE, tags=("pipeline", "sampling", "ordering"))
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment for training-file output: documents
+    sorted by token count (descending, doc_id tie-break) are dealt
+    round-robin over {n} shards — the longest-first deal keeps every
+    shard's token total within one document of the others, and the
+    assignment is a pure function of the corpus (reproducible).
+
+    Same scale pattern as ``curriculum_order``: the global rank that
+    drives the deal comes from a bucket-partitioned window plus
+    driver-computed bucket offsets (|buckets| scalars) — no
+    single-task window anywhere, identical output to the oracle's
+    global ORDER BY row_number.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    ).withColumn("bucket", (F.col("n_tok") / _SHARD_BUCKET).cast("long"))
+    counts = sorted(
+        ((r.bucket, r.n) for r in scored.groupBy("bucket").agg(F.count("*").alias("n")).collect()),
+        reverse=True,  # descending n_tok order -> descending buckets first
+    )
+    offsets, acc = {}, 0
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    offset_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("bucket")]
+    w = Window.partitionBy("bucket").orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w) + offset_expr)
+    return (
+        ranked.groupBy(((F.col("rn") - 1) % _N_SHARDS).cast("long").alias("shard"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+shard_manifest.__doc__ = shard_manifest.__doc__.format(n=_N_SHARDS)
+_set_doc("shard_manifest", shard_manifest.__doc__)
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("mix_resample", 3),  # shares rollup + broadcast-joined selection + final agg
         ("curriculum_order", 1),  # bucket-partitioned rank; offsets are literals
         ("doc_hash_features", 1),  # tokenize in-row + one (doc, dim) count
+        ("ann_ivf_recall", 7),  # composes both ANN pipelines + the recall join
+        ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
