@@ -1140,3 +1140,55 @@ def uv_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uv_estimate"))
         .select("day", "uv_estimate")
     )
+
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         list(CAST(floor(value * 1000 + 0.5) AS BIGINT) ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       CAST(list_reduce(vs, (acc, v) -> (acc + v) // 2) AS BIGINT) AS ewma_milli
+FROM seq
+"""
+
+
+@register("user_value_ewma", oracle=_EWMA_ORACLE, tags=("session", "ordered-fold"))
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted value (alpha = 1/2) over the
+    event-time-ordered stream — the ORDER-DEPENDENT fold no window
+    frame can express (each step halves the accumulated state:
+    e := (e + v) div 2, seeded by the first value). Integer milli-units
+    with truncating division make the recursion bit-exact across
+    engines; (ts, event_id) ordering makes it deterministic.
+
+    Plan: one shuffle on user_id; the per-user sequence is assembled
+    with array_sort(collect_list(...)) and folded by the codegen'd
+    ``aggregate`` higher-order function — state is O(events per user)
+    in the collect, which is the honest cost of any ordered fold. At
+    100 TB the same semantics move to repartition(user_id) +
+    sortWithinPartitions(user_id, ts, event_id) + a streaming
+    ``mapInPandas`` fold (secondary-sort pattern) so no single user's
+    history must fit in one array; the testdata's per-user cardinality
+    (~hundreds) keeps the in-row form optimal here.
+    """
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(
+        """
+WITH seq AS (
+  SELECT user_id,
+         transform(
+           array_sort(collect_list(struct(ts, event_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v))),
+           x -> x.v
+         ) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(size(vs) AS BIGINT) AS n_events,
+       aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), vs[1],
+                 (acc, v) -> (acc + v) div 2) AS ewma_milli
+FROM seq
+"""
+    )

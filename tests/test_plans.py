@@ -188,6 +188,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("doc_hash_features", 1),  # tokenize in-row + one (doc, dim) count
         ("ann_ivf_recall", 7),  # composes both ANN pipelines + the recall join
         ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
+        ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
