@@ -321,6 +321,52 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_embedding_neardup_sql("spark"))
 
 
+
+def _dedup_agreement_sql(engine: str) -> str:
+    """Cross-modal dedup agreement: the text-based near-dup pairs
+    (MinHash-LSH, Jaccard >= 0.5) against the embedding-based pairs
+    (cosine >= 0.35, label-blocked) — both member pipelines are the
+    registered, verified queries. Joining on the (lo, hi) pair key
+    yields the method-comparison every dedup rollout needs: how many
+    pairs each method finds, and how many both agree on. One row.
+
+    Scale: cost is the two member pipelines + a full-outer join on
+    pair keys (each side already bucketed/blocked — no new all-pairs
+    work)."""
+    text = _dedup_minhash_lsh_sql(engine)
+    emb = _embedding_neardup_sql(engine)
+    return f"""
+WITH text_pairs AS (
+  SELECT doc_a AS lo, doc_b AS hi FROM ({text}) WHERE jaccard >= 0.5
+),
+emb_pairs AS (
+  SELECT vec_a AS lo, vec_b AS hi FROM ({emb})
+),
+joined AS (
+  SELECT COALESCE(t.lo, e.lo) AS lo,
+         CASE WHEN t.lo IS NOT NULL THEN 1 ELSE 0 END AS in_text,
+         CASE WHEN e.lo IS NOT NULL THEN 1 ELSE 0 END AS in_emb
+  FROM text_pairs t FULL OUTER JOIN emb_pairs e ON t.lo = e.lo AND t.hi = e.hi
+)
+SELECT CAST(sum(in_text) AS BIGINT) AS n_text_pairs,
+       CAST(sum(in_emb) AS BIGINT) AS n_emb_pairs,
+       CAST(sum(in_text * in_emb) AS BIGINT) AS n_both
+FROM joined
+"""
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_dedup_agreement_sql("duckdb"),
+    doc=_dedup_agreement_sql.__doc__,
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_dedup_agreement_sql("spark"))
+
+
 def _dedup_keep_list_sql(engine: str) -> str:
     """End-to-end dedup decision: LSH-verified near-dup pairs (Jaccard
     ≥ 0.5) collapse to the lowest doc_id; every other doc is kept."""
