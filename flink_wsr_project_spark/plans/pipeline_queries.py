@@ -1659,6 +1659,23 @@ GROUP BY a.i, b.i
 """
 
 
+_EMB_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding width, probed from ONE row and cached per (session,
+    dir) — the driver regenerates the testdata between rounds, so
+    nothing hardcodes the current 64; the DuckDB oracles are already
+    dimension-agnostic (generate_subscripts / unnest)."""
+    key = (spark, sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        row = load_table(spark, "embeddings", sf_dir).select(
+            F.size("embedding").alias("d")
+        ).head()
+        _EMB_DIM_CACHE[key] = int(row.d)
+    return _EMB_DIM_CACHE[key]
+
+
 @register("embedding_gram_upper", oracle=_GRAM_ORACLE, tags=("pipeline", "embedding", "pca"))
 def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper triangle of the corpus Gram matrix over integer-quantized
@@ -1677,7 +1694,8 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_wsr_project_spark.operators.pca import gram_partials
 
     emb = load_table(spark, "embeddings", sf_dir)
-    parts = gram_partials(emb, "embedding", 64)
+    d = _embedding_dim(spark, sf_dir)
+    parts = gram_partials(emb, "embedding", d)
     merged = (
         parts.select(F.posexplode("gram").alias("pos", "v"))
         .groupBy("pos")
@@ -1685,8 +1703,8 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.select(
-            (F.col("pos") / 64).cast("long").alias("i"),
-            (F.col("pos") % 64).cast("long").alias("j"),
+            (F.col("pos") / d).cast("long").alias("i"),
+            (F.col("pos") % d).cast("long").alias("j"),
             "v",
         )
         .filter(F.col("i") <= F.col("j"))
@@ -1708,7 +1726,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_wsr_project_spark.operators.pca import pca_project
 
     emb = load_table(spark, "embeddings", sf_dir)
-    out = pca_project(emb, "embedding", d=64, k=2)
+    out = pca_project(emb, "embedding", d=_embedding_dim(spark, sf_dir), k=2)
     return out.select(
         "vec_id",
         "label",
@@ -2032,8 +2050,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans against the base scan with fresh literals). Exact integer
     arithmetic end to end — see the oracle docstring.
     """
-    k, n_assign, d = _KM_K, _KM_ASSIGNS, _KM_D
+    k, n_assign = _KM_K, _KM_ASSIGNS
     emb = load_table(spark, "embeddings", sf_dir)
+    d = _embedding_dim(spark, sf_dir)
     q = emb.select(
         "vec_id",
         F.expr(
