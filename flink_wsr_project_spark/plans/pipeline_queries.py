@@ -322,6 +322,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 def _dedup_agreement_sql(engine: str) -> str:
     """Cross-modal dedup agreement: the text-based near-dup pairs
     (MinHash-LSH, Jaccard >= 0.5) against the embedding-based pairs
@@ -2752,3 +2753,64 @@ def doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile for the cutpoints; exact here for the oracle.)"""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_quality_terciles_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel (capstone: composes quality + dedup + decontamination)
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel_sql(engine: str) -> str:
+    """The end-to-end curation funnel: every document is attributed to
+    the FIRST stage that would drop it — quality gate (Gopher-style
+    bounds), exact dedup (md5 keeper), near-dup dedup (LSH keep-list),
+    benchmark contamination (8-gram overlap with the test split) — or
+    'kept'. Per-(source, stage) counts; the four member stages are the
+    registered queries' SQL verbatim, so the funnel composes verified
+    plans into the one table a curation rollout reviews.
+
+    Scale: each stage is its own bounded pipeline (see the member
+    queries); the funnel adds only broadcast-sized joins of drop-lists
+    back to the corpus."""
+    wt = toks_expr("text", engine)
+    ln = "size" if engine == "spark" else "len"
+    keep_list = _dedup_keep_list_sql(engine)
+    contam = _decontaminate_sql(engine)
+    return f"""
+WITH quality AS (
+  SELECT doc_id,
+         ({ln}({wt}) BETWEEN 10 AND 10000
+          AND length(text) / {ln}({wt}) BETWEEN 3 AND 15) AS ok
+  FROM documents
+),
+exact_keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1
+),
+neardup AS ({keep_list}),
+contam AS ({contam})
+SELECT d.source AS source, stage, count(*) AS n_docs FROM (
+  SELECT d.doc_id,
+         CASE WHEN NOT q.ok THEN 'quality'
+              WHEN d.doc_id <> e.keep_doc_id THEN 'exact_dup'
+              WHEN n.action = 'drop' THEN 'near_dup'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS stage
+  FROM documents d
+  JOIN quality q ON q.doc_id = d.doc_id
+  JOIN exact_keep e ON e.h = md5(d.text)
+  JOIN neardup n ON n.doc_id = d.doc_id
+  LEFT JOIN contam c ON c.doc_id = d.doc_id
+) f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source, stage
+"""
+
+
+@register(
+    "curation_funnel",
+    oracle=_curation_funnel_sql("duckdb"),
+    doc=_curation_funnel_sql.__doc__,
+    tags=("pipeline", "dedup", "text"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_curation_funnel_sql("spark"))

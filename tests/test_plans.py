@@ -190,6 +190,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
         ("dedup_method_agreement", 3),  # LSH pairs + blocked cosine pairs + pair-key join
+        ("curation_funnel", 9),  # four member pipelines + attribution joins
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
