@@ -179,3 +179,40 @@ def test_kmeans_partitioning_invariance(spark):
         readers._TABLE_CACHE[key] = prev
     assert base == alt
     assert len({c for _, c in base}) > 1  # clustering is non-degenerate
+
+
+def test_round4_query_invariants(spark):
+    """Cross-query consistency for the round-4 additions, beyond the
+    per-query oracle match: the funnel partitions the corpus exactly,
+    shard totals are token-balanced, resampling ppm is a probability,
+    and IVF recall is a valid fraction of 5."""
+    from flink_wsr_project_spark.plans.registry import all_queries
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    Q = all_queries()
+    n_docs = load_table(spark, "documents", sf).count()
+
+    funnel = Q["curation_funnel"](spark, sf).collect()
+    assert sum(r.n_docs for r in funnel) == n_docs  # total partition
+    assert {r.stage for r in funnel} <= {"quality", "exact_dup", "near_dup", "contaminated", "kept"}
+
+    shards = Q["shard_manifest"](spark, sf).collect()
+    assert sum(r.n_docs for r in shards) == n_docs
+    totals = [r.total_tokens for r in shards]
+    max_tok = load_table(spark, "documents", sf).selectExpr(
+        "max(size(split(trim(text), '\\\\s+'))) AS m"
+    ).head().m
+    assert max(totals) - min(totals) <= 2 * max_tok  # longest-first deal stays balanced
+
+    mix = Q["mix_resample"](spark, sf).collect()
+    for r in mix:
+        assert 0 < r.accept_ppm <= 1_000_000
+        assert r.n_docs_kept <= r.n_docs and r.n_tokens_kept <= r.n_tokens
+
+    recall = Q["ann_ivf_recall"](spark, sf).collect()
+    for r in recall:
+        assert 0 <= r.n_hit <= 5 and 0 <= r.recall_ppm <= 1_000_000
+
+    ranks = {r.global_rank for r in Q["curriculum_order"](spark, sf).collect()}
+    assert ranks == set(range(1, n_docs + 1))  # a total order, no gaps/dups
