@@ -79,6 +79,7 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "dedup_components",  # r4: localCheckpoint added to the label-propagation loop
     "hot_items_topn",  # r4: ensure_event_time now pins session TZ to UTC
     "login_fail_cep_pattern",  # r4: cep.py batch-branch normalization + vectorized stream loop
+    "embedding_pca_project",  # r4: pca.py quantization moved to float64 half-up
 )
 
 
