@@ -1980,7 +1980,6 @@ _set_doc("shard_manifest", shard_manifest.__doc__)
 
 _KM_K = 8
 _KM_ASSIGNS = 5  # assignment passes; centroids update between passes
-_KM_D = 64
 
 
 def _kmeans_oracle() -> str:
@@ -2045,7 +2044,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a codegen'd ``aggregate(zip_with(...))`` distance fold — the
     data never shuffles for assignment (embarrassingly parallel scan).
     The update step is one (cid, dim) aggregate per pass: posexplode to
-    (cid, dim, x), map-side partial sums, k*d = {kd} scalars back to
+    (cid, dim, x), map-side partial sums, k*d scalars back to
     the driver. At 100 TB the same loop holds: per-pass cost is one
     scan + one k*d-group aggregate, with no growing lineage (each pass
     plans against the base scan with fresh literals). Exact integer
@@ -2109,7 +2108,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_kmeans.__doc__ = embedding_kmeans.__doc__.format(
-    k=_KM_K, n=_KM_ASSIGNS, kd=_KM_K * _KM_D
+    k=_KM_K, n=_KM_ASSIGNS
 )
 _set_doc("embedding_kmeans", embedding_kmeans.__doc__)
 
