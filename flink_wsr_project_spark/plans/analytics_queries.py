@@ -248,6 +248,22 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("json_props_stats_variant", oracle=_JSON_ORACLE, tags=("json", "variant"))
+def json_props_stats_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same extraction through Spark 4's VARIANT type:
+    ``parse_json`` shreds the string once into the binary variant
+    encoding and ``variant_get`` does a typed path read — the engine's
+    preferred semi-structured path when fields are accessed repeatedly
+    (one parse, many typed reads; columnar-friendly). Shares
+    ``json_props_stats``'s oracle, proving the two formulations agree
+    (same twin pattern as user_sessions / user_sessions_swf)."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization via built-in session_window (same oracle as user_sessions)
 # ---------------------------------------------------------------------------
