@@ -77,3 +77,22 @@ def matches(col: str, pattern: str) -> Column:
 
 def one_of(col: str, values) -> Column:
     return F.col(col).isin(*values)
+
+def observed(df: DataFrame, name: str, metrics: Mapping[str, Column]):
+    """Attach in-flight observation metrics to a frame: the metrics are
+    computed DURING whatever action consumes ``df`` — no second scan,
+    no extra job — and read back from the returned ``Observation``
+    after the action finishes. The production-monitoring pattern for a
+    100 TB write: row counts, null counts, and value bounds come out of
+    the same pass that wrote the data (Spark's ``Dataset.observe``;
+    in Structured Streaming the same metrics surface per micro-batch
+    through ``QueryProgressEvent.observedMetrics``).
+
+    Returns ``(df_with_observation, observation)``; call
+    ``observation.get`` after an action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *exprs), obs

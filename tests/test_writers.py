@@ -246,3 +246,26 @@ def test_dynamic_partition_pruning_through_join(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["event_type"] == "view"
     want = ev.filter(F.col("event_type") == "view").count()
     assert rows[0]["count"] == want
+
+
+def test_observed_metrics_come_from_the_write_pass(spark, tmp_path):
+    """operators.quality.observed: metrics materialize during the ONE
+    action that consumes the frame (here a parquet write) — no second
+    scan — and match a direct recompute."""
+    from flink_wsr_project_spark.operators.quality import observed
+
+    ev = load_table(spark, "events", SF_DIR)
+    df, obs = observed(
+        ev,
+        "write_metrics",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_user": F.sum(F.col("user_id").isNull().cast("long")),
+            "max_value": F.max("value"),
+        },
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "observed_out"))
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_null_user"] == 0
+    assert abs(got["max_value"] - ev.agg(F.max("value")).head()[0]) < 1e-9
