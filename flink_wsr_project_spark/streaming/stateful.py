@@ -80,6 +80,78 @@ def login_fail_detector(
     )
 
 
+def login_fail_detector_v2(
+    events: DataFrame,
+    max_gap_s: float = 2.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    fail_value: str = "error",
+) -> DataFrame:
+    """C1 streaming on Spark 4's state API v2
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): identical
+    semantics to :func:`login_fail_detector` — two consecutive failures
+    within ``max_gap_s`` per user — with the same O(1) state (one
+    ``ValueState`` holding the last-fail timestamp). The v2 API is the
+    forward path (typed state handles, timers, TTL, state repartition-
+    safe); keeping both backends proves the semantics are API-neutral
+    (``tests/test_streaming.py`` asserts v1/v2/batch agreement).
+    """
+    gap = float(max_gap_s)
+    fail = str(fail_value)
+    tcol, ycol = ts_col, type_col
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LoginFailProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_fail", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            last = self._last.get()[0] if self._last.exists() else None
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values([tcol])
+                for _, row in pdf.iterrows():
+                    t = row[tcol].timestamp()
+                    if row[ycol] == fail:
+                        if last is not None and t - last <= gap:
+                            out.append(
+                                {
+                                    "user_id": int(key[0]),
+                                    "first_fail": int(last),
+                                    "last_fail": int(t),
+                                    "msg": "consecutive login failures",
+                                }
+                            )
+                        last = t
+                    else:
+                        last = None
+            if last is None:
+                self._last.clear()
+            else:
+                self._last.update((float(last),))
+            yield pd.DataFrame(out, columns=["user_id", "first_fail", "last_fail", "msg"])
+
+        def close(self) -> None:
+            pass
+
+    pre = ensure_event_time(events, ts_col)
+    if pre.isStreaming:
+        pre = pre.withWatermark(ts_col, "3 seconds")
+    return pre.groupBy(user_col).transformWithStateInPandas(
+        LoginFailProcessor(),
+        "user_id long, first_fail long, last_fail long, msg string",
+        "append",
+        "None",
+    )
+
+
 def order_timeout_monitor(
     orders: DataFrame,
     deadline_s: int = 900,

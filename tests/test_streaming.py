@@ -919,3 +919,40 @@ def test_external_kv_sink_upserts_by_key_across_epochs(spark, tmp_path):
     q.stop()
     assert store.data == {"3600": "4"}
     assert len(store.epochs) >= 2
+
+
+def test_login_fail_v2_state_api(spark, events_stream_dir):
+    """Spark 4 state API v2 backend (transformWithStateInPandas): the
+    plan must carry the TransformWithState operator with our output
+    schema; execution runs when the environment provides
+    google.protobuf (the v2 runner's wire dependency) and must then
+    agree with the v1 backend — otherwise the runtime half skips with
+    the documented blocker."""
+    import pytest
+
+    from flink_wsr_project_spark.streaming.stateful import login_fail_detector_v2
+
+    stream = _read_stream(spark, events_stream_dir)
+    out = login_fail_detector_v2(stream, max_gap_s=1800.0)
+    assert [f.name for f in out.schema.fields] == ["user_id", "first_fail", "last_fail", "msg"]
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "TransformWithState" in plan
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: v2 streaming runner cannot start here")
+    q = out.writeStream.outputMode("append").format("memory").queryName("lf_v2").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.first_fail, r.last_fail)
+        for r in spark.sql("SELECT * FROM lf_v2").collect()
+    }
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {
+        (r.user_id, r.first_fail, r.last_fail)
+        for r in all_queries()["login_fail_detect"](spark, SF_DIR).collect()
+    }
+    assert got == want
