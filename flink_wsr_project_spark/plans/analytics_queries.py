@@ -1208,3 +1208,81 @@ SELECT user_id,
 FROM seq
 """
     )
+
+_LOCF_ORACLE = """
+WITH bounds AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 1800) AS BIGINT) * 1800 AS lo,
+         CAST(floor(epoch(max(ts)) / 1800) AS BIGINT) * 1800 AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1800, 1800)) AS grid_ts FROM bounds
+),
+obs AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+         1 AS is_obs
+  FROM events
+),
+unioned AS (
+  SELECT user_id, t, v_milli, is_obs FROM obs
+  UNION ALL
+  SELECT user_id, grid_ts AS t, NULL AS v_milli, 0 AS is_obs FROM grid
+),
+filled AS (
+  SELECT user_id, t, is_obs,
+         last_value(v_milli IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_obs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS locf_milli
+  FROM unioned
+)
+SELECT user_id, t AS grid_ts, locf_milli
+FROM filled WHERE is_obs = 0
+"""
+
+
+@register("user_value_locf", oracle=_LOCF_ORACLE, tags=("timeseries", "resample"))
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: each user's value series sampled onto a
+    30-minute grid with last-observation-carried-forward — the gap-fill
+    primitive behind dashboards and feature snapshots (distinct from
+    windowed aggregation: it EMITS at grid points, not event times).
+
+    Plan shape: the observation rows and the generated grid rows union
+    into ONE frame, and a single `last_value IGNORE NULLS` window pass
+    per user fills the grid — one shuffle on user_id, no per-grid-point
+    join. Grid rows sort after a same-second observation (is_obs
+    tie-break) so a grid point ON an observation takes that value.
+    Integer milli-units keep the carried values bit-exact.
+    """
+    events = load_table(spark, "events", sf_dir)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    bounds = events.groupBy("user_id").agg(
+        ((F.floor(F.min(ts_s) / 1800)) * 1800).cast("long").alias("lo"),
+        ((F.floor(F.max(ts_s) / 1800)) * 1800).cast("long").alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", F.col("hi"), F.lit(1800))).alias("t"),
+    ).select("user_id", "t", F.lit(None).cast("long").alias("v_milli"), F.lit(0).alias("is_obs"))
+    obs = events.select(
+        "user_id",
+        ts_s.alias("t"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_milli"),
+        F.lit(1).alias("is_obs"),
+    )
+    unioned = obs.unionByName(grid)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_obs")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.withColumn(
+        "locf_milli", F.last("v_milli", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_obs") == 0).select(
+        "user_id", F.col("t").alias("grid_ts"), "locf_milli"
+    )
+

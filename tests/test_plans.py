@@ -191,6 +191,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
         ("dedup_method_agreement", 3),  # LSH pairs + blocked cosine pairs + pair-key join
         ("curation_funnel", 9),  # four member pipelines + attribution joins
+        ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
