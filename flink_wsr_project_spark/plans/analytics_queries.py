@@ -1286,3 +1286,52 @@ def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("t").alias("grid_ts"), "locf_milli"
     )
 
+_OHLC_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 12, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events
+)
+SELECT window_end,
+       arg_min(v_milli, ord_key) AS open_milli,
+       CAST(max(v_milli) AS BIGINT) AS high_milli,
+       CAST(min(v_milli) AS BIGINT) AS low_milli,
+       arg_max(v_milli, ord_key) AS close_milli,
+       count(*) AS n_events
+FROM v GROUP BY window_end
+"""
+
+
+@register("value_ohlc_hourly", oracle=_OHLC_ORACLE, tags=("timeseries", "market"))
+def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the value stream — the market-data
+    compaction the reference's market package implies but never built:
+    open/close are the FIRST/LAST observation in the bar (deterministic
+    (ts, event_id) arrival order via min_by/max_by on a zero-padded
+    composite key — DuckDB's arg_min takes scalar keys only, so both
+    engines order by the identical string), high/low are extrema.
+    One hash shuffle on the bar; min_by/max_by are single-pass
+    mergeable aggregates — no window function, no per-bar sort, which
+    is what makes the bar compaction scale to unbounded ticks/bar."""
+    events = load_table(spark, "events", sf_dir)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    ord_key = F.concat(
+        F.lpad(ts_s.cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    base = events.select(
+        ((F.floor(ts_s / 3600)) * 3600 + 3600).cast("long").alias("window_end"),
+        v.alias("v_milli"),
+        ord_key.alias("ord_key"),
+    )
+    return base.groupBy("window_end").agg(
+        F.min_by("v_milli", "ord_key").alias("open_milli"),
+        F.max("v_milli").alias("high_milli"),
+        F.min("v_milli").alias("low_milli"),
+        F.max_by("v_milli", "ord_key").alias("close_milli"),
+        F.count("*").alias("n_events"),
+    )
+
