@@ -1335,3 +1335,43 @@ def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
 
+_VWAP_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS p_milli,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS qty
+  FROM events
+)
+SELECT window_end,
+       CAST(sum(p_milli * qty) AS BIGINT) AS turnover_milli,
+       CAST(sum(qty) AS BIGINT) AS volume,
+       CAST(floor(sum(p_milli * qty) * 1.0 / sum(qty)) AS BIGINT) AS vwap_milli
+FROM v WHERE qty > 0 GROUP BY window_end
+"""
+
+
+@register("value_vwap_hourly", oracle=_VWAP_ORACLE, tags=("timeseries", "market", "json"))
+def value_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-weighted average value: price = the value column
+    in exact milli-units, quantity = the ``k`` field pulled out of the
+    JSON props — the classic VWAP shape, exercising semi-structured
+    extraction INSIDE an exact-integer aggregate. turnover and volume
+    are plain Long sums (order-independent); vwap is their floored
+    ratio, computed identically by both engines. One shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    p = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    qty = F.get_json_object("props", "$.k").cast("long")
+    base = events.select(
+        ((F.floor(ts_s / 3600)) * 3600 + 3600).cast("long").alias("window_end"),
+        p.alias("p_milli"),
+        qty.alias("qty"),
+    ).filter(F.col("qty") > 0)
+    return base.groupBy("window_end").agg(
+        F.sum(F.col("p_milli") * F.col("qty")).alias("turnover_milli"),
+        F.sum("qty").alias("volume"),
+        F.floor(
+            F.sum(F.col("p_milli") * F.col("qty")) * F.lit(1.0) / F.sum("qty")
+        ).cast("long").alias("vwap_milli"),
+    )
+

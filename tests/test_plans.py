@@ -193,6 +193,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("curation_funnel", 9),  # four member pipelines + attribution joins
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
         ("value_ohlc_hourly", 1),  # single-pass mergeable min_by/max_by bar compaction
+        ("value_vwap_hourly", 1),  # JSON-extract inside one exact-integer agg
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
