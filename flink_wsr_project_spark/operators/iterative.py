@@ -1,0 +1,54 @@
+"""Lineage-truncation helpers for iterative DataFrame loops.
+
+Iterative algorithms (connected components, PageRank) must
+``localCheckpoint`` each round to keep the logical plan one join deep —
+but ``Dataset.localCheckpoint`` persists its blocks through an internal
+RDD that is NOT reachable from the returned DataFrame's public handles:
+``df.unpersist()``, ``df.rdd.unpersist()`` and even
+``queryExecution.toRdd().unpersist()`` are all no-ops on it (verified
+against Spark 4.1 — the checkpointed RDD is a private ``map`` of
+``toRdd``). Without an explicit release, block-manager usage grows
+O(rounds × |frame|) over a long loop.
+
+These helpers track the persistent-RDD ids a checkpoint creates (by
+diffing ``SparkContext.getPersistentRDDs`` around the call) so a loop
+can release the superseded round's blocks by id. The diff assumes no
+OTHER thread persists RDDs between the two snapshots — true for this
+engine's single-driver-thread query builders; a multi-tenant driver
+would need a lock around ``local_checkpoint_tracked``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _persistent_ids(sc) -> set[int]:
+    return set(sc._jsc.getPersistentRDDs().keySet())
+
+
+def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager ``localCheckpoint`` returning (checkpointed_df, new_rdd_ids).
+
+    ``new_rdd_ids`` are the persistent-RDD ids this checkpoint created;
+    pass them to :func:`release_persistent_rdds` once the frame is
+    superseded.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_ids(sc) - before
+
+
+def release_persistent_rdds(spark, ids: set[int]) -> None:
+    """Unpersist (non-blocking) the persistent RDDs with the given ids.
+
+    Ids already evicted or unknown are skipped silently — release is
+    idempotent and safe to call with a stale set.
+    """
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jid in list(jmap.keySet()):
+        if jid in ids:
+            jmap[jid].unpersist()

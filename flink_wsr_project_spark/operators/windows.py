@@ -27,6 +27,27 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
+def pin_session_utc(spark) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC — LOUD GLOBAL EFFECT.
+
+    This engine's data contract is UTC throughout: NTZ parquet
+    wall-clocks are UTC instants, every oracle compares epoch seconds,
+    and every window boundary is computed in UTC. The pin is therefore
+    applied at EVERY entry point — session construction
+    (``session.get_spark``), every ``load_table`` call, and every
+    ``ensure_event_time`` call (streaming paths reach the latter
+    without ``load_table``) — and is deliberately NOT restored: results
+    are computed lazily after these functions return, so restoring the
+    caller's TZ would silently corrupt every downstream instant cast.
+    A caller embedding this engine in a non-UTC session must treat that
+    session as UTC-configured from the first engine call on (or use a
+    dedicated session). Unconditional on purpose: pinning only when an
+    NTZ column happens to be seen made the effect load-order-dependent
+    (an LTZ-typed read path under a non-UTC session was never pinned).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Normalize an event-time column to TimestampType (LTZ).
 
@@ -36,20 +57,17 @@ def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``) and which raw SQL can't
     ``CAST(... AS BIGINT)``. The cast is instant-exact ONLY under a
     UTC session TZ (NTZ wall-clock values are UTC by data contract), so
-    the session TZ is pinned here before casting. With that pin the
-    NTZ→LTZ cast is exact (identical wall-clock instant), so one cast
-    here keeps batch SQL, DataFrame ops, and streaming watermarks on a
+    the session TZ is pinned — unconditionally, see
+    ``pin_session_utc`` — before casting. With that pin the NTZ→LTZ
+    cast is exact (identical wall-clock instant), so one cast here
+    keeps batch SQL, DataFrame ops, and streaming watermarks on a
     single timestamp type regardless of how the source parquet was
-    written. No-op (returns ``df`` unchanged) for any other type.
+    written. Column no-op (returns ``df`` unchanged) for any
+    non-NTZ type; the TZ pin still applies.
     """
+    pin_session_utc(df.sparkSession)
     for f_ in df.schema.fields:
         if f_.name == ts_col and isinstance(f_.dataType, T.TimestampNTZType):
-            # Pin the session TZ BEFORE casting: streaming entry points
-            # (streaming/windows.py, joins.py, dedup.py, stateful.py,
-            # operators/cep.py) reach here without load_table's pin, and a
-            # non-UTC caller session would shift every instant, window
-            # boundary, and epoch output by the UTC offset.
-            df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
             return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

@@ -1222,18 +1222,20 @@ grid AS (
 obs AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
-         1 AS is_obs
+         1 AS is_obs, CAST(event_id AS BIGINT) AS ord_id
   FROM events
 ),
 unioned AS (
-  SELECT user_id, t, v_milli, is_obs FROM obs
+  SELECT user_id, t, v_milli, is_obs, ord_id FROM obs
   UNION ALL
-  SELECT user_id, grid_ts AS t, NULL AS v_milli, 0 AS is_obs FROM grid
+  SELECT user_id, grid_ts AS t, NULL AS v_milli, 0 AS is_obs,
+         CAST(-1 AS BIGINT) AS ord_id
+  FROM grid
 ),
 filled AS (
   SELECT user_id, t, is_obs,
          last_value(v_milli IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY t, is_obs
+           PARTITION BY user_id ORDER BY t, is_obs DESC, ord_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS locf_milli
   FROM unioned
@@ -1253,9 +1255,12 @@ def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the observation rows and the generated grid rows union
     into ONE frame, and a single `last_value IGNORE NULLS` window pass
     per user fills the grid — one shuffle on user_id, no per-grid-point
-    join. Grid rows sort after a same-second observation (is_obs
-    tie-break) so a grid point ON an observation takes that value.
-    Integer milli-units keep the carried values bit-exact.
+    join. Ordering is (t ASC, is_obs DESC, event_id ASC): at equal t
+    observations sort BEFORE the grid row, so a grid point landing
+    exactly on an observation emits THAT observation's value, and among
+    same-second observations the largest event_id wins (deterministic
+    across engines — same discipline as user_value_ewma). Integer
+    milli-units keep the carried values bit-exact.
     """
     events = load_table(spark, "events", sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
@@ -1266,17 +1271,24 @@ def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         "user_id",
         F.explode(F.sequence("lo", F.col("hi"), F.lit(1800))).alias("t"),
-    ).select("user_id", "t", F.lit(None).cast("long").alias("v_milli"), F.lit(0).alias("is_obs"))
+    ).select(
+        "user_id",
+        "t",
+        F.lit(None).cast("long").alias("v_milli"),
+        F.lit(0).alias("is_obs"),
+        F.lit(-1).cast("long").alias("ord_id"),
+    )
     obs = events.select(
         "user_id",
         ts_s.alias("t"),
         F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_milli"),
         F.lit(1).alias("is_obs"),
+        F.col("event_id").cast("long").alias("ord_id"),
     )
     unioned = obs.unionByName(grid)
     w = (
         W.partitionBy("user_id")
-        .orderBy("t", "is_obs")
+        .orderBy(F.col("t").asc(), F.col("is_obs").desc(), F.col("ord_id").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.withColumn(

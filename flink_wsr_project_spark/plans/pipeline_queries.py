@@ -22,6 +22,10 @@ from flink_wsr_project_spark.operators.dedup import (
     signature_sql,
     simhash_sql,
 )
+from flink_wsr_project_spark.operators.iterative import (
+    local_checkpoint_tracked,
+    release_persistent_rdds,
+)
 from flink_wsr_project_spark.operators.similarity import cosine_expr, srp_bucket_expr
 from flink_wsr_project_spark.operators.text import fingerprint_sql, lang_id_sql
 from flink_wsr_project_spark.plans.registry import register
@@ -426,7 +430,8 @@ def min_label_propagation(labels: DataFrame, edges: DataFrame, max_rounds: int =
     component_id = doc_id). ``edges``: directed (a, b) pairs — pass
     both orientations for an undirected graph.
     """
-    labels = labels.localCheckpoint(eager=True)
+    labels, labels_ids = local_checkpoint_tracked(labels)
+    spark = labels.sparkSession
     prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
     for _ in range(max_rounds):
         nbr_min = (
@@ -434,18 +439,22 @@ def min_label_propagation(labels: DataFrame, edges: DataFrame, max_rounds: int =
             .groupBy("a")
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
-            .select(
+        new_labels, new_ids = local_checkpoint_tracked(
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
                 "doc_id",
                 F.least(
                     F.col("component_id"), F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
-        labels = new_labels
+        # Release the superseded round's checkpointed blocks once the new
+        # round is materialized and its convergence sum read — otherwise
+        # block-manager memory/disk grows O(rounds × |labels|) on deep
+        # graphs. (The final round's checkpoint stays alive: callers
+        # consume the returned frame.)
+        release_persistent_rdds(spark, labels_ids)
+        labels, labels_ids = new_labels, new_ids
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -2198,6 +2207,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = docs.select("doc_id").withColumn(
         "rank_us", F.lit(_PR_INIT_US).cast("long")
     )
+    ranks_ids: set[int] = set()
     for _ in range(_PR_ITERS):
         dangling = (
             ranks.join(outdeg, ranks.doc_id == outdeg.a, "left_anti")
@@ -2211,7 +2221,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("b")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        new_ranks, new_ids = local_checkpoint_tracked(
             docs.select("doc_id")
             .join(inc, docs.doc_id == inc.b, "left")
             .select(
@@ -2220,8 +2230,11 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST(150000 + (85 * (COALESCE(s, 0) + {share})) div 100 AS BIGINT)"
                 ).alias("rank_us"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Same O(rounds × |frame|) block-release discipline as
+        # min_label_propagation above.
+        release_persistent_rdds(spark, ranks_ids)
+        ranks, ranks_ids = new_ranks, new_ids
     edges.unpersist()
     edges_deg.unpersist()
     return ranks

@@ -139,6 +139,7 @@ def test_min_label_propagation_chain_converges_with_bounded_plan(spark):
     labels = spark.createDataFrame(
         [(i, i) for i in range(n)], ["doc_id", "component_id"]
     )
+    persistent_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     out = min_label_propagation(labels, edges)
     rows = {r.doc_id: r.component_id for r in out.collect()}
     assert rows == {i: 0 for i in range(n)}
@@ -147,6 +148,14 @@ def test_min_label_propagation_chain_converges_with_bounded_plan(spark):
     plan = out._jdf.queryExecution().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert plan.count("Join") == 0
+    # superseded rounds' checkpoint blocks were released: after ~10
+    # rounds only the FINAL round's checkpoint may remain persistent
+    # (block growth across rounds was the r4-advice leak)
+    persistent_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert persistent_after - persistent_before <= 1, (
+        f"label-propagation leaked checkpoint blocks: "
+        f"{persistent_after - persistent_before} persistent RDDs added"
+    )
 
 
 def test_kmeans_partitioning_invariance(spark):
