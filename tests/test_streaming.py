@@ -920,39 +920,136 @@ def test_external_kv_sink_upserts_by_key_across_epochs(spark, tmp_path):
     assert store.data == {"3600": "4"}
     assert len(store.epochs) >= 2
 
+# ---------------------------------------------------------------------------
+# r5: the vectorized stateful folds must equal the per-row reference fold
+# when a key's micro-batch spans MULTIPLE Arrow chunks and arrives out of
+# event-time order (chunk-local sorting was the r4-advice bug class).
+# ---------------------------------------------------------------------------
 
-def test_login_fail_v2_state_api(spark, events_stream_dir):
-    """Spark 4 state API v2 backend (transformWithStateInPandas): the
-    plan must carry the TransformWithState operator with our output
-    schema; execution runs when the environment provides
-    google.protobuf (the v2 runner's wire dependency) and must then
-    agree with the v1 backend — otherwise the runtime half skips with
-    the documented blocker."""
-    import pytest
 
-    from flink_wsr_project_spark.streaming.stateful import login_fail_detector_v2
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    """Force multi-chunk groups: every Arrow record batch carries ≤4 rows,
+    so a 20-row key arrives as ≥5 chunks inside one micro-batch."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    yield
+    spark.conf.set(key, old)
 
-    stream = _read_stream(spark, events_stream_dir)
-    out = login_fail_detector_v2(stream, max_gap_s=1800.0)
-    assert [f.name for f in out.schema.fields] == ["user_id", "first_fail", "last_fail", "msg"]
-    plan = out._jdf.queryExecution().logical().toString()
-    assert "TransformWithState" in plan
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: v2 streaming runner cannot start here")
-    q = out.writeStream.outputMode("append").format("memory").queryName("lf_v2").start()
+def _write_shuffled(spark, tmp_path, rows, cols, name):
+    """Write rows to parquet in a deliberately NON-time-sorted order."""
+    import random
+
+    rng = random.Random(17)
+    rows = list(rows)
+    rng.shuffle(rows)
+    d = str(tmp_path / name)
+    (
+        spark.createDataFrame(rows, cols)
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+        .coalesce(1)
+        .write.parquet(d)
+    )
+    return d
+
+
+def _run_to_memory(df, qname):
+    q = df.writeStream.outputMode("append").format("memory").queryName(qname).start()
     q.processAllAvailable()
     q.stop()
+
+
+def test_login_fail_vectorized_matches_rowfold_out_of_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows, expect = [], set()
+    # user 1: 20 events, fail-streaks with mixed gaps; user 2: all fails 1s apart
+    seq = ["error", "error", "ok", "error", "error", "error", "ok", "ok",
+           "error", "error"] * 2
+    gaps = [0, 1, 2, 5, 6, 7, 9, 30, 31, 33, 60, 61, 63, 64, 90, 91, 100, 101, 102, 200]
+    last_fail = None
+    for g, ev in zip(gaps, seq):
+        t = base + pd.Timedelta(seconds=g)
+        rows.append((1, ev, str(t)))
+        if ev == "error":
+            if last_fail is not None and g - last_fail <= 2:
+                expect.add((1, int(base.timestamp()) + last_fail, int(base.timestamp()) + g))
+            last_fail = g
+        else:
+            last_fail = None
+    for i in range(8):
+        rows.append((2, "error", str(base + pd.Timedelta(seconds=i))))
+        if i:
+            expect.add((2, int(base.timestamp()) + i - 1, int(base.timestamp()) + i))
+    d = _write_shuffled(spark, tmp_path, rows, ["user_id", "event_type", "ts_str"], "lf_ooo")
+    out = login_fail_detector(_read_stream(spark, d), max_gap_s=2.0)
+    _run_to_memory(out, "lf_ooo")
     got = {
         (r.user_id, r.first_fail, r.last_fail)
-        for r in spark.sql("SELECT * FROM lf_v2").collect()
+        for r in spark.sql("SELECT * FROM lf_ooo").collect()
     }
-    from flink_wsr_project_spark.plans.registry import all_queries
+    assert got == expect
 
-    want = {
-        (r.user_id, r.first_fail, r.last_fail)
-        for r in all_queries()["login_fail_detect"](spark, SF_DIR).collect()
-    }
-    assert got == want
+
+def test_order_timeout_vectorized_matches_rowfold_out_of_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # order 1: C C P P C P → three emissions incl. re-arm after a consumed run
+    for g, ev in [(0, "create"), (10, "create"), (20, "pay"), (30, "pay"),
+                  (40, "create"), (50, "pay")]:
+        rows.append((1, ev, str(base + pd.Timedelta(seconds=g))))
+    # order 2: pay-before-create, late beyond deadline
+    rows.append((2, "pay", str(base + pd.Timedelta(seconds=5))))
+    rows.append((2, "create", str(base + pd.Timedelta(seconds=1000))))
+    # order 3: single create+pay within deadline, 14 filler creates first
+    # (so the key spans multiple 4-row Arrow chunks)
+    for i in range(14):
+        rows.append((3, "create", str(base + pd.Timedelta(seconds=i))))
+    rows.append((3, "pay", str(base + pd.Timedelta(seconds=100))))
+    d = _write_shuffled(spark, tmp_path, rows, ["order_id", "event_type", "ts_str"], "ot_ooo")
+    out = order_timeout_monitor(_read_stream(spark, d), deadline_s=900)
+    _run_to_memory(out, "ot_ooo")
+    got = sorted(
+        (r.order_id, r.status, r.create_ts, r.pay_ts)
+        for r in spark.sql("SELECT * FROM ot_ooo").collect()
+    )
+    b = int(base.timestamp())
+    assert got == sorted(
+        [
+            (1, "payed successfully", b + 10, b + 20),  # latest C pairs first P
+            (1, "payed successfully", b + 40, b + 30),  # re-armed P30 meets C40
+            # dangling P50 times out once order 2's ts pushes the watermark
+            # past 50+900 (no-data batch fires the event-time timer)
+            (1, "already payed but not found created log", None, b + 50),
+            (2, "payed successfully", b + 1000, b + 5),  # pay-before-create
+            (3, "payed successfully", b + 13, b + 100),
+        ]
+    )
+
+
+def test_blacklist_vectorized_matches_rowfold_out_of_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    rows = []
+    # user 1 / ad 1: 12 clicks on day 1 (crossing at 6th), 3 on day 2 (no cross)
+    for i in range(12):
+        rows.append((1, 1, f"2024-01-01 00:{i:02d}:00"))
+    for i in range(3):
+        rows.append((1, 1, f"2024-01-02 00:{i:02d}:00"))
+    # user 2 / ad 1: exactly threshold clicks → no warning
+    for i in range(5):
+        rows.append((2, 1, f"2024-01-01 01:{i:02d}:00"))
+    d = _write_shuffled(spark, tmp_path, rows, ["user_id", "ad_id", "ts_str"], "bl_ooo")
+    out = blacklist_filter(_read_stream(spark, d), threshold=5)
+    _run_to_memory(out, "bl_ooo")
+    got = [
+        (r.user_id, r.ad_id, r.day, r.click_count)
+        for r in spark.sql("SELECT * FROM bl_ooo").collect()
+    ]
+    assert got == [(1, 1, "2024-01-01", 6)]
