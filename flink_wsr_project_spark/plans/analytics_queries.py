@@ -1209,6 +1209,76 @@ FROM seq
 """
     )
 
+@register("user_value_ewma_partitioned", oracle=_EWMA_ORACLE, tags=("session", "ordered-fold"))
+def user_value_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-history twin of :func:`user_value_ewma`: identical
+    semantics (per-user e := (e + v) div 2 fold over (ts, event_id)
+    order, integer milli-units), but NO per-user array — the
+    secondary-sort pattern promised in user_value_ewma's docstring,
+    proven here against the same oracle.
+
+    Plan: ``repartition(user_id)`` (the one shuffle) +
+    ``sortWithinPartitions(user_id, ts, event_id)`` + a streaming
+    ``mapInPandas`` fold that carries (user, count, accumulator) — three
+    scalars — across Arrow chunks. A user's history never materializes
+    as a single array anywhere, so a 100 TB user with a billion events
+    folds in O(1) memory; the in-row form would need the whole history
+    in one collect_list. The fold itself is sequential by definition
+    (each step's floor depends on the previous), so the inner loop is
+    the algorithm, not overhead.
+    """
+    events = load_table(spark, "events", sf_dir)
+    src = (
+        events.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").cast("timestamp").alias("_ts"),
+            F.col("event_id").cast("long").alias("_eid"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_milli"),
+        )
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "_ts", "_eid")
+    )
+
+    def fold(iterator):
+        import numpy as np
+        import pandas as pd
+
+        cur_uid, cur_n, cur_acc = None, 0, 0
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            uids = pdf["user_id"].to_numpy(np.int64)
+            vs = pdf["v_milli"].to_numpy(np.int64)
+            out_u: list[int] = []
+            out_n: list[int] = []
+            out_e: list[int] = []
+            starts = np.concatenate(([0], np.nonzero(uids[1:] != uids[:-1])[0] + 1))
+            ends = np.concatenate((starts[1:], [len(uids)]))
+            for s_, e_ in zip(starts, ends):
+                u = int(uids[s_])
+                if u != cur_uid:
+                    if cur_uid is not None:
+                        out_u.append(cur_uid)
+                        out_n.append(cur_n)
+                        out_e.append(cur_acc)
+                    cur_uid, cur_n, cur_acc = u, 0, 0
+                for v in vs[s_:e_].tolist():
+                    # values are non-negative milli-units, so Python //
+                    # matches SQL `div` (truncation) exactly
+                    cur_acc = v if cur_n == 0 else (cur_acc + v) // 2
+                    cur_n += 1
+            if out_u:
+                yield pd.DataFrame(
+                    {"user_id": out_u, "n_events": out_n, "ewma_milli": out_e}
+                )
+        if cur_uid is not None:
+            yield pd.DataFrame(
+                {"user_id": [cur_uid], "n_events": [cur_n], "ewma_milli": [cur_acc]}
+            )
+
+    return src.mapInPandas(fold, "user_id long, n_events long, ewma_milli long")
+
+
 _LOCF_ORACLE = """
 WITH bounds AS (
   SELECT user_id,

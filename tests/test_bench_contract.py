@@ -33,5 +33,7 @@ def test_bench_emits_one_json_line_with_contract_fields():
     assert d["sf"] == 0.001
     assert isinstance(d["value"], (int, float)) and d["value"] > 0
     assert set(d["queries"]) == set(d["queries_steady"])
+    # steady numbers must be a median of >=3 runs, with the count recorded
+    assert d["steady_runs"] >= 3
     assert len(d["queries"]) >= 16
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.05 * max(d["value"], 1)

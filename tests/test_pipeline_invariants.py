@@ -225,3 +225,23 @@ def test_round4_query_invariants(spark):
 
     ranks = {r.global_rank for r in Q["curriculum_order"](spark, sf).collect()}
     assert ranks == set(range(1, n_docs + 1))  # a total order, no gaps/dups
+
+
+def test_ewma_partitioned_twin_equals_inrow_form(spark):
+    """user_value_ewma_partitioned (secondary-sort mapInPandas fold, the
+    unbounded-history form) must produce row-identical output to
+    user_value_ewma (collect_list in-row fold) — same oracle, two
+    physical strategies. Run under a 7-way repartition-hostile input via
+    the registry path to exercise Arrow-chunk carry."""
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    q = all_queries()
+    a = sorted(
+        (r.user_id, r.n_events, r.ewma_milli)
+        for r in q["user_value_ewma"](spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r.user_id, r.n_events, r.ewma_milli)
+        for r in q["user_value_ewma_partitioned"](spark, SF_DIR).collect()
+    )
+    assert a == b and len(a) > 0

@@ -16,7 +16,7 @@ from tests.conftest import SF_DIR
 _QUERIES = all_queries()
 
 # Arrow-batched Pandas paths are allowed only where declared.
-_PANDAS_OK = {"media_features", "embedding_gram_upper"}
+_PANDAS_OK = {"media_features", "embedding_gram_upper", "user_value_ewma_partitioned"}
 
 # Deliberate tiny-side cross joins (1-row scalar subquery / ≤10-row
 # centroid table); everything else must never be cartesian.
@@ -130,7 +130,8 @@ def test_dimension_join_broadcasts(spark, name):
         ("hot_items_topn", 2),    # bucket agg + window_end repartition (reused by roll-up AND rank)
         ("hot_pages_topn", 2),    # bucket agg + window_end repartition (reused by roll-up AND rank)
         ("uv_hourly", 2),         # two-phase distinct
-        ("market_by_channel", 1),
+        ("market_by_channel", 2),  # bucket partial agg + window_end roll-up (r5 two-stage)
+        ("market_total", 2),       # same shape, keyless
         ("tx_reconcile", 2),      # both sides keyed on tx
         ("dedup_exact", 1),
         ("token_vocab_topk", 2),  # token count + global-rank partition
@@ -189,6 +190,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("ann_ivf_recall", 7),  # composes both ANN pipelines + the recall join
         ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
+        ("user_value_ewma_partitioned", 1),  # one user_id shuffle; secondary-sort fold
         ("dedup_method_agreement", 3),  # LSH pairs + blocked cosine pairs + pair-key join
         ("curation_funnel", 9),  # four member pipelines + attribution joins
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
@@ -206,3 +208,29 @@ def test_shuffle_budget(spark, name, max_exchanges):
         or "Exchange SinglePartition" in line
     )
     assert n <= max_exchanges, f"{name}: {n} shuffles, budget {max_exchanges}"
+
+
+@pytest.mark.parametrize("name", ["market_by_channel", "market_total", "hot_items_topn"])
+def test_two_stage_sliding_rollup_shape(spark, name):
+    """r4-verdict item 3: the sliding-count queries must keep the
+    tumble-then-roll shape — a PARTIAL HashAggregate (map-side bucket
+    combine) strictly BEFORE the first exchange, so exchange 1 carries
+    (key, 5-min-bucket) partials, never window-expanded raw rows."""
+    plan = _plan(spark, name)
+    lines = plan.splitlines()
+    # The tree prints top-down: the LAST-printed exchange is the
+    # first-executed one — the (key, bucket) shuffle.
+    exchange_lines = [
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l
+    ]
+    assert exchange_lines, f"{name}: no hash exchange in plan"
+    bucket_exchange = max(exchange_lines)
+    assert any(
+        "HashAggregate" in l for l in lines[bucket_exchange:]
+    ), f"{name}: no partial (map-side) aggregate feeding the bucket exchange"
+    # The dur/slide expand must run on AGGREGATED bucket rows (printed
+    # above the bucket exchange), never on raw pre-shuffle rows.
+    expand_lines = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert expand_lines and all(i < bucket_exchange for i in expand_lines), (
+        f"{name}: window expand is on the raw-row side of the bucket exchange"
+    )
