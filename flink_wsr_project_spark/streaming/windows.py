@@ -88,3 +88,65 @@ def streaming_session_agg(
         )
         .drop("_sw")
     )
+
+
+def value_ohlc_stream(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "3 seconds"
+) -> DataFrame:
+    """Streaming twin of ``plans.analytics_queries.value_ohlc_hourly``
+    (r4-verdict item 8): identical expressions — open/close via
+    min_by/max_by on the zero-padded (ts, event_id) composite key,
+    exact milli-unit extrema — through the watermarked hourly window.
+    All five aggregates are single-pass mergeable, so the streaming
+    state per bar is five scalars, never a buffer of ticks (the same
+    property that makes the batch bar compaction scale)."""
+    pre = ensure_event_time(stream, ts_col)
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    ord_key = F.concat(
+        F.lpad(ts_s.cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    base = pre.select(F.col(ts_col), v.alias("v_milli"), ord_key.alias("ord_key"))
+    return streaming_windowed_agg(
+        base,
+        ts_col,
+        "1 hour",
+        watermark=watermark,
+        aggs=[
+            F.min_by("v_milli", "ord_key").alias("open_milli"),
+            F.max("v_milli").alias("high_milli"),
+            F.min("v_milli").alias("low_milli"),
+            F.max_by("v_milli", "ord_key").alias("close_milli"),
+            F.count("*").alias("n_events"),
+        ],
+    ).select("window_end", "open_milli", "high_milli", "low_milli", "close_milli", "n_events")
+
+
+def value_vwap_stream(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "3 seconds"
+) -> DataFrame:
+    """Streaming twin of ``plans.analytics_queries.value_vwap_hourly``
+    (r4-verdict item 8): JSON-extracted quantity, exact integer
+    turnover/volume sums, floored VWAP ratio — the state per window is
+    two Long sums, and the qty>0 filter runs before the watermark
+    aggregation so non-trades never enter state."""
+    pre = ensure_event_time(stream, ts_col)
+    p = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    qty = F.get_json_object("props", "$.k").cast("long")
+    base = pre.select(
+        F.col(ts_col), p.alias("p_milli"), qty.alias("qty")
+    ).filter(F.col("qty") > 0)
+    return streaming_windowed_agg(
+        base,
+        ts_col,
+        "1 hour",
+        watermark=watermark,
+        aggs=[
+            F.sum(F.col("p_milli") * F.col("qty")).alias("turnover_milli"),
+            F.sum("qty").alias("volume"),
+            F.floor(
+                F.sum(F.col("p_milli") * F.col("qty")) * F.lit(1.0) / F.sum("qty")
+            ).cast("long").alias("vwap_milli"),
+        ],
+    ).select("window_end", "turnover_milli", "volume", "vwap_milli")

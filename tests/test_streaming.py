@@ -1053,3 +1053,39 @@ def test_blacklist_vectorized_matches_rowfold_out_of_order(
         for r in spark.sql("SELECT * FROM bl_ooo").collect()
     ]
     assert got == [(1, 1, "2024-01-01", 6)]
+
+
+def test_value_ohlc_stream_matches_batch(spark, events_stream_dir):
+    """r4-verdict item 8: the streaming OHLC twin must reproduce the
+    batch bar compaction exactly (open/close order via the composite
+    key survives watermarked streaming aggregation)."""
+    from flink_wsr_project_spark.streaming.windows import value_ohlc_stream
+
+    out = value_ohlc_stream(_read_stream(spark, events_stream_dir))
+    q = out.writeStream.outputMode("complete").format("memory").queryName("ohlc_s").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM ohlc_s").collect()
+    }
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {tuple(r) for r in all_queries()["value_ohlc_hourly"](spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_value_vwap_stream_matches_batch(spark, events_stream_dir):
+    """r4-verdict item 8: streaming VWAP twin vs the batch form —
+    integer turnover/volume sums are order-independent, so the
+    streaming result is bit-identical."""
+    from flink_wsr_project_spark.streaming.windows import value_vwap_stream
+
+    out = value_vwap_stream(_read_stream(spark, events_stream_dir))
+    q = out.writeStream.outputMode("complete").format("memory").queryName("vwap_s").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM vwap_s").collect()}
+    from flink_wsr_project_spark.plans.registry import all_queries
+
+    want = {tuple(r) for r in all_queries()["value_vwap_hourly"](spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
