@@ -51,4 +51,6 @@ def release_persistent_rdds(spark, ids: set[int]) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jid in list(jmap.keySet()):
         if jid in ids:
-            jmap[jid].unpersist()
+            # non-blocking: racing Spark's ContextCleaner on a block
+            # already being dropped must not stall (or log-error) the loop
+            jmap[jid].unpersist(False)

@@ -76,10 +76,11 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    "dedup_components",  # r4: localCheckpoint added to the label-propagation loop
-    "hot_items_topn",  # r4: ensure_event_time now pins session TZ to UTC
-    "login_fail_cep_pattern",  # r4: cep.py batch-branch normalization + vectorized stream loop
-    "embedding_pca_project",  # r4: pca.py quantization moved to float64 half-up
+    "user_value_locf",  # r5: grid-coincident tie-break fixed (t, is_obs DESC, event_id)
+    "market_by_channel",  # r5: plan swapped to sliding_count_two_stage
+    "market_total",  # r5: same two-stage swap, keyless form
+    "dedup_components",  # r5: label-prop loop now releases superseded checkpoints
+    "doc_pagerank",  # r5: same tracked-checkpoint release in the rank loop
 )
 
 
