@@ -14,11 +14,11 @@ reference's timers.
 
 Throughput discipline (r4 verdict): every fold here is vectorized over
 the whole micro-batch — one ``pd.concat`` + one STABLE sort, then a
-numpy shifted-AND (login-fail), a run-level fold (order-timeout), or a
-day-level fold (blacklist) — following the pattern proven in
-``operators/cep.py`` (match_pattern_stream). The only per-row loop is
-``uv_per_element_bloom``'s, which is sequential by construction (each
-element's emitted count depends on every prior bitmap mutation).
+numpy shifted-AND (login-fail), a run-level fold (order-timeout), a
+day-level fold (blacklist), or a first-occurrence/cumsum fold
+(per-element Bloom) — following the pattern proven in
+``operators/cep.py`` (match_pattern_stream). No ``iterrows`` remains
+in this module.
 """
 
 from __future__ import annotations
@@ -279,45 +279,72 @@ def uv_per_element_bloom(
     tcol, ucol = ts_col, user_col
 
     def fn(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
             count, bloom = state.get
-            bloom = bytearray(bloom)
+            bloom_np = np.frombuffer(bloom, dtype=np.uint8).copy()
         else:
-            count, bloom = 0, bytearray(nbits >> 3)
-        out = []
+            count, bloom_np = 0, np.zeros(nbits >> 3, dtype=np.uint8)
+        cols = ["window_end", "user_id", "uv"]
         chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            # ONE micro-batch-wide stable sort (chunk-local sorts would
-            # reorder across Arrow-chunk boundaries). The per-ROW loop
-            # below is kept deliberately: each element's emitted count
-            # depends on every prior element's bitmap mutation — a
-            # sequential bit-dependency with no shifted-AND form, unlike
-            # the other operators in this module.
-            import pandas as _pd
-
-            pdf = _pd.concat(chunks, ignore_index=True).sort_values(
-                [tcol, ucol], kind="mergesort"
-            )
-            for _, row in pdf.iterrows():
-                uid = str(int(row[ucol]))
-                h = 0
-                for ch in uid:  # reference Bloom.hash: Int wrap-around
-                    h = (h * sd + ord(ch)) & 0xFFFFFFFF
-                off = h & (nbits - 1)
-                if not bloom[off >> 3] & (1 << (off & 7)):
-                    bloom[off >> 3] |= 1 << (off & 7)
-                    count += 1
-                out.append(
-                    {
-                        "window_end": int(key[0]),
-                        "user_id": int(row[ucol]),
-                        "uv": int(count),
-                    }
-                )
-        state.update((int(count), bytes(bloom)))
-        yield pd.DataFrame(out, columns=["window_end", "user_id", "uv"])
+        if not chunks:
+            state.update((int(count), bloom_np.tobytes()))
+            yield pd.DataFrame([], columns=cols)
+            return
+        # ONE micro-batch-wide stable sort (chunk-local sorts would
+        # reorder across Arrow-chunk boundaries). The per-element count
+        # sequence LOOKS sequential (each emitted uv depends on every
+        # prior bitmap mutation) but vectorizes exactly: an element
+        # increments the count iff its bit is unset in the CARRIED bloom
+        # AND it is the FIRST occurrence of that offset in the sorted
+        # batch (np.unique's return_index) — so uv-after-element is
+        # carried_count + cumsum(is_new). Bit tests/sets use byte
+        # indexing (no bitmap expansion; bitwise_or.at handles duplicate
+        # byte offsets), so memory stays bits/8 even at the reference's
+        # 2^30.
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [tcol, ucol], kind="mergesort"
+        )
+        uids = pdf[ucol].to_numpy(np.int64)
+        # reference Bloom.hash (:157-176): polynomial fold over the
+        # DECIMAL DIGITS of the id with Scala Int wrap-around —
+        # vectorized by digit position (ids grouped by digit count so
+        # each group folds most-significant-first like the string loop)
+        offs = np.zeros(len(uids), dtype=np.uint64)
+        # exact digit count: integer threshold comparisons, no log10
+        # float edges at powers of ten
+        thresholds = np.array([10**k for k in range(1, 19)], dtype=np.int64)
+        ndig = np.searchsorted(thresholds, uids, side="right") + 1
+        for length in np.unique(ndig):
+            m = ndig == length
+            u = uids[m].astype(np.uint64)
+            h = np.zeros(u.shape, dtype=np.uint64)
+            for pos in range(int(length) - 1, -1, -1):
+                digit = (u // np.uint64(10**pos)) % np.uint64(10)
+                h = (h * np.uint64(sd) + digit + np.uint64(48)) & np.uint64(0xFFFFFFFF)
+            offs[m] = h & np.uint64(nbits - 1)
+        offs = offs.astype(np.int64)
+        byte_idx, bit = offs >> 3, (np.uint8(1) << (offs & 7).astype(np.uint8))
+        already_set = (bloom_np[byte_idx] & bit) != 0
+        _, first_idx = np.unique(offs, return_index=True)
+        is_first = np.zeros(len(offs), dtype=bool)
+        is_first[first_idx] = True
+        is_new = is_first & ~already_set
+        uv = count + np.cumsum(is_new)
+        count = int(uv[-1])
+        np.bitwise_or.at(bloom_np, byte_idx, bit)
+        out = pd.DataFrame(
+            {
+                "window_end": np.full(len(uids), int(key[0]), dtype=np.int64),
+                "user_id": uids,
+                "uv": uv.astype(np.int64),
+            },
+            columns=cols,
+        )
+        state.update((int(count), bloom_np.tobytes()))
+        yield out
 
     from pyspark.sql import functions as F
 
