@@ -12,10 +12,16 @@ O(rounds × |frame|) over a long loop.
 
 These helpers track the persistent-RDD ids a checkpoint creates (by
 diffing ``SparkContext.getPersistentRDDs`` around the call) so a loop
-can release the superseded round's blocks by id. The diff assumes no
-OTHER thread persists RDDs between the two snapshots — true for this
-engine's single-driver-thread query builders; a multi-tenant driver
-would need a lock around ``local_checkpoint_tracked``.
+can release the superseded round's blocks by id. Two hazards are
+handled: (1) the eager checkpoint job may be the FIRST materialization
+of an unrelated ``.cache()`` in its input plan (e.g. the edges cache a
+connected-components loop joins every round), whose InMemoryRelation
+RDD would land in a naive diff and get wrongly released a round later
+— so the diff keeps only RDDs whose ``checkpointData`` is defined,
+which caches never have; (2) concurrent persists from OTHER threads
+between the snapshots — not possible in this engine's
+single-driver-thread query builders, but a multi-tenant driver would
+need a lock around ``local_checkpoint_tracked``.
 """
 
 from __future__ import annotations
@@ -30,14 +36,23 @@ def _persistent_ids(sc) -> set[int]:
 def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """Eager ``localCheckpoint`` returning (checkpointed_df, new_rdd_ids).
 
-    ``new_rdd_ids`` are the persistent-RDD ids this checkpoint created;
-    pass them to :func:`release_persistent_rdds` once the frame is
-    superseded.
+    ``new_rdd_ids`` are the persistent-RDD ids this CHECKPOINT created
+    (ids persisted by the same job for plain caches are excluded via
+    the checkpointData marker); pass them to
+    :func:`release_persistent_rdds` once the frame is superseded.
     """
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = df.localCheckpoint(eager=True)
-    return out, _persistent_ids(sc) - before
+    new = _persistent_ids(sc) - before
+    if not new:
+        return out, new
+    jmap = sc._jsc.getPersistentRDDs()
+    ckpt_ids = set()
+    for jid in list(jmap.keySet()):
+        if jid in new and jmap[jid].rdd().checkpointData().isDefined():
+            ckpt_ids.add(jid)
+    return out, ckpt_ids
 
 
 def release_persistent_rdds(spark, ids: set[int]) -> None:

@@ -60,6 +60,9 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # builder-phase twin of operators.windows.pin_session_utc (the
+        # runtime pin applied by load_table/ensure_event_time for
+        # externally-built sessions) — keep the two in sync
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from flink_wsr_project_spark import schemas
+from flink_wsr_project_spark.operators.windows import pin_session_utc
 
 _DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,7 +39,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = _DEFAULT_SF_DIR) ->
     applies when it scans the file. Both confs re-pin on EVERY call —
     the caller's session may have been reconfigured between queries.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_session_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (spark, sf_dir, name)
     cached = _TABLE_CACHE.get(key)

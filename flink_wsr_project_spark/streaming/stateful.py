@@ -397,12 +397,14 @@ def blacklist_filter(
             tv = pdf[tcol]
             if getattr(tv.dt, "tz", None) is not None:
                 tv = tv.dt.tz_convert("UTC").dt.tz_localize(None)
-            days = tv.dt.strftime("%Y-%m-%d").to_numpy()
-            n = len(days)
-            starts = np.concatenate(([0], np.nonzero(days[1:] != days[:-1])[0] + 1))
+            # day runs via integer day ordinals — no per-row string
+            # formatting; only the <= #runs boundary days are stringified
+            day_ord = tv.to_numpy("datetime64[ns]").astype("datetime64[D]")
+            n = len(day_ord)
+            starts = np.concatenate(([0], np.nonzero(day_ord[1:] != day_ord[:-1])[0] + 1))
             ends = np.concatenate((starts[1:], [n]))
             for s_, e_ in zip(starts, ends):
-                d = str(days[s_])
+                d = str(np.datetime_as_string(day_ord[s_], unit="D"))
                 base, w = (count, warned) if d == day else (0, 0)
                 size = int(e_ - s_)
                 if not w and base + size > cap:

@@ -139,10 +139,31 @@ def test_min_label_propagation_chain_converges_with_bounded_plan(spark):
     labels = spark.createDataFrame(
         [(i, i) for i in range(n)], ["doc_id", "component_id"]
     )
+    # cache the edges like dedup_components does, WITHOUT materializing
+    # first: the first materialization happens inside round 1's eager
+    # checkpoint job, which must NOT capture the cache's RDD id into the
+    # round's release set (the r5 review regression)
+    edges = edges.cache()
+
+    def _nonckpt_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {
+            jid
+            for jid in jmap.keySet()
+            if not jmap[jid].rdd().checkpointData().isDefined()
+        }
+
+    cache_ids_before = _nonckpt_ids()
     persistent_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     out = min_label_propagation(labels, edges)
     rows = {r.doc_id: r.component_id for r in out.collect()}
     assert rows == {i: 0 for i in range(n)}
+    # the edges cache (materialized inside round 1's checkpoint job)
+    # must still be alive after ~10 release rounds
+    assert _nonckpt_ids() - cache_ids_before, (
+        "edges cache was released by the propagation loop"
+    )
+    edges.unpersist()
     # lineage was truncated: the converged result reads from a
     # checkpointed RDD scan, not a 9-round nested join tree
     plan = out._jdf.queryExecution().toString()
@@ -231,8 +252,10 @@ def test_ewma_partitioned_twin_equals_inrow_form(spark):
     """user_value_ewma_partitioned (secondary-sort mapInPandas fold, the
     unbounded-history form) must produce row-identical output to
     user_value_ewma (collect_list in-row fold) — same oracle, two
-    physical strategies. Run under a 7-way repartition-hostile input via
-    the registry path to exercise Arrow-chunk carry."""
+    physical strategies. Arrow batches are forced down to 4 rows so
+    every user's history spans MANY chunks, exercising the
+    (cur_uid, cur_n, cur_acc) carry across chunk boundaries — the part
+    a single-chunk run would leave silently untested."""
     from flink_wsr_project_spark.plans.registry import all_queries
 
     q = all_queries()
@@ -240,8 +263,14 @@ def test_ewma_partitioned_twin_equals_inrow_form(spark):
         (r.user_id, r.n_events, r.ewma_milli)
         for r in q["user_value_ewma"](spark, SF_DIR).collect()
     )
-    b = sorted(
-        (r.user_id, r.n_events, r.ewma_milli)
-        for r in q["user_value_ewma_partitioned"](spark, SF_DIR).collect()
-    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        b = sorted(
+            (r.user_id, r.n_events, r.ewma_milli)
+            for r in q["user_value_ewma_partitioned"](spark, SF_DIR).collect()
+        )
+    finally:
+        spark.conf.set(key, old)
     assert a == b and len(a) > 0
