@@ -15,6 +15,7 @@ import os
 import re
 import sys
 import time
+from statistics import median
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -77,11 +78,6 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     steady = {n: round(median(v), 3) for n, v in samples.items()}
 

@@ -131,6 +131,61 @@ def money_sum(col: Column | str, alias: str, scale: int = 100) -> Column:
     return (F.sum(cents(col, scale)) / float(scale)).alias(alias)
 
 
+def milli_value(col: Column | str = "value") -> Column:
+    """OHLC/VWAP price units: ``floor(x*1000 + 0.5)`` as LONG — exact
+    integer milli-units. Definitionally shared by the batch bars
+    (``plans.analytics_queries``) and their streaming twins
+    (``streaming.windows``), and mirrored literally in the DuckDB
+    oracles. Deliberately the floor form, not ``round()``: HALF_UP
+    rounds negative halves away from zero while ``floor(x+0.5)``
+    rounds them up, and both engines must use the same convention."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 1000 + F.lit(0.5)).cast("long")
+
+
+def arrival_ord_key(ts_col: str = "ts", id_col: str = "event_id") -> Column:
+    """Deterministic arrival-order key for first/last-in-bar
+    aggregates: zero-padded (epoch-second, event_id) composite string.
+    Scalar, so DuckDB's ``arg_min``/``arg_max`` (scalar keys only) and
+    Spark's ``min_by``/``max_by`` order by the identical value; lpad-12
+    keeps lexicographic order == numeric order through year ~33k and
+    10^12 event ids."""
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    return F.concat(
+        F.lpad(ts_s.cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+
+
+def ohlc_aggs(v: str = "v_milli", ord_key: str = "ord_key") -> list[Column]:
+    """The five OHLC bar aggregates (open/high/low/close/count), all
+    single-pass mergeable — per-bar state is five scalars, never a
+    buffer of ticks, in both the batch and streaming forms."""
+    return [
+        F.min_by(v, ord_key).alias("open_milli"),
+        F.max(v).alias("high_milli"),
+        F.min(v).alias("low_milli"),
+        F.max_by(v, ord_key).alias("close_milli"),
+        F.count("*").alias("n_events"),
+    ]
+
+
+def vwap_aggs(p: str = "p_milli", qty: str = "qty") -> list[Column]:
+    """Exact-integer VWAP aggregates: Long turnover/volume sums
+    (order-independent) and their floored ratio."""
+    turnover = F.sum(F.col(p) * F.col(qty))
+    return [
+        turnover.alias("turnover_milli"),
+        F.sum(qty).alias("volume"),
+        F.floor(turnover * F.lit(1.0) / F.sum(qty)).cast("long").alias("vwap_milli"),
+    ]
+
+
+def props_qty(col: str = "props", field: str = "$.k") -> Column:
+    """The VWAP quantity: the ``k`` field JSON-extracted from props."""
+    return F.get_json_object(col, field).cast("long")
+
+
 def sliding_count_two_stage(
     df: DataFrame,
     ts_col: str,

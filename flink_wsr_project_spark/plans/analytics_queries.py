@@ -1397,25 +1397,20 @@ def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash shuffle on the bar; min_by/max_by are single-pass
     mergeable aggregates — no window function, no per-bar sort, which
     is what makes the bar compaction scale to unbounded ticks/bar."""
+    from flink_wsr_project_spark.operators.windows import (
+        arrival_ord_key,
+        milli_value,
+        ohlc_aggs,
+    )
+
     events = load_table(spark, "events", sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
-    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
-    ord_key = F.concat(
-        F.lpad(ts_s.cast("string"), 12, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
     base = events.select(
         ((F.floor(ts_s / 3600)) * 3600 + 3600).cast("long").alias("window_end"),
-        v.alias("v_milli"),
-        ord_key.alias("ord_key"),
+        milli_value("value").alias("v_milli"),
+        arrival_ord_key().alias("ord_key"),
     )
-    return base.groupBy("window_end").agg(
-        F.min_by("v_milli", "ord_key").alias("open_milli"),
-        F.max("v_milli").alias("high_milli"),
-        F.min("v_milli").alias("low_milli"),
-        F.max_by("v_milli", "ord_key").alias("close_milli"),
-        F.count("*").alias("n_events"),
-    )
+    return base.groupBy("window_end").agg(*ohlc_aggs())
 
 _VWAP_ORACLE = """
 WITH v AS (
@@ -1440,20 +1435,18 @@ def value_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction INSIDE an exact-integer aggregate. turnover and volume
     are plain Long sums (order-independent); vwap is their floored
     ratio, computed identically by both engines. One shuffle."""
+    from flink_wsr_project_spark.operators.windows import (
+        milli_value,
+        props_qty,
+        vwap_aggs,
+    )
+
     events = load_table(spark, "events", sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
-    p = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
-    qty = F.get_json_object("props", "$.k").cast("long")
     base = events.select(
         ((F.floor(ts_s / 3600)) * 3600 + 3600).cast("long").alias("window_end"),
-        p.alias("p_milli"),
-        qty.alias("qty"),
+        milli_value("value").alias("p_milli"),
+        props_qty().alias("qty"),
     ).filter(F.col("qty") > 0)
-    return base.groupBy("window_end").agg(
-        F.sum(F.col("p_milli") * F.col("qty")).alias("turnover_milli"),
-        F.sum("qty").alias("volume"),
-        F.floor(
-            F.sum(F.col("p_milli") * F.col("qty")) * F.lit(1.0) / F.sum("qty")
-        ).cast("long").alias("vwap_milli"),
-    )
+    return base.groupBy("window_end").agg(*vwap_aggs())
 

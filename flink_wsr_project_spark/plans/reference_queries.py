@@ -23,6 +23,7 @@ from flink_wsr_project_spark.operators.windows import (
     epoch_double,
     epoch_seconds,
     money_sum,
+    sliding_count_two_stage,
     windowed_agg,
 )
 from flink_wsr_project_spark.plans.registry import register
@@ -75,8 +76,6 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     function. The built-in ``window()`` single-expand shape is kept as
     ``hot_items_topn_expand`` for comparison.
     """
-    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
-
     events = load_table(spark, "events", sf_dir)
     counts = sliding_count_two_stage(
         events.filter(F.col("event_type") == "view"),
@@ -151,8 +150,6 @@ def hot_pages_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window): exchange 1 carries (url, bucket) partials, 10× fewer
     groups than the ``window()`` expand ships.
     """
-    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
-
     events = load_table(spark, "events", sf_dir)
     src = events.filter(F.col("event_type").isin("view", "click")).select(
         F.concat(F.lit("/page/"), (F.col("user_id") % 20).cast("string")).alias("url"),
@@ -270,8 +267,6 @@ def market_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and was replaced in r5). event_type plays the channel role;
     windowStart is emitted like the reference's MarketCount (:60-64).
     """
-    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
-
     events = load_table(spark, "events", sf_dir).filter(F.col("event_type") != "error")
     counts = sliding_count_two_stage(
         events, "ts", 3600, 300, keys=[F.col("event_type").alias("channel")]
@@ -299,8 +294,6 @@ def market_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyless form benefits identically — exchange 1 carries one row per
     5-min bucket partial instead of 12 window replicas per raw row.
     """
-    from flink_wsr_project_spark.operators.windows import sliding_count_two_stage
-
     events = load_table(spark, "events", sf_dir)
     return sliding_count_two_stage(events, "ts", 3600, 300).select("window_end", "cnt")
 

@@ -29,6 +29,36 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from flink_wsr_project_spark.operators.windows import ensure_event_time
 
 
+def _make_sorted_epoch():
+    """Shared micro-batch preamble, built as a NESTED function so
+    cloudpickle serializes it BY VALUE into each operator's closure —
+    the logic lives in exactly one place while the state UDFs stay
+    self-contained (no reference back to this package on workers).
+
+    The returned function concatenates a micro-batch's Arrow chunks,
+    applies ONE batch-wide STABLE sort (chunk-local sorts reorder
+    events across chunk boundaries — the bug class fixed in
+    operators/cep.py's match_pattern_stream), normalizes tz-aware
+    timestamps to naive UTC, and returns ``(pdf, t)`` where ``t`` is a
+    µs-resolution float64 epoch (µs is exact in float64; ns is not).
+    """
+
+    def _sorted_epoch(chunks, tcol, extra_by=()):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [tcol, *extra_by], kind="mergesort"
+        )
+        tv = pdf[tcol]
+        if getattr(tv.dt, "tz", None) is not None:
+            tv = tv.dt.tz_convert("UTC").dt.tz_localize(None)
+        t = (tv.to_numpy("datetime64[ns]").astype(np.int64) // 1000) / 1e6
+        return pdf, t
+
+    return _sorted_epoch
+
+
 def login_fail_detector(
     events: DataFrame,
     max_gap_s: float = 2.0,
@@ -48,6 +78,7 @@ def login_fail_detector(
     gap = float(max_gap_s)
     fail = str(fail_value)
     tcol, ucol, ycol = ts_col, user_col, type_col
+    sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
         import math
@@ -65,15 +96,7 @@ def login_fail_detector(
             state.update((carry,))
             yield pd.DataFrame([], columns=cols)
             return
-        # ONE micro-batch-wide STABLE sort — chunk-local sorts reorder
-        # events across Arrow-chunk boundaries (the bug class fixed in
-        # operators/cep.py's match_pattern_stream, r4).
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(tcol, kind="mergesort")
-        tv = pdf[tcol]
-        if getattr(tv.dt, "tz", None) is not None:
-            tv = tv.dt.tz_convert("UTC").dt.tz_localize(None)
-        # µs-resolution float epoch (exact in float64; ns would not be)
-        t = (tv.to_numpy("datetime64[ns]").astype(np.int64) // 1000) / 1e6
+        pdf, t = sorted_epoch(chunks, tcol)
         is_fail = pdf[ycol].to_numpy() == fail
         # Vectorized adjacent-pair match (cep.py shifted-AND pattern):
         # a warning at row j needs row j-1 (or the carried last event)
@@ -137,6 +160,7 @@ def order_timeout_monitor(
     ddl = int(deadline_s)
     kcol, tcol, ycol = key_col, ts_col, type_col
     cval, pval = str(create_value), str(pay_value)
+    sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
         import math
@@ -181,11 +205,7 @@ def order_timeout_monitor(
             # pending other-kind ts), its LAST element re-arms the
             # pending slot. Runs per order ≈ its create/pay alternations
             # (a handful), so this loop is O(runs), never O(rows).
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(tcol, kind="mergesort")
-            tv = pdf[tcol]
-            if getattr(tv.dt, "tz", None) is not None:
-                tv = tv.dt.tz_convert("UTC").dt.tz_localize(None)
-            t = (tv.to_numpy("datetime64[ns]").astype(np.int64) // 1000) / 1e6
+            pdf, t = sorted_epoch(chunks, tcol)
             isc = pdf[ycol].to_numpy() == cval
             n = len(t)
             starts = np.concatenate(([0], np.nonzero(isc[1:] != isc[:-1])[0] + 1))
@@ -277,6 +297,7 @@ def uv_per_element_bloom(
         raise ValueError("bits must be a power of two (reference Bloom contract)")
     sd = int(seed)
     tcol, ucol = ts_col, user_col
+    sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
         import numpy as np
@@ -304,23 +325,28 @@ def uv_per_element_bloom(
         # indexing (no bitmap expansion; bitwise_or.at handles duplicate
         # byte offsets), so memory stays bits/8 even at the reference's
         # 2^30.
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            [tcol, ucol], kind="mergesort"
-        )
+        pdf, _ = sorted_epoch(chunks, tcol, (ucol,))
         uids = pdf[ucol].to_numpy(np.int64)
         # reference Bloom.hash (:157-176): polynomial fold over the
-        # DECIMAL DIGITS of the id with Scala Int wrap-around —
+        # characters of ``str(id)`` with Scala Int wrap-around —
         # vectorized by digit position (ids grouped by digit count so
-        # each group folds most-significant-first like the string loop)
+        # each group folds most-significant-first like the string loop).
+        # A negative id's '-' folds FIRST (h starts at ord('-')), exact
+        # parity with the string hash for unconstrained LongType ids;
+        # two's-complement negation in uint64 covers int64 min, whose
+        # abs overflows int64.
         offs = np.zeros(len(uids), dtype=np.uint64)
+        neg = uids < 0
+        u64 = uids.astype(np.uint64)
+        absu = np.where(neg, ~u64 + np.uint64(1), u64)
         # exact digit count: integer threshold comparisons, no log10
-        # float edges at powers of ten
-        thresholds = np.array([10**k for k in range(1, 19)], dtype=np.int64)
-        ndig = np.searchsorted(thresholds, uids, side="right") + 1
+        # float edges at powers of ten (abs(int64 min) has 19 digits)
+        thresholds = np.array([10**k for k in range(1, 20)], dtype=np.uint64)
+        ndig = np.searchsorted(thresholds, absu, side="right") + 1
         for length in np.unique(ndig):
             m = ndig == length
-            u = uids[m].astype(np.uint64)
-            h = np.zeros(u.shape, dtype=np.uint64)
+            u = absu[m]
+            h = np.where(neg[m], np.uint64(45), np.uint64(0))  # ord('-')
             for pos in range(int(length) - 1, -1, -1):
                 digit = (u // np.uint64(10**pos)) % np.uint64(10)
                 h = (h * np.uint64(sd) + digit + np.uint64(48)) & np.uint64(0xFFFFFFFF)
@@ -378,6 +404,7 @@ def blacklist_filter(
     """
     cap = int(threshold)
     tcol = ts_col
+    sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
         import numpy as np
@@ -393,13 +420,12 @@ def blacklist_filter(
             # rows have nondecreasing days — the crossing row within a
             # day is position (cap - carried_count), so each day needs
             # one size + one comparison, never a per-row loop.
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(tcol, kind="mergesort")
-            tv = pdf[tcol]
-            if getattr(tv.dt, "tz", None) is not None:
-                tv = tv.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf, t = sorted_epoch(chunks, tcol)
             # day runs via integer day ordinals — no per-row string
             # formatting; only the <= #runs boundary days are stringified
-            day_ord = tv.to_numpy("datetime64[ns]").astype("datetime64[D]")
+            # (floor-div on the µs epoch == the ns→D calendar floor,
+            # including pre-1970 timestamps)
+            day_ord = np.floor(t / 86400.0).astype(np.int64).astype("datetime64[D]")
             n = len(day_ord)
             starts = np.concatenate(([0], np.nonzero(day_ord[1:] != day_ord[:-1])[0] + 1))
             ends = np.concatenate((starts[1:], [n]))

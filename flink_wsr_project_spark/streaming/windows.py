@@ -22,7 +22,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from flink_wsr_project_spark.operators.windows import ensure_event_time, epoch_seconds
+from flink_wsr_project_spark.operators.windows import (
+    arrival_ord_key,
+    ensure_event_time,
+    epoch_seconds,
+    milli_value,
+    ohlc_aggs,
+    props_qty,
+    vwap_aggs,
+)
 
 
 def streaming_windowed_agg(
@@ -101,25 +109,17 @@ def value_ohlc_stream(
     state per bar is five scalars, never a buffer of ticks (the same
     property that makes the batch bar compaction scale)."""
     pre = ensure_event_time(stream, ts_col)
-    ts_s = F.col(ts_col).cast("timestamp").cast("long")
-    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
-    ord_key = F.concat(
-        F.lpad(ts_s.cast("string"), 12, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    base = pre.select(
+        F.col(ts_col),
+        milli_value("value").alias("v_milli"),
+        arrival_ord_key(ts_col).alias("ord_key"),
     )
-    base = pre.select(F.col(ts_col), v.alias("v_milli"), ord_key.alias("ord_key"))
     return streaming_windowed_agg(
         base,
         ts_col,
         "1 hour",
         watermark=watermark,
-        aggs=[
-            F.min_by("v_milli", "ord_key").alias("open_milli"),
-            F.max("v_milli").alias("high_milli"),
-            F.min("v_milli").alias("low_milli"),
-            F.max_by("v_milli", "ord_key").alias("close_milli"),
-            F.count("*").alias("n_events"),
-        ],
+        aggs=ohlc_aggs(),
     ).select("window_end", "open_milli", "high_milli", "low_milli", "close_milli", "n_events")
 
 
@@ -132,21 +132,15 @@ def value_vwap_stream(
     two Long sums, and the qty>0 filter runs before the watermark
     aggregation so non-trades never enter state."""
     pre = ensure_event_time(stream, ts_col)
-    p = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
-    qty = F.get_json_object("props", "$.k").cast("long")
     base = pre.select(
-        F.col(ts_col), p.alias("p_milli"), qty.alias("qty")
+        F.col(ts_col),
+        milli_value("value").alias("p_milli"),
+        props_qty().alias("qty"),
     ).filter(F.col("qty") > 0)
     return streaming_windowed_agg(
         base,
         ts_col,
         "1 hour",
         watermark=watermark,
-        aggs=[
-            F.sum(F.col("p_milli") * F.col("qty")).alias("turnover_milli"),
-            F.sum("qty").alias("volume"),
-            F.floor(
-                F.sum(F.col("p_milli") * F.col("qty")) * F.lit(1.0) / F.sum("qty")
-            ).cast("long").alias("vwap_milli"),
-        ],
+        aggs=vwap_aggs(),
     ).select("window_end", "turnover_milli", "volume", "vwap_milli")

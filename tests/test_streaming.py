@@ -603,9 +603,13 @@ def test_uv_per_element_bloom_exact_fire_sequence(spark, tmp_path):
             .parquet(d)
         )
 
+    # -8 and -12345 pin the sign path: the vectorized digit-fold must
+    # start h at ord('-') for negative ids, exactly like str(uid)
     batch1 = [(7, "2024-01-01 00:05:00"), (8, "2024-01-01 00:10:00"),
-              (7, "2024-01-01 00:15:00"), (9, "2024-01-01 00:20:00")]
+              (7, "2024-01-01 00:15:00"), (9, "2024-01-01 00:20:00"),
+              (-8, "2024-01-01 00:21:00"), (-12345, "2024-01-01 00:22:00")]
     batch2 = [(7, "2024-01-01 00:25:00"), (10, "2024-01-01 00:30:00"),
+              (-8, "2024-01-01 00:31:00"),  # repeat: must NOT increment
               (11, "2024-01-01 01:05:00")]  # second window opens
     write(batch1)
     stream = _read_stream(spark, d)
@@ -654,7 +658,7 @@ def test_uv_per_element_bloom_exact_fire_sequence(spark, tmp_path):
     for _e, w, _u, c in sorted(rows):
         by_window.setdefault(w, []).append(c)
     assert by_window[max(by_window)] == [1]        # window 2: first element
-    assert max(by_window[min(by_window)]) == 4     # window 1: 4 distinct users
+    assert max(by_window[min(by_window)]) == 6     # window 1: 6 distinct users
 
 
 def test_stateful_operator_state_survives_restart(spark, tmp_path):
