@@ -14,10 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
+    N_PERMS,
     h28,
     toks_expr,
     hamming_expr,
     jaccard_expr,
+    minhash_expr,
     shingled_cte,
     signature_sql,
     simhash_sql,
@@ -190,6 +192,64 @@ SELECT doc_a, doc_b, jaccard FROM (
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_ngram_jaccard_sql("spark"))
+
+
+def _minhash_jaccard_error_sql(engine: str) -> str:
+    """MinHash estimation error, measured (the dedup analogue of
+    ``ann_ivf_recall``): over the bounded exactness baseline
+    (doc_id < 150, the same pair space as ``ngram_jaccard_pairs``),
+    compare the 16-permutation MinHash estimate Ĵ = matches/16 against
+    the exact shingle-set Jaccard J, pair by pair.
+
+    The ``jaccard >= 0.05 OR jaccard_est >= 0.05`` keep-filter retains
+    both error directions: pairs the estimator under-rates (potential
+    LSH false negatives) AND pairs it over-rates (false positives the
+    verify stage must reject). Estimate and exact value are integer
+    milli-units (matches/16 and |∩|/|∪| are exact rationals — one
+    integer multiply + floor-div per side, bit-identical cross-engine).
+
+    100 TB path: the all-pairs baseline is the bounded evaluation
+    harness only; at scale the same two expressions run over a SAMPLE
+    of LSH candidate pairs (band-join output), giving the measured
+    precision/recall trade-off for the chosen (n_perms, band) config
+    without any quadratic term.
+    """
+    mh_cols = ", ".join(
+        f"{minhash_expr('sh', k, engine)} AS mh{k}" for k in range(N_PERMS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(N_PERMS)
+    )
+    if engine == "spark":
+        na, nb = "size(array_distinct(a.sh))", "size(array_distinct(b.sh))"
+        inter = "size(array_intersect(a.sh, b.sh))"
+    else:
+        na, nb = "len(list_distinct(a.sh))", "len(list_distinct(b.sh))"
+        inter = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+WITH {shingled_cte(engine)},
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM shingled WHERE doc_id < 150),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(FLOOR(({inter} * 1000) / ({na} + {nb} - {inter})) AS BIGINT) AS jaccard_milli,
+         CAST(FLOOR((({matches}) * 1000) / {N_PERMS}) AS BIGINT) AS jaccard_est_milli
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_milli, jaccard_est_milli,
+       ABS(jaccard_est_milli - jaccard_milli) AS abs_err_milli
+FROM scored
+WHERE jaccard_milli >= 50 OR jaccard_est_milli >= 50
+"""
+
+
+@register(
+    "minhash_jaccard_error",
+    oracle=_minhash_jaccard_error_sql("duckdb"),
+    tags=("pipeline", "dedup", "evaluation"),
+)
+def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_minhash_jaccard_error_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
