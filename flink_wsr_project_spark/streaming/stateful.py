@@ -59,25 +59,12 @@ def _make_sorted_epoch():
     return _sorted_epoch
 
 
-def login_fail_detector(
-    events: DataFrame,
-    max_gap_s: float = 2.0,
-    ts_col: str = "ts",
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    fail_value: str = "error",
-) -> DataFrame:
-    """C1 streaming: two consecutive failures within ``max_gap_s`` per
-    user → warning.
-
-    Reference: loginmonitor/LoginFail_CEP.scala:31-46 (strict ``next``
-    contiguity, 2 s bound) and the hand-rolled ListState+timer twin
-    LoginFail.scala:38-98. State: (last event was fail?, its ts) — two
-    scalars per user, not a list of fails.
-    """
-    gap = float(max_gap_s)
-    fail = str(fail_value)
-    tcol, ucol, ycol = ts_col, user_col, type_col
+def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
+    """Fold for :func:`login_fail_detector`, exposed at module level so
+    the property suite can drive it directly with a fake state object.
+    The returned ``fn`` is a nested closure over primitives only —
+    cloudpickle serializes it by value exactly as when it was defined
+    inline, so worker self-containment is unchanged."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -119,6 +106,26 @@ def login_fail_detector(
         state.update((float(t[-1]) if is_fail[-1] else float("nan"),))
         yield out
 
+    return fn
+
+
+def login_fail_detector(
+    events: DataFrame,
+    max_gap_s: float = 2.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    fail_value: str = "error",
+) -> DataFrame:
+    """C1 streaming: two consecutive failures within ``max_gap_s`` per
+    user → warning.
+
+    Reference: loginmonitor/LoginFail_CEP.scala:31-46 (strict ``next``
+    contiguity, 2 s bound) and the hand-rolled ListState+timer twin
+    LoginFail.scala:38-98. State: (last event was fail?, its ts) — two
+    scalars per user, not a list of fails.
+    """
+    fn = build_login_fail_fn(float(max_gap_s), str(fail_value), ts_col, type_col)
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         "user_id long, first_fail long, last_fail long, msg string",
@@ -140,26 +147,10 @@ def login_fail_detector(
 # round-4 commit f46cae6 era, for the last working source).
 
 
-def order_timeout_monitor(
-    orders: DataFrame,
-    deadline_s: int = 900,
-    key_col: str = "order_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    create_value: str = "create",
-    pay_value: str = "pay",
-) -> DataFrame:
-    """C3/C4 streaming: create→pay within deadline, else timeout.
-
-    Reference: orderpay_detect/OrderTimeout_PF.scala:50-131 — ValueState
-    (isCreated/isPayed/timerTs) + event-time timer at create+15 min
-    (:85), handling pay-before-create (:109-115). Here: event-time
-    timeout via ``GroupStateTimeout.EventTimeTimeout``; on timeout the
-    state is evicted (the reference's timer-clear).
-    """
-    ddl = int(deadline_s)
-    kcol, tcol, ycol = key_col, ts_col, type_col
-    cval, pval = str(create_value), str(pay_value)
+def build_order_timeout_fn(ddl: int, cval: str, tcol: str, ycol: str):
+    """Fold for :func:`order_timeout_monitor` (module-level for the
+    property suite; pickling semantics unchanged — see
+    :func:`build_login_fail_fn`)."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -251,6 +242,27 @@ def order_timeout_monitor(
             state.setTimeoutTimestamp(int((base + ddl) * 1000))
         yield pd.DataFrame(out, columns=cols)
 
+    return fn
+
+
+def order_timeout_monitor(
+    orders: DataFrame,
+    deadline_s: int = 900,
+    key_col: str = "order_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    create_value: str = "create",
+    pay_value: str = "pay",
+) -> DataFrame:
+    """C3/C4 streaming: create→pay within deadline, else timeout.
+
+    Reference: orderpay_detect/OrderTimeout_PF.scala:50-131 — ValueState
+    (isCreated/isPayed/timerTs) + event-time timer at create+15 min
+    (:85), handling pay-before-create (:109-115). Here: event-time
+    timeout via ``GroupStateTimeout.EventTimeTimeout``; on timeout the
+    state is evicted (the reference's timer-clear).
+    """
+    fn = build_order_timeout_fn(int(deadline_s), str(create_value), ts_col, type_col)
     orders = ensure_event_time(orders, ts_col)
     return orders.withWatermark(ts_col, "3 seconds").groupBy(key_col).applyInPandasWithState(
         fn,
@@ -261,42 +273,10 @@ def order_timeout_monitor(
     )
 
 
-def uv_per_element_bloom(
-    events: DataFrame,
-    bits: int = 1 << 20,
-    seed: int = 61,
-    ts_col: str = "ts",
-    user_col: str = "user_id",
-) -> DataFrame:
-    """C6 + A10 streaming, EXACT per-element semantics: the reference's
-    ``FIRE_AND_PURGE`` trigger emits an updated unique-visitor count for
-    EVERY arriving element, deduplicating through a Bloom bitmap instead
-    of buffering the window (``UniqueVisitor_03_Bloom.scala:62-92``
-    trigger, ``:96-154`` process fn, ``:157-176`` Bloom).
-
-    Spark's windowed aggregates can only emit per *trigger*, not per
-    element — but ``applyInPandasWithState`` controls emission per ROW,
-    so this reproduces the reference exactly: keyed by the hour-window
-    end, state is ``(count, bloom bitmap)``, and each input element
-    appends one output row carrying the count *after* that element —
-    the precise FIRE sequence, not a boundary sample of it (the
-    update-mode approximation and its divergence envelope are pinned in
-    tests/test_streaming.py::test_per_element_trigger_envelope_update_mode).
-
-    The Bloom is bit-compatible with the reference: polynomial rolling
-    hash of the decimal user id with ``seed`` (Scala Int arithmetic —
-    wrap at 2^32) masked by ``bits - 1`` (power of two, reference uses
-    2^30). FIRE_AND_PURGE means the *elements* are never buffered:
-    state is the bitmap + one counter per in-flight window — bits/8
-    bytes per key (128 KiB at the 2^20 default, 128 MiB at the
-    reference's 2^30 — the reference offloads it to Redis; on Spark it
-    lives in the state store, checkpointed, no external service).
-    """
-    nbits = int(bits)
-    if nbits & (nbits - 1):
-        raise ValueError("bits must be a power of two (reference Bloom contract)")
-    sd = int(seed)
-    tcol, ucol = ts_col, user_col
+def build_uv_bloom_fn(nbits: int, sd: int, tcol: str, ucol: str):
+    """Fold for :func:`uv_per_element_bloom` (module-level for the
+    property suite; pickling semantics unchanged — see
+    :func:`build_login_fail_fn`)."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -372,6 +352,45 @@ def uv_per_element_bloom(
         state.update((int(count), bloom_np.tobytes()))
         yield out
 
+    return fn
+
+
+def uv_per_element_bloom(
+    events: DataFrame,
+    bits: int = 1 << 20,
+    seed: int = 61,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """C6 + A10 streaming, EXACT per-element semantics: the reference's
+    ``FIRE_AND_PURGE`` trigger emits an updated unique-visitor count for
+    EVERY arriving element, deduplicating through a Bloom bitmap instead
+    of buffering the window (``UniqueVisitor_03_Bloom.scala:62-92``
+    trigger, ``:96-154`` process fn, ``:157-176`` Bloom).
+
+    Spark's windowed aggregates can only emit per *trigger*, not per
+    element — but ``applyInPandasWithState`` controls emission per ROW,
+    so this reproduces the reference exactly: keyed by the hour-window
+    end, state is ``(count, bloom bitmap)``, and each input element
+    appends one output row carrying the count *after* that element —
+    the precise FIRE sequence, not a boundary sample of it (the
+    update-mode approximation and its divergence envelope are pinned in
+    tests/test_streaming.py::test_per_element_trigger_envelope_update_mode).
+
+    The Bloom is bit-compatible with the reference: polynomial rolling
+    hash of the decimal user id with ``seed`` (Scala Int arithmetic —
+    wrap at 2^32) masked by ``bits - 1`` (power of two, reference uses
+    2^30). FIRE_AND_PURGE means the *elements* are never buffered:
+    state is the bitmap + one counter per in-flight window — bits/8
+    bytes per key (128 KiB at the 2^20 default, 128 MiB at the
+    reference's 2^30 — the reference offloads it to Redis; on Spark it
+    lives in the state store, checkpointed, no external service).
+    """
+    nbits = int(bits)
+    if nbits & (nbits - 1):
+        raise ValueError("bits must be a power of two (reference Bloom contract)")
+    fn = build_uv_bloom_fn(nbits, int(seed), ts_col, user_col)
+
     from pyspark.sql import functions as F
 
     keyed = events.withColumn(
@@ -402,8 +421,20 @@ def blacklist_filter(
     (:20-22). Here the day is part of the state (event-time day —
     deterministic, SURVEY §7.4.5); crossing emits exactly one warning.
     """
-    cap = int(threshold)
-    tcol = ts_col
+    fn = build_blacklist_fn(int(threshold), ts_col)
+    return clicks.groupBy(user_col, key_col).applyInPandasWithState(
+        fn,
+        "user_id long, ad_id long, day string, click_count long, msg string",
+        "day string, count long, warned long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def build_blacklist_fn(cap: int, tcol: str):
+    """Fold for :func:`blacklist_filter` (module-level for the property
+    suite; pickling semantics unchanged — see
+    :func:`build_login_fail_fn`)."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -448,10 +479,4 @@ def blacklist_filter(
         state.update((day, count, warned))
         yield pd.DataFrame(out, columns=cols)
 
-    return clicks.groupBy(user_col, key_col).applyInPandasWithState(
-        fn,
-        "user_id long, ad_id long, day string, click_count long, msg string",
-        "day string, count long, warned long",
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
+    return fn

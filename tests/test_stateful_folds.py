@@ -1,0 +1,326 @@
+"""Property tests for the vectorized stateful streaming folds.
+
+The r5 vectorizations (numpy shifted-AND, run-level and day-level
+folds, the Bloom first-occurrence cumsum) replaced per-row loops whose
+semantics were easy to eyeball. These tests drive the fold closures
+DIRECTLY — no Spark, a fake GroupState, hypothesis-generated event
+streams with random chunking and micro-batch boundaries — and compare
+against straightforward per-row reference loops. Hundreds of random
+interleavings run in seconds, covering the edge classes fixture tests
+can't enumerate: duplicate timestamps, single-row runs, state carried
+across batches, empty batches, negative/extreme user ids.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from flink_wsr_project_spark.streaming.stateful import (
+    build_blacklist_fn,
+    build_login_fail_fn,
+    build_order_timeout_fn,
+    build_uv_bloom_fn,
+)
+
+
+class FakeState:
+    """The slice of pyspark's GroupState the folds touch."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        assert self._v is not None, "get on empty state"
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _run_fold(fn, key, batches, state=None):
+    """Feed chunked micro-batches through a fold, concatenating output."""
+    state = state or FakeState()
+    outs = []
+    for chunks in batches:
+        outs.extend(fn(key, iter(chunks), state))
+    out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+    return out, state
+
+
+def _sorted_batch(chunks, by):
+    """The folds' shared preamble: concat + ONE stable sort."""
+    return pd.concat(chunks, ignore_index=True).sort_values(by, kind="mergesort")
+
+
+def _chunked(rows: pd.DataFrame, splits: list[int]) -> list[pd.DataFrame]:
+    """Split a frame into chunks at the given row indices (may create
+    empty chunks — Arrow does too)."""
+    idx = sorted({s % (len(rows) + 1) for s in splits})
+    bounds = [0, *idx, len(rows)]
+    return [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+_ts = st.integers(min_value=0, max_value=40)  # dense → duplicate seconds
+_splitter = st.lists(st.integers(0, 200), max_size=6)
+
+
+def _mk_batches(events: pd.DataFrame, batch_cuts, chunk_splits):
+    """Random micro-batch boundaries, then random Arrow-chunk splits
+    inside each batch (rows stay in generation order — UNSORTED)."""
+    cuts = sorted({c % (len(events) + 1) for c in batch_cuts})
+    bounds = [0, *cuts, len(events)]
+    out = []
+    for a, b in zip(bounds, bounds[1:]):
+        out.append(_chunked(events.iloc[a:b].reset_index(drop=True), chunk_splits))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# login-fail: strict adjacent-pair within gap
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(st.tuples(_ts, st.sampled_from(["error", "ok"])), min_size=1, max_size=40),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+)
+def test_login_fail_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
+    fn = build_login_fail_fn(2.0, "error", "ts", "event_type")
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime([t for t, _ in evs], unit="s"), "event_type": [e for _, e in evs]}
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (7,), batches)
+
+    # reference: per-row loop over each batch's stable-sorted rows
+    carry = float("nan")
+    expect = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["ts"])
+        prev = carry
+        for _, r in pdf.iterrows():
+            t = r.ts.timestamp()
+            if r.event_type == "error":
+                if not math.isnan(prev) and t - prev <= 2.0:
+                    expect.append((7, int(prev), int(t)))
+                prev = t
+            else:
+                prev = float("nan")
+        carry = prev
+
+    got_rows = (
+        [tuple(r) for r in got[["user_id", "first_fail", "last_fail"]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    # carried state matches the loop's
+    sv = state.get[0]
+    assert (math.isnan(sv) and math.isnan(carry)) or sv == carry
+
+
+# ---------------------------------------------------------------------------
+# order-timeout: pending-pair state machine (data path)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(st.tuples(_ts, st.sampled_from(["create", "pay"])), min_size=1, max_size=40),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+)
+def test_order_timeout_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
+    ddl = 15
+    fn = build_order_timeout_fn(ddl, "create", "ts", "event_type")
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime([t for t, _ in evs], unit="s"), "event_type": [e for _, e in evs]}
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (3,), batches)
+
+    create_ts, pay_ts = float("nan"), float("nan")
+    expect = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["ts"])
+        for _, r in pdf.iterrows():
+            t = r.ts.timestamp()
+            if r.event_type == "create":
+                if not math.isnan(pay_ts):
+                    status = (
+                        "payed successfully" if pay_ts <= t + ddl else "payed but already timeout"
+                    )
+                    expect.append((3, status, int(t), int(pay_ts)))
+                    create_ts, pay_ts = float("nan"), float("nan")
+                else:
+                    create_ts = t
+            else:
+                if not math.isnan(create_ts):
+                    status = (
+                        "payed successfully"
+                        if t <= create_ts + ddl
+                        else "payed but already timeout"
+                    )
+                    expect.append((3, status, int(create_ts), int(t)))
+                    create_ts, pay_ts = float("nan"), float("nan")
+                else:
+                    pay_ts = t
+
+    got_rows = (
+        [tuple(r) for r in got[["order_id", "status", "create_ts", "pay_ts"]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    if math.isnan(create_ts) and math.isnan(pay_ts):
+        assert not state.exists
+    else:
+        sc, sp = state.get
+        for a, b in ((sc, create_ts), (sp, pay_ts)):
+            assert (math.isnan(a) and math.isnan(b)) or a == b
+
+
+# ---------------------------------------------------------------------------
+# blacklist: daily threshold crossing, one warning per day
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ts=st.lists(st.integers(0, 3 * 86400), min_size=1, max_size=60),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+    cap=st.integers(1, 6),
+)
+def test_blacklist_fold_matches_rowloop(ts, batch_cuts, chunk_splits, cap):
+    fn = build_blacklist_fn(cap, "ts")
+    df = pd.DataFrame({"ts": pd.to_datetime(ts, unit="s")})
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (1, 2), batches)
+
+    day, count, warned = "", 0, 0
+    expect = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["ts"])
+        for _, r in pdf.iterrows():
+            d = r.ts.strftime("%Y-%m-%d")
+            if d != day:
+                day, count, warned = d, 0, 0
+            count += 1
+            if not warned and count > cap:
+                warned = 1
+                expect.append((1, 2, d, cap + 1))
+
+    got_rows = (
+        [tuple(r) for r in got[["user_id", "ad_id", "day", "click_count"]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    assert state.get == (day, count, warned)
+
+
+# ---------------------------------------------------------------------------
+# per-element Bloom UV: exact FIRE sequence + reference hash parity
+# ---------------------------------------------------------------------------
+
+
+def _ref_bloom_hash(uid: int, seed: int, nbits: int) -> int:
+    """The reference Bloom hash, straight off the Scala string loop
+    (UniqueVisitor_03_Bloom.scala:157-176): h = h*seed + char over
+    str(uid), Int wrap-around, masked to the bitmap."""
+    h = 0
+    for ch in str(uid):
+        h = (h * seed + ord(ch)) & 0xFFFFFFFF
+    return h & (nbits - 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            _ts,
+            st.one_of(
+                st.integers(-(2**63), 2**63 - 1),
+                st.integers(-5, 5),  # dense → same-uid repeats
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+)
+def test_uv_bloom_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
+    nbits, seed = 1 << 10, 61  # tiny bitmap → frequent collisions, on purpose
+    fn = build_uv_bloom_fn(nbits, seed, "ts", "user_id")
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t for t, _ in evs], unit="s"),
+            "user_id": pd.array([u for _, u in evs], dtype="int64"),
+        }
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (3600,), batches)
+
+    bits: set[int] = set()
+    count = 0
+    expect = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["ts", "user_id"])
+        for _, r in pdf.iterrows():
+            off = _ref_bloom_hash(int(r.user_id), seed, nbits)
+            if off not in bits:
+                bits.add(off)
+                count += 1
+            expect.append((3600, int(r.user_id), count))
+
+    got_rows = (
+        [tuple(r) for r in got[["window_end", "user_id", "uv"]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    # final state: count and the exact bitmap
+    scount, sbloom = state.get
+    assert scount == count
+    bloom_np = np.frombuffer(sbloom, dtype=np.uint8)
+    set_bits = {
+        int(i * 8 + b) for i in np.nonzero(bloom_np)[0] for b in range(8) if bloom_np[i] >> b & 1
+    }
+    assert set_bits == bits
