@@ -196,6 +196,20 @@ def match_pattern_stream(
     )
     # state: flattened trailing window [(ts, m0..mk-1) * (k-1)] as a json string
     state_schema = "buf string"
+    fn = build_strict_match_fn(k, within, list(key_cols), names)
+
+    keyed = pre.withWatermark(ts_col, watermark) if stream.isStreaming else pre
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def build_strict_match_fn(k: int, within, key_cols: list[str], names: list[str]):
+    """Fold for :func:`match_pattern_stream`, exposed at module level so
+    the property suite can drive it directly with a fake state object
+    (input frames carry precomputed ``_ts_s`` and ``_m{i}`` columns).
+    The returned ``fn`` is a closure over primitives — cloudpickle
+    serializes it by value exactly as when it was defined inline."""
 
     def fn(key, pdfs, state):
         import json
@@ -230,13 +244,20 @@ def match_pattern_stream(
             shift = k - 1 - i
             col = m[:, i]
             if shift:
-                col = np.concatenate([np.zeros(shift, dtype=bool), col[:-shift]])
+                # pad is clamped to n: a batch (plus carried buffer) can
+                # hold FEWER than k-1 rows, where col[:-shift] alone
+                # would over-pad and break the AND's shape
+                col = np.concatenate(
+                    [np.zeros(min(shift, n), dtype=bool), col[: max(0, n - shift)]]
+                )
             valid &= col
         # current row must be NEW (buffered rows were consumed last batch)
         # and the window must be full (k rows available).
         valid &= np.arange(n) >= max(k - 1, n_buf)
         if within is not None and k > 1:
-            first_ts = np.concatenate([np.zeros(k - 1, dtype=np.int64), ts[: -(k - 1)]])
+            first_ts = np.concatenate(
+                [np.zeros(min(k - 1, n), dtype=np.int64), ts[: max(0, n - (k - 1))]]
+            )
             valid &= (ts - first_ts) <= within
         idx = np.nonzero(valid)[0]
         data = {c: [key[i_c]] * len(idx) for i_c, c in enumerate(key_cols)}
@@ -247,7 +268,4 @@ def match_pattern_stream(
         state.update((json.dumps(buf),))
         yield pd.DataFrame(data, columns=cols)
 
-    keyed = pre.withWatermark(ts_col, watermark) if stream.isStreaming else pre
-    return keyed.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return fn

@@ -324,3 +324,69 @@ def test_uv_bloom_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
         int(i * 8 + b) for i in np.nonzero(bloom_np)[0] for b in range(8) if bloom_np[i] >> b & 1
     }
     assert set_bits == bits
+
+
+# ---------------------------------------------------------------------------
+# strict CEP chain: k-row adjacency with within-bound across batches
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(_ts, st.booleans(), st.booleans()), min_size=1, max_size=40
+    ),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+    k=st.integers(1, 3),
+    within=st.one_of(st.none(), st.integers(0, 10)),
+)
+def test_strict_match_fold_matches_rowloop(evs, batch_cuts, chunk_splits, k, within):
+    from flink_wsr_project_spark.operators.cep import build_strict_match_fn
+
+    names = [f"s{i}" for i in range(k)]
+    fn = build_strict_match_fn(k, within, ["uid"], names)
+    # step-match flags are independent booleans per row (step i uses
+    # flag i % 2 — exercises repeated predicates for k=3)
+    df = pd.DataFrame(
+        {
+            "_ts_s": pd.array([t for t, _, _ in evs], dtype="int64"),
+            **{f"_m{i}": [int(ev[1 + i % 2]) for ev in evs] for i in range(k)},
+        }
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (9,), batches)
+
+    carry: list[tuple[int, list[int]]] = []  # trailing k-1 rows (ts, flags)
+    expect = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["_ts_s"])
+        # plain tuples: itertuples mangles leading-underscore columns
+        comb = carry + [
+            (int(r[0]), [int(r[1 + i]) for i in range(k)])
+            for r in pdf.itertuples(index=False, name=None)
+        ]
+        for j in range(len(comb)):
+            if j < max(k - 1, len(carry)):
+                continue
+            window = comb[j - (k - 1) : j + 1]
+            if all(window[i][1][i] for i in range(k)) and (
+                within is None or window[-1][0] - window[0][0] <= within
+            ):
+                expect.append((9, *[w[0] for w in window]))
+        carry = comb[len(comb) - (k - 1) :] if k > 1 else []
+
+    got_rows = (
+        [tuple(r) for r in got[["uid", *[f"{n}_ts" for n in names]]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    # carried buffer matches the loop's trailing window
+    import json
+
+    buf = json.loads(state.get[0])
+    assert [(b[0], b[1:]) for b in buf] == carry
