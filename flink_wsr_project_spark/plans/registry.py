@@ -81,6 +81,7 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "market_total",  # r5: same two-stage swap, keyless form
     "dedup_components",  # r5: label-prop loop now releases superseded checkpoints
     "doc_pagerank",  # r5: same tracked-checkpoint release in the rank loop
+    "login_fail_cep_pattern",  # r5: operators/cep.py short-batch shift fix
 )
 
 
