@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from flink_wsr_project_spark.operators.windows import epoch_seconds
+from flink_wsr_project_spark.operators.windows import epoch_seconds, milli_value
 from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
 
@@ -1233,7 +1233,7 @@ def user_value_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("long").alias("user_id"),
             F.col("ts").cast("timestamp").alias("_ts"),
             F.col("event_id").cast("long").alias("_eid"),
-            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_milli"),
+            milli_value("value").alias("v_milli"),
         )
         .repartition("user_id")
         .sortWithinPartitions("user_id", "_ts", "_eid")
@@ -1351,7 +1351,7 @@ def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = events.select(
         "user_id",
         ts_s.alias("t"),
-        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_milli"),
+        milli_value("value").alias("v_milli"),
         F.lit(1).alias("is_obs"),
         F.col("event_id").cast("long").alias("ord_id"),
     )

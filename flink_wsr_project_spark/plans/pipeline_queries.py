@@ -1031,6 +1031,7 @@ for _n, _b in {
     "simhash_neardup_blocked": _simhash_blocked_spark_sql,
     "ann_cosine_topk": _ann_brute_force_sql,
     "ann_srp_lsh_pairs": _ann_srp_sql,
+    "minhash_jaccard_error": _minhash_jaccard_error_sql,
     "embedding_cosine_neardup": _embedding_neardup_sql,
     "ann_ivf_topk": _ann_ivf_sql,
     "dedup_keep_list": _dedup_keep_list_sql,
