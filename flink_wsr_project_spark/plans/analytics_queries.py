@@ -1239,6 +1239,18 @@ def user_value_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "_ts", "_eid")
     )
 
+    return src.mapInPandas(
+        build_ewma_fold(), "user_id long, n_events long, ewma_milli long"
+    )
+
+
+def build_ewma_fold():
+    """The secondary-sort EWMA fold for :func:`user_value_ewma_partitioned`,
+    exposed at module level so the property suite (tests/
+    test_stateful_folds.py) can drive it directly over random chunkings.
+    The returned closure is serialized by value by cloudpickle, so the
+    worker self-containment of the inline form is preserved."""
+
     def fold(iterator):
         import numpy as np
         import pandas as pd
@@ -1276,7 +1288,7 @@ def user_value_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"user_id": [cur_uid], "n_events": [cur_n], "ewma_milli": [cur_acc]}
             )
 
-    return src.mapInPandas(fold, "user_id long, n_events long, ewma_milli long")
+    return fold
 
 
 _LOCF_ORACLE = """

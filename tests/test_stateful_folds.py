@@ -390,3 +390,42 @@ def test_strict_match_fold_matches_rowloop(evs, batch_cuts, chunk_splits, k, wit
 
     buf = json.loads(state.get[0])
     assert [(b[0], b[1:]) for b in buf] == carry
+
+
+# ---------------------------------------------------------------------------
+# secondary-sort EWMA fold: per-user (acc + v) div 2 with cross-chunk carry
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**9)), min_size=1, max_size=50
+    ),
+    chunk_splits=_splitter,
+)
+def test_ewma_fold_matches_rowloop(evs, chunk_splits):
+    from flink_wsr_project_spark.plans.analytics_queries import build_ewma_fold
+
+    # mapInPandas input contract: one globally (user-)sorted partition,
+    # split into Arrow chunks at ARBITRARY points (mid-user on purpose)
+    evs = sorted(evs)
+    df = pd.DataFrame(
+        {
+            "user_id": pd.array([u for u, _ in evs], dtype="int64"),
+            "v_milli": pd.array([v for _, v in evs], dtype="int64"),
+        }
+    )
+    chunks = _chunked(df, chunk_splits)
+    out = pd.concat(list(build_ewma_fold()(iter(chunks))), ignore_index=True)
+
+    expect = []
+    for u in sorted({u for u, _ in evs}):
+        vals = [v for uu, v in evs if uu == u]
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = (acc + v) // 2
+        expect.append((u, len(vals), acc))
+
+    got = [tuple(r) for r in out[["user_id", "n_events", "ewma_milli"]].itertuples(index=False)]
+    assert got == expect
