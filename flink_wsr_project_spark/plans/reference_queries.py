@@ -239,6 +239,79 @@ def uv_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_end", "uv_approx")
 
 
+_KMV_K = 64
+_KMV_M = 1 << 28  # h28 hash space
+
+
+def _uv_kmv_sql(engine: str) -> str:
+    """KMV (k-minimum-values) distinct sketch per hourly window, with
+    its error against the exact count as a measured output column.
+
+    Unlike HLL (engine-specific registers → rows-only checkable, see
+    ``uv_hourly_approx``), a KMV sketch is EXACTLY oracle-able: the
+    sketch is the {k} smallest 28-bit md5 hashes of the distinct user
+    ids, and the estimator ``(k-1) * M / h_(k)`` (h_(k) = k-th smallest
+    hash, M = 2^28) is pure integer-derived arithmetic both engines
+    compute bit-identically. Windows holding fewer than k=64 distinct
+    hashes are exact by construction (the sketch IS the value set).
+
+    100 TB shape: bottom-k of a hash is an associative, mergeable
+    partial aggregate — each partition keeps its k smallest, merges
+    keep the k smallest of the union (the same two-phase shape Spark
+    already runs for countDistinct, but with O(k) state instead of
+    O(distinct)). Here the per-window k-th order statistic comes from
+    one rank over the DISTINCT hashes — the per-window distinct set is
+    already the shuffle countDistinct pays; the sketch adds no extra
+    pass. The error column makes the k/M accuracy trade-off a measured
+    quantity (same evaluation-layer discipline as ``ann_ivf_recall``
+    and ``minhash_jaccard_error``).
+    """
+    from flink_wsr_project_spark.operators.dedup import h28
+
+    k, m = _KMV_K, _KMV_M
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    if engine == "spark":
+        wend = "(CAST(floor(unix_timestamp(ts)) AS BIGINT) div 3600) * 3600 + 3600"
+    else:
+        wend = "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600"
+    h = h28(f"concat('uv:', CAST(user_id AS {str_t}))", engine)
+    return f"""
+WITH src AS (
+  SELECT {wend} AS window_end, user_id FROM events WHERE event_type = 'view'
+),
+exact AS (SELECT window_end, count(DISTINCT user_id) AS uv_exact FROM src GROUP BY window_end),
+hashes AS (SELECT DISTINCT window_end, {h} AS h FROM src),
+ranked AS (
+  SELECT window_end, h,
+         row_number() OVER (PARTITION BY window_end ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY window_end) AS n_hashes
+  FROM hashes
+),
+est AS (
+  SELECT window_end,
+         CASE WHEN n_hashes < {k} THEN n_hashes
+              ELSE CAST(FLOOR(({k} - 1) * {m} * 1.0 / h) AS BIGINT) END AS uv_kmv
+  FROM ranked
+  WHERE rn = CASE WHEN n_hashes < {k} THEN n_hashes ELSE {k} END
+)
+SELECT e.window_end AS window_end, e.uv_exact AS uv_exact, s.uv_kmv AS uv_kmv,
+       ABS(s.uv_kmv - e.uv_exact) AS abs_err
+FROM exact e JOIN est s ON e.window_end = s.window_end
+"""
+
+
+@register("uv_hourly_kmv", oracle=_uv_kmv_sql("duckdb"), tags=("A10", "sketch", "evaluation"))
+def uv_hourly_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_uv_kmv_sql("spark"))
+
+
+uv_hourly_kmv.__doc__ = _uv_kmv_sql.__doc__
+from flink_wsr_project_spark.plans.registry import set_doc as _set_doc_kmv  # noqa: E402
+
+_set_doc_kmv("uv_hourly_kmv", _uv_kmv_sql.__doc__)
+
+
 # ---------------------------------------------------------------------------
 # market: app-marketing counts by channel/behavior + total
 # (AppMarketingByChannel.scala — A5; AppMarketingAllChannel.scala — A6)
