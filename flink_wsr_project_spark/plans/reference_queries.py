@@ -239,12 +239,12 @@ def uv_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_end", "uv_approx")
 
 
-_KMV_K = 64
+_KMV_K = 32
 _KMV_M = 1 << 28  # h28 hash space
 
 
 def _uv_kmv_sql(engine: str) -> str:
-    """KMV (k-minimum-values) distinct sketch per hourly window, with
+    """KMV (k-minimum-values) distinct sketch per DAILY window, with
     its error against the exact count as a measured output column.
 
     Unlike HLL (engine-specific registers → rows-only checkable, see
@@ -252,8 +252,11 @@ def _uv_kmv_sql(engine: str) -> str:
     sketch is the {k} smallest 28-bit md5 hashes of the distinct user
     ids, and the estimator ``(k-1) * M / h_(k)`` (h_(k) = k-th smallest
     hash, M = 2^28) is pure integer-derived arithmetic both engines
-    compute bit-identically. Windows holding fewer than k=64 distinct
+    compute bit-identically. Windows holding fewer than k=32 distinct
     hashes are exact by construction (the sketch IS the value set).
+    Daily tumble + k=32 makes BOTH branches externally exercised:
+    sf0.001 days hold <32 distinct viewers (exact branch), sf0.01+
+    days hold >=42 (estimator branch) — the driver checks at sf0.01.
 
     100 TB shape: bottom-k of a hash is an associative, mergeable
     partial aggregate — each partition keeps its k smallest, merges
@@ -271,9 +274,9 @@ def _uv_kmv_sql(engine: str) -> str:
     k, m = _KMV_K, _KMV_M
     str_t = "STRING" if engine == "spark" else "VARCHAR"
     if engine == "spark":
-        wend = "(CAST(floor(unix_timestamp(ts)) AS BIGINT) div 3600) * 3600 + 3600"
+        wend = "(CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400) * 86400 + 86400"
     else:
-        wend = "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600"
+        wend = "(CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 + 86400"
     h = h28(f"concat('uv:', CAST(user_id AS {str_t}))", engine)
     return f"""
 WITH src AS (
@@ -290,7 +293,7 @@ ranked AS (
 est AS (
   SELECT window_end,
          CASE WHEN n_hashes < {k} THEN n_hashes
-              ELSE CAST(FLOOR(({k} - 1) * {m} * 1.0 / h) AS BIGINT) END AS uv_kmv
+              ELSE CAST(FLOOR({(k - 1) * m} * 1.0 / h) AS BIGINT) END AS uv_kmv
   FROM ranked
   WHERE rn = CASE WHEN n_hashes < {k} THEN n_hashes ELSE {k} END
 )
@@ -300,16 +303,16 @@ FROM exact e JOIN est s ON e.window_end = s.window_end
 """
 
 
-@register("uv_hourly_kmv", oracle=_uv_kmv_sql("duckdb"), tags=("A10", "sketch", "evaluation"))
-def uv_hourly_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("uv_daily_kmv", oracle=_uv_kmv_sql("duckdb"), tags=("A10", "sketch", "evaluation"))
+def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
     return spark.sql(_uv_kmv_sql("spark"))
 
 
-uv_hourly_kmv.__doc__ = _uv_kmv_sql.__doc__
+uv_daily_kmv.__doc__ = _uv_kmv_sql.__doc__
 from flink_wsr_project_spark.plans.registry import set_doc as _set_doc_kmv  # noqa: E402
 
-_set_doc_kmv("uv_hourly_kmv", _uv_kmv_sql.__doc__)
+_set_doc_kmv("uv_daily_kmv", _uv_kmv_sql.__doc__)
 
 
 # ---------------------------------------------------------------------------
