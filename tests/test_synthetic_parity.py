@@ -1,0 +1,67 @@
+"""Synthetic-parity tests: crafted inputs that exercise query branches
+the GENERATED testdata never reaches.
+
+The external gate (and the sf0.001/sf0.01 parity suite) can only prove
+branches the data takes — at sf0.01 `late_data_classify` emits nothing
+but 'on_time' because the generator's arrival order tracks event time,
+so the lateness trichotomy (the whole point of the L2/L3 reproduction)
+was externally green yet untested. These tests write a small parquet
+table with deliberately out-of-order arrivals into a tmp dir and run
+the SAME registry query + DuckDB oracle over it, pinning every class
+and both CASE boundaries on both engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from flink_wsr_project_spark.plans.registry import get
+from tests.parity import assert_parity
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value, props)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    d = tmp_path / "synth_sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_late_data_classify_all_three_classes(spark, tmp_path):
+    """Arrival order = event_id; watermark source = running max ts.
+    Crafted arrivals hit every class AND both CASE boundaries exactly:
+
+      e1 t=1000  max=1000  on_time (first row)
+      e2 t=2000  max=2000  on_time (advances the watermark)
+      e3 t=1940  max=2000  on_time          — boundary: t == max-60
+      e4 t=1935  max=2000  late_within_lateness (max-120 <= t < max-60)
+      e5 t=1880  max=2000  late_within_lateness — boundary: t == max-120
+      e6 t=1850  max=2000  too_late_side_output (t < max-120)
+    """
+    rows = [
+        (1, 1000, 10, "view", 1.0, "{}"),
+        (2, 2000, 11, "view", 1.0, "{}"),
+        (3, 1940, 12, "view", 1.0, "{}"),
+        (4, 1935, 13, "view", 1.0, "{}"),
+        (5, 1880, 14, "view", 1.0, "{}"),
+        (6, 1850, 15, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    q = get("late_data_classify")
+    df = q.spark_fn(spark, sf_dir)
+
+    got = {r.event_id: r.lateness for r in df.collect()}
+    assert got == {
+        1: "on_time",
+        2: "on_time",
+        3: "on_time",
+        4: "late_within_lateness",
+        5: "late_within_lateness",
+        6: "too_late_side_output",
+    }
+    # and the oracle agrees on the same crafted input, row for row
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "late_data_classify/synth")
