@@ -65,3 +65,44 @@ def test_late_data_classify_all_three_classes(spark, tmp_path):
     }
     # and the oracle agrees on the same crafted input, row for row
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "late_data_classify/synth")
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / "synth_docs_sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_lang_id_every_language_and_tie_order(spark, tmp_path):
+    """The generated corpus is English-text-only, so lang_id predicts
+    'en' for all 500 docs at every SF — the es/de/fr argmax branches
+    and the fixed tie order (en > es > de > fr) never execute. Crafted
+    marker-word docs pin every branch on both engines:
+
+      1 pure-en  2 pure-es  3 pure-de  4 pure-fr
+      5 'de' alone — a word in es's marker list, not de's → es
+      6 en/es tie → en (priority)   7 es/de tie → es   8 de/fr tie → de
+      9 zero markers → all scores 0 → en (tie chain)
+    """
+    rows = [
+        (1, "the a of and is", "en", "s", 15),
+        (2, "el la de que los", "es", "s", 16),
+        (3, "der die und das ist", "de", "s", 19),
+        (4, "le les et une est", "fr", "s", 17),
+        (5, "de", "de", "s", 2),
+        (6, "a el", "en", "s", 4),
+        (7, "el der", "es", "s", 6),
+        (8, "der le", "de", "s", 6),
+        (9, "xyz qwerty", "zh", "s", 10),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    q = get("lang_id")
+    got = {r.doc_id: r.predicted_lang for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {
+        1: "en", 2: "es", 3: "de", 4: "fr",
+        5: "es", 6: "en", 7: "es", 8: "de", 9: "en",
+    }
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "lang_id/synth")
