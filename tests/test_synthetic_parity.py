@@ -106,3 +106,70 @@ def test_lang_id_every_language_and_tie_order(spark, tmp_path):
         5: "es", 6: "en", 7: "es", 8: "de", 9: "en",
     }
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "lang_id/synth")
+
+
+def test_curation_funnel_every_stage(spark, tmp_path):
+    """At sf0.01 the generated corpus has zero exact-dup groups and
+    zero quality failures, so the funnel's 'quality' and 'exact_dup'
+    stages never fire (only near_dup/contaminated/kept appear). A
+    crafted corpus drives all five first-dropping stages:
+
+      doc 2  3 tokens                     → quality
+      docs 3=4 identical text            → 4 exact_dup, 3 kept
+      docs 5≈7 differ in the last token  → 7 near_dup (J≈0.89, LSH pair)
+      docs 8/19 share an 8-token run; 8 is train-split, 19 test-split
+        (split = md5('split:'||id) hash)  → 8 contaminated, 19 kept
+      doc 9  unique                       → kept
+    """
+    w = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    shared8 = "uniform victor whiskey xray yankee zulu amber birch"
+    docs = [
+        (2, "tiny doc here", "s1"),
+        (3, " ".join(w[:12]), "s1"),
+        (4, " ".join(w[:12]), "s1"),
+        (5, " ".join(w), "s2"),
+        (7, " ".join(w[:19]) + " zebra", "s2"),
+        (8, shared8 + " cedar dunes ember frost grove haven", "s3"),
+        (19, shared8 + " ivory jasper karma lotus maple noble", "s3"),
+        (9, "quartz raven slate topaz umber velvet walnut xenon yucca zephyr onyx pearl", "s1"),
+    ]
+    sf_dir = _write_documents(
+        tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs]
+    )
+    q = get("curation_funnel")
+    got = {
+        (r.source, r.stage): r.n_docs for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("s1", "quality"): 1,
+        ("s1", "exact_dup"): 1,
+        ("s1", "kept"): 2,
+        ("s2", "near_dup"): 1,
+        ("s2", "kept"): 1,
+        ("s3", "contaminated"): 1,
+        ("s3", "kept"): 1,
+    }
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "curation_funnel/synth")
+
+
+def test_shingle_short_doc_fallback(spark, tmp_path):
+    """Every generated doc has ≥10 tokens, so the shingled_cte fallback
+    (docs shorter than the 3-token shingle → whole trimmed text as the
+    single shingle) is dead corpus-wide even though ALL dedup queries
+    build on it. One- and two-token docs pin it: the pair of identical
+    short docs must still come out as an LSH near-dup pair (their
+    single-shingle sets are identical, J=1) on both engines."""
+    docs = [
+        (1, "solo", "s"),
+        (2, "solo", "s"),               # identical 1-token docs: J=1 pair
+        (3, "two words", "s"),
+        (4, "quartz raven slate topaz umber velvet walnut xenon", "s"),
+    ]
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("dedup_minhash_lsh")
+    pairs = {(r.doc_a, r.doc_b) for r in q.spark_fn(spark, sf_dir).collect()}
+    assert (1, 2) in pairs
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_minhash_lsh/synth")
