@@ -161,7 +161,10 @@ def match_pattern_stream(
     per-key state is the trailing k-1 rows' (ts, step-match flags) —
     O(pattern length) per key, never a growing buffer. Adjacency is
     preserved across micro-batches (the reference's CEP NFA state,
-    reduced to the strict-chain case it actually uses).
+    reduced to the strict-chain case it actually uses); rows arriving
+    in a later batch but OLDER than already-processed state are
+    dropped as late (see :func:`build_strict_match_fn` for the
+    policy), never spliced out of order.
 
     Relaxed (followedBy) patterns are batch-only here; their streaming
     form belongs to a per-key state machine like
@@ -209,7 +212,22 @@ def build_strict_match_fn(k: int, within, key_cols: list[str], names: list[str])
     the property suite can drive it directly with a fake state object
     (input frames carry precomputed ``_ts_s`` and ``_m{i}`` columns).
     The returned ``fn`` is a closure over primitives — cloudpickle
-    serializes it by value exactly as when it was defined inline."""
+    serializes it by value exactly as when it was defined inline.
+
+    Late-arrival policy (processing is EAGER — matches emit in the
+    batch their trigger row arrives): rows already folded into earlier
+    batches are final, so a new row OLDER than the carried buffer's
+    last event time cannot be inserted into the already-processed order
+    — it is DROPPED, exactly like Flink CEP drops late events beyond
+    the watermark (the alternative — appending it after newer rows —
+    would emit time-reversed "adjacent" pairs). The trade-off vs
+    Flink's watermark-hold ordering: Flink buffers rows until the
+    watermark passes and would still match a row late by less than the
+    watermark delay; eager processing trades that narrow window for
+    immediate emission (Structured Streaming offers no end-of-input
+    watermark flush, so holding would strand every trailing match).
+    Within one micro-batch, out-of-order rows are fully handled by the
+    batch-wide sort."""
 
     def fn(key, pdfs, state):
         import json
@@ -229,6 +247,15 @@ def build_strict_match_fn(k: int, within, key_cols: list[str], names: list[str])
         # to satisfy step i for every i, i.e. an AND of k shifted
         # step-match columns — no per-row Python loop.
         pdf = pd.concat(chunks, ignore_index=True).sort_values("_ts_s", kind="mergesort")
+        if buf:
+            # drop rows that sort BEFORE already-processed state (see
+            # late-arrival policy above); buf is ts-ascending, so the
+            # frontier is its last entry
+            pdf = pdf[pdf["_ts_s"].to_numpy(np.int64) >= buf[-1][0]]
+            if not len(pdf):
+                state.update((json.dumps(buf),))
+                yield pd.DataFrame([], columns=cols)
+                return
         n_buf = len(buf)
         ts = np.concatenate(
             [np.array([b[0] for b in buf], dtype=np.int64), pdf["_ts_s"].to_numpy(np.int64)]

@@ -249,7 +249,7 @@ def _uv_kmv_sql(engine: str) -> str:
 
     Unlike HLL (engine-specific registers → rows-only checkable, see
     ``uv_hourly_approx``), a KMV sketch is EXACTLY oracle-able: the
-    sketch is the {k} smallest 28-bit md5 hashes of the distinct user
+    sketch is the k=32 smallest 28-bit md5 hashes of the distinct user
     ids, and the estimator ``(k-1) * M / h_(k)`` (h_(k) = k-th smallest
     hash, M = 2^28) is pure integer-derived arithmetic both engines
     compute bit-identically. Windows holding fewer than k=32 distinct
@@ -276,7 +276,7 @@ def _uv_kmv_sql(engine: str) -> str:
     if engine == "spark":
         wend = "(CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400) * 86400 + 86400"
     else:
-        wend = "(CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 + 86400"
+        wend = _TUMBLE_END.format(ts="ts", dur=86400)
     h = h28(f"concat('uv:', CAST(user_id AS {str_t}))", engine)
     return f"""
 WITH src AS (
@@ -303,16 +303,15 @@ FROM exact e JOIN est s ON e.window_end = s.window_end
 """
 
 
-@register("uv_daily_kmv", oracle=_uv_kmv_sql("duckdb"), tags=("A10", "sketch", "evaluation"))
+@register(
+    "uv_daily_kmv",
+    oracle=_uv_kmv_sql("duckdb"),
+    doc=_uv_kmv_sql.__doc__,
+    tags=("A10", "sketch", "evaluation"),
+)
 def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
     return spark.sql(_uv_kmv_sql("spark"))
-
-
-uv_daily_kmv.__doc__ = _uv_kmv_sql.__doc__
-from flink_wsr_project_spark.plans.registry import set_doc as _set_doc_kmv  # noqa: E402
-
-_set_doc_kmv("uv_daily_kmv", _uv_kmv_sql.__doc__)
 
 
 # ---------------------------------------------------------------------------

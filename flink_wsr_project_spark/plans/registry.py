@@ -81,7 +81,12 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "market_total",  # r5: same two-stage swap, keyless form
     "dedup_components",  # r5: label-prop loop now releases superseded checkpoints
     "doc_pagerank",  # r5: same tracked-checkpoint release in the rank loop
-    "login_fail_cep_pattern",  # r5: operators/cep.py short-batch shift fix
+    # r5: operators/cep.py changed (short-batch shift fix + late-row
+    # policy). Those changes live in the STREAMING fold, which no
+    # oracled query executes (covered by tests/test_stateful_folds.py
+    # + tests/test_streaming.py); this canary re-verifies the module's
+    # shared batch surface (pattern compile, _match_strict) externally.
+    "login_fail_cep_pattern",
 )
 
 

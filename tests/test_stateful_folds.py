@@ -365,10 +365,18 @@ def test_strict_match_fold_matches_rowloop(evs, batch_cuts, chunk_splits, k, wit
             continue
         pdf = _sorted_batch(live, ["_ts_s"])
         # plain tuples: itertuples mangles leading-underscore columns
-        comb = carry + [
+        rows = [
             (int(r[0]), [int(r[1 + i]) for i in range(k)])
             for r in pdf.itertuples(index=False, name=None)
         ]
+        # late-arrival policy: rows older than already-processed state
+        # are dropped (the fold's documented Flink-style discipline —
+        # splicing them after newer rows would emit reversed pairs)
+        if carry:
+            rows = [r for r in rows if r[0] >= carry[-1][0]]
+            if not rows:
+                continue
+        comb = carry + rows
         for j in range(len(comb)):
             if j < max(k - 1, len(carry)):
                 continue
@@ -429,3 +437,28 @@ def test_ewma_fold_matches_rowloop(evs, chunk_splits):
 
     got = [tuple(r) for r in out[["user_id", "n_events", "ewma_milli"]].itertuples(index=False)]
     assert got == expect
+
+
+def test_strict_match_fold_drops_cross_batch_late_rows():
+    """Regression (review finding): a match-eligible row arriving in a
+    LATER micro-batch with an EARLIER event time than the carried
+    buffer must be dropped, not appended after newer rows — the old
+    fold built the sequence [10, 8] and emitted the time-reversed
+    "adjacent" pair (first_ts=10, second_ts=8)."""
+    from flink_wsr_project_spark.operators.cep import build_strict_match_fn
+
+    fn = build_strict_match_fn(2, 5, ["uid"], ["a", "b"])
+    b1 = pd.DataFrame({"_ts_s": pd.array([10], dtype="int64"), "_m0": [1], "_m1": [1]})
+    b2 = pd.DataFrame({"_ts_s": pd.array([8], dtype="int64"), "_m0": [1], "_m1": [1]})
+    got, state = _run_fold(fn, (1,), [[b1], [b2]])
+    assert not len(got)  # no reversed (10, 8) pair
+    # the frontier row stays buffered; the late row left no trace
+    import json
+
+    assert json.loads(state.get[0]) == [[10, 1, 1]]
+    # an in-order successor still matches against the carried frontier
+    b3 = pd.DataFrame({"_ts_s": pd.array([12], dtype="int64"), "_m0": [1], "_m1": [1]})
+    got2, _ = _run_fold(fn, (1,), [[b3]], state=state)
+    assert [tuple(r) for r in got2[["uid", "a_ts", "b_ts"]].itertuples(index=False)] == [
+        (1, 10, 12)
+    ]
