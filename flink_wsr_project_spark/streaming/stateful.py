@@ -84,6 +84,18 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
             yield pd.DataFrame([], columns=cols)
             return
         pdf, t = sorted_epoch(chunks, tcol)
+        if not math.isnan(carry):
+            # late-arrival policy (same as cep.build_strict_match_fn):
+            # rows older than the carried frontier are dropped — spliced
+            # after newer rows they would emit REVERSED warning pairs
+            # (first_fail > last_fail)
+            keep = t >= carry
+            if not keep.all():
+                pdf, t = pdf[keep], t[keep]
+                if not len(pdf):
+                    state.update((carry,))
+                    yield pd.DataFrame([], columns=cols)
+                    return
         is_fail = pdf[ycol].to_numpy() == fail
         # Vectorized adjacent-pair match (cep.py shifted-AND pattern):
         # a warning at row j needs row j-1 (or the carried last event)
@@ -457,9 +469,20 @@ def build_blacklist_fn(cap: int, tcol: str):
             # (floor-div on the µs epoch == the ns→D calendar floor,
             # including pre-1970 timestamps)
             day_ord = np.floor(t / 86400.0).astype(np.int64).astype("datetime64[D]")
+            if day:
+                # late-arrival policy: a day's counter is FINAL once a
+                # newer day has been seen — late previous-day rows are
+                # dropped (counting them would reset base to 0 and could
+                # re-emit an already-sent warning for that day)
+                keep = day_ord >= np.datetime64(day, "D")
+                day_ord = day_ord[keep]
             n = len(day_ord)
-            starts = np.concatenate(([0], np.nonzero(day_ord[1:] != day_ord[:-1])[0] + 1))
-            ends = np.concatenate((starts[1:], [n]))
+            starts = (
+                np.concatenate(([0], np.nonzero(day_ord[1:] != day_ord[:-1])[0] + 1))
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
+            ends = np.concatenate((starts[1:], [n])) if n else starts
             for s_, e_ in zip(starts, ends):
                 d = str(np.datetime_as_string(day_ord[s_], unit="D"))
                 base, w = (count, warned) if d == day else (0, 0)

@@ -124,15 +124,22 @@ def test_login_fail_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
             continue
         pdf = _sorted_batch(live, ["ts"])
         prev = carry
+        emitted_any = False
         for _, r in pdf.iterrows():
             t = r.ts.timestamp()
+            # late-arrival policy: rows older than the carried frontier
+            # are dropped (reversed warning pairs otherwise)
+            if not math.isnan(carry) and t < carry:
+                continue
+            emitted_any = True
             if r.event_type == "error":
                 if not math.isnan(prev) and t - prev <= 2.0:
                     expect.append((7, int(prev), int(t)))
                 prev = t
             else:
                 prev = float("nan")
-        carry = prev
+        if emitted_any:
+            carry = prev
 
     got_rows = (
         [tuple(r) for r in got[["user_id", "first_fail", "last_fail"]].itertuples(index=False)]
@@ -236,6 +243,9 @@ def test_blacklist_fold_matches_rowloop(ts, batch_cuts, chunk_splits, cap):
         pdf = _sorted_batch(live, ["ts"])
         for _, r in pdf.iterrows():
             d = r.ts.strftime("%Y-%m-%d")
+            # late-arrival policy: a day is final once a newer day is seen
+            if day and d < day:
+                continue
             if d != day:
                 day, count, warned = d, 0, 0
             count += 1
@@ -462,3 +472,34 @@ def test_strict_match_fold_drops_cross_batch_late_rows():
     assert [tuple(r) for r in got2[["uid", "a_ts", "b_ts"]].itertuples(index=False)] == [
         (1, 10, 12)
     ]
+
+
+def test_login_fail_fold_drops_cross_batch_late_rows():
+    """Regression (same class as the CEP fix): a fail arriving in a
+    later batch with an earlier ts than the carried fail frontier must
+    be dropped, not paired backwards into (first_fail=10, last_fail=8)."""
+    fn = build_login_fail_fn(2.0, "error", "ts", "event_type")
+    b1 = pd.DataFrame({"ts": pd.to_datetime([10], unit="s"), "event_type": ["error"]})
+    b2 = pd.DataFrame({"ts": pd.to_datetime([8], unit="s"), "event_type": ["error"]})
+    got, state = _run_fold(fn, (7,), [[b1], [b2]])
+    assert not len(got)
+    assert state.get == (10.0,)  # frontier intact, late row left no trace
+    # in-order successor still pairs with the carried fail
+    b3 = pd.DataFrame({"ts": pd.to_datetime([11], unit="s"), "event_type": ["error"]})
+    got2, _ = _run_fold(fn, (7,), [[b3]], state=state)
+    assert [tuple(r) for r in got2[["user_id", "first_fail", "last_fail"]].itertuples(index=False)] == [
+        (7, 10, 11)
+    ]
+
+
+def test_blacklist_fold_finalizes_past_days():
+    """Regression: late previous-day clicks after the day advanced must
+    not reset the day counter and re-emit that day's warning."""
+    fn = build_blacklist_fn(2, "ts")
+    day1 = pd.DataFrame({"ts": pd.to_datetime([10, 20, 30], unit="s")})      # crosses cap=2
+    day2 = pd.DataFrame({"ts": pd.to_datetime([86400 + 10], unit="s")})      # advances the day
+    late1 = pd.DataFrame({"ts": pd.to_datetime([40, 50, 60], unit="s")})     # late day-1 clicks
+    got, state = _run_fold(fn, (1, 2), [[day1], [day2], [late1]])
+    days = [tuple(r) for r in got[["day", "click_count"]].itertuples(index=False)]
+    assert days == [("1970-01-01", 3)]  # exactly ONE warning, from the live pass
+    assert state.get[0] == "1970-01-02"  # frontier day unchanged by late rows
