@@ -503,3 +503,80 @@ def build_blacklist_fn(cap: int, tcol: str):
         yield pd.DataFrame(out, columns=cols)
 
     return fn
+
+
+def build_kmv_fold(k: int, m: int):
+    """Fold for :func:`kmv_distinct_stream`: per-window state is the
+    ``k`` smallest DISTINCT 28-bit md5 hashes of the user ids — the
+    associative bottom-k merge that makes a KMV sketch O(k)-state and
+    partition-order-independent (the batch twin ``uv_daily_kmv``
+    derives the identical estimate from a rank over the full distinct
+    set). Each trigger emits the window's current estimate; duplicate
+    and above-k hashes never grow state."""
+
+    def fn(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+
+        hs: list[int] = list(state.get[0]) if state.exists else []
+        cols = ["window_end", "n_sketch", "uv_kmv"]
+        # bottom-k of a SET is arrival-order-independent, so dedupe ids
+        # first and hash each distinct id once per batch (md5 is the
+        # per-element cost; everything else is set arithmetic)
+        uids: set[int] = set()
+        for pdf in pdfs:
+            uids.update(int(u) for u in pdf["user_id"].tolist())
+        seen = set(hs)
+        for uid in uids:
+            # identical to the SQL h28('uv:' || id): the 7-hex-char
+            # md5 prefix IS the 28-bit value — no masking needed
+            h = int(hashlib.md5(f"uv:{uid}".encode()).hexdigest()[:7], 16)
+            if h not in seen:
+                seen.add(h)
+                hs.append(h)
+        hs = sorted(hs)[:k]
+        state.update((hs,))
+        d = len(hs)
+        est = d if d < k else ((k - 1) * m) // hs[k - 1]
+        yield pd.DataFrame(
+            [{"window_end": int(key[0]), "n_sketch": d, "uv_kmv": int(est)}],
+            columns=cols,
+        )
+
+    return fn
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    k: int = 32,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch ``uv_daily_kmv`` sketch (A10's
+    approximate-distinct intent with EXACTLY checkable arithmetic):
+    keyed by the daily window end, state is the k smallest distinct
+    user-id hashes — bounded at k longs per in-flight window versus
+    ``approx_count_distinct``'s opaque HLL registers and the exact
+    aggregate's O(distinct) set. Emits the window's current estimate
+    every trigger (converges to the batch value once all rows arrive —
+    pinned by tests/test_streaming.py::test_kmv_stream_matches_batch).
+    """
+    from pyspark.sql import functions as F
+
+    fn = build_kmv_fold(int(k), 1 << 28)
+    pre = ensure_event_time(events, ts_col)
+    keyed = pre.withColumn(
+        "window_end",
+        ((F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) + 1) * 86400).cast("long"),
+    )
+    if events.isStreaming:
+        keyed = keyed.withWatermark(ts_col, watermark)
+    return keyed.select("window_end", user_col).groupBy("window_end").applyInPandasWithState(
+        fn,
+        "window_end long, n_sketch long, uv_kmv long",
+        "hs array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

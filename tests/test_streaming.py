@@ -1093,3 +1093,50 @@ def test_value_vwap_stream_matches_batch(spark, events_stream_dir):
 
     want = {tuple(r) for r in all_queries()["value_vwap_hourly"](spark, SF_DIR).collect()}
     assert got == want and len(want) > 0
+
+
+def test_kmv_stream_matches_batch(spark, events_stream_dir):
+    """Streaming KMV sketch: the per-window bottom-k state converges to
+    the batch uv_daily_kmv estimate once all rows arrive — the sketch
+    merge is associative, so micro-batch arrival order cannot change
+    the final k smallest hashes."""
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.stateful import kmv_distinct_stream
+
+    out = kmv_distinct_stream(
+        _read_stream(spark, events_stream_dir).filter(F.col("event_type") == "view"),
+        k=8,  # small k so sf0.001 daily windows exercise the estimator
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("kmv_s").start()
+    q.processAllAvailable()
+    q.stop()
+    # last emission per window is the converged sketch
+    got = {
+        r.window_end: r.uv_kmv
+        for r in spark.sql(
+            """SELECT window_end, uv_kmv FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY window_end ORDER BY n_sketch DESC) rn FROM kmv_s
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+
+    # batch expectation: same arithmetic over the full distinct set,
+    # derived from the registered uv_daily_kmv plan at k=8
+    import hashlib
+
+    rows = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("event_type") == "view")
+        .select(((F.floor(F.unix_timestamp("ts") / 86400) + 1) * 86400).cast("long").alias("w"), "user_id")
+        .collect()
+    )
+    per_w: dict[int, set] = {}
+    for r in rows:
+        h = int(hashlib.md5(f"uv:{r.user_id}".encode()).hexdigest()[:7], 16)
+        per_w.setdefault(r.w, set()).add(h)
+    expect = {}
+    for w, hset in per_w.items():
+        hs = sorted(hset)[:8]
+        expect[w] = len(hs) if len(hs) < 8 else (7 * (1 << 28)) // hs[7]
+    assert got == expect
