@@ -73,27 +73,33 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
         import numpy as np
         import pandas as pd
 
+        def _num(v):
+            return float("nan") if v is None or math.isnan(v) else float(v)
+
         cols = ["user_id", "first_fail", "last_fail", "msg"]
-        carry = float("nan")
+        # state: (last-fail ts or NaN, frontier = last PROCESSED ts).
+        # The frontier is tracked separately because a trailing success
+        # resets the fail carry to NaN — losing the frontier with it
+        # would let late old fails slip behind already-processed rows.
+        carry, frontier = float("nan"), float("nan")
         if state.exists:
-            v = state.get[0]
-            carry = float("nan") if v is None or math.isnan(v) else float(v)
+            carry, frontier = _num(state.get[0]), _num(state.get[1])
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
-            state.update((carry,))
+            state.update((carry, frontier))
             yield pd.DataFrame([], columns=cols)
             return
         pdf, t = sorted_epoch(chunks, tcol)
-        if not math.isnan(carry):
+        if not math.isnan(frontier):
             # late-arrival policy (same as cep.build_strict_match_fn):
-            # rows older than the carried frontier are dropped — spliced
-            # after newer rows they would emit REVERSED warning pairs
-            # (first_fail > last_fail)
-            keep = t >= carry
+            # rows older than the processed frontier are dropped —
+            # spliced after newer rows they would emit REVERSED warning
+            # pairs (first_fail > last_fail)
+            keep = t >= frontier
             if not keep.all():
                 pdf, t = pdf[keep], t[keep]
                 if not len(pdf):
-                    state.update((carry,))
+                    state.update((carry, frontier))
                     yield pd.DataFrame([], columns=cols)
                     return
         is_fail = pdf[ycol].to_numpy() == fail
@@ -115,7 +121,7 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
             },
             columns=cols,
         )
-        state.update((float(t[-1]) if is_fail[-1] else float("nan"),))
+        state.update((float(t[-1]) if is_fail[-1] else float("nan"), float(t[-1])))
         yield out
 
     return fn
@@ -141,7 +147,7 @@ def login_fail_detector(
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         "user_id long, first_fail long, last_fail long, msg string",
-        "last_fail double",
+        "last_fail double, frontier double",
         "append",
         GroupStateTimeout.NoTimeout,
     )
@@ -505,30 +511,36 @@ def build_blacklist_fn(cap: int, tcol: str):
     return fn
 
 
-def build_kmv_fold(k: int, m: int):
+def build_kmv_fold(k: int, m: int, ucol: str, ttl_ms: int):
     """Fold for :func:`kmv_distinct_stream`: per-window state is the
     ``k`` smallest DISTINCT 28-bit md5 hashes of the user ids — the
     associative bottom-k merge that makes a KMV sketch O(k)-state and
     partition-order-independent (the batch twin ``uv_daily_kmv``
     derives the identical estimate from a rank over the full distinct
     set). Each trigger emits the window's current estimate; duplicate
-    and above-k hashes never grow state."""
+    and above-k hashes never grow state. The window's sketch is
+    EVICTED (event-time timeout) once the watermark passes window_end
+    + ``ttl_ms`` — closed days do not accumulate in the state store."""
 
     def fn(key, pdfs, state):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        hs: list[int] = list(state.get[0]) if state.exists else []
         cols = ["window_end", "n_sketch", "uv_kmv"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        hs: list[int] = list(state.get[0]) if state.exists else []
         # bottom-k of a SET is arrival-order-independent, so dedupe ids
-        # first and hash each distinct id once per batch (md5 is the
-        # per-element cost; everything else is set arithmetic)
-        uids: set[int] = set()
-        for pdf in pdfs:
-            uids.update(int(u) for u in pdf["user_id"].tolist())
+        # in C (np.unique) and hash each distinct id once per batch
+        # (md5 is the per-element cost; the rest is set arithmetic)
+        arrs = [p[ucol].to_numpy(np.int64) for p in pdfs if len(p)]
+        uids = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
         seen = set(hs)
-        for uid in uids:
+        for uid in uids.tolist():
             # identical to the SQL h28('uv:' || id): the 7-hex-char
             # md5 prefix IS the 28-bit value — no masking needed
             h = int(hashlib.md5(f"uv:{uid}".encode()).hexdigest()[:7], 16)
@@ -537,6 +549,7 @@ def build_kmv_fold(k: int, m: int):
                 hs.append(h)
         hs = sorted(hs)[:k]
         state.update((hs,))
+        state.setTimeoutTimestamp(int(key[0]) * 1000 + ttl_ms)
         d = len(hs)
         est = d if d < k else ((k - 1) * m) // hs[k - 1]
         yield pd.DataFrame(
@@ -559,24 +572,35 @@ def kmv_distinct_stream(
     keyed by the daily window end, state is the k smallest distinct
     user-id hashes — bounded at k longs per in-flight window versus
     ``approx_count_distinct``'s opaque HLL registers and the exact
-    aggregate's O(distinct) set. Emits the window's current estimate
-    every trigger (converges to the batch value once all rows arrive —
-    pinned by tests/test_streaming.py::test_kmv_stream_matches_batch).
+    aggregate's O(distinct) set — and evicted once the watermark passes
+    the window. Emits the window's current estimate every trigger
+    (converges to the batch value once all rows arrive — pinned by
+    tests/test_streaming.py::test_kmv_stream_matches_batch; the
+    cross-batch merge is pinned at the fold level in
+    tests/test_stateful_folds.py).
     """
     from pyspark.sql import functions as F
 
-    fn = build_kmv_fold(int(k), 1 << 28)
+    n_wm, unit = watermark.split(" ", 1)
+    wm_ms = int(n_wm) * {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")] * 1000
+    fn = build_kmv_fold(int(k), 1 << 28, user_col, wm_ms)
     pre = ensure_event_time(events, ts_col)
+    # truncating `div`, identical to the batch twin's SQL — floor()
+    # would disagree with uv_daily_kmv on pre-1970 timestamps
     keyed = pre.withColumn(
         "window_end",
-        ((F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) + 1) * 86400).cast("long"),
+        F.expr(
+            f"(CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div 86400) * 86400 + 86400"
+        ),
     )
     if events.isStreaming:
         keyed = keyed.withWatermark(ts_col, watermark)
-    return keyed.select("window_end", user_col).groupBy("window_end").applyInPandasWithState(
+    # keep the watermarked ts column in the projection — dropping it
+    # detaches the watermark and EventTimeTimeout refuses to plan
+    return keyed.select("window_end", user_col, ts_col).groupBy("window_end").applyInPandasWithState(
         fn,
         "window_end long, n_sketch long, uv_kmv long",
         "hs array<long>",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

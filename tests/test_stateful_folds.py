@@ -115,8 +115,10 @@ def test_login_fail_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
     batches = _mk_batches(df, batch_cuts, chunk_splits)
     got, state = _run_fold(fn, (7,), batches)
 
-    # reference: per-row loop over each batch's stable-sorted rows
-    carry = float("nan")
+    # reference: per-row loop over each batch's stable-sorted rows;
+    # frontier = last PROCESSED ts (tracked separately from the fail
+    # carry, which a success resets to NaN)
+    carry, frontier = float("nan"), float("nan")
     expect = []
     for chunks in batches:
         live = [c for c in chunks if len(c)]
@@ -124,22 +126,20 @@ def test_login_fail_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
             continue
         pdf = _sorted_batch(live, ["ts"])
         prev = carry
-        emitted_any = False
         for _, r in pdf.iterrows():
             t = r.ts.timestamp()
-            # late-arrival policy: rows older than the carried frontier
+            # late-arrival policy: rows behind the processed frontier
             # are dropped (reversed warning pairs otherwise)
-            if not math.isnan(carry) and t < carry:
+            if not math.isnan(frontier) and t < frontier:
                 continue
-            emitted_any = True
+            frontier = t
             if r.event_type == "error":
                 if not math.isnan(prev) and t - prev <= 2.0:
                     expect.append((7, int(prev), int(t)))
                 prev = t
             else:
                 prev = float("nan")
-        if emitted_any:
-            carry = prev
+        carry = prev
 
     got_rows = (
         [tuple(r) for r in got[["user_id", "first_fail", "last_fail"]].itertuples(index=False)]
@@ -148,8 +148,9 @@ def test_login_fail_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
     )
     assert got_rows == expect
     # carried state matches the loop's
-    sv = state.get[0]
+    sv, sf_ = state.get
     assert (math.isnan(sv) and math.isnan(carry)) or sv == carry
+    assert (math.isnan(sf_) and math.isnan(frontier)) or sf_ == frontier
 
 
 # ---------------------------------------------------------------------------
@@ -483,13 +484,34 @@ def test_login_fail_fold_drops_cross_batch_late_rows():
     b2 = pd.DataFrame({"ts": pd.to_datetime([8], unit="s"), "event_type": ["error"]})
     got, state = _run_fold(fn, (7,), [[b1], [b2]])
     assert not len(got)
-    assert state.get == (10.0,)  # frontier intact, late row left no trace
+    assert state.get == (10.0, 10.0)  # frontier intact, late row left no trace
     # in-order successor still pairs with the carried fail
     b3 = pd.DataFrame({"ts": pd.to_datetime([11], unit="s"), "event_type": ["error"]})
     got2, _ = _run_fold(fn, (7,), [[b3]], state=state)
     assert [tuple(r) for r in got2[["user_id", "first_fail", "last_fail"]].itertuples(index=False)] == [
         (7, 10, 11)
     ]
+
+
+def test_login_fail_fold_frontier_survives_success():
+    """Review finding: the frontier must not die with the fail carry —
+    after fail@100, fail@101 (warning) and a trailing success@102, a
+    late replay of fail@99+fail@100 is BEHIND the processed frontier
+    and must emit nothing, not a duplicate out-of-order warning."""
+    fn = build_login_fail_fn(2.0, "error", "ts", "event_type")
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime([100, 101], unit="s"), "event_type": ["error", "error"]}
+    )
+    b2 = pd.DataFrame({"ts": pd.to_datetime([102], unit="s"), "event_type": ["ok"]})
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime([99, 100], unit="s"), "event_type": ["error", "error"]}
+    )
+    got, state = _run_fold(fn, (7,), [[b1], [b2], [late]])
+    assert [tuple(r) for r in got[["user_id", "first_fail", "last_fail"]].itertuples(index=False)] == [
+        (7, 100, 101)
+    ]  # exactly the live warning, nothing from the replay
+    sv, sf_ = state.get
+    assert math.isnan(sv) and sf_ == 102.0
 
 
 def test_blacklist_fold_finalizes_past_days():
@@ -503,3 +525,55 @@ def test_blacklist_fold_finalizes_past_days():
     days = [tuple(r) for r in got[["day", "click_count"]].itertuples(index=False)]
     assert days == [("1970-01-01", 3)]  # exactly ONE warning, from the live pass
     assert state.get[0] == "1970-01-02"  # frontier day unchanged by late rows
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch fold: cross-batch bottom-k merge
+# ---------------------------------------------------------------------------
+
+
+def _ref_kmv(uids, k=4, m=1 << 28):
+    import hashlib
+
+    hs = sorted({int(hashlib.md5(f"uv:{u}".encode()).hexdigest()[:7], 16) for u in uids})[:k]
+    return len(hs) if len(hs) < k else ((k - 1) * m) // hs[k - 1]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    uids=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=4),
+    chunk_splits=_splitter,
+)
+def test_kmv_fold_merge_matches_set_semantics(uids, batch_cuts, chunk_splits):
+    """The carried-state merge path (dedupe vs carried hashes +
+    re-truncation to bottom-k) must converge to the set-semantics
+    bottom-k regardless of batch/chunk boundaries — including ids
+    repeated across batches and sketches already saturated at k."""
+    from flink_wsr_project_spark.streaming.stateful import build_kmv_fold
+
+    fn = build_kmv_fold(4, 1 << 28, "user_id", ttl_ms=1000)
+    df = pd.DataFrame({"user_id": pd.array(uids, dtype="int64")})
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (86400,), batches)
+    # last emission = converged estimate; every emission is the set
+    # bottom-k of the ids seen so far
+    seen = []
+    expect_seq = []
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        seen.extend(int(u) for c in live for u in c["user_id"].tolist())
+        expect_seq.append((86400, _ref_kmv(seen)))
+    got_rows = [tuple(r) for r in got[["window_end", "uv_kmv"]].itertuples(index=False)]
+    # the converged (final) estimate equals the set-semantics bottom-k,
+    # and the per-non-empty-batch running estimates appear in order
+    # (empty batches re-emit the unchanged estimate between them)
+    assert got_rows[-1] == expect_seq[-1]
+    idx = 0
+    for g in got_rows:
+        if idx < len(expect_seq) and g == expect_seq[idx]:
+            idx += 1
+    assert idx == len(expect_seq), (got_rows, expect_seq)
+    assert state.timeout_ts == 86400 * 1000 + 1000

@@ -1116,7 +1116,8 @@ def test_kmv_stream_matches_batch(spark, events_stream_dir):
         for r in spark.sql(
             """SELECT window_end, uv_kmv FROM (
                  SELECT *, row_number() OVER (
-                   PARTITION BY window_end ORDER BY n_sketch DESC) rn FROM kmv_s
+                   PARTITION BY window_end
+                   ORDER BY n_sketch DESC, uv_kmv DESC) rn FROM kmv_s
                ) WHERE rn = 1"""
         ).collect()
     }
