@@ -71,7 +71,9 @@ def main() -> None:
     # steady run per query made jitter indistinguishable from
     # regression — run ≥3 and report the per-query MEDIAN, with the
     # run count recorded so the JSON is self-describing.
-    steady_runs = max(3, int(os.environ.get("SPARK_GRAFT_STEADY_RUNS", "3")))
+    # default 3 (the decision-grade minimum); an explicit override is
+    # respected as given — a developer asking for 1 debugging pass gets 1
+    steady_runs = max(1, int(os.environ.get("SPARK_GRAFT_STEADY_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(steady_runs):
         for name in names:

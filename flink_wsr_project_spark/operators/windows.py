@@ -143,14 +143,23 @@ def milli_value(col: Column | str = "value") -> Column:
     return F.floor(c * 1000 + F.lit(0.5)).cast("long")
 
 
+# epoch-second bias making the ord-key's padded field non-negative for
+# any timestamp back to ~year -1200 (see arrival_ord_key docstring)
+_ORD_KEY_TS_BIAS = 100_000_000_000
+
+
 def arrival_ord_key(ts_col: str = "ts", id_col: str = "event_id") -> Column:
     """Deterministic arrival-order key for first/last-in-bar
     aggregates: zero-padded (epoch-second, event_id) composite string.
     Scalar, so DuckDB's ``arg_min``/``arg_max`` (scalar keys only) and
-    Spark's ``min_by``/``max_by`` order by the identical value; lpad-12
-    keeps lexicographic order == numeric order through year ~33k and
-    10^12 event ids."""
-    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    Spark's ``min_by``/``max_by`` order by the identical value. The
+    epoch is biased by +10^11 before padding so pre-1970 (negative)
+    seconds still order lexicographically == numerically (a bare lpad
+    of "-29" sorts AFTER "-20"); lpad-12 then holds through roughly
+    year -1200..30500 and non-negative event ids < 10^12 (ids are
+    non-negative by data contract). Mirrored literally in the DuckDB
+    OHLC oracle — change both together."""
+    ts_s = F.col(ts_col).cast("timestamp").cast("long") + _ORD_KEY_TS_BIAS
     return F.concat(
         F.lpad(ts_s.cast("string"), 12, "0"),
         F.lpad(F.col(id_col).cast("string"), 12, "0"),

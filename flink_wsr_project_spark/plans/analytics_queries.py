@@ -8,7 +8,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from flink_wsr_project_spark.operators.windows import epoch_seconds, milli_value
+from flink_wsr_project_spark.operators.windows import (
+    arrival_ord_key,
+    epoch_seconds,
+    milli_value,
+    ohlc_aggs,
+    props_qty,
+    vwap_aggs,
+)
 from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
 
@@ -1384,7 +1391,7 @@ _OHLC_ORACLE = """
 WITH v AS (
   SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
-         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 12, '0')
+         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) + 100000000000 AS VARCHAR), 12, '0')
            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
   FROM events
 )
@@ -1409,12 +1416,6 @@ def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash shuffle on the bar; min_by/max_by are single-pass
     mergeable aggregates — no window function, no per-bar sort, which
     is what makes the bar compaction scale to unbounded ticks/bar."""
-    from flink_wsr_project_spark.operators.windows import (
-        arrival_ord_key,
-        milli_value,
-        ohlc_aggs,
-    )
-
     events = load_table(spark, "events", sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
     base = events.select(
@@ -1447,12 +1448,6 @@ def value_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction INSIDE an exact-integer aggregate. turnover and volume
     are plain Long sums (order-independent); vwap is their floored
     ratio, computed identically by both engines. One shuffle."""
-    from flink_wsr_project_spark.operators.windows import (
-        milli_value,
-        props_qty,
-        vwap_aggs,
-    )
-
     events = load_table(spark, "events", sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
     base = events.select(

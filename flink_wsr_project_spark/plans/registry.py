@@ -87,6 +87,12 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # + tests/test_streaming.py); this canary re-verifies the module's
     # shared batch surface (pattern compile, _match_strict) externally.
     "login_fail_cep_pattern",
+    # r5 review fix: arrival_ord_key epoch bias (+10^11, negative-ts
+    # ordering) changed the OHLC open/close key expression AND its
+    # oracle together; re-verify externally. (value_vwap_hourly shares
+    # the milli_value helper but not the ord key — local parity covers
+    # it; not canaried to preserve the 39-slot r2-cohort rotation.)
+    "value_ohlc_hourly",
 )
 
 

@@ -560,6 +560,32 @@ def build_kmv_fold(k: int, m: int, ucol: str, ttl_ms: int):
     return fn
 
 
+def _interval_ms(interval: str) -> int:
+    """Parse a ``withWatermark``-style delay string ("500 milliseconds",
+    "3 seconds", "1 day") to integer milliseconds, covering every unit
+    Spark's CalendarInterval accepts for watermarks — an operator that
+    forwards the same string to ``withWatermark`` must not crash on a
+    value Spark itself would take. Unknown units raise ValueError with
+    the accepted list (not KeyError)."""
+    factors_ms = {
+        "microsecond": 0.001,
+        "millisecond": 1,
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
+    try:
+        n, unit = interval.strip().split(" ", 1)
+        return int(int(n) * factors_ms[unit.strip().rstrip("s")])
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported watermark interval {interval!r}; expected "
+            f"'<n> <unit>' with unit one of {sorted(factors_ms)} (plural ok)"
+        ) from None
+
+
 def kmv_distinct_stream(
     events: DataFrame,
     k: int = 32,
@@ -581,8 +607,7 @@ def kmv_distinct_stream(
     """
     from pyspark.sql import functions as F
 
-    n_wm, unit = watermark.split(" ", 1)
-    wm_ms = int(n_wm) * {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")] * 1000
+    wm_ms = _interval_ms(watermark)
     fn = build_kmv_fold(int(k), 1 << 28, user_col, wm_ms)
     pre = ensure_event_time(events, ts_col)
     # truncating `div`, identical to the batch twin's SQL — floor()

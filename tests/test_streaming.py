@@ -1100,7 +1100,6 @@ def test_kmv_stream_matches_batch(spark, events_stream_dir):
     the batch uv_daily_kmv estimate once all rows arrive — the sketch
     merge is associative, so micro-batch arrival order cannot change
     the final k smallest hashes."""
-    from flink_wsr_project_spark.plans.registry import get
     from flink_wsr_project_spark.streaming.stateful import kmv_distinct_stream
 
     out = kmv_distinct_stream(
@@ -1122,8 +1121,9 @@ def test_kmv_stream_matches_batch(spark, events_stream_dir):
         ).collect()
     }
 
-    # batch expectation: same arithmetic over the full distinct set,
-    # derived from the registered uv_daily_kmv plan at k=8
+    # batch expectation: an INDEPENDENT per-row reimplementation of the
+    # sketch arithmetic (same h28 hash / bottom-k / estimator as the
+    # registered uv_daily_kmv, at k=8) over the full distinct set
     import hashlib
 
     rows = (
