@@ -577,3 +577,27 @@ def test_kmv_fold_merge_matches_set_semantics(uids, batch_cuts, chunk_splits):
             idx += 1
     assert idx == len(expect_seq), (got_rows, expect_seq)
     assert state.timeout_ts == 86400 * 1000 + 1000
+
+
+def test_interval_ms_units_and_errors():
+    """_interval_ms must accept every unit withWatermark itself takes
+    (an operator forwarding the same string cannot crash on a value
+    Spark accepts) and reject unknown units with a ValueError naming
+    the accepted list, not a bare KeyError."""
+    from flink_wsr_project_spark.streaming.stateful import _interval_ms
+
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("1 millisecond") == 1
+    assert _interval_ms("3 seconds") == 3_000
+    assert _interval_ms("2 minutes") == 120_000
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("1 day") == 86_400_000
+    assert _interval_ms("2 weeks") == 1_209_600_000
+    assert _interval_ms("10 microseconds") == 0  # sub-ms floors to 0
+    for bad in ("5 fortnights", "seconds", "1.5 seconds"):
+        try:
+            _interval_ms(bad)
+        except ValueError as ex:
+            assert "watermark interval" in str(ex)
+        else:  # pragma: no cover
+            raise AssertionError(f"{bad!r} should have raised")

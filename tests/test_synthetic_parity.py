@@ -173,3 +173,24 @@ def test_shingle_short_doc_fallback(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in q.spark_fn(spark, sf_dir).collect()}
     assert (1, 2) in pairs
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_minhash_lsh/synth")
+
+
+def test_ohlc_pre1970_arrival_order(spark, tmp_path):
+    """arrival_ord_key biases the epoch by +10^11 before zero-padding so
+    NEGATIVE (pre-1970) seconds order numerically. A bare lpad of the
+    signed string mis-sorts them two ways — same digit count ("-29" >
+    "-20" lexicographically) and different digit count ("-2999" vs
+    "-29") — so three ticks in the bar ending at epoch 0 pin both:
+    open must be the t=-2999 tick, close the t=-20 tick, on both
+    engines (the DuckDB oracle carries the same bias literal)."""
+    rows = [
+        (1, -2999, 10, "view", 5.0, "{}"),  # earliest → open
+        (2, -29, 11, "view", 7.0, "{}"),
+        (3, -20, 12, "view", 9.0, "{}"),  # latest → close
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    q = get("value_ohlc_hourly")
+    [bar] = q.spark_fn(spark, sf_dir).collect()
+    assert (bar.window_end, bar.open_milli, bar.close_milli) == (0, 5000, 9000)
+    assert (bar.high_milli, bar.low_milli, bar.n_events) == (9000, 5000, 3)
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "value_ohlc_hourly/synth")
