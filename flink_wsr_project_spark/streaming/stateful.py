@@ -511,6 +511,104 @@ def build_blacklist_fn(cap: int, tcol: str):
     return fn
 
 
+def build_ewma_stream_fn(tcol: str, vcol: str):
+    """Fold for :func:`ewma_stream` (module-level for the property
+    suite; pickling semantics unchanged — see
+    :func:`build_login_fail_fn`).
+
+    State per user is three scalars — (n, acc, frontier) — the
+    incremental form of the same e := (e + v) div 2 recursion the two
+    batch plans compute (``user_value_ewma``'s in-row fold,
+    ``user_value_ewma_partitioned``'s secondary sort). Within a batch
+    rows fold in (ts, event_id) order; rows behind the processed
+    frontier are dropped as late (the fold is order-DEPENDENT, so a
+    spliced-late row would change every subsequent value — same policy
+    as the login-fail/CEP folds, documented in SCALE.md). Cross-batch
+    same-second ties fold in batch-arrival order: the frontier is
+    second-granular, so event_id ordering is guaranteed within a
+    micro-batch, best-effort across them.
+    """
+    sorted_epoch = _make_sorted_epoch()
+
+    def fn(key, pdfs, state):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        cols = ["user_id", "n_events", "ewma_milli"]
+        n, acc, frontier = state.get if state.exists else (0, 0, float("nan"))
+        n = int(n)
+        acc = int(acc)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # a key invoked with no data (harness edge; Spark only
+            # calls per-key on arrival) emits nothing, like the peers
+            state.update((n, acc, frontier))
+            yield pd.DataFrame([], columns=cols)
+            return
+        pdf, t = sorted_epoch(chunks, tcol, extra_by=("event_id",))
+        if not math.isnan(frontier):
+            keep = t >= frontier
+            pdf, t = pdf[keep], t[keep]
+        for v in pdf[vcol].to_numpy(np.int64).tolist():
+            # the recursion is sequential by definition (each step's
+            # floor depends on the previous) — the loop IS the
+            # algorithm, exactly as in build_ewma_fold; values are
+            # non-negative milli-units, so Python // matches SQL
+            # `div` (truncation)
+            acc = v if n == 0 else (acc + v) // 2
+            n += 1
+        if len(pdf):
+            frontier = float(t[-1])
+        state.update((n, acc, frontier))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "ewma_milli": [acc]},
+            columns=cols,
+        )
+
+    return fn
+
+
+def ewma_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form of ``user_value_ewma``: per-user running
+    exponentially weighted value (alpha = 1/2), emitted once per user
+    per micro-batch and converging to the batch plans' value once all
+    rows arrive (pinned by tests/test_streaming.py::
+    test_ewma_stream_matches_batch; the cross-batch carry and
+    late-drop policy are pinned at the fold level in
+    tests/test_stateful_folds.py). Completes the one-semantics /
+    three-plans set: in-row array fold (bounded history), secondary
+    sort (unbounded history), and this O(1)-state incremental stream.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.operators.windows import milli_value
+
+    fn = build_ewma_stream_fn(ts_col, "v_milli")
+    pre = ensure_event_time(events, ts_col)
+    src = pre.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(ts_col),
+        F.col("event_id").cast("long").alias("event_id"),
+        milli_value(value_col).alias("v_milli"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, "3 seconds")
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        "user_id long, n_events long, ewma_milli long",
+        "n long, acc long, frontier double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def build_kmv_fold(k: int, m: int, ucol: str, ttl_ms: int):
     """Fold for :func:`kmv_distinct_stream`: per-window state is the
     ``k`` smallest DISTINCT 28-bit md5 hashes of the user ids — the

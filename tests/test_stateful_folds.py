@@ -601,3 +601,66 @@ def test_interval_ms_units_and_errors():
             assert "watermark interval" in str(ex)
         else:  # pragma: no cover
             raise AssertionError(f"{bad!r} should have raised")
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: order-dependent incremental fold
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(_ts, st.integers(0, 99), st.integers(0, 5000)),
+        min_size=1,
+        max_size=40,
+    ),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+)
+def test_ewma_stream_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
+    """(ts, event_id, v_milli) streams through random micro-batch and
+    Arrow-chunk boundaries; the fold must equal a per-row reference
+    implementing the same (ts, event_id)-sorted recursion with the
+    late-drop frontier policy."""
+    from flink_wsr_project_spark.streaming.stateful import build_ewma_stream_fn
+
+    fn = build_ewma_stream_fn("ts", "v_milli")
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t for t, _, _ in evs], unit="s"),
+            "event_id": pd.array([e for _, e, _ in evs], dtype="int64"),
+            "v_milli": pd.array([v for _, _, v in evs], dtype="int64"),
+        }
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (7,), batches)
+
+    n, acc, frontier = 0, 0, float("nan")
+    expect = []
+    emitted = False
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        emitted = True
+        pdf = _sorted_batch(live, ["ts", "event_id"])
+        for _, r in pdf.iterrows():
+            t = r.ts.timestamp()
+            if not math.isnan(frontier) and t < frontier:
+                continue  # late row behind the processed frontier
+            frontier = t
+            acc = int(r.v_milli) if n == 0 else (acc + int(r.v_milli)) // 2
+            n += 1
+        expect.append((7, n, acc))
+
+    got_rows = (
+        [tuple(r) for r in got[["user_id", "n_events", "ewma_milli"]].itertuples(index=False)]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    if emitted:
+        sn, sa, sf_ = state.get
+        assert (sn, sa) == (n, acc)
+        assert sf_ == frontier

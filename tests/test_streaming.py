@@ -1141,3 +1141,32 @@ def test_kmv_stream_matches_batch(spark, events_stream_dir):
         hs = sorted(hset)[:8]
         expect[w] = len(hs) if len(hs) < 8 else (7 * (1 << 28)) // hs[7]
     assert got == expect
+
+
+def test_ewma_stream_matches_batch(spark, events_stream_dir):
+    """Streaming EWMA: the per-user (n, acc) state converges to the
+    batch user_value_ewma result once all rows arrive — the third plan
+    of the same semantics (in-row fold, secondary sort, incremental
+    stream) must agree with the other two."""
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.stateful import ewma_stream
+
+    out = ewma_stream(_read_stream(spark, events_stream_dir))
+    q = out.writeStream.outputMode("append").format("memory").queryName("ewma_s").start()
+    q.processAllAvailable()
+    q.stop()
+    # last emission per user (n_events is monotone) is the converged fold
+    got = {
+        r.user_id: (r.n_events, r.ewma_milli)
+        for r in spark.sql(
+            """SELECT user_id, n_events, ewma_milli FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn FROM ewma_s
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma_milli)
+        for r in get("user_value_ewma").spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
