@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from flink_wsr_project_spark.operators.windows import (
+    _ORD_KEY_TS_BIAS,
     arrival_ord_key,
     epoch_seconds,
     milli_value,
@@ -1387,11 +1388,14 @@ def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("t").alias("grid_ts"), "locf_milli"
     )
 
-_OHLC_ORACLE = """
+# the +10^11 bias is interpolated from the SAME constant the Spark
+# plan reads (operators/windows.py:_ORD_KEY_TS_BIAS) — one source of
+# truth, so a future change cannot desync the plan from its oracle
+_OHLC_ORACLE = f"""
 WITH v AS (
   SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS window_end,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
-         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) + 100000000000 AS VARCHAR), 12, '0')
+         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) + {_ORD_KEY_TS_BIAS} AS VARCHAR), 12, '0')
            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
   FROM events
 )

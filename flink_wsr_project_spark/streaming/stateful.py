@@ -524,9 +524,10 @@ def build_ewma_stream_fn(tcol: str, vcol: str):
     frontier are dropped as late (the fold is order-DEPENDENT, so a
     spliced-late row would change every subsequent value — same policy
     as the login-fail/CEP folds, documented in SCALE.md). Cross-batch
-    same-second ties fold in batch-arrival order: the frontier is
-    second-granular, so event_id ordering is guaranteed within a
-    micro-batch, best-effort across them.
+    same-timestamp ties fold in batch-arrival order: the frontier is
+    the last processed epoch at full (µs) resolution, so event_id
+    ordering is guaranteed within a micro-batch, best-effort across
+    them for rows sharing that exact timestamp.
     """
     sorted_epoch = _make_sorted_epoch()
 
@@ -609,20 +610,23 @@ def ewma_stream(
     )
 
 
-def build_kmv_fold(k: int, m: int, ucol: str, ttl_ms: int):
+def build_kmv_fold(k: int, m: int, hcol: str, ttl_ms: int):
     """Fold for :func:`kmv_distinct_stream`: per-window state is the
     ``k`` smallest DISTINCT 28-bit md5 hashes of the user ids — the
     associative bottom-k merge that makes a KMV sketch O(k)-state and
     partition-order-independent (the batch twin ``uv_daily_kmv``
     derives the identical estimate from a rank over the full distinct
-    set). Each trigger emits the window's current estimate; duplicate
-    and above-k hashes never grow state. The window's sketch is
-    EVICTED (event-time timeout) once the watermark passes window_end
-    + ``ttl_ms`` — closed days do not accumulate in the state store."""
+    set). ``hcol`` is the PRE-HASHED 28-bit value: the md5 runs
+    JVM-side as a SQL column (the batch twin's exact ``h28``
+    expression, whole-stage codegen) before the groupBy, so the fold
+    is pure int64 set/sort arithmetic — no per-element Python hashing
+    in the hot path. Each trigger emits the window's current estimate;
+    duplicate and above-k hashes never grow state. The window's sketch
+    is EVICTED (event-time timeout) once the watermark passes
+    window_end + ``ttl_ms`` — closed days do not accumulate in the
+    state store."""
 
     def fn(key, pdfs, state):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
@@ -632,19 +636,13 @@ def build_kmv_fold(k: int, m: int, ucol: str, ttl_ms: int):
             yield pd.DataFrame([], columns=cols)
             return
         hs: list[int] = list(state.get[0]) if state.exists else []
-        # bottom-k of a SET is arrival-order-independent, so dedupe ids
-        # in C (np.unique) and hash each distinct id once per batch
-        # (md5 is the per-element cost; the rest is set arithmetic)
-        arrs = [p[ucol].to_numpy(np.int64) for p in pdfs if len(p)]
-        uids = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+        # bottom-k of a SET is arrival-order-independent: merge the
+        # batch's distinct hashes (np.unique, in C) with the carried
+        # sketch — everything from here is int64 set arithmetic
+        arrs = [p[hcol].to_numpy(np.int64) for p in pdfs if len(p)]
+        batch_hs = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
         seen = set(hs)
-        for uid in uids.tolist():
-            # identical to the SQL h28('uv:' || id): the 7-hex-char
-            # md5 prefix IS the 28-bit value — no masking needed
-            h = int(hashlib.md5(f"uv:{uid}".encode()).hexdigest()[:7], 16)
-            if h not in seen:
-                seen.add(h)
-                hs.append(h)
+        hs.extend(h for h in batch_hs.tolist() if h not in seen)
         hs = sorted(hs)[:k]
         state.update((hs,))
         state.setTimeoutTimestamp(int(key[0]) * 1000 + ttl_ms)
@@ -676,7 +674,9 @@ def _interval_ms(interval: str) -> int:
     }
     try:
         n, unit = interval.strip().split(" ", 1)
-        return int(int(n) * factors_ms[unit.strip().rstrip("s")])
+        # Spark's CalendarInterval parsing is case-insensitive
+        # ('3 SECONDS' is valid withWatermark input) — match it
+        return int(int(n) * factors_ms[unit.strip().lower().rstrip("s")])
     except (ValueError, KeyError):
         raise ValueError(
             f"unsupported watermark interval {interval!r}; expected "
@@ -705,8 +705,10 @@ def kmv_distinct_stream(
     """
     from pyspark.sql import functions as F
 
+    from flink_wsr_project_spark.operators.dedup import h28
+
     wm_ms = _interval_ms(watermark)
-    fn = build_kmv_fold(int(k), 1 << 28, user_col, wm_ms)
+    fn = build_kmv_fold(int(k), 1 << 28, "h28", wm_ms)
     pre = ensure_event_time(events, ts_col)
     # truncating `div`, identical to the batch twin's SQL — floor()
     # would disagree with uv_daily_kmv on pre-1970 timestamps
@@ -715,12 +717,18 @@ def kmv_distinct_stream(
         F.expr(
             f"(CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div 86400) * 86400 + 86400"
         ),
+    ).withColumn(
+        # the 28-bit md5-prefix hash runs JVM-side (whole-stage
+        # codegen), the batch twin's exact expression — the Python fold
+        # only ever sees int64s
+        "h28",
+        F.expr(h28(f"concat('uv:', CAST({user_col} AS STRING))", "spark")),
     )
     if events.isStreaming:
         keyed = keyed.withWatermark(ts_col, watermark)
     # keep the watermarked ts column in the projection — dropping it
     # detaches the watermark and EventTimeTimeout refuses to plan
-    return keyed.select("window_end", user_col, ts_col).groupBy("window_end").applyInPandasWithState(
+    return keyed.select("window_end", "h28", ts_col).groupBy("window_end").applyInPandasWithState(
         fn,
         "window_end long, n_sketch long, uv_kmv long",
         "hs array<long>",

@@ -549,11 +549,26 @@ def test_kmv_fold_merge_matches_set_semantics(uids, batch_cuts, chunk_splits):
     """The carried-state merge path (dedupe vs carried hashes +
     re-truncation to bottom-k) must converge to the set-semantics
     bottom-k regardless of batch/chunk boundaries — including ids
-    repeated across batches and sketches already saturated at k."""
+    repeated across batches and sketches already saturated at k.
+    The fold's contract is a PRE-HASHED column (the operator computes
+    h28 JVM-side); here the same md5 prefix is applied in the test
+    harness so _ref_kmv stays the independent set-semantics oracle."""
+    import hashlib
+
     from flink_wsr_project_spark.streaming.stateful import build_kmv_fold
 
-    fn = build_kmv_fold(4, 1 << 28, "user_id", ttl_ms=1000)
-    df = pd.DataFrame({"user_id": pd.array(uids, dtype="int64")})
+    fn = build_kmv_fold(4, 1 << 28, "h28", ttl_ms=1000)
+    hashes = [
+        int(hashlib.md5(f"uv:{u}".encode()).hexdigest()[:7], 16) for u in uids
+    ]
+    # keep user_id alongside for the oracle bookkeeping below (the
+    # fold itself only reads h28 — extra columns are ignored)
+    df = pd.DataFrame(
+        {
+            "h28": pd.array(hashes, dtype="int64"),
+            "user_id": pd.array(uids, dtype="int64"),
+        }
+    )
     batches = _mk_batches(df, batch_cuts, chunk_splits)
     got, state = _run_fold(fn, (86400,), batches)
     # last emission = converged estimate; every emission is the set
@@ -594,6 +609,10 @@ def test_interval_ms_units_and_errors():
     assert _interval_ms("1 day") == 86_400_000
     assert _interval_ms("2 weeks") == 1_209_600_000
     assert _interval_ms("10 microseconds") == 0  # sub-ms floors to 0
+    # CalendarInterval parsing is case-insensitive; '3 SECONDS' is
+    # valid withWatermark input and must not raise here
+    assert _interval_ms("3 SECONDS") == 3_000
+    assert _interval_ms("1 Hour") == 3_600_000
     for bad in ("5 fortnights", "seconds", "1.5 seconds"):
         try:
             _interval_ms(bad)
