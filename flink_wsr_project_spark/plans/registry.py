@@ -76,23 +76,15 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    "user_value_locf",  # r5: grid-coincident tie-break fixed (t, is_obs DESC, event_id)
-    "market_by_channel",  # r5: plan swapped to sliding_count_two_stage
-    "market_total",  # r5: same two-stage swap, keyless form
-    "dedup_components",  # r5: label-prop loop now releases superseded checkpoints
-    "doc_pagerank",  # r5: same tracked-checkpoint release in the rank loop
-    # r5: operators/cep.py changed (short-batch shift fix + late-row
-    # policy). Those changes live in the STREAMING fold, which no
-    # oracled query executes (covered by tests/test_stateful_folds.py
-    # + tests/test_streaming.py); this canary re-verifies the module's
-    # shared batch surface (pattern compile, _match_strict) externally.
-    "login_fail_cep_pattern",
-    # r5 review fix: arrival_ord_key epoch bias (+10^11, negative-ts
-    # ordering) changed the OHLC open/close key expression AND its
-    # oracle together; re-verify externally. (value_vwap_hourly shares
-    # the milli_value helper but not the ord key — local parity covers
-    # it; not canaried to preserve the 39-slot r2-cohort rotation.)
-    "value_ohlc_hourly",
+    # r6: uv_daily_kmv's h28 SQL expression is now ALSO the streaming
+    # twin's hash path (kmv_distinct_stream computes it JVM-side before
+    # the fold); re-verify the shared batch expression externally. The
+    # OHLC oracle's bias-constant interpolation was proven
+    # byte-identical (no canary needed); r5's seven canaries all earned
+    # their green rows in CORRECTNESS_r05 and rotate out so the
+    # 45-query r3 cohort (incl. hot_pages_topn, hot_items_topn_sql)
+    # fits the 50-slot window alongside this round's new queries.
+    "uv_daily_kmv",
 )
 
 
