@@ -735,3 +735,121 @@ def kmv_distinct_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
+    """Fold for :func:`locf_stream`: per-user state is FOUR longs —
+    the last observation (t, value, event_id) plus the next un-emitted
+    grid point — the O(1) carry-forward state the batch twin
+    ``user_value_locf`` re-derives with a window pass.
+
+    Per batch: one stable sort on (t, event_id), late rows behind the
+    last-observation frontier drop (same policy as the login-fail/
+    EWMA folds — an interleaved-late row would rewrite already-emitted
+    grid points), then every grid point from ``next_grid`` up to
+    ``floor(max_t/step)*step`` is emitted in one vectorized
+    ``searchsorted`` over the (carried ⊕ new) observation arrays: the
+    value at grid point g is the last observation with t <= g in
+    (t, event_id) order — bit-identical to the batch plan's
+    ``last_value IGNORE NULLS`` over (t, is_obs DESC, ord_id). A grid
+    point preceding the user's first observation emits NULL, exactly
+    as the batch oracle does. Emitted grid points are final (append
+    mode); a same-second observation arriving in a LATER batch folds
+    into subsequent grid points only — the µs-tie best-effort shared
+    by every order-dependent fold here.
+    """
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["user_id", "grid_ts", "locf_milli"]
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame({c: pd.array([], dtype="Int64") for c in cols}, columns=cols)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [tcol, ocol], kind="mergesort"
+        )
+        t = pdf[tcol].to_numpy(np.int64)
+        v = pdf[vcol].to_numpy(np.int64)
+        o = pdf[ocol].to_numpy(np.int64)
+        if state.exists:
+            t0, v0, o0, next_grid = state.get
+            keep = t >= t0  # frontier = last observation's (floored) second
+            t, v, o = t[keep], v[keep], o[keep]
+            # carried observation joins the sort so ties at the
+            # frontier second order by event_id exactly as in batch
+            t = np.concatenate(([t0], t))
+            v = np.concatenate(([v0], v))
+            o = np.concatenate(([o0], o))
+            order = np.lexsort((o, t))
+            t, v, o = t[order], v[order], o[order]
+        else:
+            # grid starts at the floor of the user's first observation
+            next_grid = (int(t[0]) // step) * step
+        last_grid = (int(t[-1]) // step) * step
+        gs = np.arange(next_grid, last_grid + step, step, dtype=np.int64)
+        idx = np.searchsorted(t, gs, side="right") - 1
+        vals = pd.array(v[np.maximum(idx, 0)], dtype="Int64")
+        vals[idx < 0] = pd.NA  # grid point before the first observation
+        state.update((int(t[-1]), int(v[-1]), int(o[-1]), int(last_grid + step)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([int(key[0])] * len(gs), dtype="Int64"),
+                "grid_ts": pd.array(gs, dtype="Int64"),
+                "locf_milli": vals,
+            },
+            columns=cols,
+        )
+
+    return fn
+
+
+def locf_stream(
+    events: DataFrame,
+    step: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``user_value_locf``: per-user
+    last-observation-carried-forward resampling onto a ``step``-second
+    grid, emitting each grid point ONCE (append mode) as observations
+    pass it. Completes the time-series set — LOCF was the only ordered
+    fold without a streaming form (r5 verdict item 5). State is O(1)
+    per user (one observation + the grid cursor); convergence to the
+    batch plan over the same rows is pinned by
+    tests/test_streaming.py::test_locf_stream_matches_batch and the
+    fold's order/tie/late properties by tests/test_stateful_folds.py.
+
+    The emitted grid tops out at the last SEEN observation's floor —
+    Structured Streaming has no end-of-input flush, so the batch twin's
+    final grid point appears once an observation at or past it arrives
+    (the same convergence contract as every fold here).
+    """
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.operators.windows import milli_value
+
+    fn = build_locf_fold(int(step), "t_sec", "v_milli", "event_id")
+    pre = ensure_event_time(events, ts_col)
+    src = pre.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(ts_col),
+        # floored epoch seconds, the batch twin's exact t expression
+        F.col(ts_col).cast("timestamp").cast("long").alias("t_sec"),
+        F.col("event_id").cast("long").alias("event_id"),
+        milli_value(value_col).alias("v_milli"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, "3 seconds")
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        "user_id long, grid_ts long, locf_milli long",
+        "t long, v long, o long, next_grid long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -683,3 +683,168 @@ def test_ewma_stream_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
         sn, sa, sf_ = state.get
         assert (sn, sa) == (n, acc)
         assert sf_ == frontier
+
+
+# ---------------------------------------------------------------------------
+# streaming LOCF: grid emission with carried last observation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(_ts, st.integers(0, 99), st.integers(-5000, 5000)),
+        min_size=1,
+        max_size=40,
+    ),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=3),
+    chunk_splits=_splitter,
+)
+def test_locf_fold_matches_rowloop(evs, batch_cuts, chunk_splits):
+    """(t_sec, event_id, v_milli) through random micro-batch/chunk
+    boundaries; the fold must equal a per-batch reference applying the
+    same semantics: late rows behind the last-observation frontier
+    drop, the carried observation merges into the (t, event_id) sort,
+    and each grid point g emits the last observation with t <= g (NULL
+    before the first observation). step=7 so grids and observations
+    interleave densely."""
+    from flink_wsr_project_spark.streaming.stateful import build_locf_fold
+
+    step = 7
+    fn = build_locf_fold(step, "t_sec", "v_milli", "event_id")
+    df = pd.DataFrame(
+        {
+            "t_sec": pd.array([t for t, _, _ in evs], dtype="int64"),
+            "event_id": pd.array([e for _, e, _ in evs], dtype="int64"),
+            "v_milli": pd.array([v for _, _, v in evs], dtype="int64"),
+        }
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (7,), batches)
+
+    last = None  # carried (t, ord, v)
+    next_grid = None
+    expect = []  # (grid_ts, value-or-None)
+    for chunks in batches:
+        live = [c for c in chunks if len(c)]
+        if not live:
+            continue
+        pdf = _sorted_batch(live, ["t_sec", "event_id"])
+        recs = [
+            (int(r.t_sec), int(r.event_id), int(r.v_milli))
+            for r in pdf.itertuples(index=False)
+        ]
+        if last is None:
+            work = recs
+            if not work:
+                continue
+            next_grid = (work[0][0] // step) * step
+        else:
+            kept = [r for r in recs if r[0] >= last[0]]
+            # STABLE (t, ord) sort, like the fold's lexsort — equal
+            # (t, ord) rows keep carried-then-batch order, never
+            # ordered by value
+            work = sorted([last, *kept], key=lambda r: (r[0], r[1]))
+        last_grid = (work[-1][0] // step) * step
+        g = next_grid
+        while g <= last_grid:
+            cands = [r for r in work if r[0] <= g]
+            expect.append((g, cands[-1][2] if cands else None))
+            g += step
+        next_grid = last_grid + step
+        last = work[-1]
+
+    got_rows = (
+        [
+            (int(r.grid_ts), None if pd.isna(r.locf_milli) else int(r.locf_milli))
+            for r in got.itertuples(index=False)
+        ]
+        if len(got)
+        else []
+    )
+    assert got_rows == expect
+    if last is not None:
+        st_t, st_v, st_o, st_next = state.get
+        assert (st_t, st_o, st_v) == last
+        assert st_next == next_grid
+        assert all(int(u) == 7 for u in got["user_id"].dropna())
+
+
+# ---------------------------------------------------------------------------
+# frontier tie semantics, pinned per fold (r5 verdict item 6): a second
+# batch whose first row's ts EQUALS the first batch's last processed ts
+# must FOLD (ties at the frontier are kept), and a strictly-older row
+# must DROP. These are intended-behavior pins, not redundancy with the
+# row-loop properties (whose references mirror the same policy).
+# ---------------------------------------------------------------------------
+
+
+def _dt(secs):
+    return pd.to_datetime(secs, unit="s")
+
+
+def test_login_fail_frontier_tie_folds_older_drops():
+    from flink_wsr_project_spark.streaming.stateful import build_login_fail_fn
+
+    fn = build_login_fail_fn(2.0, "error", "ts", "event_type")
+    b1 = pd.DataFrame({"ts": _dt([10]), "event_type": ["error"]})
+    # tie at the frontier (ts=10) folds -> adjacent pair (10, 10) warns;
+    # the strictly-older fail (ts=9) drops (no (9, ...) pair, no reorder)
+    b2 = pd.DataFrame({"ts": _dt([10, 9]), "event_type": ["error", "error"]})
+    got, state = _run_fold(fn, (1,), [[b1], [b2]])
+    pairs = [tuple(r) for r in got[["first_fail", "last_fail"]].itertuples(index=False)]
+    assert pairs == [(10, 10)]
+    assert state.get[1] == 10.0  # frontier unchanged by the late row
+
+
+def test_ewma_frontier_tie_folds_older_drops():
+    from flink_wsr_project_spark.streaming.stateful import build_ewma_stream_fn
+
+    fn = build_ewma_stream_fn("ts", "v_milli")
+    b1 = pd.DataFrame(
+        {"ts": _dt([10]), "event_id": pd.array([1], dtype="int64"),
+         "v_milli": pd.array([100], dtype="int64")}
+    )
+    b2 = pd.DataFrame(
+        {"ts": _dt([10, 9]), "event_id": pd.array([2, 3], dtype="int64"),
+         "v_milli": pd.array([50, 999], dtype="int64")}
+    )
+    got, state = _run_fold(fn, (1,), [[b1], [b2]])
+    rows = [tuple(r) for r in got[["n_events", "ewma_milli"]].itertuples(index=False)]
+    # batch1: acc=100. batch2: the ts=10 tie folds ((100+50)//2 = 75);
+    # the ts=9 row is late and drops (would have folded first by sort
+    # order and changed everything downstream)
+    assert rows == [(1, 100), (2, 75)]
+
+
+def test_blacklist_frontier_tie_folds_older_drops():
+    from flink_wsr_project_spark.streaming.stateful import build_blacklist_fn
+
+    fn = build_blacklist_fn(3, "ts")
+    day0, day1 = 5 * 86400, 6 * 86400
+    b1 = pd.DataFrame({"ts": _dt([day1 + 10])})  # day 1970-01-07, count=1
+    # same-day rows fold (count 1+3=4 > cap -> exactly one warning);
+    # the previous-day row drops (its day is final; recounting could
+    # re-warn)
+    b2 = pd.DataFrame({"ts": _dt([day1 + 10, day1 + 20, day1 + 30, day0 + 50])})
+    got, state = _run_fold(fn, (1, 2), [[b1], [b2]])
+    assert len(got) == 1 and got.iloc[0]["day"] == "1970-01-07"
+    assert state.get == ("1970-01-07", 4, 1)
+
+
+def test_cep_frontier_tie_folds_older_drops():
+    from flink_wsr_project_spark.operators.cep import build_strict_match_fn
+
+    fn = build_strict_match_fn(2, 5, ["uid"], ["a", "b"])
+    b1 = pd.DataFrame(
+        {"_ts_s": pd.array([10], dtype="int64"), "_m0": [1], "_m1": [1]}
+    )
+    # buffer frontier is ts=10; the tie row (ts=10) folds and is
+    # ADJACENT to the buffered row -> match (10, 10); the ts=8 row is
+    # behind the buffer and drops (no (8, 10) reordered match)
+    b2 = pd.DataFrame(
+        {"_ts_s": pd.array([10, 8], dtype="int64"), "_m0": [1, 1], "_m1": [1, 1]}
+    )
+    got, _ = _run_fold(fn, (9,), [[b1], [b2]])
+    matches = [tuple(r) for r in got[["a_ts", "b_ts"]].itertuples(index=False)]
+    assert matches == [(10, 10)]

@@ -1170,3 +1170,28 @@ def test_ewma_stream_matches_batch(spark, events_stream_dir):
         for r in get("user_value_ewma").spark_fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_locf_stream_matches_batch(spark, events_stream_dir):
+    """Streaming LOCF: append-mode grid points over all arrived rows
+    must equal the batch user_value_locf result exactly — same grid
+    bounds (floor of each user's first/last observation), same carried
+    values, same NULL-before-first-observation rows. Each grid point
+    is emitted ONCE, so the memory sink IS the result set (no
+    last-emission dedup needed)."""
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.stateful import locf_stream
+
+    out = locf_stream(_read_stream(spark, events_stream_dir))
+    q = out.writeStream.outputMode("append").format("memory").queryName("locf_s").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.grid_ts): r.locf_milli
+        for r in spark.sql("SELECT * FROM locf_s").collect()
+    }
+    want = {
+        (r.user_id, r.grid_ts): r.locf_milli
+        for r in get("user_value_locf").spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
