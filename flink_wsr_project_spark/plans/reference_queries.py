@@ -836,3 +836,56 @@ def hot_items_topn_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn_per_group(counts, ["window_end"], "cnt", 5, tiebreakers=["item_id"]).select(
         "window_end", "item_id", "cnt", "rank"
     )
+
+
+_KV_STATE_ORACLE = """
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS kv_key,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600 AS window_end
+  FROM events
+)
+SELECT kv_key,
+       CAST(count(*) AS VARCHAR) AS kv_value,
+       count(DISTINCT window_end) AS n_upsert_epochs
+FROM keyed GROUP BY kv_key
+"""
+
+
+@register("kv_upsert_final_state", oracle=_KV_STATE_ORACLE, tags=("K3",))
+def kv_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final external-KV state under the K3 sink's upsert contract —
+    the batch materialization of what ``streaming.sinks.external_kv_sink``
+    leaves in the store after all micro-batches: one row per key with
+    the LAST written value (update-mode re-fires and failure replays
+    OVERWRITE, never duplicate — the reference's Redis ``hset``
+    discipline, UniqueVisitor_03_Bloom.scala:136-149).
+
+    Keys use the sink's exact serialization (``'|'.join(key_cols)``)
+    and values its ``str(value)``; for a running count per
+    (user_id, event_type) the last write IS the total, so the final
+    state is exactly this one hash aggregate. ``n_upsert_epochs``
+    (distinct active hours) is the number of times the key's row would
+    be rewritten under hourly re-fires — the write churn the upsert
+    contract absorbs that an append-style sink would duplicate.
+    tests/test_streaming.py::test_kv_sink_final_state_matches_batch
+    drives the REAL sink over multiple micro-batches against a
+    DictStore and asserts its final state equals this query row-for-row.
+
+    100 TB shape: one hash shuffle on the composite key; the distinct
+    epoch count rides the standard two-phase distinct aggregate. The
+    sink side stays bounded because update-mode output per trigger is
+    |changed groups|, not |input rows|.
+    """
+    events = load_table(spark, "events", sf_dir)
+    hour_end = (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600 + 3600).cast("long")
+    return (
+        events.select(
+            F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias("kv_key"),
+            hour_end.alias("window_end"),
+        )
+        .groupBy("kv_key")
+        .agg(
+            F.count("*").cast("string").alias("kv_value"),
+            F.countDistinct("window_end").alias("n_upsert_epochs"),
+        )
+    )

@@ -1195,3 +1195,52 @@ def test_locf_stream_matches_batch(spark, events_stream_dir):
         for r in get("user_value_locf").spark_fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_kv_sink_final_state_matches_batch(spark, tmp_path):
+    """The registered ``kv_upsert_final_state`` query IS the K3 sink's
+    final-state contract: driving the REAL external_kv_sink (update
+    mode, running count per (user_id, event_type)) over the same rows
+    in TWO micro-batches leaves the DictStore holding exactly the
+    query's (kv_key -> kv_value) map — every key was rewritten across
+    epochs (upsert), never duplicated."""
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink
+
+    d = str(tmp_path / "kv_events")
+    ev = load_table(spark, "events", SF_DIR).select("user_id", "event_type", "ts")
+    split_ts = ev.selectExpr("percentile_approx(cast(ts as long), 0.5)").first()[0]
+    ev.filter(F.col("ts").cast("long") <= split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    agg = (
+        stream.groupBy("user_id", "event_type")
+        .count()
+        .select(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("count").alias("cnt"),
+        )
+    )
+    store = DictStore()
+    q = external_kv_sink(agg, ["user_id", "event_type"], "cnt", store)
+    q.processAllAvailable()
+    mid_state = dict(store.data)
+    # second epoch: the rest of the rows — running counts OVERWRITE
+    ev.filter(F.col("ts").cast("long") > split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        r.kv_key: r.kv_value
+        for r in get("kv_upsert_final_state").spark_fn(spark, SF_DIR).collect()
+    }
+    assert store.data == want
+    assert len(store.epochs) >= 2
+    # the second epoch genuinely rewrote keys (upsert, not append-only)
+    rewritten = {k for k, v in mid_state.items() if store.data.get(k) != v}
+    assert rewritten, "no key was overwritten across epochs"
