@@ -174,6 +174,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dedup_minhash_lsh_sql("spark"))
 
 
+# Per-(band, hash) candidate cap for the capped LSH variant. At
+# production scale this is O(1000) (a bucket of n docs contributes
+# n(n-1)/2 candidate pairs — giant near-dup clusters would otherwise
+# dominate the join); at the sf0.01 gate a cap of 2 makes BOTH branches
+# execute: the 3-doc buckets (the testdata's "giant cluster" analogue)
+# are capped, the twenty 2-doc buckets pass (dead-branch discipline,
+# SCALE.md r5 audit).
+_LSH_BUCKET_CAP = 2
+
+
+def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
+    """Bucket-capped MinHash-LSH: identical to ``dedup_minhash_lsh``
+    except that (band, hash) buckets holding more than
+    ``_LSH_BUCKET_CAP`` signatures are EXCLUDED from candidate
+    generation — the SCALE.md skew mitigation ("bucket-size capping")
+    as tested code instead of a documented intention. Oversized
+    buckets are near-certain duplicate clusters; production pipelines
+    route them to the exact-hash dedup / cluster handler rather than
+    enumerating their O(n²) pairs inside the join. The cap is applied
+    identically in both engines (a per-band HAVING aggregate joined
+    back), so the result stays exactly oracle-checkable.
+
+    100 TB shape: per band, one extra aggregate over sigs (bounded by
+    |buckets|) whose survivors broadcast back into the band equi-join
+    — the pair space drops from Σ|bucket|² to Σ_{|b|≤cap}|b|², making
+    the worst case cap²·|buckets| instead of data-dependent. Measured
+    on the 10×-clone probe dataset: see SCALE.md round-6 notes.
+    ``lsh_bucket_skew`` reports what the cap dropped (no silent
+    truncation)."""
+    sig = signature_sql(engine)
+    cap = _LSH_BUCKET_CAP
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
+        f" JOIN (SELECT band{b_} AS h FROM sigs GROUP BY band{b_}"
+        f" HAVING count(*) <= {cap}) ok{b_} ON ok{b_}.h = a.band{b_}"
+        for b_ in range(4)
+    )
+    jac = jaccard_expr("sa.sh", "sb.sh", engine)
+    return f"""
+WITH sigs AS ({sig}),
+{shingled_cte(engine)},
+cand AS (
+{cands}
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= 0.4
+"""
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=_dedup_minhash_lsh_capped_sql("duckdb"),
+    tags=("pipeline", "dedup", "skew"),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_dedup_minhash_lsh_capped_sql("spark"))
+
+
+def _lsh_bucket_skew_sql(engine: str) -> str:
+    """The cap's coverage cost, measured (the "no silent caps"
+    discipline): per band, the bucket count, the largest bucket, how
+    many buckets the ``_LSH_BUCKET_CAP`` drops, and the candidate
+    pairs saved (Σ n(n-1)/2 over capped buckets). At scale this is the
+    dashboard row that tells you whether cap tuning is costing recall
+    or just skipping duplicate clusters."""
+    sig = signature_sql(engine)
+    cap = _LSH_BUCKET_CAP
+    div = "div" if engine == "spark" else "//"
+    per_band = "\nUNION ALL\n".join(
+        f"""SELECT {b_} AS band, count(*) AS n_buckets,
+       max(n) AS max_bucket,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_capped,
+       CAST(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) {div} 2 ELSE 0 END) AS BIGINT) AS pairs_saved
+FROM (SELECT band{b_}, count(*) AS n FROM sigs GROUP BY band{b_})"""
+        for b_ in range(4)
+    )
+    return f"WITH sigs AS ({sig})\n{per_band}"
+
+
+@register(
+    "lsh_bucket_skew",
+    oracle=_lsh_bucket_skew_sql("duckdb"),
+    tags=("pipeline", "dedup", "skew"),
+)
+def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_lsh_bucket_skew_sql("spark"))
+
+
 def _ngram_jaccard_sql(engine: str) -> str:
     """Exact all-pairs n-gram Jaccard on a bounded id range (the
     exactness baseline the LSH path approximates)."""

@@ -194,3 +194,56 @@ def test_ohlc_pre1970_arrival_order(spark, tmp_path):
     assert (bar.window_end, bar.open_milli, bar.close_milli) == (0, 5000, 9000)
     assert (bar.high_milli, bar.low_milli, bar.n_events) == (9000, 5000, 3)
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "value_ohlc_hourly/synth")
+
+
+def test_lsh_bucket_cap_drops_oversized_keeps_small(spark, tmp_path):
+    """The capped LSH variant must drop candidates from buckets larger
+    than _LSH_BUCKET_CAP (=2) while keeping pairs from within-cap
+    buckets — a crafted corpus makes the branch split deterministic:
+    docs 1-4 are verbatim clones (every band bucket size 4 -> capped;
+    their 6 pairs vanish), docs 10-11 are a near-dup pair alone in
+    their buckets (size 2 -> kept), doc 20 is unrelated. The uncapped
+    query keeps ALL near-dup pairs on the same corpus (superset), and
+    lsh_bucket_skew reports exactly the capped buckets and saved
+    pairs. Both engines agree on all three queries (oracle parity on
+    the synthetic table)."""
+    from flink_wsr_project_spark.plans.pipeline_queries import _LSH_BUCKET_CAP
+
+    assert _LSH_BUCKET_CAP == 2  # the corpus below is built for cap=2
+    clone = "the quick brown fox jumps over the lazy dog again and again today"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    other = "completely different content about spark structured streaming state"
+    rows = [
+        (1, clone, "en", "web", len(clone)),
+        (2, clone, "en", "web", len(clone)),
+        (3, clone, "en", "web", len(clone)),
+        (4, clone, "en", "web", len(clone)),
+        (10, near_a, "en", "web", len(near_a)),
+        (11, near_b, "en", "web", len(near_b)),
+        (20, other, "en", "web", len(other)),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+
+    capped = get("dedup_minhash_lsh_capped")
+    uncapped = get("dedup_minhash_lsh")
+    skew = get("lsh_bucket_skew")
+
+    got_capped = {
+        (r.doc_a, r.doc_b) for r in capped.spark_fn(spark, sf_dir).collect()
+    }
+    got_uncapped = {
+        (r.doc_a, r.doc_b) for r in uncapped.spark_fn(spark, sf_dir).collect()
+    }
+    assert got_capped == {(10, 11)}  # clone-cluster pairs capped away
+    assert {(a, b) for a, b in got_uncapped if a < 5 and b < 5} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    assert got_capped < got_uncapped  # strict, measured coverage cost
+    srows = skew.spark_fn(spark, sf_dir).collect()
+    assert {r.band for r in srows} == {0, 1, 2, 3}
+    for r in srows:
+        assert r.max_bucket == 4 and r.buckets_capped == 1 and r.pairs_saved == 6
+
+    for q in (capped, uncapped, skew):
+        assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth")
