@@ -1244,3 +1244,75 @@ def test_kv_sink_final_state_matches_batch(spark, tmp_path):
     # the second epoch genuinely rewrote keys (upsert, not append-only)
     rewritten = {k for k, v in mid_state.items() if store.data.get(k) != v}
     assert rewritten, "no key was overwritten across epochs"
+
+
+def test_state_rows_bounded_by_keys_not_events(spark, tmp_path):
+    """Mechanical pin of the O(1)-state-per-key claim (SCALE.md
+    streaming layer): after folding many events for few users, the
+    state store holds exactly one row PER KEY — numRowsTotal tracks
+    keys, never events."""
+    import pandas as pd
+
+    d = str(tmp_path / "state_rows")
+    n, users = 2000, 10
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(range(1000, 1000 + n), unit="s").astype("datetime64[us]"),
+            "user_id": pd.array([i % users for i in range(n)], dtype="int64"),
+            "event_type": ["error", "ok"] * (n // 2),
+            "event_id": pd.array(range(n), dtype="int64"),
+        }
+    )
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(f"{d}/p.parquet", index=False)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = login_fail_detector(stream, max_gap_s=2.0)
+    q = out.writeStream.outputMode("append").format("memory").queryName("srows").start()
+    q.processAllAvailable()
+    state = q.lastProgress["stateOperators"][0]
+    q.stop()
+    assert state["numRowsTotal"] == users  # 10 keys, not 2000 events
+
+
+def test_kmv_state_evicts_closed_windows(spark, tmp_path):
+    """Mechanical pin of the KMV event-time eviction (L4): a day
+    window's sketch row is REMOVED from the state store once the
+    watermark passes window_end + ttl — closed days do not accumulate."""
+    import os
+
+    import pandas as pd
+
+    from flink_wsr_project_spark.streaming.stateful import kmv_distinct_stream
+
+    d = str(tmp_path / "kmv_evict")
+    os.makedirs(d, exist_ok=True)
+
+    def write(epochs, tag):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(epochs, unit="s").astype("datetime64[us]"),
+                "user_id": pd.array(range(len(epochs)), dtype="int64"),
+                "event_id": pd.array(range(len(epochs)), dtype="int64"),
+            }
+        )
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([100, 200, 300], "b1")  # day-0 window (window_end 86400)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = kmv_distinct_stream(stream, k=4, watermark="3 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("kmv_ev").start()
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    # day-2 rows push the watermark far past day-0's end + ttl …
+    write([2 * 86400 + 100, 2 * 86400 + 200], "b2")
+    q.processAllAvailable()
+    # … and the NEXT trigger (watermark updated at batch end) evicts it
+    write([2 * 86400 + 300], "b3")
+    q.processAllAvailable()
+    state = q.lastProgress["stateOperators"][0]
+    q.stop()
+    assert state["numRowsTotal"] == 1  # only the live day-2 window remains
