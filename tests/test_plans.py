@@ -196,6 +196,9 @@ def test_dimension_join_broadcasts(spark, name):
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
         ("value_ohlc_hourly", 1),  # single-pass mergeable min_by/max_by bar compaction
         ("value_vwap_hourly", 1),  # JSON-extract inside one exact-integer agg
+        ("kv_upsert_final_state", 2),  # two-phase distinct agg on the composite key
+        ("dedup_minhash_lsh_capped", 5),  # LSH band joins + 4 bucket-size HAVING aggs
+        ("lsh_bucket_skew", 8),  # 4 bands x (bucket-size agg + per-band rollup), all |buckets|-sized
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
