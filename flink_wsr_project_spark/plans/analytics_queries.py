@@ -1461,3 +1461,83 @@ def value_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("qty") > 0)
     return base.groupBy("window_end").agg(*vwap_aggs())
 
+
+
+# ---------------------------------------------------------------------------
+# Time-series pattern search (subsequence similarity, streaming-research
+# family — cf. "Time Series Similarity Search for Streaming Data in
+# Distributed Systems", EDBT 2019): correlation of every length-8
+# per-user sliding window against a fixed query pattern.
+# ---------------------------------------------------------------------------
+
+# spike-shaped query pattern in milli-units; correlation is
+# shift/scale-invariant, so this matches the SHAPE (z-normalized
+# subsequence matching), not absolute levels
+_SP_PATTERN = (0, 100, 300, 600, 1000, 600, 300, 100)
+_SP_K = len(_SP_PATTERN)
+_SP_SUM = sum(_SP_PATTERN)
+_SP_DEN = _SP_K * sum(p * p for p in _SP_PATTERN) - _SP_SUM * _SP_SUM
+
+
+def _series_pattern_sql(engine: str) -> str:
+    """Global top-50 spike-shaped windows across all user value series.
+
+    One partitioned window pass materializes the 8 trailing values as
+    lag columns (whole-stage codegen, no arrays, no UDF); the
+    correlation's sums are exact BIGINTs (v_milli ≤ 5×10^5 ⇒ k·Σxx ≤
+    1.6×10^13, far inside int64), and only the final normalization is
+    IEEE double — sqrt and division are correctly-rounded single
+    expressions, bit-identical across engines, then floored to
+    milli-units so ranking and hashing stay integer-stable. Ties are
+    fully broken by (corr desc, user, t, event_id) ⇒ the top-50 SET is
+    deterministic.
+
+    100 TB shape: one shuffle on user_id serves the lag pass; the
+    global top-K is ORDER BY + LIMIT ⇒ TakeOrderedAndProject (per-task
+    50-row heaps merged at the driver), never an unpartitioned rank.
+    A streaming form is the same expressions over
+    applyInPandasWithState's trailing-k buffer (the CEP executor
+    already keeps exactly that state shape).
+    """
+    epoch = "unix_timestamp(ts)" if engine == "spark" else "epoch(ts)"
+    over = "OVER (PARTITION BY user_id ORDER BY t, event_id)"
+    xs = ", ".join(
+        f"lag(x, {_SP_K - 1 - j}) {over} AS x{j}" for j in range(_SP_K - 1)
+    ) + f", x AS x{_SP_K - 1}"
+    sx = " + ".join(f"x{j}" for j in range(_SP_K))
+    sxx = " + ".join(f"x{j} * x{j}" for j in range(_SP_K))
+    sxy = " + ".join(f"{p} * x{j}" for j, p in enumerate(_SP_PATTERN))
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(floor({epoch}) AS BIGINT) AS t,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, t, {xs} FROM v
+),
+scored AS (
+  SELECT user_id, event_id, t,
+         ({sx}) AS sx, ({sxx}) AS sxx, ({sxy}) AS sxy
+  FROM lagged WHERE x0 IS NOT NULL
+)
+SELECT user_id, event_id, t AS window_end_ts,
+       CAST(floor(1000.0 * ({_SP_K} * sxy - sx * {_SP_SUM})
+            / (sqrt(CAST({_SP_K} * sxx - sx * sx AS DOUBLE))
+               * sqrt({float(_SP_DEN)}))) AS BIGINT) AS corr_milli
+FROM scored
+WHERE {_SP_K} * sxx - sx * sx > 0
+ORDER BY corr_milli DESC, user_id, window_end_ts, event_id
+LIMIT 50
+"""
+
+
+@register(
+    "series_pattern_topk",
+    oracle=_series_pattern_sql("duckdb"),
+    tags=("timeseries", "similarity"),
+)
+def series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_series_pattern_sql("spark"))

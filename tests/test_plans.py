@@ -199,6 +199,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("kv_upsert_final_state", 2),  # two-phase distinct agg on the composite key
         ("dedup_minhash_lsh_capped", 5),  # LSH band joins + 4 bucket-size HAVING aggs
         ("lsh_bucket_skew", 8),  # 4 bands x (bucket-size agg + per-band rollup), all |buckets|-sized
+        ("series_pattern_topk", 1),  # one user_id lag pass; top-K is TakeOrderedAndProject
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
