@@ -737,6 +737,129 @@ def kmv_distinct_stream(
     )
 
 
+def build_cms_fold(depth: int, width: int, ccol: str, ttl_ms: int):
+    """Fold for :func:`cms_cells_stream`: per-window state is the full
+    Count-Min cell array — ``depth × width`` int64 counters, FIXED size
+    regardless of how many distinct keys the window sees (the whole
+    point of the sketch; the batch twin ``token_cms_heavy_hitters``
+    builds the identical cells with a groupBy). ``ccol`` is the
+    PRE-COMPUTED flat cell index ``r*width + bucket`` — the salted
+    28-bit md5 hash and the modulo run JVM-side (whole-stage codegen)
+    before the groupBy, so the fold is one ``np.bincount`` per
+    micro-batch (pure C counting, no per-element Python hashing).
+
+    Counting is commutative and associative, so — like the per-element
+    Bloom fold and unlike the sequence-sensitive CEP folds — the result
+    is arrival-order-independent and needs NO late-arrival frontier:
+    every row that reaches the fold counts, wherever the micro-batch
+    boundaries fall. The window's cells are EVICTED (event-time
+    timeout) once the watermark passes window_end + ``ttl_ms``.
+
+    Each trigger emits the window's current cells plus ``n_folded``
+    (occurrences folded so far — monotone, so consumers keep the
+    last emission per window) and ``nonzero`` (occupied cells).
+    """
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["window_end", "n_folded", "nonzero", "cells"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        ncells = depth * width
+        if state.exists:
+            cells = np.asarray(state.get[0], dtype=np.int64)
+            n = int(state.get[1])
+        else:
+            cells = np.zeros(ncells, dtype=np.int64)
+            n = 0
+        arrs = [p[ccol].to_numpy(np.int64) for p in pdfs if len(p)]
+        if arrs:
+            flat = np.concatenate(arrs)
+            cells = cells + np.bincount(flat, minlength=ncells)
+            # state carries the RAW row count; dividing only at emission
+            # keeps n_folded exact even if a chunk boundary ever split a
+            # key's depth rows across batches
+            n += len(flat)
+        state.update((cells.tolist(), n))
+        state.setTimeoutTimestamp(int(key[0]) * 1000 + ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "window_end": int(key[0]),
+                    "n_folded": n // depth,
+                    "nonzero": int(np.count_nonzero(cells)),
+                    "cells": cells.tolist(),
+                }
+            ],
+            columns=cols,
+        )
+
+    return fn
+
+
+def cms_user_cells_stream(
+    events: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch Count-Min sketch
+    (``token_cms_heavy_hitters``'s cell construction, keyed here by the
+    daily window like the KMV twin): per in-flight window the state is
+    the ``depth × width`` counter array — bounded by the sketch
+    geometry, NOT by key cardinality — and merging across micro-batches
+    is cell-wise addition, the same commutative merge that lets shard
+    sketches combine on a 1000-executor cluster.
+
+    Plan shape: the ``depth`` salted h28 hashes (the batch twin's exact
+    ``'r<r>:' || key`` expressions) and bucket moduli are computed
+    JVM-side as an array column, exploded to one row per (occurrence,
+    hash-row) — a narrow 4× map, no extra shuffle — then one groupBy
+    carries flat int64 cell indices into the fold, which is a single
+    ``np.bincount`` per batch. Exactness is pinned by
+    tests/test_streaming.py::test_cms_stream_matches_batch (final cells
+    == an independent per-row reimplementation) and the fold-level
+    order-independence property in tests/test_stateful_folds.py.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.operators.dedup import h28
+
+    wm_ms = _interval_ms(watermark)
+    fn = build_cms_fold(int(depth), int(width), "cell", wm_ms)
+    pre = ensure_event_time(events, ts_col)
+    salted = ", ".join(
+        "{r} * {w} + ({h}) % {w}".format(
+            r=r,
+            w=width,
+            h=h28(f"concat('r{r}:', CAST({key_col} AS STRING))", "spark"),
+        )
+        for r in range(depth)
+    )
+    keyed = pre.withColumn(
+        "window_end",
+        F.expr(
+            f"(CAST(floor(unix_timestamp({ts_col})) AS BIGINT) div 86400) * 86400 + 86400"
+        ),
+    ).withColumn("cell", F.explode(F.expr(f"array({salted})")))
+    if events.isStreaming:
+        keyed = keyed.withWatermark(ts_col, watermark)
+    # keep the watermarked ts column in the projection (EventTimeTimeout)
+    return keyed.select("window_end", "cell", ts_col).groupBy("window_end").applyInPandasWithState(
+        fn,
+        "window_end long, n_folded long, nonzero long, cells array<long>",
+        "cells array<long>, n long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
     """Fold for :func:`locf_stream`: per-user state is FOUR longs —
     the last observation (t, value, event_id) plus the next un-emitted

@@ -848,3 +848,42 @@ def test_cep_frontier_tie_folds_older_drops():
     got, _ = _run_fold(fn, (9,), [[b1], [b2]])
     matches = [tuple(r) for r in got[["a_ts", "b_ts"]].itertuples(index=False)]
     assert matches == [(10, 10)]
+
+
+# ---------------------------------------------------------------------------
+# CMS fold: cell-wise counting merge is order/boundary-independent
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cells=st.lists(st.integers(0, 4 * 8 - 1), min_size=1, max_size=80),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=4),
+    chunk_splits=_splitter,
+)
+def test_cms_fold_counts_match_any_chunking(cells, batch_cuts, chunk_splits):
+    """Cell-wise addition commutes: however the pre-computed flat cell
+    indices are cut into micro-batches and Arrow chunks (including
+    empty chunks), the final cell array equals one np.bincount over
+    everything, n_folded counts occurrences (rows/depth), and every
+    emission is the running bincount of rows seen so far."""
+    from flink_wsr_project_spark.streaming.stateful import build_cms_fold
+
+    DEPTH, WIDTH = 4, 8
+    fn = build_cms_fold(DEPTH, WIDTH, "cell", ttl_ms=1000)
+    df = pd.DataFrame({"cell": pd.array(cells, dtype="int64")})
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (86400,), batches)
+    # one emission per micro-batch (even empty ones re-emit)
+    assert len(got) == len(batches)
+    running: list[int] = []
+    for (_, row), chunks in zip(got.iterrows(), batches):
+        running.extend(int(c) for ch in chunks for c in ch["cell"].tolist())
+        expect = np.bincount(np.array(running, dtype=np.int64), minlength=DEPTH * WIDTH)
+        assert row["window_end"] == 86400
+        assert row["n_folded"] == len(running) // DEPTH
+        assert row["nonzero"] == int(np.count_nonzero(expect))
+        assert list(row["cells"]) == expect.tolist()
+    # carried state equals the final cells; eviction timer is armed
+    assert list(state.get[0]) == expect.tolist()
+    assert state.timeout_ts == 86400 * 1000 + 1000

@@ -1316,3 +1316,102 @@ def test_kmv_state_evicts_closed_windows(spark, tmp_path):
     state = q.lastProgress["stateOperators"][0]
     q.stop()
     assert state["numRowsTotal"] == 1  # only the live day-2 window remains
+
+
+def test_cms_stream_matches_batch(spark, events_stream_dir):
+    """Streaming Count-Min sketch: the per-window cell array converges
+    to an independent per-row reimplementation of the batch sketch
+    arithmetic (same salted h28 hashes as token_cms_heavy_hitters,
+    keyed by daily window over user_id) once all rows arrive —
+    counting is commutative, so micro-batch boundaries cannot change
+    the final cells."""
+    from flink_wsr_project_spark.streaming.stateful import cms_user_cells_stream
+
+    DEPTH, WIDTH = 4, 64  # small width so sf0.001 windows collide
+    out = cms_user_cells_stream(
+        _read_stream(spark, events_stream_dir).filter(F.col("event_type") == "view"),
+        depth=DEPTH,
+        width=WIDTH,
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("cms_s").start()
+    q.processAllAvailable()
+    q.stop()
+    # last emission per window (n_folded is monotone) is the converged sketch
+    got = {
+        r.window_end: (r.n_folded, r.nonzero, tuple(r.cells))
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY window_end ORDER BY n_folded DESC) rn FROM cms_s
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+
+    # batch expectation: independent per-row reimplementation
+    import hashlib
+
+    import numpy as np
+
+    rows = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("event_type") == "view")
+        .select(
+            ((F.floor(F.unix_timestamp("ts") / 86400) + 1) * 86400)
+            .cast("long")
+            .alias("w"),
+            "user_id",
+        )
+        .collect()
+    )
+    per_w: dict[int, np.ndarray] = {}
+    for r in rows:
+        cells = per_w.setdefault(r.w, np.zeros(DEPTH * WIDTH, dtype=np.int64))
+        for d in range(DEPTH):
+            h = int(hashlib.md5(f"r{d}:{r.user_id}".encode()).hexdigest()[:7], 16)
+            cells[d * WIDTH + h % WIDTH] += 1
+    expect = {
+        w: (int(c.sum()) // DEPTH, int(np.count_nonzero(c)), tuple(c.tolist()))
+        for w, c in per_w.items()
+    }
+    assert got == expect
+
+
+def test_cms_state_evicts_closed_windows(spark, tmp_path):
+    """Mechanical pin of the CMS event-time eviction: a closed day
+    window's cell array is REMOVED from the state store once the
+    watermark passes window_end + ttl — in-flight state is (live
+    windows) × (depth·width longs), never all-history."""
+    import os
+
+    import pandas as pd
+
+    from flink_wsr_project_spark.streaming.stateful import cms_user_cells_stream
+
+    d = str(tmp_path / "cms_evict")
+    os.makedirs(d, exist_ok=True)
+
+    def write(epochs, tag):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(epochs, unit="s").astype("datetime64[us]"),
+                "user_id": pd.array(range(len(epochs)), dtype="int64"),
+                "event_id": pd.array(range(len(epochs)), dtype="int64"),
+            }
+        )
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([100, 200, 300], "b1")  # day-0 window (window_end 86400)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = cms_user_cells_stream(stream, depth=2, width=8, watermark="3 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("cms_ev").start()
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    write([2 * 86400 + 100, 2 * 86400 + 200], "b2")
+    q.processAllAvailable()
+    write([2 * 86400 + 300], "b3")
+    q.processAllAvailable()
+    state = q.lastProgress["stateOperators"][0]
+    q.stop()
+    assert state["numRowsTotal"] == 1  # only the live day-2 window remains
