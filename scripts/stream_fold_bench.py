@@ -28,6 +28,7 @@ sys.path.insert(0, REPO)
 from flink_wsr_project_spark.operators.cep import build_strict_match_fn  # noqa: E402
 from flink_wsr_project_spark.streaming.stateful import (  # noqa: E402
     build_blacklist_fn,
+    build_cms_fold,
     build_ewma_stream_fn,
     build_kmv_fold,
     build_locf_fold,
@@ -89,6 +90,9 @@ def main(n: int) -> None:
         ("kmv (bottom-k, pre-hashed)",
          build_kmv_fold(32, 1 << 28, "h28", 1000),
          (86400,), pd.DataFrame({"h28": rng.integers(0, 1 << 28, n).astype(np.int64)})),
+        ("cms (bincount, pre-indexed)",
+         build_cms_fold(4, 1024, "cell", 1000),
+         (86400,), pd.DataFrame({"cell": rng.integers(0, 4 * 1024, n).astype(np.int64)})),
         ("locf (searchsorted grid)",
          build_locf_fold(1800, "t_sec", "v_milli", "event_id"),
          (7,), pd.DataFrame({"t_sec": np.sort(rng.integers(0, n, n)).astype(np.int64),
