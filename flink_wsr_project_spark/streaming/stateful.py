@@ -860,6 +860,129 @@ def cms_user_cells_stream(
     )
 
 
+def build_pattern_corr_fold(pattern: tuple[int, ...]):
+    """Fold for :func:`pattern_corr_stream`: per-user state is the
+    trailing ``len(pattern)-1`` (t, event_id, x) rows — exactly the
+    buffer the batch ``series_pattern_topk`` materializes as lag
+    columns — plus the late-arrival frontier. Each micro-batch is
+    sorted ONCE by the batch twin's total order (second-floored t,
+    then event_id), appended to the carried tail, and every length-k
+    window ending at a new row emits its Pearson correlation against
+    the fixed pattern: integer sliding sums via ``np.convolve`` (pure
+    C), only the final normalization in IEEE double — the batch
+    expression's exact arithmetic, including the milli-floor and the
+    zero-variance filter.
+
+    This fold is sequence-SENSITIVE (windows are composed of adjacent
+    rows), so it adopts the module's uniform frontier policy: rows
+    with ``t >= frontier`` (the last processed row's t) fold — ties at
+    the frontier are processed in sorted order after the carried tail
+    — and strictly older rows drop as late, never spliced between
+    already-buffered rows."""
+
+    k = len(pattern)
+    s_p = sum(pattern)
+    den = float(k * sum(p * p for p in pattern) - s_p * s_p)
+    pat_rev = tuple(reversed(pattern))
+
+    def fn(key, pdfs, state):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        cols = ["user_id", "event_id", "window_end_ts", "corr_milli"]
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            ts0, eid0, xs0, frontier = state.get
+        else:
+            ts0, eid0, xs0, frontier = [], [], [], None
+        if len(pdf):
+            pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+            if frontier is not None:
+                pdf = pdf[pdf["t"].to_numpy(np.int64) >= frontier]
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        n_c = len(ts0)
+        t = np.concatenate([np.asarray(ts0, np.int64), pdf["t"].to_numpy(np.int64)])
+        eid = np.concatenate(
+            [np.asarray(eid0, np.int64), pdf["event_id"].to_numpy(np.int64)]
+        )
+        x = np.concatenate([np.asarray(xs0, np.int64), pdf["x"].to_numpy(np.int64)])
+        out = pd.DataFrame([], columns=cols)
+        if len(x) >= k:
+            ones = np.ones(k, dtype=np.int64)
+            sx = np.convolve(x, ones, "valid")
+            sxx = np.convolve(x * x, ones, "valid")
+            sxy = np.convolve(x, np.array(pat_rev, dtype=np.int64), "valid")
+            var = k * sxx - sx * sx
+            # every valid window ends at a NEW row (the carried tail is
+            # < k rows), so nothing re-emits across batches
+            keep = var > 0
+            if keep.any():
+                num = (k * sxy - sx * s_p)[keep].astype(np.float64)
+                corr = np.floor(
+                    1000.0 * num / (np.sqrt(var[keep].astype(np.float64)) * math.sqrt(den))
+                ).astype(np.int64)
+                ends = np.nonzero(keep)[0] + (k - 1)
+                out = pd.DataFrame(
+                    {
+                        "user_id": np.full(len(ends), int(key[0]), dtype=np.int64),
+                        "event_id": eid[ends],
+                        "window_end_ts": t[ends],
+                        "corr_milli": corr,
+                    },
+                    columns=cols,
+                )
+        tail = slice(max(0, len(x) - (k - 1)), len(x))
+        state.update((t[tail].tolist(), eid[tail].tolist(), x[tail].tolist(), int(t[-1])))
+        yield out
+
+    return fn
+
+
+def pattern_corr_stream(
+    events: DataFrame,
+    pattern: tuple[int, ...],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "3 seconds",
+) -> DataFrame:
+    """Streaming twin of the batch ``series_pattern_topk`` scorer (the
+    lag-window subsequence correlation, emitted per window instead of
+    globally top-K'd — rank the append-mode output to reproduce the
+    batch result exactly): per-user O(k) state (the trailing k−1
+    observations), the batch twin's exact integer sums and IEEE
+    normalization, and the module's uniform late-arrival frontier.
+    Pinned by tests/test_streaming.py::test_pattern_corr_stream_matches_batch
+    and the fold-level chunking/late properties in
+    tests/test_stateful_folds.py."""
+    from pyspark.sql import functions as F
+
+    from flink_wsr_project_spark.operators.windows import milli_value
+
+    fn = build_pattern_corr_fold(tuple(int(p) for p in pattern))
+    pre = ensure_event_time(events, ts_col)
+    keyed = pre.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        # the batch twin's exact units: second-floored epoch, milli value
+        F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT)").alias("t"),
+        milli_value(value_col).alias("x"),
+        F.col(ts_col),
+    )
+    if events.isStreaming:
+        keyed = keyed.withWatermark(ts_col, watermark)
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, event_id long, window_end_ts long, corr_milli long",
+        "ts array<long>, eids array<long>, xs array<long>, frontier long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
     """Fold for :func:`locf_stream`: per-user state is FOUR longs —
     the last observation (t, value, event_id) plus the next un-emitted

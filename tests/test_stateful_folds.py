@@ -887,3 +887,111 @@ def test_cms_fold_counts_match_any_chunking(cells, batch_cuts, chunk_splits):
     # carried state equals the final cells; eviction timer is armed
     assert list(state.get[0]) == expect.tolist()
     assert state.timeout_ts == 86400 * 1000 + 1000
+
+
+# ---------------------------------------------------------------------------
+# pattern-correlation fold: trailing-k window scorer
+# ---------------------------------------------------------------------------
+
+_PAT = (0, 100, 300, 600, 1000, 600, 300, 100)
+
+
+def _ref_pattern_windows(rows):
+    """Per-row reference: sort by (t, event_id), score every length-k
+    adjacent window with plain Python ints/floats."""
+    k, sp = len(_PAT), sum(_PAT)
+    den = float(k * sum(p * p for p in _PAT) - sp * sp)
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    out = []
+    for e in range(k - 1, len(rows)):
+        win = rows[e - k + 1 : e + 1]
+        xs = [r[2] for r in win]
+        sx, sxx = sum(xs), sum(v * v for v in xs)
+        sxy = sum(p * v for p, v in zip(_PAT, xs))
+        var = k * sxx - sx * sx
+        if var > 0:
+            corr = math.floor(1000.0 * (k * sxy - sx * sp) / (math.sqrt(float(var)) * math.sqrt(den)))
+            out.append((rows[e][1], rows[e][0], corr))  # (event_id, t, corr)
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-500, 500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r,
+    ),
+    chunk_splits=_splitter,
+)
+def test_pattern_fold_single_batch_matches_reference(rows, chunk_splits):
+    """One micro-batch, arbitrary Arrow chunking: the convolve fold
+    must equal the per-row reference over the (t, event_id)-sorted
+    rows — including duplicate timestamps, negative values, and
+    zero-variance windows (which emit nothing)."""
+    from flink_wsr_project_spark.streaming.stateful import build_pattern_corr_fold
+
+    fn = build_pattern_corr_fold(_PAT)
+    df = pd.DataFrame(
+        {
+            "t": pd.array([t for t, _ in rows], dtype="int64"),
+            "event_id": pd.array(range(len(rows)), dtype="int64"),
+            "x": pd.array([x for _, x in rows], dtype="int64"),
+        }
+    )
+    got, state = _run_fold(fn, (7,), [_chunked(df, chunk_splits)])
+    expect = _ref_pattern_windows(
+        [(int(t), i, int(x)) for i, (t, x) in enumerate(rows)]
+    )
+    got_rows = [
+        (r.event_id, r.window_end_ts, r.corr_milli)
+        for r in got.itertuples(index=False)
+    ]
+    assert got_rows == expect
+    # carried tail is the last k-1 rows of the sorted input; frontier
+    # is the max t seen
+    assert len(state.get[0]) == min(len(rows), len(_PAT) - 1)
+    assert state.get[3] == max(t for t, _ in rows)
+
+
+def test_pattern_fold_frontier_ties_fold_and_older_drops():
+    """Cross-batch late policy: a second-batch row whose t EQUALS the
+    first batch's last t folds (appended after the carried tail); a
+    strictly older row drops — never spliced between buffered rows."""
+    from flink_wsr_project_spark.streaming.stateful import build_pattern_corr_fold
+
+    fn = build_pattern_corr_fold(_PAT)
+    k = len(_PAT)
+    b1 = pd.DataFrame(
+        {
+            "t": pd.array(range(10, 10 + k), dtype="int64"),
+            "event_id": pd.array(range(k), dtype="int64"),
+            "x": pd.array([v * 10 for v in range(k)], dtype="int64"),
+        }
+    )
+    got1, state = _run_fold(fn, (7,), [[b1]])
+    assert len(got1) == 1  # one full window
+    assert state.get[3] == 10 + k - 1
+    # tie at the frontier folds: a new window completes
+    tie = pd.DataFrame(
+        {
+            "t": pd.array([10 + k - 1], dtype="int64"),
+            "event_id": pd.array([100], dtype="int64"),
+            "x": pd.array([999], dtype="int64"),
+        }
+    )
+    got2, state = _run_fold(fn, (7,), [[tie]], state=state)
+    assert list(got2["event_id"]) == [100]
+    # strictly older than the frontier drops: no emission, state unchanged
+    old = pd.DataFrame(
+        {
+            "t": pd.array([10], dtype="int64"),
+            "event_id": pd.array([101], dtype="int64"),
+            "x": pd.array([5], dtype="int64"),
+        }
+    )
+    before = state.get
+    got3, state = _run_fold(fn, (7,), [[old]], state=state)
+    assert len(got3) == 0
+    assert state.get == before

@@ -1415,3 +1415,31 @@ def test_cms_state_evicts_closed_windows(spark, tmp_path):
     state = q.lastProgress["stateOperators"][0]
     q.stop()
     assert state["numRowsTotal"] == 1  # only the live day-2 window remains
+
+
+def test_pattern_corr_stream_matches_batch(spark, events_stream_dir):
+    """Streaming subsequence-correlation scorer: ranking the append-mode
+    per-window emissions with the batch ordering must reproduce
+    series_pattern_topk's global top-50 exactly — same integer sums,
+    same IEEE normalization, same milli-floor, same tie-breakers."""
+    from flink_wsr_project_spark.plans.analytics_queries import _SP_PATTERN
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.stateful import pattern_corr_stream
+
+    out = pattern_corr_stream(_read_stream(spark, events_stream_dir), _SP_PATTERN)
+    q = out.writeStream.outputMode("append").format("memory").queryName("pat_s").start()
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.user_id, r.event_id, r.window_end_ts, r.corr_milli)
+        for r in spark.sql(
+            """SELECT * FROM pat_s
+               ORDER BY corr_milli DESC, user_id, window_end_ts, event_id
+               LIMIT 50"""
+        ).collect()
+    ]
+    want = [
+        (r.user_id, r.event_id, r.window_end_ts, r.corr_milli)
+        for r in get("series_pattern_topk").spark_fn(spark, SF_DIR).collect()
+    ]
+    assert got == want
