@@ -34,6 +34,7 @@ from flink_wsr_project_spark.streaming.stateful import (  # noqa: E402
     build_locf_fold,
     build_login_fail_fn,
     build_order_timeout_fn,
+    build_pattern_corr_fold,
     build_uv_bloom_fn,
 )
 
@@ -93,6 +94,11 @@ def main(n: int) -> None:
         ("cms (bincount, pre-indexed)",
          build_cms_fold(4, 1024, "cell", 1000),
          (86400,), pd.DataFrame({"cell": rng.integers(0, 4 * 1024, n).astype(np.int64)})),
+        ("pattern corr (convolve)",
+         build_pattern_corr_fold((0, 100, 300, 600, 1000, 600, 300, 100)),
+         (7,), pd.DataFrame({"t": np.sort(rng.integers(0, n, n)).astype(np.int64),
+                             "event_id": ids,
+                             "x": rng.integers(-500_000, 500_000, n).astype(np.int64)})),
         ("locf (searchsorted grid)",
          build_locf_fold(1800, "t_sec", "v_milli", "event_id"),
          (7,), pd.DataFrame({"t_sec": np.sort(rng.integers(0, n, n)).astype(np.int64),
