@@ -76,7 +76,13 @@ def _run_one(name: str, sf_dir: str) -> None:
     from flink_wsr_project_spark.session import get_spark
 
     spark = get_spark("bench-iso")
-    fn = all_queries()[name]
+    reg = all_queries()
+    # same warm pass as the shared-session path (pv_hourly, untimed):
+    # without it the isolated first-run would fold cold-JVM/codegen/
+    # footer costs into the number and the shared-vs-isolated delta
+    # would no longer measure session pressure alone
+    reg["pv_hourly"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    fn = reg[name]
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     first = time.perf_counter() - t0
@@ -164,7 +170,6 @@ def main() -> None:
         "sf": sf,
         "context": {
             "load_avg_start": round(load0, 2),
-            "load_avg_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
             "registry_import_sec": round(import_sec, 3),
             "session_startup_sec": round(session_sec, 3),
@@ -178,6 +183,10 @@ def main() -> None:
         result["queries_isolated_steady"] = iso_steady
         result["isolated_total"] = round(sum(iso_first.values()), 3)
         result["isolated_steady_total"] = round(sum(iso_steady.values()), 3)
+
+    # captured LAST so the bracket covers the isolated pass too —
+    # machine-state context must include every run it exists to explain
+    result["context"]["load_avg_end"] = round(os.getloadavg()[0], 2)
 
     print(json.dumps(result))
 

@@ -904,7 +904,6 @@ def build_pattern_corr_fold(pattern: tuple[int, ...]):
         if not len(pdf):
             yield pd.DataFrame([], columns=cols)
             return
-        n_c = len(ts0)
         t = np.concatenate([np.asarray(ts0, np.int64), pdf["t"].to_numpy(np.int64)])
         eid = np.concatenate(
             [np.asarray(eid0, np.int64), pdf["event_id"].to_numpy(np.int64)]
@@ -947,6 +946,8 @@ def pattern_corr_stream(
     pattern: tuple[int, ...],
     ts_col: str = "ts",
     value_col: str = "value",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
     watermark: str = "3 seconds",
 ) -> DataFrame:
     """Streaming twin of the batch ``series_pattern_topk`` scorer (the
@@ -965,8 +966,8 @@ def pattern_corr_stream(
     fn = build_pattern_corr_fold(tuple(int(p) for p in pattern))
     pre = ensure_event_time(events, ts_col)
     keyed = pre.select(
-        F.col("user_id"),
-        F.col("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
         # the batch twin's exact units: second-floored epoch, milli value
         F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT)").alias("t"),
         milli_value(value_col).alias("x"),
