@@ -247,3 +247,41 @@ def test_lsh_bucket_cap_drops_oversized_keeps_small(spark, tmp_path):
 
     for q in (capped, uncapped, skew):
         assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth")
+
+
+def test_series_pattern_zero_variance_and_exact_match(spark, tmp_path):
+    """series_pattern_topk branch coverage the generated data never
+    reaches (its continuous doubles produce no constant length-8 run
+    at either gate SF — checked): a CONSTANT series whose windows have
+    zero variance must be excluded by the `8*sxx - sx*sx > 0` guard on
+    BOTH engines (without it the normalization divides by zero), an
+    exact pattern-shaped series must score at the top (corr ≈ 1000
+    milli), and its negation must score the exact mirror (corr is
+    shift/scale-invariant, so -x flips only the sign)."""
+    pat = (0, 100, 300, 600, 1000, 600, 300, 100)
+    rows = []
+    # user 10: constant value => the only full window has zero variance
+    for j in range(8):
+        rows.append((100 + j, 1000 + j, 10, "view", 5.0, "{}"))
+    # user 11: the exact pattern shape (value in units => x = pat milli)
+    for j, p in enumerate(pat):
+        rows.append((200 + j, 2000 + j, 11, "view", p / 1000.0, "{}"))
+    # user 12: the negated pattern
+    for j, p in enumerate(pat):
+        rows.append((300 + j, 3000 + j, 12, "view", -p / 1000.0, "{}"))
+    sf_dir = _write_events(tmp_path, rows)
+    q = get("series_pattern_topk")
+    out = q.spark_fn(spark, sf_dir).collect()
+
+    by_user = {r.user_id: r for r in out}
+    # zero-variance user emits NOTHING; both shaped users emit one window
+    assert 10 not in by_user and len(out) == 2
+    # exact shape scores at/next to 1000 milli and the negation at/next
+    # to -1000 (the true correlations are exactly ±1; the IEEE sqrt
+    # product may land one ulp either side before the milli floor)
+    assert by_user[11].corr_milli in (999, 1000)
+    assert by_user[12].corr_milli in (-1001, -1000)
+    # ranking: positive match first
+    assert [r.user_id for r in out] == [11, 12]
+    # and the oracle agrees row-for-row on the same crafted input
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "series_pattern/synth")
