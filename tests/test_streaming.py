@@ -1443,3 +1443,53 @@ def test_pattern_corr_stream_matches_batch(spark, events_stream_dir):
         for r in get("series_pattern_topk").spark_fn(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_pattern_corr_stream_across_microbatches(spark, tmp_path):
+    """Cross-batch carry in REAL Spark (not just the fold harness):
+    events split into three time-ordered files (cut at strict second
+    boundaries so no (t, event_id) tie spans a batch) and streamed one
+    file per trigger must reproduce the batch top-50 exactly — the
+    trailing k−1 buffer carries windows across micro-batch seams."""
+    import os
+
+    from flink_wsr_project_spark.plans.analytics_queries import _SP_PATTERN
+    from flink_wsr_project_spark.plans.registry import get
+    from flink_wsr_project_spark.streaming.stateful import pattern_corr_stream
+
+    ev = load_table(spark, "events", SF_DIR).orderBy("ts", "event_id").toPandas()
+    # micro-second parquet timestamps (nanos would read back as LONG
+    # under the session's nanosAsLong setting)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    # cut points: indices where the floored second strictly increases
+    t = ev["ts"].astype("int64") // 1_000_000
+    n = len(ev)
+    cuts = [i for i in (n // 3, 2 * n // 3)]
+    cuts = [next(j for j in range(c, n) if t[j] > t[j - 1]) for c in cuts]
+    d = str(tmp_path / "pat_batches")
+    os.makedirs(d, exist_ok=True)
+    bounds = [0, *cuts, n]
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        ev.iloc[a:b].to_parquet(f"{d}/part-{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = pattern_corr_stream(stream, _SP_PATTERN)
+    q = out.writeStream.outputMode("append").format("memory").queryName("pat_mb").start()
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.user_id, r.event_id, r.window_end_ts, r.corr_milli)
+        for r in spark.sql(
+            """SELECT * FROM pat_mb
+               ORDER BY corr_milli DESC, user_id, window_end_ts, event_id
+               LIMIT 50"""
+        ).collect()
+    ]
+    want = [
+        (r.user_id, r.event_id, r.window_end_ts, r.corr_milli)
+        for r in get("series_pattern_topk").spark_fn(spark, SF_DIR).collect()
+    ]
+    assert got == want
