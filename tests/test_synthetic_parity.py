@@ -285,3 +285,91 @@ def test_series_pattern_zero_variance_and_exact_match(spark, tmp_path):
     assert [r.user_id for r in out] == [11, 12]
     # and the oracle agrees row-for-row on the same crafted input
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "series_pattern/synth")
+
+
+def test_events_quality_report_violations(spark, tmp_path):
+    """At both gate SFs the generated events violate NO rule —
+    violations is 0 and pass_rate 1.0 for all three rows (checked), so
+    every rule's counting branch (the whole point of a quality report)
+    was externally green yet unexercised, including the NULL
+    semantics: a NULL value fails `BETWEEN` into the ELSE arm, a NULL
+    event_type fails `IN`. Crafted rows hit every rule, both range
+    ends, and the NULL paths, on both engines."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, 9), dtype="int64"),
+            "ts": pd.to_datetime([1000 + i for i in range(8)], unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": pd.array([1, None, 3, 4, 5, 6, 7, 8], dtype="Int64"),
+            "event_type": ["view", "click", "bogus", None, "purchase", "signup", "error", "view"],
+            "value": [1.0, 2.0, 3.0, 4.0, -0.5, 1000000.5, np.nan, 0.0],
+            "props": ["{}"] * 8,
+        }
+    )
+    d = tmp_path / "synth_quality"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet", index=False)
+    sf_dir = str(d)
+
+    q = get("events_quality_report")
+    got = {r.rule: (r.violations, r.rows_checked, r.pass_rate) for r in q.spark_fn(spark, sf_dir).collect()}
+    # user_id: 1 NULL; value: -0.5, 1000000.5, NaN-as-NULL → 3; type: bogus + NULL → 2
+    assert got == {
+        "user_not_null": (1, 8, 1.0 - 1 / 8),
+        "value_range": (3, 8, 1.0 - 3 / 8),
+        "known_type": (2, 8, 1.0 - 2 / 8),
+    }
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "events_quality/synth")
+
+
+def test_dedup_method_agreement_all_three_cells(spark, tmp_path):
+    """At sf0.01 the text-method and embedding-method near-dup pair
+    sets are DISJOINT (n_both = 0 — checked), so the agreement count
+    this query exists to report has never been a non-zero number.
+    Crafted corpus: ids 1/2 are near-dup in BOTH modalities, 3/4 only
+    textually (orthogonal embeddings), 5/6 only by embedding
+    (unrelated text) → n_text=2, n_emb=2, n_both=1 on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again " * 3
+    long_b = "completely different words about spark catalyst and parquet scans " * 3
+    long_c = "a third unrelated passage mentioning streams state and watermarks " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+            "text": [long_a, long_a, long_b, long_b, long_c, "nothing shared here at all truly"],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": pd.array([len(long_a)] * 2 + [len(long_b)] * 2 + [len(long_c), 32], dtype="int64"),
+        }
+    )
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e3 = [0.0, 0.0, 1.0, 0.0]
+    e4 = [0.0, 0.0, 0.0, 1.0]
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            # mutually orthogonal except the two deliberate dup pairs
+            # (1,2) and (5,6) — every other same-label pair has cos 0
+            "embedding": pa.array(
+                [e1, e1, e2, e3, e4, e4], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 0, 0, 0, 0], type=pa.int32()),
+        }
+    )
+    d = tmp_path / "synth_agreement"
+    d.mkdir(exist_ok=True)
+    docs.to_parquet(d / "documents.parquet", index=False)
+    pq.write_table(emb, d / "embeddings.parquet")
+    sf_dir = str(d)
+
+    q = get("dedup_method_agreement")
+    row = q.spark_fn(spark, sf_dir).collect()[0]
+    assert (row.n_text_pairs, row.n_emb_pairs, row.n_both) == (2, 2, 1)
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_agreement/synth")
