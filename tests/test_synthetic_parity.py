@@ -373,3 +373,59 @@ def test_dedup_method_agreement_all_three_cells(spark, tmp_path):
     row = q.spark_fn(spark, sf_dir).collect()[0]
     assert (row.n_text_pairs, row.n_emb_pairs, row.n_both) == (2, 2, 1)
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_agreement/synth")
+
+
+def test_source_quality_summary_fail_modes(spark, tmp_path):
+    """At sf0.01 every generated doc passes the Gopher gate in every
+    source (n_pass == n_docs, pass_rate 1.0 across all 20 sources —
+    checked), so the gate's FAIL side — the reason the dashboard
+    exists — never fires. Crafted docs pin each fail mode and the
+    inclusive ratio boundary:
+
+      bad/1  3 tokens                  → fail (token count < 10)
+      bad/2  12 one-char tokens        → fail (chars/token < 3)
+      bad/3  10 twenty-char tokens     → fail (chars/token > 15)
+      bad/4  normal                    → pass  ⇒ bad pass_rate 0.25
+      good/5 ratio exactly 3.0         → pass (BETWEEN is inclusive)
+      good/6 normal                    → pass  ⇒ good pass_rate 1.0
+    """
+    ratio3 = " ".join(["aa"] * 9 + ["bbb"])  # 10 toks, 30 chars → 3.0
+    docs = [
+        (1, "alpha beta gamma", "bad"),
+        (2, " ".join(list("abcdefghijkl")), "bad"),
+        (3, " ".join(["x" * 20] * 10), "bad"),
+        (4, "quartz raven slate topaz umber velvet walnut xenon yucca zephyr", "bad"),
+        (5, ratio3, "good"),
+        (6, "amber birch cedar dunes ember frost grove haven ivory jasper", "good"),
+    ]
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("source_quality_summary")
+    got = {r.source: (r.n_docs, r.n_pass, r.pass_rate) for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {"bad": (4, 1, 0.25), "good": (2, 2, 1.0)}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "source_quality/synth")
+
+
+def test_fuzzy_prefix_nonzero_distance(spark, tmp_path):
+    """Every LSH candidate pair at sf0.01 has prefix_edit_distance 0
+    (near-dups in the generated corpus share their first 40 chars —
+    checked), so the Levenshtein kernel — the FUZZY part of the fuzzy
+    matcher — never computes a nonzero value. Two crafted pairs pin
+    it: an identical pair (distance 0) and a pair differing by one
+    char inside the 40-char prefix (distance 1, still J≈0.71 so the
+    LSH block keeps it), cross-checked against DuckDB's levenshtein."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    variant = base.replace("charlie", "charlee")  # 1 edit, within 40 chars
+    docs = [
+        (1, base, "s"),
+        (2, variant, "s"),
+        (3, "quartz raven slate topaz umber velvet walnut xenon yucca zephyr onyx", "s"),
+        (4, "quartz raven slate topaz umber velvet walnut xenon yucca zephyr onyx", "s"),
+    ]
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("fuzzy_prefix_pairs")
+    got = {(r.doc_a, r.doc_b): r.prefix_edit_distance for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got[(1, 2)] == 1 and got[(3, 4)] == 0
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "fuzzy_prefix/synth")
