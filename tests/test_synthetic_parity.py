@@ -429,3 +429,34 @@ def test_fuzzy_prefix_nonzero_distance(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.prefix_edit_distance for r in q.spark_fn(spark, sf_dir).collect()}
     assert got[(1, 2)] == 1 and got[(3, 4)] == 0
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "fuzzy_prefix/synth")
+
+
+def test_conversion_funnel_stage_three(spark, tmp_path):
+    """At sf0.01 no user completes view→click→purchase inside the hour
+    (the funnel emits only stages 1 and 2 — checked), so the deepest
+    CASE arm and its `reached >= 3` row never execute. Crafted users
+    pin the full ladder, the inclusive 3600-s boundary, and the
+    ordering constraint (a purchase BEFORE the click must not count):
+
+      u1 view 0 → click 10 → purchase 3600   stage 3 (boundary, <= holds)
+      u2 view 0 → click 10 → purchase 3700   stage 2 (purchase too late)
+      u3 view 0 → click 20, purchase at 15   stage 2 (purchase precedes click)
+      u4 view only                           stage 1
+    """
+    rows = [
+        (1, 1000, 1, "view", 1.0, "{}"),
+        (2, 1010, 1, "click", 1.0, "{}"),
+        (3, 4600, 1, "purchase", 1.0, "{}"),
+        (4, 1000, 2, "view", 1.0, "{}"),
+        (5, 1010, 2, "click", 1.0, "{}"),
+        (6, 4700, 2, "purchase", 1.0, "{}"),
+        (7, 1000, 3, "view", 1.0, "{}"),
+        (8, 1020, 3, "click", 1.0, "{}"),
+        (9, 1015, 3, "purchase", 1.0, "{}"),
+        (10, 1000, 4, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    q = get("conversion_funnel")
+    got = {r.stage: r.n_users for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {1: 4, 2: 3, 3: 1}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "conversion_funnel/synth")
