@@ -460,3 +460,25 @@ def test_conversion_funnel_stage_three(spark, tmp_path):
     got = {r.stage: r.n_users for r in q.spark_fn(spark, sf_dir).collect()}
     assert got == {1: 4, 2: 3, 3: 1}
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "conversion_funnel/synth")
+
+
+def test_doc_triangles_multi_triangle_nodes(spark, tmp_path):
+    """Every triangle-bearing doc at sf0.01 sits in EXACTLY one
+    triangle (n_triangles=1 for all rows — checked), so the per-node
+    accumulation over multiple triangles is unexercised. A crafted
+    4-clique (each node in C(3,2)=3 triangles), a 3-clique (1 each),
+    and a bare edge (no triangle — must be absent) pin the counting
+    on both engines."""
+    k4 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    k3 = "quartz raven slate topaz umber velvet walnut xenon yucca zephyr"
+    edge = "amber birch cedar dunes ember frost grove haven ivory jasper"
+    docs = (
+        [(i, k4, "s") for i in (1, 2, 3, 4)]
+        + [(i, k3, "s") for i in (5, 6, 7)]
+        + [(i, edge, "s") for i in (8, 9)]
+    )
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("doc_triangles")
+    got = {r.doc_id: r.n_triangles for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "doc_triangles/synth")
