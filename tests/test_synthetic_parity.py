@@ -482,3 +482,24 @@ def test_doc_triangles_multi_triangle_nodes(spark, tmp_path):
     got = {r.doc_id: r.n_triangles for r in q.spark_fn(spark, sf_dir).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "doc_triangles/synth")
+
+
+def test_doc_oov_ratio_nonzero(spark, tmp_path):
+    """The generated corpus has fewer than 100 distinct tokens, so the
+    top-100 vocab covers EVERYTHING and oov_ratio is 0.0 for all 500
+    docs at sf0.01 (checked) — the out-of-vocabulary subtraction the
+    query exists for never produces a nonzero value. A crafted corpus
+    with 125 distinct tokens pins the vocab cutoff (count desc, token
+    asc tie-break: the five common tokens + singletons r001..r095 are
+    in; r096..r120 are out) and a doc straddling it on both engines."""
+    singles = [f"r{i:03d}" for i in range(1, 121)]
+    docs = [(i, "c1 c2 c3 c4 c5", "s") for i in range(1, 11)]
+    docs.append((11, " ".join(singles[:60]), "s"))     # r001-r060: all in vocab
+    docs.append((12, " ".join(singles[60:]), "s"))     # r061-r095 in, r096-r120 out
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("doc_oov_ratio")
+    got = {r.doc_id: (r.n_tokens, r.in_vocab) for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got[11] == (60, 60)
+    assert got[12] == (60, 35)  # 25 OOV tokens → ratio 25/60
+    assert all(got[i] == (5, 5) for i in range(1, 11))
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "doc_oov/synth")
