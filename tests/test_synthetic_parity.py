@@ -503,3 +503,68 @@ def test_doc_oov_ratio_nonzero(spark, tmp_path):
     assert got[12] == (60, 35)  # 25 OOV tokens → ratio 25/60
     assert all(got[i] == (5, 5) for i in range(1, 11))
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "doc_oov/synth")
+
+
+def test_dedup_exact_multi_copy_groups(spark, tmp_path):
+    """The sf0.01 corpus contains ZERO exact duplicates (n_copies=1 for
+    all 500 hash groups — checked), so the exact-dedup query has never
+    actually deduplicated at the gate SF. Crafted copies pin the group
+    count and the min-doc_id keeper rule (including ids arriving out
+    of order) on both engines."""
+    docs = [
+        (7, "alpha bravo charlie delta echo", "s"),
+        (3, "alpha bravo charlie delta echo", "s"),   # dup, lower id → keeper
+        (5, "alpha bravo charlie delta echo", "s"),   # triple
+        (9, "quartz raven slate topaz umber", "s"),
+        (2, "unique text here entirely", "s"),
+    ]
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("dedup_exact")
+    got = {r.keep_doc_id: r.n_copies for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {3: 3, 9: 1, 2: 1}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_exact/synth")
+
+
+def test_doc_quality_score_fail_side(spark, tmp_path):
+    """passes_quality is True for all 500 docs at sf0.01 (checked) —
+    the per-doc gate never fails even though the per-source rollup's
+    fail modes are now pinned. Reuse the same crafted fail modes at
+    the doc level: short doc, tiny chars/token, huge chars/token, and
+    a passing doc with stopwords (nonzero stopword_ratio)."""
+    docs = [
+        (1, "alpha beta gamma", "s"),
+        (2, " ".join(list("abcdefghijkl")), "s"),
+        (3, " ".join(["x" * 20] * 10), "s"),
+        (4, "the cat sat on a mat and then the dog", "s"),
+    ]
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("doc_quality_score")
+    got = {r.doc_id: r.passes_quality for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True}
+    rows = {r.doc_id: r for r in q.spark_fn(spark, sf_dir).collect()}
+    assert rows[4].stopword_ratio > 0
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "doc_quality/synth")
+
+
+def test_cms_nonzero_overestimate(spark, tmp_path):
+    """overestimate is 0 for every top-20 token at sf0.01 (checked):
+    the corpus vocabulary is far smaller than the 4×1024 sketch, so no
+    heavy hitter ever shares all four cells with another token — the
+    error the query exists to measure is always zero. A 5000-token
+    vocabulary (~5 tokens per bucket per row) forces collisions into
+    every cell: at least one top-20 token must show a POSITIVE
+    overestimate, and min-of-cells ≥ exact must still hold for all —
+    with DuckDB agreeing on the exact per-token error values."""
+    words = [f"w{i:04d}" for i in range(5000)]
+    docs = []
+    # 50 docs × 100 distinct rare tokens = the 5000-token noise floor
+    for i in range(50):
+        docs.append((i, " ".join(words[i * 100 : (i + 1) * 100]), "s"))
+    # heavy hitters: 30 copies of each of 3 tokens
+    docs.append((100, " ".join(["hhalpha"] * 30 + ["hhbravo"] * 30 + ["hhcharlie"] * 30), "s"))
+    sf_dir = _write_documents(tmp_path, [(i, t, "en", s, len(t)) for i, t, s in docs])
+    q = get("token_cms_heavy_hitters")
+    rows = q.spark_fn(spark, sf_dir).collect()
+    assert all(r.overestimate >= 0 for r in rows)
+    assert any(r.overestimate > 0 for r in rows)
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "cms_overest/synth")
