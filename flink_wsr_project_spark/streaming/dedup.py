@@ -51,3 +51,128 @@ def dedup_stream_by_key(
             key_cols
         )
     return stream.dropDuplicates(key_cols)
+
+
+def build_band_claim_fold(ttl_ms: int):
+    """Fold for :func:`dedup_stream_near`: state per (band, band_hash)
+    bucket is the KEEPER — the first document to claim the bucket —
+    plus the newest event time seen (drives eviction). Keep-first is
+    arrival-order semantics by definition (the same discipline as the
+    reference's per-element Bloom FIRE_AND_PURGE sequence and
+    ``dropDuplicatesWithinWatermark``): a late-arriving older document
+    does NOT steal an already-claimed bucket, so no frontier bookkeeping
+    is needed — every row simply compares against the keeper.
+
+    Vectorized trivially: the keeper is the carried state or the
+    micro-batch's first row in (t, doc_id) order; every row emits
+    (doc_id, band, keeper_doc_id, is_new_bucket) where is_new_bucket
+    is true only for the single claiming row. State is two longs per
+    LIVE bucket, evicted (event-time timeout) once the watermark
+    passes last-seen + ``ttl_ms`` — exactly the
+    O(unique-keys-within-horizon) budget of the exact-dedup path."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        cols = ["doc_id", "band", "keeper_doc_id", "is_new_bucket"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        pdf = pdf.sort_values(["t", "doc_id"], kind="mergesort")
+        if state.exists:
+            keeper, last_t = int(state.get[0]), float(state.get[1])
+            new_mask = [False] * len(pdf)
+        else:
+            keeper, last_t = int(pdf["doc_id"].iloc[0]), float("-inf")
+            new_mask = [True] + [False] * (len(pdf) - 1)
+        last_t = max(last_t, float(pdf["t"].max()))
+        state.update((keeper, last_t))
+        state.setTimeoutTimestamp(int(last_t * 1000) + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "band": pdf["band"].to_numpy(),
+                "keeper_doc_id": keeper,
+                "is_new_bucket": new_mask,
+            },
+            columns=cols,
+        )
+
+    return fn
+
+
+def dedup_stream_near(
+    stream: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression — the streaming arm of the
+    MinHash-LSH family (batch: ``dedup_minhash_lsh``). Each document's
+    16 minhashes fold over its in-row shingle array and collapse to 4
+    band keys — the batch pipeline's EXACT expressions
+    (operators/dedup.py), all JVM-side in whole-stage codegen — then
+    one stateful op keyed by (band, band_hash) marks every arrival
+    against the bucket's keeper. A document is a near-duplicate of the
+    stream's recent past iff ANY of its bands lands in a claimed
+    bucket (emissions are per-band; the any-band rollup is one
+    groupBy on the consumer side — Structured Streaming disallows a
+    second stateful op in the same query, and the rollup needs no
+    state).
+
+    Scale: state is two longs per live band bucket within the
+    watermark horizon (event-time eviction pinned in tests), the
+    shuffle key is a 32-char band hash — never text — and the only
+    per-document cost is the signature fold the batch path already
+    pays. Pinned by tests/test_streaming.py::test_dedup_stream_near
+    (band collisions agree with the batch LSH pair set) and fold
+    properties in tests/test_stateful_folds.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_wsr_project_spark.operators.dedup import (
+        BAND_SIZE,
+        N_BANDS,
+        N_PERMS,
+        band_hash_expr,
+        minhash_expr,
+        shingles_from_toks,
+        toks_expr,
+    )
+    from flink_wsr_project_spark.streaming.stateful import _interval_ms
+
+    pre = ensure_event_time(stream, ts_col)
+    pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
+    pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
+    for k in range(N_PERMS):
+        pre = pre.withColumn(f"_mh{k}", F.expr(minhash_expr("_sh", k, "spark")))
+    bands = ", ".join(
+        band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
+        for b in range(N_BANDS)
+    )
+    keyed = (
+        pre.withColumn("_bands", F.expr(f"array({bands})"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col),
+            F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT)").alias("t"),
+            F.posexplode("_bands").alias("band", "band_hash"),
+        )
+    )
+    if stream.isStreaming:
+        keyed = keyed.withWatermark(ts_col, watermark)
+    fn = build_band_claim_fold(_interval_ms(watermark))
+    return keyed.select("band", "band_hash", "doc_id", "t", ts_col).groupBy(
+        "band", "band_hash"
+    ).applyInPandasWithState(
+        fn,
+        "doc_id long, band int, keeper_doc_id long, is_new_bucket boolean",
+        "keeper long, last_t double",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -995,3 +995,51 @@ def test_pattern_fold_frontier_ties_fold_and_older_drops():
     got3, state = _run_fold(fn, (7,), [[old]], state=state)
     assert len(got3) == 0
     assert state.get == before
+
+
+# ---------------------------------------------------------------------------
+# band-claim fold (streaming near-dup): keep-first bucket keeper
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 50)),  # (t, doc_id)
+        min_size=1,
+        max_size=30,
+    ),
+    batch_cuts=st.lists(st.integers(0, 200), max_size=4),
+    chunk_splits=_splitter,
+)
+def test_band_claim_keeper_is_first_of_first_batch(rows, batch_cuts, chunk_splits):
+    """The bucket keeper is the (t, doc_id)-minimal row of the FIRST
+    non-empty micro-batch and never changes afterwards (keep-first is
+    arrival-order semantics — a later batch's older row must not steal
+    the claim); exactly one row ever has is_new_bucket, every emission
+    carries the keeper, and the eviction timer tracks the newest t."""
+    from flink_wsr_project_spark.streaming.dedup import build_band_claim_fold
+
+    fn = build_band_claim_fold(1000)
+    df = pd.DataFrame(
+        {
+            "t": pd.array([t for t, _ in rows], dtype="int64"),
+            "doc_id": pd.array([d for _, d in rows], dtype="int64"),
+            "band": pd.array([0] * len(rows), dtype="int64"),
+        }
+    )
+    batches = _mk_batches(df, batch_cuts, chunk_splits)
+    got, state = _run_fold(fn, (0, "h"), batches)
+    first_batch = next(
+        (chunks for chunks in batches if sum(len(c) for c in chunks)), None
+    )
+    fb = pd.concat(first_batch, ignore_index=True).sort_values(
+        ["t", "doc_id"], kind="mergesort"
+    )
+    keeper = int(fb["doc_id"].iloc[0])
+    assert (got["keeper_doc_id"] == keeper).all()
+    assert int(got["is_new_bucket"].sum()) == 1
+    claiming = got[got["is_new_bucket"]]
+    assert int(claiming["doc_id"].iloc[0]) == keeper
+    assert int(state.get[0]) == keeper
+    assert state.timeout_ts == int(df["t"].max()) * 1000 + 1000

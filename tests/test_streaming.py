@@ -1493,3 +1493,108 @@ def test_pattern_corr_stream_across_microbatches(spark, tmp_path):
         for r in get("series_pattern_topk").spark_fn(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_dedup_stream_near(spark, tmp_path):
+    """Streaming LSH near-dup suppression: band-bucket claims across
+    two micro-batches must mark a later near-duplicate (any band
+    colliding with an earlier doc's bucket) and an exact copy (all
+    bands colliding) while novel docs claim fresh buckets — and the
+    collision structure must agree with the batch LSH: a doc-pair
+    sharing a stream band bucket iff the batch signature table gives
+    them an equal band hash."""
+    import os
+
+    from flink_wsr_project_spark.operators.dedup import signature_sql
+    from flink_wsr_project_spark.streaming.dedup import dedup_stream_near
+
+    w = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    a_text = " ".join(w)                       # doc 1
+    b_text = " ".join(w[:19]) + " zebra"       # doc 2: near-dup of 1
+    c_text = "quartz raven slate topaz umber velvet walnut xenon yucca zephyr"
+    d = str(tmp_path / "near_stream")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows, tag):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([(1, 1000, a_text), (3, 1001, c_text)], "b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = dedup_stream_near(stream, watermark="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("near_s").start()
+    q.processAllAvailable()
+    write([(2, 1100, b_text), (4, 1200, a_text)], "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM near_s").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # batch-1 docs claim every bucket they touch
+    assert all(r.is_new_bucket and r.keeper_doc_id == 1 for r in by_doc[1])
+    assert all(r.is_new_bucket and r.keeper_doc_id == 3 for r in by_doc[3])
+    # exact copy: every band collides with doc 1's buckets
+    assert all(not r.is_new_bucket and r.keeper_doc_id == 1 for r in by_doc[4])
+    # near-dup: the any-band rollup marks it a dup of doc 1 …
+    dup_bands = {r.band for r in by_doc[2] if not r.is_new_bucket and r.keeper_doc_id == 1}
+    assert dup_bands
+    # … and the colliding-band SET equals the batch signature table's
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [a_text, b_text]}
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    spark.read.parquet(str(tmp_path / "documents.parquet")).createOrReplaceTempView(
+        "documents"
+    )
+    sig = {r.doc_id: r for r in spark.sql(signature_sql("spark")).collect()}
+    batch_bands = {
+        b for b in range(4) if sig[1][f"band{b}"] == sig[2][f"band{b}"]
+    }
+    assert dup_bands == batch_bands
+
+
+def test_near_dedup_state_evicts_idle_buckets(spark, tmp_path):
+    """Band buckets idle past the watermark horizon are REMOVED from
+    the state store — the near-dup suppressor's state is bounded by
+    live buckets within the horizon, not the stream's history."""
+    import os
+
+    from flink_wsr_project_spark.streaming.dedup import dedup_stream_near
+
+    d = str(tmp_path / "near_evict")
+    os.makedirs(d, exist_ok=True)
+
+    def write(doc_id, epoch, text, tag):
+        pdf = pd.DataFrame({"doc_id": [doc_id], "ts": [epoch], "text": [text]})
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write(1, 1000, "alpha bravo charlie delta echo foxtrot", "b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = dedup_stream_near(stream, watermark="3 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("near_ev").start()
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 4  # doc 1's bands
+    # a far-future doc pushes the watermark past doc 1's buckets …
+    write(2, 86400, "quartz raven slate topaz umber velvet", "b2")
+    q.processAllAvailable()
+    # … and the next trigger evicts them, leaving only doc 2's bands
+    write(3, 86401, "unrelated words entirely different here now", "b3")
+    q.processAllAvailable()
+    state = q.lastProgress["stateOperators"][0]
+    q.stop()
+    assert state["numRowsTotal"] == 8  # docs 2 and 3 live, doc 1 evicted
