@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from flink_wsr_project_spark.operators.cep import build_strict_match_fn  # noqa: E402
+from flink_wsr_project_spark.streaming.dedup import build_band_claim_fold  # noqa: E402
 from flink_wsr_project_spark.streaming.stateful import (  # noqa: E402
     build_blacklist_fn,
     build_cms_fold,
@@ -94,6 +95,11 @@ def main(n: int) -> None:
         ("cms (bincount, pre-indexed)",
          build_cms_fold(4, 1024, "cell", 1000),
          (86400,), pd.DataFrame({"cell": rng.integers(0, 4 * 1024, n).astype(np.int64)})),
+        ("band claim (keep-first)",
+         build_band_claim_fold(1000),
+         (0, "h"), pd.DataFrame({"t": np.sort(rng.integers(0, n, n)).astype(np.int64),
+                                 "doc_id": ids,
+                                 "band": np.zeros(n, dtype=np.int64)})),
         ("pattern corr (convolve)",
          build_pattern_corr_fold((0, 100, 300, 600, 1000, 600, 300, 100)),
          (7,), pd.DataFrame({"t": np.sort(rng.integers(0, n, n)).astype(np.int64),
