@@ -164,8 +164,25 @@ def dedup_stream_near(
             F.posexplode("_bands").alias("band", "band_hash"),
         )
     )
-    if stream.isStreaming:
-        keyed = keyed.withWatermark(ts_col, watermark)
+    if not stream.isStreaming:
+        # batch twin of the same contract (applyInPandasWithState is
+        # streaming-only): keep-first by (t, doc_id) per bucket via one
+        # partitioned window — lets tests prove stream == batch when
+        # the stream arrives in event-time order
+        from pyspark.sql import Window as W
+
+        win = W.partitionBy("band", "band_hash").orderBy("t", "doc_id")
+        return (
+            keyed.withColumn("_rn", F.row_number().over(win))
+            .withColumn("keeper_doc_id", F.first("doc_id").over(win))
+            .select(
+                "doc_id",
+                F.col("band").cast("int").alias("band"),
+                "keeper_doc_id",
+                (F.col("_rn") == 1).alias("is_new_bucket"),
+            )
+        )
+    keyed = keyed.withWatermark(ts_col, watermark)
     fn = build_band_claim_fold(_interval_ms(watermark))
     return keyed.select("band", "band_hash", "doc_id", "t", ts_col).groupBy(
         "band", "band_hash"

@@ -1598,3 +1598,57 @@ def test_near_dedup_state_evicts_idle_buckets(spark, tmp_path):
     state = q.lastProgress["stateOperators"][0]
     q.stop()
     assert state["numRowsTotal"] == 8  # docs 2 and 3 live, doc 1 evicted
+
+
+def test_dedup_stream_near_matches_batch_form(spark, events_stream_dir, tmp_path):
+    """The near-dup suppressor's batch twin (window keep-first per
+    bucket) and the streaming fold must agree row-for-row when the
+    stream arrives in event-time order — same keepers, same claiming
+    rows, bucket-for-bucket, on a corpus with real near-dup structure
+    (clone pairs at varying overlap)."""
+    import os
+
+    from flink_wsr_project_spark.streaming.dedup import dedup_stream_near
+
+    w = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "amber birch cedar dunes ember frost grove haven ivory jasper"
+    ).split()
+    docs = []
+    did = 0
+    for overlap in (30, 25, 20, 15, 10):
+        base = " ".join(w[:overlap])
+        docs.append((did, 1000 + did, base)); did += 1
+        docs.append((did, 1000 + did, base + " zzz"), ); did += 1
+    pdf = pd.DataFrame(docs, columns=["doc_id", "ts", "text"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    d = str(tmp_path / "near_mb")
+    os.makedirs(d, exist_ok=True)
+    # three time-ordered files → three micro-batches
+    for i, (a, b) in enumerate(((0, 4), (4, 7), (7, 10))):
+        pdf.iloc[a:b].to_parquet(f"{d}/part-{i}.parquet", index=False)
+    batch_df = spark.read.parquet(d)
+    want = {
+        (r.doc_id, r.band): (r.keeper_doc_id, r.is_new_bucket)
+        for r in dedup_stream_near(batch_df).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        dedup_stream_near(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_eq")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.band): (r.keeper_doc_id, r.is_new_bucket)
+        for r in spark.sql("SELECT * FROM near_eq").collect()
+    }
+    assert got == want
