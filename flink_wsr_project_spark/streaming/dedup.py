@@ -193,3 +193,83 @@ def dedup_stream_near(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    n: int = 8,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """In-stream benchmark decontamination — the deploy shape of the
+    batch ``benchmark_decontaminate`` query: incoming training
+    documents are checked for any shared sliding ``n``-token gram with
+    a STATIC benchmark corpus, and a per-document verdict is emitted
+    once its event-time window finalizes.
+
+    Spark-first plan: the benchmark side collapses to a DISTINCT
+    md5(gram) table ONCE (batch) and is BROADCAST — each micro-batch
+    probes an executor-local hash relation, zero stream-side join
+    state; the stream side tokenizes and grams JVM-side (the batch
+    query's exact expressions), explodes to (doc, gram-hash), LEFT
+    OUTER joins the broadcast side, then one watermarked windowed
+    aggregation rolls the verdict up per document: ``n_grams``,
+    ``n_leaked`` (distinct grams also in the benchmark), and
+    ``contaminated`` (any leak). Documents shorter than ``n`` tokens
+    have zero grams and emit a clean verdict (outer explode keeps
+    them).
+
+    At 100 TB the benchmark gram table is the tiny side by
+    construction (eval sets, not the crawl); if it ever outgrows a
+    broadcast, the same plan runs as a shuffled join — nothing else
+    changes."""
+    grams = (
+        f"CASE WHEN size(_tk) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_tk) - {n}), "
+        f"i -> md5(concat_ws(' ', slice(_tk, i + 1, {n})))) END"
+    )
+    tk = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')".format(c=content_col)
+    bench_gh = (
+        benchmark.withColumn("_tk", F.expr(tk))
+        .select(F.explode(F.expr(grams)).alias("gh"))
+        .distinct()
+    )
+    pre = (
+        ensure_event_time(stream, ts_col)
+        .withColumn("_tk", F.expr(tk))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col),
+            # in-row array_distinct BEFORE the explode: per-doc gram
+            # hashes are then unique, so the windowed rollup needs only
+            # plain count() — streaming aggregation forbids
+            # count(DISTINCT) and this removes the need for it
+            F.posexplode_outer(F.array_distinct(F.expr(grams))).alias("_i", "gh"),
+        )
+    )
+    if stream.isStreaming:
+        pre = pre.withWatermark(ts_col, watermark)
+    joined = pre.join(
+        F.broadcast(bench_gh.withColumnRenamed("gh", "bench_gh")),
+        pre["gh"] == F.col("bench_gh"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy(F.window(ts_col, window).alias("w"), "doc_id")
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.count("bench_gh").alias("n_leaked"),
+            (F.count("bench_gh") > 0).alias("contaminated"),
+        )
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "doc_id",
+            "n_grams",
+            "n_leaked",
+            "contaminated",
+        )
+    )

@@ -1652,3 +1652,99 @@ def test_dedup_stream_near_matches_batch_form(spark, events_stream_dir, tmp_path
         for r in spark.sql("SELECT * FROM near_eq").collect()
     }
     assert got == want
+
+
+def test_decontaminate_stream(spark, tmp_path):
+    """In-stream benchmark decontamination: a streamed doc sharing any
+    8-token gram with the static benchmark emits contaminated=true
+    with the exact leaked-gram count once its window finalizes; clean
+    and shorter-than-n docs emit clean verdicts. The broadcast
+    stream-static join + windowed rollup is the whole plan — no
+    stream-side join state."""
+    import os
+
+    from flink_wsr_project_spark.streaming.dedup import decontaminate_stream
+
+    bench_text = (
+        "uniform victor whiskey xray yankee zulu amber birch cedar dunes"
+    )  # 10 tokens → 3 distinct 8-grams
+    benchmark = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    leak = "uniform victor whiskey xray yankee zulu amber birch ember frost"
+    clean = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    short = "tiny doc"
+    d = str(tmp_path / "decon_stream")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows, tag):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([(1, 1000, leak), (2, 1010, clean), (3, 1020, short)], "b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = decontaminate_stream(stream, benchmark, watermark="3 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("decon_s").start()
+    q.processAllAvailable()
+    # push the watermark far past the first window so its rows finalize
+    write([(9, 90000, "pusher doc far in the future pushes watermark")], "b2")
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: (r.n_grams, r.n_leaked, r.contaminated)
+           for r in spark.sql("SELECT * FROM decon_s WHERE doc_id < 9").collect()}
+    # leak doc: 10 tokens → 3 grams, first gram identical to benchmark's
+    assert got == {1: (3, 1, True), 2: (3, 0, False), 3: (0, 0, False)}
+
+
+def test_decontaminate_batch_form_matches_stream(spark, tmp_path):
+    """The same decontaminate_stream plan runs on a batch frame (no
+    watermark, same windowed rollup) — verdicts must match the
+    streamed run row-for-row for finalized windows."""
+    import os
+
+    from flink_wsr_project_spark.streaming.dedup import decontaminate_stream
+
+    bench = spark.createDataFrame(
+        [(100, "uniform victor whiskey xray yankee zulu amber birch cedar dunes")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, 1000, "uniform victor whiskey xray yankee zulu amber birch ember frost"),
+        (2, 1010, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (3, 1020, "tiny doc"),
+    ]
+    d = str(tmp_path / "decon_eq")
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(f"{d}/b1.parquet", index=False)
+    batch = spark.read.parquet(d)
+    want = {
+        (r.window_end, r.doc_id): (r.n_grams, r.n_leaked, r.contaminated)
+        for r in decontaminate_stream(batch, bench).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        decontaminate_stream(stream, bench, watermark="3 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon_eq")
+        .start()
+    )
+    q.processAllAvailable()
+    pd.DataFrame(
+        {"doc_id": [9], "ts": pd.to_datetime([90000], unit="s").astype("datetime64[us]"),
+         "text": ["pusher"]}
+    ).to_parquet(f"{d}/b2.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_end, r.doc_id): (r.n_grams, r.n_leaked, r.contaminated)
+        for r in spark.sql("SELECT * FROM decon_eq WHERE doc_id < 9").collect()
+    }
+    want = {k: v for k, v in want.items() if k[1] < 9}
+    assert got == want
