@@ -1,0 +1,107 @@
+"""Streaming similarity search — the streaming arm of the ANN family
+(operators/similarity.py + plans/pipeline_queries.py are the batch
+side: brute-force cosine top-k, SRP-LSH pairs, IVF probes).
+
+The deploy shape this covers: a stream of query embeddings probing a
+STATIC (periodically republished) corpus — retrieval against a frozen
+index, not stream-stream vector joins. Spark-first: the corpus is
+bucketed ONCE by the batch pipeline's exact 8-bit signed-random-
+projection expression and BROADCAST; each micro-batch equi-joins on
+the bucket id (candidates form only within a bucket — the same
+Σ|bucket|² bound as the batch LSH path, never |stream|×|corpus|),
+scores cosine JVM-side, and one watermarked windowed aggregation
+rolls up the per-query top-k as windows finalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_wsr_project_spark.operators.similarity import cosine_expr, srp_bucket_expr
+from flink_wsr_project_spark.operators.windows import ensure_event_time
+
+
+def ann_probe_stream(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    ts_col: str = "ts",
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-query top-k nearest corpus vectors, SRP-bucket-blocked.
+
+    Scores are emitted as MICRO-cosine (``floor(cos·10⁶)`` BIGINT —
+    the repo's integer-units discipline) so ranking and cross-engine
+    comparison are exact; ties break on neighbor id. The rollup is
+    ``slice(sort_array(collect_list(struct(-score, id))), 1, k)`` —
+    per-(window, query) state is the candidate list of ONE bucket
+    within the horizon, bounded by bucket size, and the windowed agg
+    finalizes on the watermark. Works identically on a batch frame
+    (no watermark) — pinned by
+    tests/test_streaming.py::test_ann_probe_stream_matches_batch_form.
+
+    100 TB: the broadcast corpus is the retrieval-index contract (ship
+    the index, not the raw corpus); outgrowing a broadcast turns the
+    bucket equi-join into a shuffled join with no other change, and
+    probing multiple adjacent buckets (multi-probe LSH) is a
+    ``posexplode`` of candidate bucket ids before the same join.
+    """
+    bucket = srp_bucket_expr("_v", "spark")
+    cos = cosine_expr("_qv", "_cv", "spark")
+    corpus_b = F.broadcast(
+        corpus.select(
+            F.col(corpus_id_col).alias("_cid"),
+            F.col(corpus_vec_col).alias("_cv"),
+        )
+        .withColumn("_v", F.col("_cv"))
+        .withColumn("_cbucket", F.expr(bucket))
+        .drop("_v")
+    )
+    pre = (
+        ensure_event_time(queries, ts_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(ts_col),
+            F.col(vec_col).alias("_qv"),
+        )
+        .withColumn("_v", F.col("_qv"))
+        .withColumn("_qbucket", F.expr(bucket))
+        .drop("_v")
+    )
+    if queries.isStreaming:
+        pre = pre.withWatermark(ts_col, watermark)
+    scored = (
+        pre.join(corpus_b, F.col("_qbucket") == F.col("_cbucket"), "inner")
+        .withColumn("score_micro", F.expr(f"CAST(floor(({cos}) * 1000000) AS BIGINT)"))
+        .select("query_id", ts_col, "_cid", "score_micro")
+    )
+    return (
+        scored.groupBy(F.window(ts_col, window).alias("w"), "query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score_micro")).alias("neg"),
+                            F.col("_cid").alias("neighbor_id"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "query_id",
+            F.expr(
+                "transform(_top, s -> struct(s.neighbor_id AS neighbor_id,"
+                " CAST(-s.neg AS BIGINT) AS score_micro))"
+            ).alias("topk"),
+        )
+    )

@@ -1748,3 +1748,58 @@ def test_decontaminate_batch_form_matches_stream(spark, tmp_path):
     }
     want = {k: v for k, v in want.items() if k[1] < 9}
     assert got == want
+
+
+def test_ann_probe_stream_matches_batch_form(spark, tmp_path):
+    """Streaming ANN probe: streamed query embeddings (real sf0.001
+    vectors, two micro-batches) probing the static embeddings corpus
+    must produce exactly the batch form's per-query top-5 — same
+    SRP-bucket candidates, same micro-cosine scores, same tie order."""
+    import os
+
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_stream
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    qpdf = corpus.limit(6).toPandas().rename(columns={"vec_id": "query_id"})
+    qpdf["ts"] = pd.to_datetime([1000 + i for i in range(len(qpdf))], unit="s").astype(
+        "datetime64[us]"
+    )
+    qpdf = qpdf[["query_id", "ts", "embedding"]]
+    d = str(tmp_path / "ann_stream")
+    os.makedirs(d, exist_ok=True)
+    qpdf.iloc[:3].to_parquet(f"{d}/b1.parquet", index=False)
+    qpdf.iloc[3:].to_parquet(f"{d}/b2.parquet", index=False)
+    batch_q = spark.read.parquet(d)
+    want = {
+        (r.window_end, r.query_id): [(s.neighbor_id, s.score_micro) for s in r.topk]
+        for r in ann_probe_stream(batch_q, corpus, k=5).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch_q.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        ann_probe_stream(stream, corpus, k=5, watermark="3 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ann_s")
+        .start()
+    )
+    q.processAllAvailable()
+    # pusher advances the watermark so the query windows finalize
+    push = qpdf.iloc[:1].copy()
+    push["query_id"] = 999
+    push["ts"] = pd.to_datetime([90000], unit="s").astype("datetime64[us]")
+    push.to_parquet(f"{d}/b3.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_end, r.query_id): [(s.neighbor_id, s.score_micro) for s in r.topk]
+        for r in spark.sql("SELECT * FROM ann_s WHERE query_id < 999").collect()
+    }
+    want = {kk: v for kk, v in want.items() if kk[1] < 999}
+    assert got == want and len(got) == 6
+    # self-retrieval sanity: each query's own vector is its top hit
+    for (_, qid), top in got.items():
+        assert top[0] == (qid, 1000000)
