@@ -61,3 +61,31 @@ def fingerprint_sql(engine: str, source: str = "documents") -> str:
         f"       {minhash_expr('s.sh', 0, engine)} AS shingle_fp\n"
         f"FROM shingled s JOIN {source} d ON s.doc_id = d.doc_id"
     )
+
+
+def passage_tokens_expr(engine: str) -> str:
+    """Lowercased alnum tokenization shared by the decontamination /
+    boilerplate passage queries AND their streaming twins — one source
+    of truth so the batch and stream sides cannot silently diverge."""
+    if engine == "spark":
+        return "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    return "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+DECON_N = 8  # sliding n-gram length for benchmark decontamination
+
+
+def gram_hashes_expr(tk: str, n: int, engine: str) -> str:
+    """md5 hashes of the sliding n-token grams of a token-array
+    expression ``tk`` (empty array for docs shorter than n)."""
+    if engine == "spark":
+        return (
+            f"CASE WHEN size({tk}) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size({tk}) - {n}), "
+            f"i -> md5(concat_ws(' ', slice({tk}, i + 1, {n})))) END"
+        )
+    return (
+        f"CASE WHEN len({tk}) < {n} THEN [] "
+        f"ELSE list_transform(range(len({tk}) - {n} + 1), "
+        f"i -> md5(array_to_string({tk}[i + 1 : i + {n}], ' '))) END"
+    )

@@ -29,7 +29,12 @@ from flink_wsr_project_spark.operators.iterative import (
     release_persistent_rdds,
 )
 from flink_wsr_project_spark.operators.similarity import cosine_expr, srp_bucket_expr
-from flink_wsr_project_spark.operators.text import fingerprint_sql, lang_id_sql
+from flink_wsr_project_spark.operators.text import (
+    DECON_N,
+    fingerprint_sql,
+    lang_id_sql,
+    passage_tokens_expr,
+)
 from flink_wsr_project_spark.plans.registry import register
 from flink_wsr_project_spark.sources.readers import load_table
 
@@ -1673,10 +1678,8 @@ _PASSAGE_N = 5  # tokens per non-overlapping segment
 _PASSAGE_DOCS = 2  # boilerplate = segment present in > this many distinct docs
 
 
-def _passage_tokens(engine: str) -> str:
-    if engine == "spark":
-        return "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-    return "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# one source of truth with the streaming twins (operators/text.py)
+_passage_tokens = passage_tokens_expr
 
 
 def _boilerplate_sql(engine: str) -> str:
@@ -1735,7 +1738,7 @@ _set_doc("boilerplate_passages", _boilerplate_sql.__doc__)
 # Benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------
 
-_DECON_N = 8  # sliding n-gram length
+_DECON_N = DECON_N  # sliding n-gram length — shared with decontaminate_stream
 
 
 def _decontaminate_sql(engine: str) -> str:

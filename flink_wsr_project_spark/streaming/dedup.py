@@ -92,7 +92,10 @@ def build_band_claim_fold(ttl_ms: int):
             new_mask = [True] + [False] * (len(pdf) - 1)
         last_t = max(last_t, float(pdf["t"].max()))
         state.update((keeper, last_t))
-        state.setTimeoutTimestamp(int(last_t * 1000) + ttl_ms)
+        # t is MILLISECOND-granular (unix_millis upstream): flooring to
+        # seconds here could set a timeout below the current watermark
+        # under a sub-second delay and kill the query
+        state.setTimeoutTimestamp(int(last_t) + ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -149,8 +152,11 @@ def dedup_stream_near(
     pre = ensure_event_time(stream, ts_col)
     pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
     pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
-    for k in range(N_PERMS):
-        pre = pre.withColumn(f"_mh{k}", F.expr(minhash_expr("_sh", k, "spark")))
+    # ONE projection for all 16 minhashes (chained withColumn nests a
+    # Project per call — needless per-trigger analyzer work)
+    pre = pre.withColumns(
+        {f"_mh{k}": F.expr(minhash_expr("_sh", k, "spark")) for k in range(N_PERMS)}
+    )
     bands = ", ".join(
         band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
         for b in range(N_BANDS)
@@ -160,7 +166,9 @@ def dedup_stream_near(
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(ts_col),
-            F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT)").alias("t"),
+            # millisecond epoch: the fold's eviction timer must not be
+            # coarser than the watermark granularity
+            F.expr(f"unix_millis({ts_col})").alias("t"),
             F.posexplode("_bands").alias("band", "band_hash"),
         )
     )
@@ -201,7 +209,7 @@ def decontaminate_stream(
     content_col: str = "text",
     id_col: str = "doc_id",
     ts_col: str = "ts",
-    n: int = 8,
+    n: int | None = None,  # defaults to the batch pipeline's DECON_N
     window: str = "1 minute",
     watermark: str = "10 minutes",
 ) -> DataFrame:
@@ -227,12 +235,19 @@ def decontaminate_stream(
     construction (eval sets, not the crawl); if it ever outgrows a
     broadcast, the same plan runs as a shuffled join — nothing else
     changes."""
-    grams = (
-        f"CASE WHEN size(_tk) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size(_tk) - {n}), "
-        f"i -> md5(concat_ws(' ', slice(_tk, i + 1, {n})))) END"
+    from flink_wsr_project_spark.operators.text import (
+        DECON_N,
+        gram_hashes_expr,
+        passage_tokens_expr,
     )
-    tk = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')".format(c=content_col)
+
+    if n is None:
+        n = DECON_N
+    # the batch decontamination's tokenizer and gram length, imported —
+    # not copied — so the twins cannot silently diverge (the tokenizer
+    # expression references the column literally as `text`)
+    tk = passage_tokens_expr("spark").replace("lower(text)", f"lower({content_col})")
+    grams = gram_hashes_expr("_tk", n, "spark")
     bench_gh = (
         benchmark.withColumn("_tk", F.expr(tk))
         .select(F.explode(F.expr(grams)).alias("gh"))
@@ -248,7 +263,7 @@ def decontaminate_stream(
             # hashes are then unique, so the windowed rollup needs only
             # plain count() — streaming aggregation forbids
             # count(DISTINCT) and this removes the need for it
-            F.posexplode_outer(F.array_distinct(F.expr(grams))).alias("_i", "gh"),
+            F.explode_outer(F.array_distinct(F.expr(grams))).alias("gh"),
         )
     )
     if stream.isStreaming:

@@ -75,8 +75,12 @@ def ann_probe_stream(
     )
     if queries.isStreaming:
         pre = pre.withWatermark(ts_col, watermark)
+    # LEFT join: a query hashing to a bucket with no corpus vector must
+    # still emit a row (empty topk) — "no neighbors" and "query never
+    # arrived" are different facts; collect_list skips the NULL entry
+    # the unmatched row produces
     scored = (
-        pre.join(corpus_b, F.col("_qbucket") == F.col("_cbucket"), "inner")
+        pre.join(corpus_b, F.col("_qbucket") == F.col("_cbucket"), "left_outer")
         .withColumn("score_micro", F.expr(f"CAST(floor(({cos}) * 1000000) AS BIGINT)"))
         .select("query_id", ts_col, "_cid", "score_micro")
     )
@@ -86,9 +90,12 @@ def ann_probe_stream(
             F.slice(
                 F.sort_array(
                     F.collect_list(
-                        F.struct(
-                            (-F.col("score_micro")).alias("neg"),
-                            F.col("_cid").alias("neighbor_id"),
+                        F.when(
+                            F.col("_cid").isNotNull(),
+                            F.struct(
+                                (-F.col("score_micro")).alias("neg"),
+                                F.col("_cid").alias("neighbor_id"),
+                            ),
                         )
                     )
                 ),

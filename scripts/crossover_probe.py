@@ -41,8 +41,12 @@ def gen_events(spark, copies: int, out_dir: str) -> int:
     out = (
         ev.crossJoin(F.broadcast(spark.range(copies).select(F.col("id").alias("_i"))))
         .withColumn("event_id", F.expr(f"event_id * {copies} + _i"))
-        # jitter stays inside one 5-min bucket for copies <= 300, so the
-        # (key, window) group count is preserved while rows grow x C
+        # jitter < one 5-min bucket width for copies <= 300, so the
+        # (key, window) group count stays APPROXIMATELY fixed while rows
+        # grow x C: replicas of events within copies-1 seconds of a
+        # bucket end spill into the adjacent bucket, adding at most one
+        # extra group per (key, boundary) — second-order against the
+        # C-fold row growth the probe measures
         .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("_i").cast("int")))
         .drop("_i")
         .select(ev.columns)

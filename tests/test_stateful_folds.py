@@ -1042,4 +1042,5 @@ def test_band_claim_keeper_is_first_of_first_batch(rows, batch_cuts, chunk_split
     claiming = got[got["is_new_bucket"]]
     assert int(claiming["doc_id"].iloc[0]) == keeper
     assert int(state.get[0]) == keeper
-    assert state.timeout_ts == int(df["t"].max()) * 1000 + 1000
+    # t is millisecond-granular; the eviction timer adds ttl directly
+    assert state.timeout_ts == int(df["t"].max()) + 1000

@@ -1801,5 +1801,69 @@ def test_ann_probe_stream_matches_batch_form(spark, tmp_path):
     want = {kk: v for kk, v in want.items() if kk[1] < 999}
     assert got == want and len(got) == 6
     # self-retrieval sanity: each query's own vector is its top hit
+    # (999999 allowed: floor(cos·10⁶) lands one below when the IEEE
+    # sqrt product rounds one ulp above the dot product)
     for (_, qid), top in got.items():
-        assert top[0] == (qid, 1000000)
+        assert top[0][0] == qid and top[0][1] in (999999, 1000000)
+
+
+def test_ann_probe_empty_bucket_emits_empty_topk(spark):
+    """A query hashing to a bucket with no corpus vector must still
+    emit its row with an EMPTY topk — 'no neighbors found' is a
+    verdict, not silence. Negating a vector flips every SRP
+    projection, so corpus {v} and query {-v} land in complementary
+    buckets by construction."""
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_stream
+
+    v = [0.5, -1.25, 2.0, 0.75]
+    corpus = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")
+    qpdf = pd.DataFrame(
+        {
+            "query_id": pd.array([10], dtype="int64"),
+            "ts": pd.to_datetime([1000], unit="s").astype("datetime64[us]"),
+            "embedding": [[-x for x in v]],
+        }
+    )
+    queries = spark.createDataFrame(qpdf)
+    rows = ann_probe_stream(queries, corpus, k=3).collect()
+    assert len(rows) == 1 and rows[0].query_id == 10 and rows[0].topk == []
+
+
+def test_near_dedup_survives_subsecond_watermark(spark, tmp_path):
+    """Regression: the band-claim eviction timer is millisecond-
+    granular. With a sub-second watermark delay (a value _interval_ms
+    and withWatermark both accept), a second-batch row for an existing
+    bucket arriving within the same second used to floor its timeout
+    below the current watermark and kill the query with
+    IllegalArgumentException — both batches must process cleanly and
+    the duplicate must still be marked."""
+    import os
+
+    from flink_wsr_project_spark.streaming.dedup import dedup_stream_near
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    d = str(tmp_path / "near_subsec")
+    os.makedirs(d, exist_ok=True)
+
+    def write(doc_id, epoch_float, tag):
+        pdf = pd.DataFrame({"doc_id": [doc_id], "ts": [epoch_float], "text": [text]})
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write(1, 100.100, "b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = dedup_stream_near(stream, watermark="500 milliseconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("near_ss").start()
+    q.processAllAvailable()
+    # watermark is now 100.100 - 0.5 = 99.6 s; this row (same second,
+    # later millisecond) must arm a timeout >= the watermark, not crash
+    write(2, 100.900, "b2")
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    rows = spark.sql("SELECT * FROM near_ss WHERE doc_id = 2").collect()
+    assert rows and all(not r.is_new_bucket and r.keeper_doc_id == 1 for r in rows)
