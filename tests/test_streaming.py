@@ -1867,3 +1867,44 @@ def test_near_dedup_survives_subsecond_watermark(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT * FROM near_ss WHERE doc_id = 2").collect()
     assert rows and all(not r.is_new_bucket and r.keeper_doc_id == 1 for r in rows)
+
+
+def test_stratified_sample_is_stream_safe(spark, tmp_path):
+    """The hash-gated sampling family's core claim is that it needs no
+    RNG state — `keep iff h28(text) % 100 < rate(source)` is a pure
+    map, so the SAME docs are kept whether the corpus is scanned in
+    batch or streamed in arbitrary micro-batches. Pin it: the batch
+    stratified_sample decisions and a streamed application of the
+    identical expression agree doc-for-doc."""
+    import os
+
+    from flink_wsr_project_spark.plans.registry import get
+
+    docs = load_table(spark, "documents", SF_DIR).limit(60).toPandas()
+    d = str(tmp_path / "sample_stream")
+    os.makedirs(d, exist_ok=True)
+    for i, (a, b) in enumerate(((0, 20), (20, 40), (40, 60))):
+        docs.iloc[a:b].to_parquet(f"{d}/part-{i}.parquet", index=False)
+    batch_dir = str(tmp_path)
+    docs.to_parquet(f"{batch_dir}/documents.parquet", index=False)
+    want = {
+        r.doc_id: r.sampled
+        for r in get("stratified_sample").spark_fn(spark, batch_dir).collect()
+    }
+    # stream the same docs through the same keep/drop expression
+    from flink_wsr_project_spark.operators.dedup import h28
+
+    rate = "CASE source WHEN 'cc' THEN 20 WHEN 'wiki' THEN 80 WHEN 'books' THEN 60 ELSE 10 END"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .selectExpr(
+            "doc_id", f"CAST({h28('text', 'spark')} % 100 < {rate} AS BOOLEAN) AS sampled"
+        )
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName("samp_s").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.sampled for r in spark.sql("SELECT * FROM samp_s").collect()}
+    assert got == want and len(got) == 60 and any(got.values()) and not all(got.values())
