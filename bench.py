@@ -23,9 +23,10 @@ Modes
 
 The ``context`` object records what the r5 drift analysis needed and
 didn't have: load average before/after, cpu count, registry import
-seconds (measured 0.27 s this round — below the 0.5 s lazy-load
-threshold, so plan modules stay eagerly imported), and session
-startup seconds.
+seconds (measured 0.27–0.51 s this round depending on machine load;
+lazy loading stays rejected because the driver's correctness harness
+calls oracle_sql(), which forces the full import regardless — see
+SCALE.md), and session startup seconds.
 """
 
 from __future__ import annotations
