@@ -1541,3 +1541,8 @@ LIMIT 50
 def series_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
     return spark.sql(_series_pattern_sql("spark"))
+
+
+from flink_wsr_project_spark.plans.registry import set_doc as _set_doc  # noqa: E402
+
+_set_doc("series_pattern_topk", _series_pattern_sql.__doc__)

@@ -1138,6 +1138,8 @@ for _n, _b in {
     "stratified_sample": _stratified_sample_sql,
     "fuzzy_prefix_pairs": _fuzzy_prefix_sql,
     "bigram_topk": _bigram_sql,
+    "dedup_minhash_lsh_capped": _dedup_minhash_lsh_capped_sql,
+    "lsh_bucket_skew": _lsh_bucket_skew_sql,
 }.items():
     _set_doc(_n, _b.__doc__)
 

@@ -24,8 +24,9 @@ regime:
   doc becomes a 10-clone near-dup cluster, a deliberate stress for
   the LSH bucket-join and the label-propagation loop.
 
-Usage: python scripts/gen_scale_probe.py [out_dir]   (default
-/tmp/spark_graft_sf1). Idempotent: existing tables are overwritten.
+Usage: python scripts/gen_scale_probe.py [out_dir] [copies]   (default
+/tmp/spark_graft_sf1, 10 copies). Idempotent: existing tables are
+overwritten.
 """
 
 from __future__ import annotations
@@ -48,7 +49,14 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def _replicate(df, id_exprs: dict[str, str], ts_jitter: list[str] = ()):
-    """Cross the frame with i∈[0,10) and rewrite keys/timestamps."""
+    """Cross the frame with i∈[0,COPIES) and rewrite keys/timestamps.
+
+    Note: ts jitter is +i seconds, so with copies>60 jittered rows can
+    cross minute-bucket boundaries — fine for the dedup-chain probes
+    (documents/embeddings carry no windows), but re-check the window
+    queries' group-count argument before trusting an events probe at
+    copies>10.
+    """
     out = df.crossJoin(F.broadcast(
         df.sparkSession.range(COPIES).select(F.col("id").alias("_i"))
     ))
@@ -61,7 +69,9 @@ def _replicate(df, id_exprs: dict[str, str], ts_jitter: list[str] = ()):
     return out.drop("_i").select(df.columns)
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, copies: int = COPIES) -> None:
+    global COPIES
+    COPIES = copies
     spark = get_spark("scale-probe-gen")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -70,26 +80,26 @@ def main(out_dir: str) -> None:
 
     ev = load_table(spark, "events", SRC)
     _replicate(
-        ev, {"event_id": "event_id * 10 + _i"}, ts_jitter=["ts"]
+        ev, {"event_id": f"event_id * {copies} + _i"}, ts_jitter=["ts"]
     ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     orders = load_table(spark, "orders", SRC)
-    _replicate(orders, {"o_orderkey": "o_orderkey * 10 + _i"}).write.mode(
+    _replicate(orders, {"o_orderkey": f"o_orderkey * {copies} + _i"}).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/orders.parquet")
 
     li = load_table(spark, "lineitem", SRC)
-    _replicate(li, {"l_orderkey": "l_orderkey * 10 + _i"}).write.mode(
+    _replicate(li, {"l_orderkey": f"l_orderkey * {copies} + _i"}).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/lineitem.parquet")
 
     docs = load_table(spark, "documents", SRC)
-    _replicate(docs, {"doc_id": "doc_id * 10 + _i"}).write.mode(
+    _replicate(docs, {"doc_id": f"doc_id * {copies} + _i"}).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/documents.parquet")
 
     emb = load_table(spark, "embeddings", SRC)
-    _replicate(emb, {"vec_id": "vec_id * 10 + _i"}).write.mode(
+    _replicate(emb, {"vec_id": f"vec_id * {copies} + _i"}).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/embeddings.parquet")
 
@@ -99,4 +109,7 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else COPIES,
+    )
