@@ -46,7 +46,23 @@ def dot_expr(a: str, b: str, engine: str) -> str:
 
 
 def cosine_expr(a: str, b: str, engine: str) -> str:
-    return f"({dot_expr(a, b, engine)} / (sqrt({dot_expr(a, a, engine)}) * sqrt({dot_expr(b, b, engine)})))"
+    """Cosine similarity, NULL when either vector has zero norm.
+
+    The zero-norm guard is not cosmetic: under Spark 4's default ANSI
+    mode a 0/0 division throws DIVIDE_BY_ZERO and kills the whole job
+    (batch query or streaming probe) the moment one degenerate vector
+    appears — at 100 TB a zero embedding somewhere is a certainty.
+    NULL is the honest value ("similarity undefined"), and the same
+    CASE runs identically in DuckDB so oracles stay byte-comparable.
+    Consumers that rank must filter NULL scores (ann_probe_stream
+    does); Catalyst's common-subexpression elimination collapses the
+    repeated self-dot-products.
+    """
+    na, nb = dot_expr(a, a, engine), dot_expr(b, b, engine)
+    return (
+        f"(CASE WHEN ({na}) = 0.0 OR ({nb}) = 0.0 THEN NULL "
+        f"ELSE {dot_expr(a, b, engine)} / (sqrt({na}) * sqrt({nb})) END)"
+    )
 
 
 def srp_bucket_expr(v: str, engine: str) -> str:

@@ -90,8 +90,13 @@ def ann_probe_stream(
             F.slice(
                 F.sort_array(
                     F.collect_list(
+                        # score_micro can be NULL despite a matched _cid
+                        # (zero-norm query or corpus vector → 0/0 cosine);
+                        # a NULL `neg` field sorts FIRST in sort_array and
+                        # would displace real neighbors from the top-k
                         F.when(
-                            F.col("_cid").isNotNull(),
+                            F.col("_cid").isNotNull()
+                            & F.col("score_micro").isNotNull(),
                             F.struct(
                                 (-F.col("score_micro")).alias("neg"),
                                 F.col("_cid").alias("neighbor_id"),

@@ -1829,6 +1829,58 @@ def test_ann_probe_empty_bucket_emits_empty_topk(spark):
     assert len(rows) == 1 and rows[0].query_id == 10 and rows[0].topk == []
 
 
+def test_ann_probe_zero_norm_vector_never_ranks(spark):
+    """A zero-norm corpus vector in the query's bucket yields a NULL
+    cosine (0/0); the NULL-scored struct used to sort FIRST in the
+    ascending sort_array and displace real neighbors from the top-k.
+    The all-zero vector projects to the all-zero SRP bucket-bit
+    pattern... so pick a query in the same bucket as a real vector
+    plus the zero vector and assert only the real one ranks. A
+    zero-norm QUERY likewise emits an empty topk, not NULL rows."""
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_stream
+
+    from flink_wsr_project_spark.operators.similarity import srp_bucket_expr
+
+    # 16-dim vector chosen (searched offline) to land in SRP bucket 0 —
+    # the zero vector's bucket (every projection of zero is 0, and the
+    # bucket bits use a strict `> 0`), so the two MUST collide
+    v = [-0.938, 1.905, 1.991, 0.191, -0.492, -1.459, 1.264, -0.704,
+         0.058, -1.926, 0.586, -0.172, 0.33, -1.931, -1.224, -0.313]
+    zero = [0.0] * 16
+    corpus_z = spark.createDataFrame(
+        [(1, v), (7, zero)], "vec_id long, embedding array<float>"
+    )
+    # precondition for the displacement claim: the zero vector must
+    # share v's SRP bucket (otherwise this test silently degrades to
+    # "guard is harmless"); assert it so a bucket-expr change that
+    # separates them is caught here rather than masking the regression
+    b_v, b_zero = [
+        r.b
+        for r in corpus_z.withColumnRenamed("embedding", "_v")
+        .selectExpr("vec_id", srp_bucket_expr("_v", "spark") + " AS b")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert b_v == b_zero, "fixture drift: pick a v sharing the zero vector's bucket"
+    qpdf = pd.DataFrame(
+        {
+            "query_id": pd.array([10], dtype="int64"),
+            "ts": pd.to_datetime([1000], unit="s").astype("datetime64[us]"),
+            "embedding": [v],
+        }
+    )
+    rows = ann_probe_stream(spark.createDataFrame(qpdf), corpus_z, k=3).collect()
+    assert len(rows) == 1
+    ids = [s.neighbor_id for s in rows[0].topk]
+    assert 7 not in ids and 1 in ids
+    assert all(s.score_micro is not None for s in rows[0].topk)
+    # zero-norm QUERY: every cosine NULL → empty topk, no NULL structs
+    qz = qpdf.copy()
+    qz["embedding"] = [zero]
+    rows = ann_probe_stream(spark.createDataFrame(qz), corpus_z, k=3).collect()
+    assert len(rows) == 1 and rows[0].topk == []
+
+
 def test_near_dedup_survives_subsecond_watermark(spark, tmp_path):
     """Regression: the band-claim eviction timer is millisecond-
     granular. With a sub-second watermark delay (a value _interval_ms
