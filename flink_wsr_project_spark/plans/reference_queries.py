@@ -843,6 +843,7 @@ WITH keyed AS (
   SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS kv_key,
          (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600 AS window_end
   FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT kv_key,
        CAST(count(*) AS VARCHAR) AS kv_value,
@@ -878,8 +879,15 @@ def kv_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, "events", sf_dir)
     hour_end = (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600 + 3600).cast("long")
+    # NULL key columns are excluded in BOTH engines: the sink's
+    # '|'.join cannot serialize None (it raises), Spark's concat_ws
+    # SKIPS NULL fields while DuckDB's || NULL-propagates — three
+    # different behaviors, so the only consistent contract is "a row
+    # with a NULL key column never reaches the KV store". Pinned by
+    # tests/test_synthetic_parity.py::test_kv_upsert_null_key_rows_excluded.
     return (
-        events.select(
+        events.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
             F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias("kv_key"),
             hour_end.alias("window_end"),
         )

@@ -624,7 +624,14 @@ def build_kmv_fold(k: int, m: int, hcol: str, ttl_ms: int):
     duplicate and above-k hashes never grow state. The window's sketch
     is EVICTED (event-time timeout) once the watermark passes
     window_end + ``ttl_ms`` — closed days do not accumulate in the
-    state store."""
+    state store.
+
+    ``k`` must be ≥ 2: the bottom-k estimator ``(k-1)·m / h_(k)`` is
+    degenerate at k=1 — the numerator is identically 0 and the kept
+    hash can itself be 0 (a 28-bit md5 prefix hits it at p=2⁻²⁸,
+    i.e. routinely in a 100 TB run), which would divide by zero."""
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2 (got k={k}): (k-1)*m/h_(k) is degenerate at k=1")
 
     def fn(key, pdfs, state):
         import numpy as np

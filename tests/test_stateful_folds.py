@@ -594,7 +594,25 @@ def test_kmv_fold_merge_matches_set_semantics(uids, batch_cuts, chunk_splits):
     assert state.timeout_ts == 86400 * 1000 + 1000
 
 
-def test_interval_ms_units_and_errors():
+def test_kmv_fold_rejects_degenerate_k():
+    """k=1 makes the bottom-k estimator (k-1)·m/h_(k) identically 0 —
+    and a 0/0 when the single kept 28-bit hash is itself 0 (p=2⁻²⁸
+    per id: a certainty at 100 TB). The fold must refuse k<2 at BUILD
+    time, not fold data and divide later; k=2 stays valid."""
+    import pytest as _pytest
+
+    from flink_wsr_project_spark.streaming.stateful import build_kmv_fold
+
+    for bad in (1, 0, -3):
+        with _pytest.raises(ValueError, match="k >= 2"):
+            build_kmv_fold(bad, 1 << 28, "h28", ttl_ms=1000)
+    # k=2 is the smallest non-degenerate sketch — must build and fold,
+    # including the h=0 hash that broke k=1 (h_(k) is the LARGER kept
+    # hash, nonzero whenever two distinct hashes exist)
+    fn = build_kmv_fold(2, 1 << 28, "h28", ttl_ms=1000)
+    df = pd.DataFrame({"h28": pd.array([0, 7], dtype="int64")})
+    got, _ = _run_fold(fn, (86400,), [[df]])
+    assert got["uv_kmv"].iloc[-1] == (1 << 28) // 7
     """_interval_ms must accept every unit withWatermark itself takes
     (an operator forwarding the same string cannot crash on a value
     Spark accepts) and reject unknown units with a ValueError naming

@@ -568,3 +568,34 @@ def test_cms_nonzero_overestimate(spark, tmp_path):
     assert all(r.overestimate >= 0 for r in rows)
     assert any(r.overestimate > 0 for r in rows)
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "cms_overest/synth")
+
+
+def test_kv_upsert_null_key_rows_excluded(spark, tmp_path):
+    """Generated events have no NULL user_id/event_type, so the KV
+    key's NULL handling was never exercised — and the three engines
+    genuinely disagreed: Spark's concat_ws SKIPS NULL fields, DuckDB's
+    || NULL-propagates, and the sink's '|'.join raises on None. The
+    contract is now "NULL key columns never reach the KV store",
+    filtered identically in both engines; crafted NULL rows pin it."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+            "ts": pd.to_datetime(
+                [1000, 2000, 3000, 4000, 5000, 6000], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": pd.array([10, None, 10, 11, None, 10], dtype="Int64"),
+            "event_type": ["view", "view", None, "view", None, "view"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    d = tmp_path / "synth_null_sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet", index=False)
+    sf_dir = str(d)
+    q = get("kv_upsert_final_state")
+    got = {r.kv_key: r.kv_value for r in q.spark_fn(spark, sf_dir).collect()}
+    # events 2/3/5 carry a NULL key column -> excluded, never a
+    # 'None|view' / '10|' / NULL-keyed row
+    assert got == {"10|view": "2", "11|view": "1"}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "kv_upsert_null/synth")
