@@ -189,6 +189,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BUCKET_CAP = 2
 
 
+def _capped_cands_union(engine: str) -> str:
+    """UNION body of within-cap band candidates: per band, a
+    (band, hash) bucket joins against itself ONLY if its size is ≤
+    ``_LSH_BUCKET_CAP`` (a per-band HAVING aggregate joined back).
+    Shared by the standalone capped-pairs query and the composed
+    keep-list/components/funnel chain — one definition, one contract."""
+    cap = _LSH_BUCKET_CAP
+    return "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
+        f" JOIN (SELECT band{b_} AS h FROM sigs GROUP BY band{b_}"
+        f" HAVING count(*) <= {cap}) ok{b_} ON ok{b_}.h = a.band{b_}"
+        for b_ in range(4)
+    )
+
+
+def _neardup_edges_ctes(engine: str) -> str:
+    """The composed chain's shared WITH-body: per-band bucket stats →
+    capped candidates → exact-Jaccard verify (≥ 0.5) → ``edges`` =
+    verified pairs UNION over-cap collapse rows, always
+    (doc_a < doc_b).
+
+    This is the skew-safe edge contract ``dedup_keep_list``,
+    ``dedup_components``, ``dedup_keep_best`` and ``curation_funnel``
+    all build on (identical SQL in both engines, so every consumer
+    stays hash-checkable). Within-cap behavior is exactly the r1–r6
+    chain; over-cap buckets contribute |B|−1 star edges to their
+    bucket-min keeper instead of |B|(|B|−1)/2 enumerated pairs
+    (over-cap buckets are near-certain duplicate clusters — identical
+    minhash band = identical shingle minima ×4), so a 10⁶-clone
+    cluster costs 10⁶−1 edge rows, not 5·10¹¹ candidate pairs, and NO
+    document is dropped silently — members stay in the drop/edge set,
+    attributed to their keeper. ``lsh_bucket_skew`` reports what the
+    cap rerouted.
+
+    Plan shape: ONE ``bs{{b}}`` aggregate per band (size + keeper in
+    the same groupBy) feeds BOTH the ≤cap candidate filter and the
+    >cap collapse, so each band costs one |buckets|-sized exchange
+    that Catalyst reuses across the two consumers — not two."""
+    sig = signature_sql(engine)
+    jac = jaccard_expr("sa.sh", "sb.sh", engine)
+    cap = _LSH_BUCKET_CAP
+    bstats = ",\n".join(
+        f"bs{b_} AS (SELECT band{b_} AS h, count(*) AS n, min(doc_id) AS keeper"
+        f" FROM sigs GROUP BY band{b_})"
+        for b_ in range(4)
+    )
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
+        f" JOIN bs{b_} ON bs{b_}.h = a.band{b_} AND bs{b_}.n <= {cap}"
+        for b_ in range(4)
+    )
+    collapse = "\n  UNION\n".join(
+        f"  SELECT bs{b_}.keeper AS keeper, s.doc_id AS doc_id"
+        f" FROM sigs s JOIN bs{b_}"
+        f" ON s.band{b_} = bs{b_}.h AND bs{b_}.n > {cap} AND s.doc_id > bs{b_}.keeper"
+        for b_ in range(4)
+    )
+    return f"""sigs AS ({sig}),
+{shingled_cte(engine)},
+{bstats},
+cand AS (
+{cands}
+),
+vpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.5
+),
+collapse AS (
+{collapse}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM vpairs
+  UNION
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM collapse
+)"""
+
+
 def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
     """Bucket-capped MinHash-LSH: identical to ``dedup_minhash_lsh``
     except that (band, hash) buckets holding more than
@@ -209,20 +292,12 @@ def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
     ``lsh_bucket_skew`` reports what the cap dropped (no silent
     truncation)."""
     sig = signature_sql(engine)
-    cap = _LSH_BUCKET_CAP
-    cands = "\n  UNION\n".join(
-        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
-        f" JOIN (SELECT band{b_} AS h FROM sigs GROUP BY band{b_}"
-        f" HAVING count(*) <= {cap}) ok{b_} ON ok{b_}.h = a.band{b_}"
-        for b_ in range(4)
-    )
     jac = jaccard_expr("sa.sh", "sb.sh", engine)
     return f"""
 WITH sigs AS ({sig}),
 {shingled_cte(engine)},
 cand AS (
-{cands}
+{_capped_cands_union(engine)}
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT c.doc_a, c.doc_b, {jac} AS jaccard
@@ -533,12 +608,23 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_keep_list_sql(engine: str) -> str:
-    """End-to-end dedup decision: LSH-verified near-dup pairs (Jaccard
-    ≥ 0.5) collapse to the lowest doc_id; every other doc is kept."""
-    pairs = _dedup_minhash_lsh_sql(engine)
+    """End-to-end dedup decision: a doc is dropped iff some LOWER
+    doc_id claims it — via an LSH-verified near-dup pair (Jaccard
+    ≥ 0.5) from a within-cap bucket, or via membership in an over-cap
+    (band, hash) bucket whose min doc_id is the keeper. Everything
+    else is kept.
+
+    Cap-aware since r7 (the composed chain used to route through the
+    UNCAPPED candidate join — exactly the Σ|bucket|² exposure the r6
+    cap was built to kill, inherited by ``dedup_components`` and
+    ``curation_funnel``): over-cap buckets now collapse to their
+    bucket-min without pair enumeration, identical SQL both engines.
+    On pure clone clusters the drop set equals the uncapped chain's
+    (pinned by tests/test_synthetic_parity.py::
+    test_capped_keep_list_matches_uncapped_on_clones)."""
     return f"""
-WITH pairs AS ({pairs}),
-drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
+WITH {_neardup_edges_ctes(engine)},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM edges)
 SELECT d.doc_id,
        CASE WHEN dr.doc_id IS NULL THEN 'keep' ELSE 'drop' END AS action
 FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
@@ -552,21 +638,22 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_components_oracle() -> str:
-    """Transitive-closure oracle: reachability via recursive CTE, then
-    min reachable id per doc. Only viable at oracle scale — the Spark
-    side uses distributed label propagation instead."""
-    pairs = _dedup_minhash_lsh_sql("duckdb")
+    """Transitive-closure oracle: reachability via recursive CTE over
+    the cap-aware edge set (within-cap verified pairs + over-cap star
+    edges — the same ``edges`` CTE the Spark side feeds to label
+    propagation), then min reachable id per doc. Only viable at oracle
+    scale — the Spark side uses distributed label propagation."""
     return f"""
-WITH RECURSIVE pairs AS ({pairs}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5
+WITH RECURSIVE {_neardup_edges_ctes("duckdb")},
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
   UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.5
+  SELECT doc_b AS a, doc_a AS b FROM edges
 ),
 reach AS (
   SELECT doc_id AS src, doc_id AS dst FROM documents
   UNION
-  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+  SELECT r.src, e.b AS dst FROM reach r JOIN bi e ON r.dst = e.a
 )
 SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
@@ -634,10 +721,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect. At 100 TB the same loop holds (labels/edges are
     shuffled on doc_id only); pathological diameters would call for
     large-star/small-star, which this loop structure accommodates.
+
+    The edge set is the cap-aware chain contract
+    (:func:`_neardup_edges_ctes`): over-cap LSH buckets contribute
+    |B|−1 star edges to their bucket-min keeper instead of |B|²/2
+    enumerated pairs — a star is connectivity-equivalent to the clique
+    for components, so a giant clone cluster still converges to one
+    component in ONE propagation round while the candidate join stays
+    Σ_{|b|≤cap}|b|².
     """
     docs = load_table(spark, "documents", sf_dir)
     docs.createOrReplaceTempView("documents")
-    pairs = spark.sql(_dedup_minhash_lsh_sql("spark")).filter(F.col("jaccard") >= 0.5)
+    pairs = spark.sql(
+        f"WITH {_neardup_edges_ctes('spark')} SELECT doc_a, doc_b FROM edges"
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -2747,21 +2844,22 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_best_oracle() -> str:
-    """Components via recursive CTE (oracle-scale only), then one
-    row_number per component ordered by quality (token count desc,
-    doc_id asc)."""
-    pairs = _dedup_minhash_lsh_sql("duckdb")
+    """Components via recursive CTE over the cap-aware edge contract
+    (the same ``edges`` the Spark side's ``dedup_components`` call
+    propagates — keep-best MUST see the clusters components sees),
+    then one row_number per component ordered by quality (token count
+    desc, doc_id asc). Oracle-scale only."""
     return rf"""
-WITH RECURSIVE pairs AS ({pairs}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.5
+WITH RECURSIVE {_neardup_edges_ctes("duckdb")},
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
   UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.5
+  SELECT doc_b AS a, doc_a AS b FROM edges
 ),
 reach AS (
   SELECT doc_id AS src, doc_id AS dst FROM documents
   UNION
-  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+  SELECT r.src, e.b AS dst FROM reach r JOIN bi e ON r.dst = e.a
 ),
 comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
 q AS (
