@@ -613,6 +613,9 @@ def test_kmv_fold_rejects_degenerate_k():
     df = pd.DataFrame({"h28": pd.array([0, 7], dtype="int64")})
     got, _ = _run_fold(fn, (86400,), [[df]])
     assert got["uv_kmv"].iloc[-1] == (1 << 28) // 7
+
+
+def test_interval_ms_units_and_errors():
     """_interval_ms must accept every unit withWatermark itself takes
     (an operator forwarding the same string cannot crash on a value
     Spark accepts) and reject unknown units with a ValueError naming
