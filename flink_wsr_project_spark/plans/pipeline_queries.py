@@ -189,12 +189,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BUCKET_CAP = 2
 
 
-def _capped_cands_union(engine: str) -> str:
+def _capped_cands_union() -> str:
     """UNION body of within-cap band candidates: per band, a
     (band, hash) bucket joins against itself ONLY if its size is ≤
     ``_LSH_BUCKET_CAP`` (a per-band HAVING aggregate joined back).
     Shared by the standalone capped-pairs query and the composed
-    keep-list/components/funnel chain — one definition, one contract."""
+    keep-list/components/funnel chain — one definition, one contract.
+    Engine-independent (plain ANSI joins), hence no engine arg."""
     cap = _LSH_BUCKET_CAP
     return "\n  UNION\n".join(
         f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
@@ -208,21 +209,29 @@ def _capped_cands_union(engine: str) -> str:
 def _neardup_edges_ctes(engine: str) -> str:
     """The composed chain's shared WITH-body: per-band bucket stats →
     capped candidates → exact-Jaccard verify (≥ 0.5) → ``edges`` =
-    verified pairs UNION over-cap collapse rows, always
+    verified pairs UNION verified over-cap collapse rows, always
     (doc_a < doc_b).
 
     This is the skew-safe edge contract ``dedup_keep_list``,
     ``dedup_components``, ``dedup_keep_best`` and ``curation_funnel``
     all build on (identical SQL in both engines, so every consumer
     stays hash-checkable). Within-cap behavior is exactly the r1–r6
-    chain; over-cap buckets contribute |B|−1 star edges to their
-    bucket-min keeper instead of |B|(|B|−1)/2 enumerated pairs
-    (over-cap buckets are near-certain duplicate clusters — identical
-    minhash band = identical shingle minima ×4), so a 10⁶-clone
-    cluster costs 10⁶−1 edge rows, not 5·10¹¹ candidate pairs, and NO
-    document is dropped silently — members stay in the drop/edge set,
-    attributed to their keeper. ``lsh_bucket_skew`` reports what the
-    cap rerouted.
+    chain; over-cap buckets contribute at most |B|−1 star edges to
+    their bucket-min keeper instead of |B|(|B|−1)/2 enumerated pairs,
+    so a 10⁶-clone cluster costs 10⁶−1 edge rows, not 5·10¹¹
+    candidate pairs, and NO document is dropped silently — members
+    stay in the drop/edge set, attributed to their keeper.
+    ``lsh_bucket_skew`` reports what the cap rerouted.
+
+    Over-cap members face the SAME evidence bar as within-cap pairs:
+    a band-hash collision is only a candidate signal (that is exactly
+    why within-cap pairs verify), so each (keeper, member) star edge
+    is kept only if exact Jaccard(member, keeper) ≥ 0.5. The verify
+    is O(|B|) rows per over-cap bucket — one shingle join per member,
+    never per pair — so the skew bound is unchanged; it just stops a
+    hash-collision false positive (or a small production cap) from
+    collapsing genuinely distinct docs. A member that fails the
+    verify is simply not claimed and stays kept.
 
     Plan shape: ONE ``bs{{b}}`` aggregate per band (size + keeper in
     the same groupBy) feeds BOTH the ≤cap candidate filter and the
@@ -265,10 +274,18 @@ vpairs AS (
 collapse AS (
 {collapse}
 ),
+vcollapse AS (
+  SELECT keeper, doc_id FROM (
+    SELECT c.keeper, c.doc_id, {jaccard_expr("sm.sh", "sk.sh", engine)} AS jaccard
+    FROM collapse c
+    JOIN shingled sk ON sk.doc_id = c.keeper
+    JOIN shingled sm ON sm.doc_id = c.doc_id
+  ) WHERE jaccard >= 0.5
+),
 edges AS (
   SELECT doc_a, doc_b FROM vpairs
   UNION
-  SELECT keeper AS doc_a, doc_id AS doc_b FROM collapse
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM vcollapse
 )"""
 
 
@@ -297,7 +314,7 @@ def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
 WITH sigs AS ({sig}),
 {shingled_cte(engine)},
 cand AS (
-{_capped_cands_union(engine)}
+{_capped_cands_union()}
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT c.doc_a, c.doc_b, {jac} AS jaccard
@@ -611,8 +628,10 @@ def _dedup_keep_list_sql(engine: str) -> str:
     """End-to-end dedup decision: a doc is dropped iff some LOWER
     doc_id claims it — via an LSH-verified near-dup pair (Jaccard
     ≥ 0.5) from a within-cap bucket, or via membership in an over-cap
-    (band, hash) bucket whose min doc_id is the keeper. Everything
-    else is kept.
+    (band, hash) bucket whose min doc_id is the keeper AND exact
+    Jaccard vs that keeper ≥ 0.5 (same evidence bar as within-cap;
+    the verify is one shingle join per member, never per pair).
+    Everything else is kept.
 
     Cap-aware since r7 (the composed chain used to route through the
     UNCAPPED candidate join — exactly the Σ|bucket|² exposure the r6
@@ -723,12 +742,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star, which this loop structure accommodates.
 
     The edge set is the cap-aware chain contract
-    (:func:`_neardup_edges_ctes`): over-cap LSH buckets contribute
-    |B|−1 star edges to their bucket-min keeper instead of |B|²/2
-    enumerated pairs — a star is connectivity-equivalent to the clique
-    for components, so a giant clone cluster still converges to one
-    component in ONE propagation round while the candidate join stays
-    Σ_{|b|≤cap}|b|².
+    (:func:`_neardup_edges_ctes`): over-cap LSH buckets contribute at
+    most |B|−1 keeper-verified star edges (Jaccard ≥ 0.5 vs the
+    bucket-min keeper) instead of |B|²/2 enumerated pairs — a star is
+    connectivity-equivalent to the clique for components, so a giant
+    clone cluster still converges to one component in ONE propagation
+    round while the candidate join stays Σ_{|b|≤cap}|b|².
     """
     docs = load_table(spark, "documents", sf_dir)
     docs.createOrReplaceTempView("documents")
