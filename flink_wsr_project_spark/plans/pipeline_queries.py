@@ -11,6 +11,8 @@ or integer-scaled before aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
@@ -182,11 +184,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-(band, hash) candidate cap for the capped LSH variant. At
 # production scale this is O(1000) (a bucket of n docs contributes
 # n(n-1)/2 candidate pairs — giant near-dup clusters would otherwise
-# dominate the join); at the sf0.01 gate a cap of 2 makes BOTH branches
-# execute: the 3-doc buckets (the testdata's "giant cluster" analogue)
-# are capped, the twenty 2-doc buckets pass (dead-branch discipline,
-# SCALE.md r5 audit).
-_LSH_BUCKET_CAP = 2
+# dominate the join) — override via SPARK_GRAFT_LSH_BUCKET_CAP for a
+# real deployment. The shipped default of 2 is the sf0.01 gate
+# setting: it makes BOTH branches execute (dead-branch discipline,
+# SCALE.md r5 audit) — the 3-doc buckets (the testdata's "giant
+# cluster" analogue) are capped, the twenty 2-doc buckets pass.
+# Since r8 star edges are Jaccard-verified, so a small cap costs plan
+# routing, never correctness.
+_LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"))
 
 
 def _capped_cands_union() -> str:
@@ -208,8 +213,8 @@ def _capped_cands_union() -> str:
 
 def _neardup_edges_ctes(engine: str) -> str:
     """The composed chain's shared WITH-body: per-band bucket stats →
-    capped candidates → exact-Jaccard verify (≥ 0.5) → ``edges`` =
-    verified pairs UNION verified over-cap collapse rows, always
+    ONE candidate set (within-cap pairs ∪ over-cap star rows) → ONE
+    exact-Jaccard verify pass (≥ 0.5) → ``edges``, always
     (doc_a < doc_b).
 
     This is the skew-safe edge contract ``dedup_keep_list``,
@@ -233,59 +238,67 @@ def _neardup_edges_ctes(engine: str) -> str:
     collapsing genuinely distinct docs. A member that fails the
     verify is simply not claimed and stays kept.
 
-    Plan shape: ONE ``bs{{b}}`` aggregate per band (size + keeper in
-    the same groupBy) feeds BOTH the ≤cap candidate filter and the
-    >cap collapse, so each band costs one |buckets|-sized exchange
-    that Catalyst reuses across the two consumers — not two."""
+    Documented recall residual: star edges verify member-vs-KEEPER
+    only. If the bucket-min keeper is itself a band-hash false
+    positive, members that ARE mutual near-dups fail the keeper
+    verify and their member↔member edges are not recovered from this
+    bucket (another band can still supply them). That is a deliberate
+    trade — re-anchoring failed members would need a second verify
+    pass (another shingle join) for a case that requires the
+    bucket-MIN doc, specifically, to be the collision outlier.
+
+    Plan shape (the r8 lesson, re-architected): the 4 band columns
+    EXPLODE to long format ``(doc_id, b, h)`` so all four bands ride
+    ONE ``(b, h)`` shuffle instead of four per-band shuffles; bucket
+    size and bucket-min keeper come from window functions over that
+    same partitioning (no aggregate-plus-join-back — the exchange the
+    window creates already co-locates each bucket, so the within-cap
+    self-join and the over-cap star projection both consume it
+    without re-shuffling). Within-cap pairs and over-cap star pairs
+    then union into a SINGLE ``cand`` set verified by ONE shingle
+    join per side — one Jaccard filter total. The r7/r8 per-band
+    aggregate-join layout cost 8 band exchanges in the funnel plan
+    (caught by ``test_shuffle_budget``); this layout costs 2."""
     sig = signature_sql(engine)
     jac = jaccard_expr("sa.sh", "sb.sh", engine)
     cap = _LSH_BUCKET_CAP
-    bstats = ",\n".join(
-        f"bs{b_} AS (SELECT band{b_} AS h, count(*) AS n, min(doc_id) AS keeper"
-        f" FROM sigs GROUP BY band{b_})"
-        for b_ in range(4)
-    )
-    cands = "\n  UNION\n".join(
-        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
-        f" JOIN bs{b_} ON bs{b_}.h = a.band{b_} AND bs{b_}.n <= {cap}"
-        for b_ in range(4)
-    )
-    collapse = "\n  UNION\n".join(
-        f"  SELECT bs{b_}.keeper AS keeper, s.doc_id AS doc_id"
-        f" FROM sigs s JOIN bs{b_}"
-        f" ON s.band{b_} = bs{b_}.h AND bs{b_}.n > {cap} AND s.doc_id > bs{b_}.keeper"
-        for b_ in range(4)
-    )
+    if engine == "spark":
+        longsigs = (
+            "SELECT doc_id, pe.pos AS b, pe.col AS h"
+            " FROM sigs LATERAL VIEW posexplode(array(band0, band1, band2, band3))"
+            " pe AS pos, col"
+        )
+    else:
+        longsigs = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b_} AS b, band{b_} AS h FROM sigs"
+            for b_ in range(4)
+        )
     return f"""sigs AS ({sig}),
 {shingled_cte(engine)},
-{bstats},
-cand AS (
-{cands}
+longsigs AS (
+{longsigs}
 ),
-vpairs AS (
+marked AS (
+  SELECT doc_id, b, h,
+         count(*) OVER (PARTITION BY b, h) AS n,
+         min(doc_id) OVER (PARTITION BY b, h) AS keeper
+  FROM longsigs
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, m.doc_id AS doc_b
+  FROM marked a JOIN marked m ON a.b = m.b AND a.h = m.h AND a.doc_id < m.doc_id
+  WHERE a.n <= {cap}
+  UNION
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM marked
+  WHERE n > {cap} AND doc_id > keeper
+),
+edges AS (
   SELECT doc_a, doc_b FROM (
     SELECT c.doc_a, c.doc_b, {jac} AS jaccard
     FROM cand c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
   ) WHERE jaccard >= 0.5
-),
-collapse AS (
-{collapse}
-),
-vcollapse AS (
-  SELECT keeper, doc_id FROM (
-    SELECT c.keeper, c.doc_id, {jaccard_expr("sm.sh", "sk.sh", engine)} AS jaccard
-    FROM collapse c
-    JOIN shingled sk ON sk.doc_id = c.keeper
-    JOIN shingled sm ON sm.doc_id = c.doc_id
-  ) WHERE jaccard >= 0.5
-),
-edges AS (
-  SELECT doc_a, doc_b FROM vpairs
-  UNION
-  SELECT keeper AS doc_a, doc_id AS doc_b FROM vcollapse
 )"""
 
 
@@ -744,10 +757,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge set is the cap-aware chain contract
     (:func:`_neardup_edges_ctes`): over-cap LSH buckets contribute at
     most |B|−1 keeper-verified star edges (Jaccard ≥ 0.5 vs the
-    bucket-min keeper) instead of |B|²/2 enumerated pairs — a star is
-    connectivity-equivalent to the clique for components, so a giant
-    clone cluster still converges to one component in ONE propagation
-    round while the candidate join stays Σ_{|b|≤cap}|b|².
+    bucket-min keeper) instead of |B|²/2 enumerated pairs. When every
+    star edge passes the verify (the clone-cluster case the cap
+    exists for) the star is connectivity-equivalent to the clique, so
+    a giant clone cluster converges to one component in ONE
+    propagation round while the candidate join stays Σ_{|b|≤cap}|b|².
+    When individual star edges FAIL the verify (a band-hash
+    false-positive keeper), the failed members lose this bucket's
+    connectivity entirely — mutual member↔member duplicate edges are
+    only recovered if another band re-buckets them (documented recall
+    trade in :func:`_neardup_edges_ctes`).
     """
     docs = load_table(spark, "documents", sf_dir)
     docs.createOrReplaceTempView("documents")

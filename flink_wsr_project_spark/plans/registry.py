@@ -76,15 +76,19 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r6: uv_daily_kmv's h28 SQL expression is now ALSO the streaming
-    # twin's hash path (kmv_distinct_stream computes it JVM-side before
-    # the fold); re-verify the shared batch expression externally. The
-    # OHLC oracle's bias-constant interpolation was proven
-    # byte-identical (no canary needed); r5's seven canaries all earned
-    # their green rows in CORRECTNESS_r05 and rotate out so the
-    # 45-query r3 cohort (incl. hot_pages_topn, hot_items_topn_sql)
-    # fits the 50-slot window alongside this round's new queries.
-    "uv_daily_kmv",
+    # r9: _neardup_edges_ctes was re-architected (4 per-band
+    # aggregate-join-backs -> one long-format (b, h) window shuffle,
+    # single tag-unioned verify pass) — every chain consumer must earn
+    # a post-rewrite external row. dedup_keep_list / dedup_keep_best /
+    # dedup_components enter the r9 window by natural rotation
+    # (last green r6/r6/r7 — checked against _ordered()); the funnel
+    # would not, so it is pinned. dedup_minhash_lsh_capped is pinned
+    # because _LSH_BUCKET_CAP became env-derived (same default, but
+    # the constant now interpolates through os.environ).
+    # r6's uv_daily_kmv canary earned its green row in r8 and rotates
+    # out.
+    "curation_funnel",
+    "dedup_minhash_lsh_capped",
 )
 
 

@@ -192,7 +192,16 @@ def test_dimension_join_broadcasts(spark, name):
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
         ("user_value_ewma_partitioned", 1),  # one user_id shuffle; secondary-sort fold
         ("dedup_method_agreement", 3),  # LSH pairs + blocked cosine pairs + pair-key join
-        ("curation_funnel", 9),  # four member pipelines + attribution joins
+        # Measured member costs: quality 0 (row-local) + exact-dedup md5
+        # agg 1 + near-dup chain 5 (one (b,h) window shuffle per self-join
+        # side + pair-dedup + drops distinct + doc_id join) + decontam 3
+        # + attribution join 1 + final (source, stage) agg 1. The r6 pin
+        # of 9 predated the cap-aware verified chain (r7/r8 regressed it
+        # to 17/18 via per-band aggregate-join-back; the r9 long-format
+        # window layout is the lean shape at the chain's current
+        # semantics).
+        ("curation_funnel", 11),
+        ("dedup_keep_list", 5),  # (b,h) window x2 + pair-dedup + drops + join
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
         ("value_ohlc_hourly", 1),  # single-pass mergeable min_by/max_by bar compaction
         ("value_vwap_hourly", 1),  # JSON-extract inside one exact-integer agg

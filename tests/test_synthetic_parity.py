@@ -599,3 +599,81 @@ def test_kv_upsert_null_key_rows_excluded(spark, tmp_path):
     # 'None|view' / '10|' / NULL-keyed row
     assert got == {"10|view": "2", "11|view": "1"}
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "kv_upsert_null/synth")
+
+
+def test_star_edge_verify_rejects_false_positive_member(spark, tmp_path):
+    """The over-cap star edges are Jaccard-gated (r8), but at every
+    tested SF with cap=2 each over-cap bucket is a pure clone cluster,
+    so the reject branch (member fails Jaccard >= 0.5 vs the keeper)
+    was dead code. This corpus makes it fire deterministically: docs
+    1-3 are verbatim clones; doc 4 extends the clone text with 14 junk
+    tokens chosen (offline search over the repo's fixed md5/perm
+    constants) so its band-3 minhash minima all equal the clones' —
+    a REAL band-hash false positive — while exact 3-gram Jaccard vs
+    the clone is 11/25 = 0.44 < 0.5. Every bucket holding a clone
+    holds all three (size >= 3 > cap), so doc 4 can only reach the
+    clones through the star branch, and the verify must reject it:
+    doc 4 stays kept, alone in its component, on BOTH engines."""
+    from flink_wsr_project_spark.plans.pipeline_queries import _LSH_BUCKET_CAP
+
+    assert _LSH_BUCKET_CAP == 2  # the corpus below is built for cap=2
+    clone = "the quick brown fox jumps over the lazy dog again and again today"
+    fp = (
+        clone
+        + " umbrella dahlia cedar vortex juniper clove larch birch"
+        + " wombat moss sphinx kelp reed bramble"
+    )
+    rows = [
+        (1, clone, "en", "web", len(clone)),
+        (2, clone, "en", "web", len(clone)),
+        (3, clone, "en", "web", len(clone)),
+        (4, fp, "en", "web", len(fp)),
+        (20, "completely different content about spark structured streaming state",
+         "en", "web", 66),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+
+    keep = get("dedup_keep_list")
+    got = {r.doc_id: r.action for r in keep.spark_fn(spark, sf_dir).collect()}
+    # 2/3 collapse onto keeper 1; the false-positive member 4 fails the
+    # verify and stays kept (the branch this test exists to exercise).
+    assert got == {1: "keep", 2: "drop", 3: "drop", 4: "keep", 20: "keep"}
+
+    comp = get("dedup_components")
+    comps = {r.doc_id: r.component_id for r in comp.spark_fn(spark, sf_dir).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 20: 20}
+
+    for q in (keep, comp):
+        assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth-fp")
+
+
+def test_capped_keep_list_matches_uncapped_on_clones(spark, tmp_path):
+    """The chain docstring's contract: on PURE clone clusters the
+    cap-aware drop set equals the uncapped chain's (the star collapse
+    loses nothing when every star edge verifies). Corpus: a 5-clone
+    cluster (over-cap in every band at cap=2), a 2-doc near-dup pair
+    (within-cap), and an unrelated doc. The uncapped reference drop
+    set is computed from ``dedup_minhash_lsh`` pairs at the chain's
+    own threshold (>= 0.5): a doc is dropped iff it is doc_b of any
+    verified pair — identical rule, unbounded candidate join."""
+    clone = "pack my box with five dozen liquor jugs before the next auction today"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    rows = [(i, clone, "en", "web", len(clone)) for i in range(1, 6)] + [
+        (10, near_a, "en", "web", len(near_a)),
+        (11, near_b, "en", "web", len(near_b)),
+        (20, "completely different content about spark structured streaming state",
+         "en", "web", 66),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+
+    keep = get("dedup_keep_list")
+    capped_drops = {
+        r.doc_id for r in keep.spark_fn(spark, sf_dir).collect() if r.action == "drop"
+    }
+    uncapped = get("dedup_minhash_lsh")
+    uncapped_drops = {
+        r.doc_b for r in uncapped.spark_fn(spark, sf_dir).collect() if r.jaccard >= 0.5
+    }
+    assert capped_drops == uncapped_drops == {2, 3, 4, 5, 11}
+    assert_parity(keep.spark_fn(spark, sf_dir), keep.oracle, sf_dir, "keep_list/synth-clones")
