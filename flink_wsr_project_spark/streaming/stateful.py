@@ -59,12 +59,23 @@ def _make_sorted_epoch():
     return _sorted_epoch
 
 
-def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
+def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str, ttl_ms: int = 0):
     """Fold for :func:`login_fail_detector`, exposed at module level so
     the property suite can drive it directly with a fake state object.
     The returned ``fn`` is a nested closure over primitives only —
     cloudpickle serializes it by value exactly as when it was defined
-    inline, so worker self-containment is unchanged."""
+    inline, so worker self-containment is unchanged.
+
+    ``ttl_ms > 0`` arms an event-time eviction timer at the processed
+    frontier + ``ttl_ms`` on every invocation (clamped above the
+    current watermark — arming at/below it is an error that kills the
+    query); on timeout the key's state is dropped. A revived key
+    re-seeds fresh: the warning pair itself needs ``gap`` (seconds)
+    of adjacency, so eviction at an hours-scale TTL cannot lose a
+    warning — the only semantic change is that rows older than the
+    dead frontier are accepted again, and those are beyond the
+    watermark horizon by construction. 0 disables arming (the batch
+    / NoTimeout harness mode)."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -76,7 +87,20 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
         def _num(v):
             return float("nan") if v is None or math.isnan(v) else float(v)
 
+        def _arm(frontier_s):
+            if ttl_ms > 0 and not math.isnan(frontier_s):
+                state.setTimeoutTimestamp(
+                    max(
+                        int(frontier_s * 1000) + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         cols = ["user_id", "first_fail", "last_fail", "msg"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         # state: (last-fail ts or NaN, frontier = last PROCESSED ts).
         # The frontier is tracked separately because a trailing success
         # resets the fail carry to NaN — losing the frontier with it
@@ -87,6 +111,7 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((carry, frontier))
+            _arm(frontier)
             yield pd.DataFrame([], columns=cols)
             return
         pdf, t = sorted_epoch(chunks, tcol)
@@ -100,6 +125,7 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
                 pdf, t = pdf[keep], t[keep]
                 if not len(pdf):
                     state.update((carry, frontier))
+                    _arm(frontier)
                     yield pd.DataFrame([], columns=cols)
                     return
         is_fail = pdf[ycol].to_numpy() == fail
@@ -122,6 +148,7 @@ def build_login_fail_fn(gap: float, fail: str, tcol: str, ycol: str):
             columns=cols,
         )
         state.update((float(t[-1]) if is_fail[-1] else float("nan"), float(t[-1])))
+        _arm(float(t[-1]))
         yield out
 
     return fn
@@ -134,6 +161,8 @@ def login_fail_detector(
     user_col: str = "user_id",
     type_col: str = "event_type",
     fail_value: str = "error",
+    watermark: str = "10 minutes",
+    idle_ttl: str = "1 hour",
 ) -> DataFrame:
     """C1 streaming: two consecutive failures within ``max_gap_s`` per
     user → warning.
@@ -142,14 +171,32 @@ def login_fail_detector(
     contiguity, 2 s bound) and the hand-rolled ListState+timer twin
     LoginFail.scala:38-98. State: (last event was fail?, its ts) — two
     scalars per user, not a list of fails.
+
+    State is evicted once the watermark passes the user's processed
+    frontier + ``idle_ttl`` (event-time timeout): at 100 TB user-id
+    cardinality is the thing you don't control, and a NoTimeout fold
+    would hold two scalars per user FOREVER. The warning window is
+    ``max_gap_s`` (seconds), so an hours-scale TTL cannot suppress a
+    warning; a revived user re-seeds fresh (see
+    :func:`build_login_fail_fn`).
     """
-    fn = build_login_fail_fn(float(max_gap_s), str(fail_value), ts_col, type_col)
-    return events.groupBy(user_col).applyInPandasWithState(
+    streaming = events.isStreaming
+    fn = build_login_fail_fn(
+        float(max_gap_s),
+        str(fail_value),
+        ts_col,
+        type_col,
+        _interval_ms(idle_ttl) if streaming else 0,
+    )
+    pre = ensure_event_time(events, ts_col)
+    if streaming:
+        pre = pre.withWatermark(ts_col, watermark)
+    return pre.groupBy(user_col).applyInPandasWithState(
         fn,
         "user_id long, first_fail long, last_fail long, msg string",
         "last_fail double, frontier double",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -291,25 +338,45 @@ def order_timeout_monitor(
     )
 
 
-def build_uv_bloom_fn(nbits: int, sd: int, tcol: str, ucol: str):
+def build_uv_bloom_fn(nbits: int, sd: int, tcol: str, ucol: str, ttl_ms: int = 0):
     """Fold for :func:`uv_per_element_bloom` (module-level for the
     property suite; pickling semantics unchanged — see
-    :func:`build_login_fail_fn`)."""
+    :func:`build_login_fail_fn`).
+
+    ``ttl_ms > 0`` evicts a window's (count, bitmap) state once the
+    watermark passes window_end + ``ttl_ms`` (the KMV fold's eviction
+    pattern — the key IS the window end, so the timer needs no extra
+    state); 0 disables arming (batch / NoTimeout harness mode)."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
         import numpy as np
         import pandas as pd
 
+        cols = ["window_end", "user_id", "uv"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+
+        def _arm():
+            if ttl_ms > 0:
+                state.setTimeoutTimestamp(
+                    max(
+                        int(key[0]) * 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         if state.exists:
             count, bloom = state.get
             bloom_np = np.frombuffer(bloom, dtype=np.uint8).copy()
         else:
             count, bloom_np = 0, np.zeros(nbits >> 3, dtype=np.uint8)
-        cols = ["window_end", "user_id", "uv"]
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((int(count), bloom_np.tobytes()))
+            _arm()
             yield pd.DataFrame([], columns=cols)
             return
         # ONE micro-batch-wide stable sort (chunk-local sorts would
@@ -368,6 +435,7 @@ def build_uv_bloom_fn(nbits: int, sd: int, tcol: str, ucol: str):
             columns=cols,
         )
         state.update((int(count), bloom_np.tobytes()))
+        _arm()
         yield out
 
     return fn
@@ -379,6 +447,8 @@ def uv_per_element_bloom(
     seed: int = 61,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    watermark: str = "10 minutes",
+    close_ttl: str = "1 hour",
 ) -> DataFrame:
     """C6 + A10 streaming, EXACT per-element semantics: the reference's
     ``FIRE_AND_PURGE`` trigger emits an updated unique-visitor count for
@@ -407,11 +477,25 @@ def uv_per_element_bloom(
     nbits = int(bits)
     if nbits & (nbits - 1):
         raise ValueError("bits must be a power of two (reference Bloom contract)")
-    fn = build_uv_bloom_fn(nbits, int(seed), ts_col, user_col)
+    streaming = events.isStreaming
+    # eviction: FIRE_AND_PURGE never buffers elements, but the bitmap
+    # (bits/8 bytes per in-flight window) must still leave the state
+    # store once the watermark passes window_end + the close horizon —
+    # otherwise every closed hour accumulates 128 KiB forever
+    fn = build_uv_bloom_fn(
+        nbits,
+        int(seed),
+        ts_col,
+        user_col,
+        _interval_ms(close_ttl) if streaming else 0,
+    )
 
     from pyspark.sql import functions as F
 
-    keyed = events.withColumn(
+    pre = ensure_event_time(events, ts_col)
+    if streaming:
+        pre = pre.withWatermark(ts_col, watermark)
+    keyed = pre.withColumn(
         "window_end",
         ((F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) + 1) * 3600).cast("long"),
     )
@@ -420,7 +504,7 @@ def uv_per_element_bloom(
         "window_end long, user_id long, uv long",
         "count long, bloom binary",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -430,6 +514,8 @@ def blacklist_filter(
     user_col: str = "user_id",
     key_col: str = "ad_id",
     ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    idle_ttl: str = "25 hours",
 ) -> DataFrame:
     """C5 streaming: per-(user, ad) click counter; one-time warning when
     the daily count crosses the threshold.
@@ -438,21 +524,42 @@ def blacklist_filter(
     count + ``isSentBlackList`` flag, processing-time midnight reset
     (:20-22). Here the day is part of the state (event-time day —
     deterministic, SURVEY §7.4.5); crossing emits exactly one warning.
+
+    State is evicted once the watermark passes the state-day's END +
+    ``idle_ttl`` (event-time timeout): the counter is day-scoped by
+    design, so a (user, ad) pair that stops clicking must not hold
+    three scalars forever — at 100 TB the pair-key cardinality is the
+    unbounded dimension. The default TTL (25 h past day end) outlives
+    any day the counter can still legitimately change; a revived pair
+    re-seeds at count 0 exactly as the reference's midnight reset
+    does, and the late-day drop policy already made older rows no-ops.
     """
-    fn = build_blacklist_fn(int(threshold), ts_col)
-    return clicks.groupBy(user_col, key_col).applyInPandasWithState(
+    streaming = clicks.isStreaming
+    fn = build_blacklist_fn(
+        int(threshold), ts_col, _interval_ms(idle_ttl) if streaming else 0
+    )
+    pre = ensure_event_time(clicks, ts_col)
+    if streaming:
+        pre = pre.withWatermark(ts_col, watermark)
+    return pre.groupBy(user_col, key_col).applyInPandasWithState(
         fn,
         "user_id long, ad_id long, day string, click_count long, msg string",
         "day string, count long, warned long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )
 
 
-def build_blacklist_fn(cap: int, tcol: str):
+def build_blacklist_fn(cap: int, tcol: str, ttl_ms: int = 0):
     """Fold for :func:`blacklist_filter` (module-level for the property
     suite; pickling semantics unchanged — see
-    :func:`build_login_fail_fn`)."""
+    :func:`build_login_fail_fn`).
+
+    ``ttl_ms > 0`` arms an event-time eviction timer at the state-day's
+    END + ``ttl_ms`` (re-armable from the state alone — the day string
+    is the only timestamp the fold keeps), clamped above the current
+    watermark; on timeout the (user, ad) key's counter is dropped and a
+    revival re-seeds at 0. 0 disables arming."""
     sorted_epoch = _make_sorted_epoch()
 
     def fn(key, pdfs, state):
@@ -460,6 +567,10 @@ def build_blacklist_fn(cap: int, tcol: str):
         import pandas as pd
 
         cols = ["user_id", "ad_id", "day", "click_count", "msg"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         day, count, warned = state.get if state.exists else ("", 0, 0)
         out = []
         chunks = [p for p in pdfs if len(p)]
@@ -506,15 +617,32 @@ def build_blacklist_fn(cap: int, tcol: str):
                     )
                 day, count, warned = d, base + size, w
         state.update((day, count, warned))
+        if ttl_ms > 0 and day:
+            day_end_ms = (
+                int(np.datetime64(day, "D").astype("datetime64[s]").astype(np.int64))
+                + 86400
+            ) * 1000
+            state.setTimeoutTimestamp(
+                max(day_end_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(out, columns=cols)
 
     return fn
 
 
-def build_ewma_stream_fn(tcol: str, vcol: str):
+def build_ewma_stream_fn(tcol: str, vcol: str, ttl_ms: int = 0):
     """Fold for :func:`ewma_stream` (module-level for the property
     suite; pickling semantics unchanged — see
     :func:`build_login_fail_fn`).
+
+    ``ttl_ms > 0`` arms event-time eviction at the processed frontier
+    + ``ttl_ms`` (clamped above the watermark); on timeout the user's
+    (n, acc, frontier) drops and a revival restarts the recursion from
+    its first new value. Unlike the login-fail fold this IS a semantic
+    trade — the recursion spans the user's whole history — so the TTL
+    marks "this series ended"; it exists because at 100 TB key
+    cardinality, not per-key size, is what overruns a state store.
+    0 disables arming.
 
     State per user is three scalars — (n, acc, frontier) — the
     incremental form of the same e := (e + v) div 2 recursion the two
@@ -538,6 +666,20 @@ def build_ewma_stream_fn(tcol: str, vcol: str):
         import pandas as pd
 
         cols = ["user_id", "n_events", "ewma_milli"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+
+        def _arm(frontier_s):
+            if ttl_ms > 0 and not math.isnan(frontier_s):
+                state.setTimeoutTimestamp(
+                    max(
+                        int(frontier_s * 1000) + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         n, acc, frontier = state.get if state.exists else (0, 0, float("nan"))
         n = int(n)
         acc = int(acc)
@@ -546,6 +688,7 @@ def build_ewma_stream_fn(tcol: str, vcol: str):
             # a key invoked with no data (harness edge; Spark only
             # calls per-key on arrival) emits nothing, like the peers
             state.update((n, acc, frontier))
+            _arm(frontier)
             yield pd.DataFrame([], columns=cols)
             return
         pdf, t = sorted_epoch(chunks, tcol, extra_by=("event_id",))
@@ -563,6 +706,7 @@ def build_ewma_stream_fn(tcol: str, vcol: str):
         if len(pdf):
             frontier = float(t[-1])
         state.update((n, acc, frontier))
+        _arm(frontier)
         yield pd.DataFrame(
             {"user_id": [int(key[0])], "n_events": [n], "ewma_milli": [acc]},
             columns=cols,
@@ -576,6 +720,8 @@ def ewma_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    watermark: str = "3 seconds",
+    idle_ttl: str = "1 hour",
 ) -> DataFrame:
     """Streaming form of ``user_value_ewma``: per-user running
     exponentially weighted value (alpha = 1/2), emitted once per user
@@ -591,7 +737,10 @@ def ewma_stream(
 
     from flink_wsr_project_spark.operators.windows import milli_value
 
-    fn = build_ewma_stream_fn(ts_col, "v_milli")
+    streaming = events.isStreaming
+    fn = build_ewma_stream_fn(
+        ts_col, "v_milli", _interval_ms(idle_ttl) if streaming else 0
+    )
     pre = ensure_event_time(events, ts_col)
     src = pre.select(
         F.col(user_col).cast("long").alias(user_col),
@@ -599,14 +748,14 @@ def ewma_stream(
         F.col("event_id").cast("long").alias("event_id"),
         milli_value(value_col).alias("v_milli"),
     )
-    if src.isStreaming:
-        src = src.withWatermark(ts_col, "3 seconds")
+    if streaming:
+        src = src.withWatermark(ts_col, watermark)
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         "user_id long, n_events long, ewma_milli long",
         "n long, acc long, frontier double",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -867,7 +1016,7 @@ def cms_user_cells_stream(
     )
 
 
-def build_pattern_corr_fold(pattern: tuple[int, ...]):
+def build_pattern_corr_fold(pattern: tuple[int, ...], ttl_ms: int = 0):
     """Fold for :func:`pattern_corr_stream`: per-user state is the
     trailing ``len(pattern)-1`` (t, event_id, x) rows — exactly the
     buffer the batch ``series_pattern_topk`` materializes as lag
@@ -899,6 +1048,20 @@ def build_pattern_corr_fold(pattern: tuple[int, ...]):
         import pandas as pd
 
         cols = ["user_id", "event_id", "window_end_ts", "corr_milli"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+
+        def _arm(frontier_s):
+            if ttl_ms > 0 and frontier_s is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        int(frontier_s) * 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
             ts0, eid0, xs0, frontier = state.get
@@ -909,6 +1072,7 @@ def build_pattern_corr_fold(pattern: tuple[int, ...]):
             if frontier is not None:
                 pdf = pdf[pdf["t"].to_numpy(np.int64) >= frontier]
         if not len(pdf):
+            _arm(frontier)
             yield pd.DataFrame([], columns=cols)
             return
         t = np.concatenate([np.asarray(ts0, np.int64), pdf["t"].to_numpy(np.int64)])
@@ -943,6 +1107,7 @@ def build_pattern_corr_fold(pattern: tuple[int, ...]):
                 )
         tail = slice(max(0, len(x) - (k - 1)), len(x))
         state.update((t[tail].tolist(), eid[tail].tolist(), x[tail].tolist(), int(t[-1])))
+        _arm(int(t[-1]))
         yield out
 
     return fn
@@ -956,6 +1121,7 @@ def pattern_corr_stream(
     user_col: str = "user_id",
     id_col: str = "event_id",
     watermark: str = "3 seconds",
+    idle_ttl: str = "1 hour",
 ) -> DataFrame:
     """Streaming twin of the batch ``series_pattern_topk`` scorer (the
     lag-window subsequence correlation, emitted per window instead of
@@ -970,7 +1136,11 @@ def pattern_corr_stream(
 
     from flink_wsr_project_spark.operators.windows import milli_value
 
-    fn = build_pattern_corr_fold(tuple(int(p) for p in pattern))
+    streaming = events.isStreaming
+    fn = build_pattern_corr_fold(
+        tuple(int(p) for p in pattern),
+        _interval_ms(idle_ttl) if streaming else 0,
+    )
     pre = ensure_event_time(events, ts_col)
     keyed = pre.select(
         F.col(user_col).alias("user_id"),
@@ -980,18 +1150,18 @@ def pattern_corr_stream(
         milli_value(value_col).alias("x"),
         F.col(ts_col),
     )
-    if events.isStreaming:
+    if streaming:
         keyed = keyed.withWatermark(ts_col, watermark)
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         "user_id long, event_id long, window_end_ts long, corr_milli long",
         "ts array<long>, eids array<long>, xs array<long>, frontier long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )
 
 
-def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
+def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str, ttl_ms: int = 0):
     """Fold for :func:`locf_stream`: per-user state is FOUR longs —
     the last observation (t, value, event_id) plus the next un-emitted
     grid point — the O(1) carry-forward state the batch twin
@@ -1018,10 +1188,27 @@ def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
         import pandas as pd
 
         cols = ["user_id", "grid_ts", "locf_milli"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {c: pd.array([], dtype="Int64") for c in cols}, columns=cols
+            )
+            return
+
+        def _arm(last_obs_s):
+            if ttl_ms > 0:
+                state.setTimeoutTimestamp(
+                    max(
+                        int(last_obs_s) * 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             if state.exists:
                 state.update(tuple(state.get))
+                _arm(state.get[0])
             yield pd.DataFrame({c: pd.array([], dtype="Int64") for c in cols}, columns=cols)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -1050,6 +1237,7 @@ def build_locf_fold(step: int, tcol: str, vcol: str, ocol: str):
         vals = pd.array(v[np.maximum(idx, 0)], dtype="Int64")
         vals[idx < 0] = pd.NA  # grid point before the first observation
         state.update((int(t[-1]), int(v[-1]), int(o[-1]), int(last_grid + step)))
+        _arm(int(t[-1]))
         yield pd.DataFrame(
             {
                 "user_id": pd.array([int(key[0])] * len(gs), dtype="Int64"),
@@ -1068,6 +1256,8 @@ def locf_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    watermark: str = "3 seconds",
+    idle_ttl: str = "1 hour",
 ) -> DataFrame:
     """Streaming twin of ``user_value_locf``: per-user
     last-observation-carried-forward resampling onto a ``step``-second
@@ -1088,7 +1278,14 @@ def locf_stream(
 
     from flink_wsr_project_spark.operators.windows import milli_value
 
-    fn = build_locf_fold(int(step), "t_sec", "v_milli", "event_id")
+    streaming = events.isStreaming
+    fn = build_locf_fold(
+        int(step),
+        "t_sec",
+        "v_milli",
+        "event_id",
+        _interval_ms(idle_ttl) if streaming else 0,
+    )
     pre = ensure_event_time(events, ts_col)
     src = pre.select(
         F.col(user_col).cast("long").alias(user_col),
@@ -1098,12 +1295,12 @@ def locf_stream(
         F.col("event_id").cast("long").alias("event_id"),
         milli_value(value_col).alias("v_milli"),
     )
-    if src.isStreaming:
-        src = src.withWatermark(ts_col, "3 seconds")
+    if streaming:
+        src = src.withWatermark(ts_col, watermark)
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         "user_id long, grid_ts long, locf_milli long",
         "t long, v long, o long, next_grid long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if streaming else GroupStateTimeout.NoTimeout,
     )

@@ -34,6 +34,10 @@ class FakeState:
         self._v = None
         self.hasTimedOut = False
         self.timeout_ts = None
+        self.watermark_ms = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
 
     @property
     def exists(self):
@@ -1065,3 +1069,151 @@ def test_band_claim_keeper_is_first_of_first_batch(rows, batch_cuts, chunk_split
     assert int(state.get[0]) == keeper
     # t is millisecond-granular; the eviction timer adds ttl directly
     assert state.timeout_ts == int(df["t"].max()) + 1000
+
+
+# ---------------------------------------------------------------------------
+# event-time eviction: every per-key fold arms, evicts, and re-seeds
+# ---------------------------------------------------------------------------
+
+
+def _login_batch(ts_s, types):
+    return [[pd.DataFrame({"ts": pd.to_datetime(ts_s, unit="s"), "event_type": types})]]
+
+
+def test_login_fail_fold_evicts_and_reseeds():
+    """TTL contract (r6 verdict item 4): with ttl_ms > 0 the fold arms
+    an event-time timer at frontier + ttl on EVERY invocation (v1
+    timeouts are cleared per call), removes state on hasTimedOut, and
+    a revived key re-seeds fresh — a post-eviction fail pair must
+    still warn."""
+    from flink_wsr_project_spark.streaming.stateful import build_login_fail_fn
+
+    ttl = 3_600_000
+    fn = build_login_fail_fn(2.0, "error", "ts", "event_type", ttl_ms=ttl)
+    out, state = _run_fold(fn, (7,), _login_batch([10, 11], ["error", "error"]))
+    assert len(out) == 1  # sanity: the pair warns
+    assert state.timeout_ts == 11_000 + ttl  # armed at frontier + ttl
+
+    # watermark clamp: a timer at/below the watermark kills the query
+    state.watermark_ms = 12_000_000
+    out2, state = _run_fold(fn, (7,), _login_batch([12], ["ok"]), state=state)
+    assert state.timeout_ts == 12_000_001  # wm + 1, not 12_000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7,), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0  # evicted, no output
+    state.hasTimedOut = False
+
+    # revival: fresh state, the adjacency logic restarts cleanly
+    out3, state = _run_fold(fn, (7,), _login_batch([20, 21], ["error", "error"]), state=state)
+    assert len(out3) == 1 and int(out3.iloc[0].first_fail) == 20
+
+
+def test_ewma_fold_evicts_and_reseeds():
+    from flink_wsr_project_spark.streaming.stateful import build_ewma_stream_fn
+
+    ttl = 60_000
+    fn = build_ewma_stream_fn("ts", "v_milli", ttl_ms=ttl)
+    batch = [[pd.DataFrame({
+        "ts": pd.to_datetime([5, 6], unit="s"),
+        "event_id": [1, 2],
+        "v_milli": [1000, 3000],
+    })]]
+    out, state = _run_fold(fn, (7,), batch)
+    assert int(out.iloc[-1].ewma_milli) == 2000 and state.timeout_ts == 6_000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7,), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0
+    state.hasTimedOut = False
+
+    # revival restarts the recursion from the first new value — the
+    # documented semantic trade of evicting a whole-history fold
+    out2, state = _run_fold(fn, (7,), [[pd.DataFrame({
+        "ts": pd.to_datetime([100], unit="s"), "event_id": [3], "v_milli": [9000],
+    })]], state=state)
+    assert int(out2.iloc[0].n_events) == 1 and int(out2.iloc[0].ewma_milli) == 9000
+
+
+def test_blacklist_fold_evicts_at_day_end_and_reseeds():
+    from flink_wsr_project_spark.streaming.stateful import build_blacklist_fn
+
+    ttl = 90_000_000  # 25 h
+    fn = build_blacklist_fn(2, "ts", ttl_ms=ttl)
+    out, state = _run_fold(fn, (7, 9), [[pd.DataFrame({
+        "ts": pd.to_datetime([86400 + 10], unit="s"),
+    })]])
+    # armed at the STATE DAY's end + ttl (re-armable from state alone)
+    assert state.timeout_ts == 2 * 86400 * 1000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7, 9), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0
+    state.hasTimedOut = False
+
+    # revival re-seeds at count 0: three clicks re-cross the cap
+    out2, state = _run_fold(fn, (7, 9), [[pd.DataFrame({
+        "ts": pd.to_datetime([10 * 86400 + i for i in range(3)], unit="s"),
+    })]], state=state)
+    assert len(out2) == 1 and "WARNING" in out2.iloc[0].msg
+
+
+def test_locf_fold_evicts_and_reseeds():
+    from flink_wsr_project_spark.streaming.stateful import build_locf_fold
+
+    ttl = 60_000
+    fn = build_locf_fold(10, "t_sec", "v_milli", "event_id", ttl_ms=ttl)
+    out, state = _run_fold(fn, (7,), [[pd.DataFrame({
+        "t_sec": [5, 25], "v_milli": [100, 200], "event_id": [1, 2],
+    })]])
+    assert state.timeout_ts == 25_000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7,), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0
+    state.hasTimedOut = False
+
+    # revival: the grid cursor restarts at the new first observation
+    out2, state = _run_fold(fn, (7,), [[pd.DataFrame({
+        "t_sec": [100], "v_milli": [700], "event_id": [3],
+    })]], state=state)
+    assert out2.grid_ts.tolist() == [100] and out2.locf_milli.tolist() == [700]
+
+
+def test_pattern_corr_fold_evicts_and_reseeds():
+    from flink_wsr_project_spark.streaming.stateful import build_pattern_corr_fold
+
+    ttl = 60_000
+    fn = build_pattern_corr_fold((1, 2, 3), ttl_ms=ttl)
+    out, state = _run_fold(fn, (7,), [[pd.DataFrame({
+        "t": [1, 2, 3], "event_id": [1, 2, 3], "x": [10, 20, 30],
+    })]])
+    assert len(out) == 1 and state.timeout_ts == 3_000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7,), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0
+    state.hasTimedOut = False
+
+    # revival: the trailing buffer is gone — the first post-eviction
+    # window needs k fresh rows
+    out2, state = _run_fold(fn, (7,), [[pd.DataFrame({
+        "t": [100, 101], "event_id": [4, 5], "x": [1, 2],
+    })]], state=state)
+    assert len(out2) == 0  # only k-1 rows since revival
+
+
+def test_uv_bloom_fold_evicts_closed_window():
+    from flink_wsr_project_spark.streaming.stateful import build_uv_bloom_fn
+
+    ttl = 3_600_000
+    fn = build_uv_bloom_fn(1 << 10, 61, "ts", "user_id", ttl_ms=ttl)
+    out, state = _run_fold(fn, (7200,), [[pd.DataFrame({
+        "ts": pd.to_datetime([3700], unit="s"), "user_id": [42],
+    })]])
+    # the key IS the window end: armed at window_end + ttl
+    assert state.timeout_ts == 7200 * 1000 + ttl
+
+    state.hasTimedOut = True
+    outs = list(fn((7200,), iter([]), state))
+    assert not state.exists and len(outs[0]) == 0

@@ -1960,3 +1960,57 @@ def test_stratified_sample_is_stream_safe(spark, tmp_path):
     q.stop()
     got = {r.doc_id: r.sampled for r in spark.sql("SELECT * FROM samp_s").collect()}
     assert got == want and len(got) == 60 and any(got.values()) and not all(got.values())
+
+
+def test_ewma_state_evicts_idle_users_and_reseeds(spark, tmp_path):
+    """Mechanical pin of the per-USER idle-state eviction (r6 verdict
+    item 4, the 100 TB key-cardinality bound): a user idle past
+    ``idle_ttl`` is REMOVED from the state store once the watermark
+    passes their frontier + ttl (observable in numRowsTotal), and a
+    post-eviction arrival re-seeds the fold — n_events restarts at 1,
+    the documented revival semantics of evicting a whole-history
+    fold."""
+    import os
+
+    from flink_wsr_project_spark.streaming.stateful import ewma_stream
+
+    d = str(tmp_path / "ewma_evict")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows, tag):  # rows: (epoch_s, user_id, value)
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="s").astype(
+                    "datetime64[us]"
+                ),
+                "user_id": pd.array([r[1] for r in rows], dtype="int64"),
+                "event_id": pd.array(range(len(rows)), dtype="int64"),
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([(100, 7, 1.0)], "b1")
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = ewma_stream(stream, idle_ttl="2 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("ewma_ev").start()
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    # user 8 far in the future advances the watermark past 100 + 2 s …
+    write([(100000, 8, 2.0)], "b2")
+    q.processAllAvailable()
+    # … and the NEXT trigger (watermark updated at batch end) fires
+    # user 7's timer: only users 8 and 9 remain in the store
+    write([(100001, 9, 3.0)], "b3")
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
+    # revival: user 7 re-seeds fresh — n_events restarts at 1
+    write([(100005, 7, 5.0)], "b4")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM ewma_ev WHERE user_id = 7 ORDER BY n_events"
+    ).collect()
+    assert [(r.n_events, r.ewma_milli) for r in rows] == [(1, 1000), (1, 5000)]
