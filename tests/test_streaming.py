@@ -1962,6 +1962,54 @@ def test_stratified_sample_is_stream_safe(spark, tmp_path):
     assert got == want and len(got) == 60 and any(got.values()) and not all(got.values())
 
 
+def test_ann_probe_recall(spark):
+    """Multi-probe (Hamming-1) must measurably beat the single-bucket
+    probe on recall@10 vs exact brute force — the r6-verdict gap: the
+    probe's recall was never measured, so its coverage cost was
+    unknown. Ground truth is the numpy exact cosine top-10 with the
+    probe's own tie rule (micro-cosine desc, id asc). All inputs and
+    the SRP weights are deterministic, so the two recalls are stable
+    constants: ~0.128 single-bucket, ~0.241 at radius 1 on the 500-
+    vector corpus (sf0.001, 60 queries ~0.13/0.24) — asserted as
+    floors with slack, plus the strict improvement that justifies the
+    9x probe-side row cost."""
+    import numpy as np
+
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_stream
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    cp = corpus.toPandas()
+    qpdf = cp.iloc[:60].rename(columns={"vec_id": "query_id"}).copy()
+    qpdf["ts"] = pd.to_datetime([1000] * len(qpdf), unit="s").astype("datetime64[us]")
+    queries = spark.createDataFrame(qpdf[["query_id", "ts", "embedding"]])
+
+    M = np.vstack(cp["embedding"].to_numpy()).astype("float64")
+    ids = cp["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = np.nan
+    qM = np.vstack(qpdf["embedding"].to_numpy()).astype("float64")
+    qn = np.linalg.norm(qM, axis=1)
+    qn[qn == 0] = np.nan
+    sim = (qM @ M.T) / np.outer(qn, norms)
+    k = 10
+    truth = {}
+    for i, qid in enumerate(qpdf["query_id"]):
+        micro = np.floor(np.nan_to_num(sim[i], nan=-2.0) * 1e6).astype("int64")
+        order = sorted(zip(micro, ids), key=lambda t: (-t[0], t[1]))
+        truth[qid] = {v for _, v in order[:k]}
+
+    def recall(radius):
+        rows = ann_probe_stream(queries, corpus, k=k, hamming_probe=radius).collect()
+        assert len(rows) == len(qpdf)
+        return sum(
+            len({s.neighbor_id for s in r.topk} & truth[r.query_id]) / k for r in rows
+        ) / len(rows)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0 + 0.05, f"multi-probe must beat single-bucket: {r0=} {r1=}"
+    assert r0 >= 0.08 and r1 >= 0.18, f"recall floor regressed: {r0=} {r1=}"
+
+
 def test_ewma_state_evicts_idle_users_and_reseeds(spark, tmp_path):
     """Mechanical pin of the per-USER idle-state eviction (r6 verdict
     item 4, the 100 TB key-cardinality bound): a user idle past
