@@ -379,6 +379,56 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_lsh_bucket_skew_sql("spark"))
 
 
+def _neardup_bucket_claims_oracle() -> str:
+    """DuckDB twin of the streaming band-claim contract at doc_id
+    arrival order: per (band, band_hash) bucket the keeper is the
+    first arrival (= min doc_id when arrival order IS doc_id) and
+    exactly that row is the bucket-opening claim."""
+    sig = signature_sql("duckdb")
+    longsigs = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b_} AS band, band{b_} AS band_hash FROM sigs"
+        for b_ in range(4)
+    )
+    return f"""
+WITH sigs AS ({sig}),
+longsigs AS (
+{longsigs}
+)
+SELECT doc_id, band,
+       min(doc_id) OVER (PARTITION BY band, band_hash) AS keeper_doc_id,
+       doc_id = min(doc_id) OVER (PARTITION BY band, band_hash) AS is_new_bucket
+FROM longsigs
+"""
+
+
+@register(
+    "neardup_bucket_claims",
+    oracle=_neardup_bucket_claims_oracle(),
+    tags=("pipeline", "dedup", "streaming"),
+)
+def neardup_bucket_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup suppressor's per-band bucket claims,
+    driver-checkable: routes the documents table through the REAL
+    ``dedup_stream_near`` batch branch (streaming/dedup.py — the same
+    signature fold, band keys, and keep-first-per-bucket contract the
+    applyInPandasWithState fold implements), with arrival order =
+    doc_id (event time derived from it). One row per (doc, band):
+    the bucket's keeper and whether this row opened the bucket. The
+    oracle re-derives the contract relationally (keeper = min doc_id
+    per bucket at this arrival order), so the external gate now pins
+    the streaming arm's semantics, not just local stream==batch tests.
+
+    Scale shape: identical to the stream — one shuffle on the 32-char
+    band hash, state/window bounded per bucket; nothing quadratic.
+    """
+    from flink_wsr_project_spark.streaming.dedup import dedup_stream_near
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id"))
+    )
+    return dedup_stream_near(docs)
+
+
 def _ngram_jaccard_sql(engine: str) -> str:
     """Exact all-pairs n-gram Jaccard on a bounded id range (the
     exactness baseline the LSH path approximates)."""

@@ -86,9 +86,13 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # because _LSH_BUCKET_CAP became env-derived (same default, but
     # the constant now interpolates through os.environ).
     # r6's uv_daily_kmv canary earned its green row in r8 and rotates
-    # out.
+    # out. dedup_components is pinned because registering
+    # neardup_bucket_claims (tier-0, never verified) would otherwise
+    # displace it from the 50-slot window to position 51 (checked
+    # against _ordered()) — and it consumes the rewritten edge CTE.
     "curation_funnel",
     "dedup_minhash_lsh_capped",
+    "dedup_components",
 )
 
 
