@@ -73,13 +73,42 @@ def shingled_cte(engine: str, source: str = "documents") -> str:
 
 
 def minhash_expr(shingles: str, k: int, engine: str) -> str:
-    """MinHash value for permutation k over a shingle-array expression."""
+    """MinHash value for permutation k over a shingle-array expression.
+
+    Column-expression form (hashes the shingles inline) — used where a
+    single permutation is applied (text fingerprint, streaming fold's
+    per-column exprs). The multi-permutation SQL path goes through
+    ``hashed_cte`` + ``minhash_from_hashed_expr`` instead, which hash
+    each shingle ONCE for all 16 permutations (same values, 16× fewer
+    md5 calls — the md5 is the dominant cost of signature computation,
+    measured at 40 s/50 k docs when recomputed per permutation)."""
     a, b = PERMS[k]
     hv = h28("s", engine)
     body = f"({a} * {hv} + {b}) % {MINHASH_P}"
     if engine == "spark":
         return f"array_min(transform({shingles}, s -> {body}))"
     return f"list_min(list_transform({shingles}, s -> {body}))"
+
+
+def hashed_cte(engine: str) -> str:
+    """CTE producing (doc_id, hv): the 28-bit hash of every shingle,
+    computed once and folded by all permutations downstream."""
+    hv = h28("s", engine)
+    if engine == "spark":
+        arr = f"transform(sh, s -> {hv})"
+    else:
+        arr = f"list_transform(sh, s -> {hv})"
+    return f"hashed AS (SELECT doc_id, {arr} AS hv FROM shingled)"
+
+
+def minhash_from_hashed_expr(k: int, engine: str, arr: str = "hv") -> str:
+    """MinHash value for permutation k over a pre-hashed int array
+    ``arr`` (see ``hashed_cte``) — pure arithmetic, no md5."""
+    a, b = PERMS[k]
+    body = f"({a} * v + {b}) % {MINHASH_P}"
+    if engine == "spark":
+        return f"array_min(transform({arr}, v -> {body}))"
+    return f"list_min(list_transform({arr}, v -> {body}))"
 
 
 def band_hash_expr(mh_cols: list[str], engine: str) -> str:
@@ -94,10 +123,13 @@ def band_hash_expr(mh_cols: list[str], engine: str) -> str:
 def signature_sql(engine: str, source: str = "documents") -> str:
     """Full signature projection: doc_id, mh0..mhK-1, band0..bandB-1.
 
-    Single scan, no explode: minhash folds over the shingle array.
+    Single scan, no explode: each shingle is md5-hashed ONCE
+    (``hashed_cte``), then all 16 permutations fold pure arithmetic
+    over the int array. Value-identical to hashing inside each fold
+    but ~16× cheaper — md5 is the dominant signature cost.
     """
     mh_cols = ",\n       ".join(
-        f"{minhash_expr('sh', k, engine)} AS mh{k}" for k in range(N_PERMS)
+        f"{minhash_from_hashed_expr(k, engine)} AS mh{k}" for k in range(N_PERMS)
     )
     bands = ",\n       ".join(
         band_hash_expr([f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], engine)
@@ -106,7 +138,8 @@ def signature_sql(engine: str, source: str = "documents") -> str:
     )
     return (
         f"WITH {shingled_cte(engine, source)},\n"
-        f"sigs AS (SELECT doc_id,\n       {mh_cols}\n  FROM shingled)\n"
+        f"{hashed_cte(engine)},\n"
+        f"sigs AS (SELECT doc_id,\n       {mh_cols}\n  FROM hashed)\n"
         f"SELECT doc_id,\n       {bands}\n  FROM sigs"
     )
 

@@ -143,7 +143,8 @@ def dedup_stream_near(
         N_BANDS,
         N_PERMS,
         band_hash_expr,
-        minhash_expr,
+        h28,
+        minhash_from_hashed_expr,
         shingles_from_toks,
         toks_expr,
     )
@@ -152,10 +153,17 @@ def dedup_stream_near(
     pre = ensure_event_time(stream, ts_col)
     pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
     pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
+    # hash each shingle ONCE; the 16 permutation folds below are then
+    # pure arithmetic (md5 per permutation was the dominant per-doc
+    # cost — same fix as the batch signature_sql)
+    pre = pre.withColumn("_hv", F.expr(f"transform(_sh, s -> {h28('s', 'spark')})"))
     # ONE projection for all 16 minhashes (chained withColumn nests a
     # Project per call — needless per-trigger analyzer work)
     pre = pre.withColumns(
-        {f"_mh{k}": F.expr(minhash_expr("_sh", k, "spark")) for k in range(N_PERMS)}
+        {
+            f"_mh{k}": F.expr(minhash_from_hashed_expr(k, "spark", arr="_hv"))
+            for k in range(N_PERMS)
+        }
     )
     bands = ", ".join(
         band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
