@@ -21,7 +21,7 @@ from flink_wsr_project_spark.operators.dedup import (
     toks_expr,
     hamming_expr,
     jaccard_expr,
-    minhash_expr,
+    minhash_from_hashed_expr,
     shingled_cte,
     signature_sql,
     simhash_sql,
@@ -470,8 +470,10 @@ def _minhash_jaccard_error_sql(engine: str) -> str:
     without any quadratic term.
     """
     mh_cols = ", ".join(
-        f"{minhash_expr('sh', k, engine)} AS mh{k}" for k in range(N_PERMS)
+        f"{minhash_from_hashed_expr(k, engine)} AS mh{k}" for k in range(N_PERMS)
     )
+    xform = "transform" if engine == "spark" else "list_transform"
+    hv = f"{xform}(sh, s -> {h28('s', engine)})"
     matches = " + ".join(
         f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(N_PERMS)
     )
@@ -483,7 +485,8 @@ def _minhash_jaccard_error_sql(engine: str) -> str:
         inter = "len(list_intersect(a.sh, b.sh))"
     return f"""
 WITH {shingled_cte(engine)},
-sigs AS (SELECT doc_id, sh, {mh_cols} FROM shingled WHERE doc_id < 150),
+hashed AS (SELECT doc_id, sh, {hv} AS hv FROM shingled WHERE doc_id < 150),
+sigs AS (SELECT doc_id, sh, {mh_cols} FROM hashed),
 scored AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(FLOOR(({inter} * 1000) / ({na} + {nb} - {inter})) AS BIGINT) AS jaccard_milli,

@@ -617,3 +617,56 @@ def test_cumulate_final_step_equals_tumble_and_grows(spark):
         last_end, last_cnt = steps[-1]
         assert last_end == start + 3600
         assert last_cnt == tumble[last_end]  # final firing == tumble
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg 0'%\\_", min_size=0, max_size=12),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_hashed_path_equals_per_permutation_md5(docs):
+    """r9 pinned equivalence: ``minhash_from_hashed_expr`` over the
+    once-hashed shingle array must equal the original ``minhash_expr``
+    (md5 re-run inside every permutation fold) for every permutation,
+    on arbitrary shingle strings including empties, quotes, percent
+    and backslash. DuckDB evaluates both expression forms; the
+    Spark<->DuckDB parity suite then carries the identity to Spark."""
+    import duckdb
+
+    from flink_wsr_project_spark.operators.dedup import (
+        N_PERMS,
+        h28,
+        minhash_expr,
+        minhash_from_hashed_expr,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        # empty lists bind as INTEGER[]; force VARCHAR[] explicitly
+        "CREATE TABLE t AS SELECT doc_id, CAST(sh AS VARCHAR[]) AS sh FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(docs)))
+        + ") v(doc_id, sh)",
+        [list(d) for d in docs],
+    )
+    old_cols = ", ".join(
+        f"{minhash_expr('sh', k, 'duckdb')} AS o{k}" for k in range(N_PERMS)
+    )
+    new_cols = ", ".join(
+        f"{minhash_from_hashed_expr(k, 'duckdb')} AS n{k}" for k in range(N_PERMS)
+    )
+    rows = con.sql(
+        f"WITH h AS (SELECT doc_id, sh, "
+        f"list_transform(sh, s -> {h28('s', 'duckdb')}) AS hv FROM t) "
+        f"SELECT {old_cols}, {new_cols} FROM h ORDER BY doc_id"
+    ).fetchall()
+    from flink_wsr_project_spark.operators.dedup import N_PERMS as P
+
+    for row in rows:
+        assert row[:P] == row[P:]
