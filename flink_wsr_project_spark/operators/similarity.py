@@ -65,10 +65,19 @@ def cosine_expr(a: str, b: str, engine: str) -> str:
     )
 
 
-def srp_bucket_expr(v: str, engine: str) -> str:
-    """8-bit SRP bucket id of a vector expression."""
+def srp_bucket_expr(v: str, engine: str, table: int = 0) -> str:
+    """8-bit SRP bucket id of a vector expression.
+
+    ``table`` selects an INDEPENDENT hyperplane set (standard
+    L-tables LSH): table t draws its 8 hyperplanes from LCG rows
+    t·SRP_BITS+j, so distinct tables share no weights (row stride is
+    64 = the embedding dim, so (table, bit, dim) indices never
+    collide). ``table=0`` is bit-identical to the original
+    single-table expression — every existing batch query and oracle
+    is unchanged."""
     terms = []
-    for j in range(SRP_BITS):
+    for j_ in range(SRP_BITS):
+        j = table * SRP_BITS + j_
         if engine == "spark":
             proj = (
                 f"aggregate(transform({v}, (x, i) -> cast(x as double) * {srp_weight_expr(j, 'i', 'spark')}), "
@@ -79,5 +88,5 @@ def srp_bucket_expr(v: str, engine: str) -> str:
                 f"list_reduce(list_transform(range(len({v})), i -> "
                 f"CAST({v}[i+1] AS DOUBLE) * {srp_weight_expr(j, 'i', 'duckdb')}), (x, y) -> x + y)"
             )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j_} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"

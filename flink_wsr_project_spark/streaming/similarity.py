@@ -33,6 +33,7 @@ def ann_probe_stream(
     window: str = "1 minute",
     watermark: str = "10 minutes",
     hamming_probe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Per-query top-k nearest corpus vectors, SRP-bucket-blocked
     multi-probe LSH.
@@ -56,10 +57,23 @@ def ann_probe_stream(
     at sf0.01, 500-vector corpus, 100 queries: recall@10 vs brute
     force 0.129 single-bucket → 0.223 at radius 1, at 9× probe-side
     candidate rows; SCALE.md r9 and
-    tests/test_streaming.py::test_ann_probe_recall). Each corpus
-    vector lives in exactly one bucket and probe ids are distinct, so
-    no candidate dedup is needed. Radius 0 restores the single-bucket
-    probe.
+    tests/test_streaming.py::test_ann_probe_recall). Radius 0
+    restores the single-bucket probe.
+
+    ``n_tables`` is the other recall dial — standard L-tables LSH: L
+    INDEPENDENT 8-bit SRP codes (disjoint hyperplane sets, see
+    ``srp_bucket_expr``'s ``table`` arg), each probed at the same
+    Hamming radius; a true neighbor is found if ANY table co-buckets
+    it, so recall compounds ≈ 1−(1−r)^L while the index and probe
+    rows scale ×L. The same (query, corpus) candidate can now arrive
+    from several tables with an IDENTICAL (score, id) struct, so the
+    rollup aggregates with ``collect_set`` — dedup falls out of set
+    semantics with no extra stateful op (order of rows never matters:
+    the struct is deterministic). Measured recall@10 at radius 1 on
+    the sf0.01 corpus: 0.223 / 0.314 / 0.386 / 0.447 at 1/2/3/4
+    tables (pinned with the radius trade by
+    ``test_ann_probe_recall``); cost is ×L index rows and ×L probe
+    rows, the classic LSH recall/space dial.
 
     100 TB: the broadcast corpus is the retrieval-index contract (ship
     the index, not the raw corpus); outgrowing a broadcast turns the
@@ -70,16 +84,23 @@ def ann_probe_stream(
     """
     if not 0 <= hamming_probe <= 1:
         raise ValueError(f"hamming_probe must be 0 or 1, got {hamming_probe}")
-    bucket = srp_bucket_expr("_v", "spark")
+    if not 1 <= n_tables <= 4:
+        raise ValueError(f"n_tables must be in [1, 4], got {n_tables}")
+    from flink_wsr_project_spark.operators.similarity import SRP_BITS
+
     cos = cosine_expr("_qv", "_cv", "spark")
+    # index side: one (table, bucket) row per corpus vector per table
+    centries = ", ".join(
+        f"struct({t} AS t, {srp_bucket_expr('_cv', 'spark', t)} AS h)"
+        for t in range(n_tables)
+    )
     corpus_b = F.broadcast(
         corpus.select(
             F.col(corpus_id_col).alias("_cid"),
             F.col(corpus_vec_col).alias("_cv"),
         )
-        .withColumn("_v", F.col("_cv"))
-        .withColumn("_cbucket", F.expr(bucket))
-        .drop("_v")
+        .withColumn("_ctb", F.explode(F.expr(f"array({centries})")))
+        .select("_cid", "_cv", F.col("_ctb.t").alias("_ctable"), F.col("_ctb.h").alias("_cbucket"))
     )
     pre = (
         ensure_event_time(queries, ts_col)
@@ -88,27 +109,34 @@ def ann_probe_stream(
             F.col(ts_col),
             F.col(vec_col).alias("_qv"),
         )
-        .withColumn("_v", F.col("_qv"))
-        .withColumn("_qbucket", F.expr(bucket))
-        .drop("_v")
+        .withColumns(
+            {
+                f"_qb{t}": F.expr(srp_bucket_expr("_qv", "spark", t))
+                for t in range(n_tables)
+            }
+        )
     )
     if queries.isStreaming:
         pre = pre.withWatermark(ts_col, watermark)
-    if hamming_probe >= 1:
-        from flink_wsr_project_spark.operators.similarity import SRP_BITS
-
-        flips = ", ".join(f"_qbucket ^ {1 << j}" for j in range(SRP_BITS))
-        pre = pre.withColumn(
-            "_probe", F.explode(F.expr(f"array(_qbucket, {flips})"))
-        )
-    else:
-        pre = pre.withColumn("_probe", F.col("_qbucket"))
+    probes = []
+    for t in range(n_tables):
+        probes.append(f"struct({t} AS t, _qb{t} AS h)")
+        if hamming_probe >= 1:
+            probes.extend(
+                f"struct({t} AS t, _qb{t} ^ {1 << j} AS h)" for j in range(SRP_BITS)
+            )
+    pre = pre.withColumn("_probe", F.explode(F.expr(f"array({', '.join(probes)})")))
     # LEFT join: a query whose probe buckets hold no corpus vector must
     # still emit a row (empty topk) — "no neighbors" and "query never
-    # arrived" are different facts; collect_list skips the NULL entry
-    # the unmatched rows produce
+    # arrived" are different facts; the rollup's aggregate skips the
+    # NULL entry the unmatched rows produce
     scored = (
-        pre.join(corpus_b, F.col("_probe") == F.col("_cbucket"), "left_outer")
+        pre.join(
+            corpus_b,
+            (F.col("_probe.t") == F.col("_ctable"))
+            & (F.col("_probe.h") == F.col("_cbucket")),
+            "left_outer",
+        )
         .withColumn("score_micro", F.expr(f"CAST(floor(({cos}) * 1000000) AS BIGINT)"))
         .select("query_id", ts_col, "_cid", "score_micro")
     )
@@ -117,7 +145,12 @@ def ann_probe_stream(
         .agg(
             F.slice(
                 F.sort_array(
-                    F.collect_list(
+                    # collect_SET: with n_tables > 1 the same candidate
+                    # can arrive once per co-bucketing table with an
+                    # identical (neg, neighbor_id) struct — set
+                    # semantics dedup it for free (and skip NULLs,
+                    # like collect_list)
+                    F.collect_set(
                         # score_micro can be NULL despite a matched _cid
                         # (zero-norm query or corpus vector → 0/0 cosine);
                         # a NULL `neg` field sorts FIRST in sort_array and

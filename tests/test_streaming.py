@@ -1998,8 +1998,10 @@ def test_ann_probe_recall(spark):
         order = sorted(zip(micro, ids), key=lambda t: (-t[0], t[1]))
         truth[qid] = {v for _, v in order[:k]}
 
-    def recall(radius):
-        rows = ann_probe_stream(queries, corpus, k=k, hamming_probe=radius).collect()
+    def recall(radius, n_tables=1):
+        rows = ann_probe_stream(
+            queries, corpus, k=k, hamming_probe=radius, n_tables=n_tables
+        ).collect()
         assert len(rows) == len(qpdf)
         return sum(
             len({s.neighbor_id for s in r.topk} & truth[r.query_id]) / k for r in rows
@@ -2008,6 +2010,11 @@ def test_ann_probe_recall(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 > r0 + 0.05, f"multi-probe must beat single-bucket: {r0=} {r1=}"
     assert r0 >= 0.08 and r1 >= 0.18, f"recall floor regressed: {r0=} {r1=}"
+    # r9: the second recall dial — L independent hyperplane tables.
+    # sf0.01 measured radius-1 curve: 0.223 / 0.314 / 0.386 / 0.447
+    # at 1/2/3/4 tables (sf0.001: smaller corpus, same ordering).
+    r1t2 = recall(1, n_tables=2)
+    assert r1t2 > r1 + 0.04, f"second table must lift recall: {r1=} {r1t2=}"
 
 
 def test_ewma_state_evicts_idle_users_and_reseeds(spark, tmp_path):
