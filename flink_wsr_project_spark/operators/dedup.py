@@ -76,8 +76,9 @@ def minhash_expr(shingles: str, k: int, engine: str) -> str:
     """MinHash value for permutation k over a shingle-array expression.
 
     Column-expression form (hashes the shingles inline) — used where a
-    single permutation is applied (text fingerprint, streaming fold's
-    per-column exprs). The multi-permutation SQL path goes through
+    single permutation is applied (the text fingerprint is the one
+    production caller). Multi-permutation paths — batch signatures AND
+    the streaming fold's per-column exprs — go through
     ``hashed_cte`` + ``minhash_from_hashed_expr`` instead, which hash
     each shingle ONCE for all 16 permutations (same values, 16× fewer
     md5 calls — the md5 is the dominant cost of signature computation,

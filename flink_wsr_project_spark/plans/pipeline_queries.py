@@ -191,16 +191,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster" analogue) are capped, the twenty 2-doc buckets pass.
 # Since r8 star edges are Jaccard-verified, so a small cap costs plan
 # routing, never correctness.
-_LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"))
+def _parse_bucket_cap(raw: str) -> int:
+    """Validate the env override at import (the SQL interpolates the
+    value, so a bad cap would otherwise surface as a confusing parse
+    or — worse, for cap < 1 — silently route EVERY bucket through
+    star-collapse, since ``n <= 0`` never holds)."""
+    try:
+        cap = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_BUCKET_CAP={raw!r} is not an integer; "
+            "expected a plain int >= 1 (e.g. 2 for the test gate, 1000 "
+            "for a production deployment)"
+        ) from None
+    if cap < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_BUCKET_CAP={cap} is degenerate: a cap < 1 "
+            "makes the within-cap branch unreachable (bucket sizes are "
+            ">= 1), silently star-collapsing every bucket. Use >= 1."
+        )
+    return cap
+
+
+_LSH_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"))
 
 
 def _capped_cands_union() -> str:
     """UNION body of within-cap band candidates: per band, a
     (band, hash) bucket joins against itself ONLY if its size is ≤
     ``_LSH_BUCKET_CAP`` (a per-band HAVING aggregate joined back).
-    Shared by the standalone capped-pairs query and the composed
-    keep-list/components/funnel chain — one definition, one contract.
-    Engine-independent (plain ANSI joins), hence no engine arg."""
+    Used by the STANDALONE capped-pairs query only since r9: the
+    composed chain builds its within-cap pairs from the long-format
+    ``marked`` window CTE inside ``_neardup_edges_ctes`` instead (one
+    (b, h) shuffle for all four bands) — the two definitions select
+    the same pair set (pinned by the capped-pairs⊆chain relationship
+    in the synthetic parity tests) but are separate SQL; edit both if
+    the cap semantics change. Engine-independent (plain ANSI joins),
+    hence no engine arg."""
     cap = _LSH_BUCKET_CAP
     return "\n  UNION\n".join(
         f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"

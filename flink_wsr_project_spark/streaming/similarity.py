@@ -41,8 +41,8 @@ def ann_probe_stream(
     Scores are emitted as MICRO-cosine (``floor(cos·10⁶)`` BIGINT —
     the repo's integer-units discipline) so ranking and cross-engine
     comparison are exact; ties break on neighbor id. The rollup is
-    ``slice(sort_array(collect_list(struct(-score, id))), 1, k)`` —
-    per-(window, query) state is the candidate list of the probed
+    ``slice(sort_array(collect_set(struct(-score, id))), 1, k)`` —
+    per-(window, query) state is the candidate set of the probed
     buckets within the horizon, bounded by Σ bucket size, and the
     windowed agg finalizes on the watermark. Works identically on a
     batch frame (no watermark) — pinned by

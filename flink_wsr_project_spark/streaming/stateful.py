@@ -186,7 +186,7 @@ def login_fail_detector(
         str(fail_value),
         ts_col,
         type_col,
-        _interval_ms(idle_ttl) if streaming else 0,
+        _ttl_ms_checked(idle_ttl, watermark, "login_fail_detector") if streaming else 0,
     )
     pre = ensure_event_time(events, ts_col)
     if streaming:
@@ -487,7 +487,7 @@ def uv_per_element_bloom(
         int(seed),
         ts_col,
         user_col,
-        _interval_ms(close_ttl) if streaming else 0,
+        _ttl_ms_checked(close_ttl, watermark, "uv_per_element_bloom") if streaming else 0,
     )
 
     from pyspark.sql import functions as F
@@ -536,7 +536,9 @@ def blacklist_filter(
     """
     streaming = clicks.isStreaming
     fn = build_blacklist_fn(
-        int(threshold), ts_col, _interval_ms(idle_ttl) if streaming else 0
+        int(threshold),
+        ts_col,
+        _ttl_ms_checked(idle_ttl, watermark, "blacklist_filter") if streaming else 0,
     )
     pre = ensure_event_time(clicks, ts_col)
     if streaming:
@@ -739,7 +741,9 @@ def ewma_stream(
 
     streaming = events.isStreaming
     fn = build_ewma_stream_fn(
-        ts_col, "v_milli", _interval_ms(idle_ttl) if streaming else 0
+        ts_col,
+        "v_milli",
+        _ttl_ms_checked(idle_ttl, watermark, "ewma_stream") if streaming else 0,
     )
     pre = ensure_event_time(events, ts_col)
     src = pre.select(
@@ -838,6 +842,29 @@ def _interval_ms(interval: str) -> int:
             f"unsupported watermark interval {interval!r}; expected "
             f"'<n> <unit>' with unit one of {sorted(factors_ms)} (plural ok)"
         ) from None
+
+
+def _ttl_ms_checked(ttl: str, watermark: str, what: str) -> int:
+    """Parse an eviction TTL, rejecting the degenerate configuration
+    where it is SHORTER than the watermark delay (same build-time
+    discipline as the KMV k<2 reject): a row is admissible as long as
+    its event time is at or above the watermark, so a TTL below the
+    watermark delay can evict a key's state while admissible rows for
+    it are still in flight — the late row then re-seeds a fresh fold
+    and the operator silently forgets history the watermark contract
+    promised to honor (e.g. two login fails 1.5 s apart spanning the
+    eviction never pair into a warning). Every docstring's "eviction
+    cannot change emitted results" claim holds ONLY under
+    ttl >= watermark delay, so enforce it where both knobs meet."""
+    ttl_ms, wm_ms = _interval_ms(ttl), _interval_ms(watermark)
+    if ttl_ms < wm_ms:
+        raise ValueError(
+            f"{what}: eviction TTL {ttl!r} is shorter than the watermark "
+            f"delay {watermark!r}; admissible late rows could arrive after "
+            "their key's state was evicted and silently re-seed the fold. "
+            "Use a TTL >= the watermark delay."
+        )
+    return ttl_ms
 
 
 def kmv_distinct_stream(
@@ -1139,7 +1166,7 @@ def pattern_corr_stream(
     streaming = events.isStreaming
     fn = build_pattern_corr_fold(
         tuple(int(p) for p in pattern),
-        _interval_ms(idle_ttl) if streaming else 0,
+        _ttl_ms_checked(idle_ttl, watermark, "pattern_corr_stream") if streaming else 0,
     )
     pre = ensure_event_time(events, ts_col)
     keyed = pre.select(
@@ -1284,7 +1311,7 @@ def locf_stream(
         "t_sec",
         "v_milli",
         "event_id",
-        _interval_ms(idle_ttl) if streaming else 0,
+        _ttl_ms_checked(idle_ttl, watermark, "locf_stream") if streaming else 0,
     )
     pre = ensure_event_time(events, ts_col)
     src = pre.select(

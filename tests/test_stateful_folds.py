@@ -1217,3 +1217,46 @@ def test_uv_bloom_fold_evicts_closed_window():
     state.hasTimedOut = True
     outs = list(fn((7200,), iter([]), state))
     assert not state.exists and len(outs[0]) == 0
+
+
+def test_eviction_ttl_shorter_than_watermark_rejected(spark):
+    """Build-time guard (same discipline as the KMV k<2 reject): a TTL
+    below the watermark delay can evict state that late-but-admissible
+    rows (ts >= watermark) still need — the fold would silently
+    re-seed and forget history the watermark contract promised to
+    honor. Every entry point pairing the two knobs must refuse the
+    degenerate configuration on a STREAMING frame; batch mode (no
+    watermark, no timers) stays permissive."""
+    import pytest
+
+    from flink_wsr_project_spark.streaming.stateful import (
+        blacklist_filter,
+        ewma_stream,
+        locf_stream,
+        login_fail_detector,
+        pattern_corr_stream,
+        uv_per_element_bloom,
+    )
+
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    cases = [
+        (login_fail_detector, dict(watermark="10 minutes", idle_ttl="1 second")),
+        (uv_per_element_bloom, dict(watermark="10 minutes", close_ttl="1 second")),
+        (blacklist_filter, dict(watermark="10 minutes", idle_ttl="1 second")),
+        (ewma_stream, dict(watermark="10 minutes", idle_ttl="1 second")),
+        (pattern_corr_stream, dict(pattern=(1, -1), watermark="10 minutes", idle_ttl="1 second")),
+        (locf_stream, dict(watermark="10 minutes", idle_ttl="1 second")),
+    ]
+    for fn, kw in cases:
+        with pytest.raises(ValueError, match="shorter than the watermark"):
+            fn(stream, **kw)
+    # the boundary is inclusive: ttl == watermark delay must build
+    assert login_fail_detector(
+        stream.withColumnRenamed("timestamp", "ts")
+        .withColumn("user_id", F.lit(1))
+        .withColumn("event_type", F.lit("error")),
+        watermark="10 minutes",
+        idle_ttl="10 minutes",
+    ) is not None

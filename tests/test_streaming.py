@@ -2049,11 +2049,14 @@ def test_ewma_state_evicts_idle_users_and_reseeds(spark, tmp_path):
     stream = spark.readStream.schema(
         spark.read.parquet(d).schema
     ).option("maxFilesPerTrigger", "1").parquet(d)
-    out = ewma_stream(stream, idle_ttl="2 seconds")
+    # ttl == watermark delay: the smallest configuration the build-time
+    # guard admits (a ttl below the delay could evict state admissible
+    # late rows still need — rejected since r9)
+    out = ewma_stream(stream, idle_ttl="3 seconds")
     q = out.writeStream.outputMode("append").format("memory").queryName("ewma_ev").start()
     q.processAllAvailable()
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
-    # user 8 far in the future advances the watermark past 100 + 2 s …
+    # user 8 far in the future advances the watermark past 100 + 3 s …
     write([(100000, 8, 2.0)], "b2")
     q.processAllAvailable()
     # … and the NEXT trigger (watermark updated at batch end) fires
