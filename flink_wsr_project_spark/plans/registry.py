@@ -90,6 +90,13 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # neardup_bucket_claims (tier-0, never verified) would otherwise
     # displace it from the 50-slot window to position 51 (checked
     # against _ordered()) — and it consumes the rewritten edge CTE.
+    # Late-r9 also changed signature_sql (md5-once hashed path) and
+    # minhash_jaccard_error's SQL: no extra pins needed — the window
+    # already externally verifies the new signature SQL through seven
+    # minhash consumers (claims/components/funnel/capped/keep_list/
+    # keep_best by pin-or-rotation, jaccard_error at position 49 by
+    # rotation; checked against _ordered()), and the rewrite is
+    # value-identical by property test + full local parity.
     "curation_funnel",
     "dedup_minhash_lsh_capped",
     "dedup_components",
