@@ -145,6 +145,26 @@ def signature_sql(engine: str, source: str = "documents") -> str:
     )
 
 
+def longsigs_select(engine: str) -> str:
+    """SELECT body turning the wide ``sigs`` signature row into long
+    format ``(doc_id, b, h)`` — one row per (doc, band). Spark explodes
+    in-row (``posexplode``, no shuffle); DuckDB lacks LATERAL VIEW so
+    the oracle unions four projections (same rows, oracle-scale only).
+    Shared by the composed-chain edge contract, the incremental dedup
+    query, and the persisted signature store, so all three ride the
+    identical long-format layout."""
+    if engine == "spark":
+        return (
+            "SELECT doc_id, pe.pos AS b, pe.col AS h"
+            " FROM sigs LATERAL VIEW posexplode(array(band0, band1, band2, band3))"
+            " pe AS pos, col"
+        )
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b_} AS b, band{b_} AS h FROM sigs"
+        for b_ in range(N_BANDS)
+    )
+
+
 def jaccard_expr(a: str, b: str, engine: str) -> str:
     """Exact Jaccard over two shingle-array expressions (distinct sets).
 

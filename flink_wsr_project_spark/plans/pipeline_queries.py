@@ -21,6 +21,7 @@ from flink_wsr_project_spark.operators.dedup import (
     toks_expr,
     hamming_expr,
     jaccard_expr,
+    longsigs_select,
     minhash_from_hashed_expr,
     shingled_cte,
     signature_sql,
@@ -238,6 +239,11 @@ def _capped_cands_union() -> str:
     )
 
 
+# re-exported under the old private name for in-module callers; the
+# shared definition lives with the other cross-engine SQL fragments
+_longsigs_select = longsigs_select
+
+
 def _neardup_edges_ctes(engine: str) -> str:
     """The composed chain's shared WITH-body: per-band bucket stats →
     ONE candidate set (within-cap pairs ∪ over-cap star rows) → ONE
@@ -289,17 +295,7 @@ def _neardup_edges_ctes(engine: str) -> str:
     sig = signature_sql(engine)
     jac = jaccard_expr("sa.sh", "sb.sh", engine)
     cap = _LSH_BUCKET_CAP
-    if engine == "spark":
-        longsigs = (
-            "SELECT doc_id, pe.pos AS b, pe.col AS h"
-            " FROM sigs LATERAL VIEW posexplode(array(band0, band1, band2, band3))"
-            " pe AS pos, col"
-        )
-    else:
-        longsigs = "\n  UNION ALL\n".join(
-            f"  SELECT doc_id, {b_} AS b, band{b_} AS h FROM sigs"
-            for b_ in range(4)
-        )
+    longsigs = _longsigs_select(engine)
     return f"""sigs AS ({sig}),
 {shingled_cte(engine)},
 longsigs AS (
@@ -747,6 +743,98 @@ FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_dedup_keep_list_sql("spark"))
+
+
+def _incr_is_batch(col: str) -> str:
+    """Batch-membership predicate for the incremental dedup model: the
+    'new arrivals' slice is the deterministic ``doc_id % 3 = 2`` third
+    of the corpus (chosen so all three decision branches fire at the
+    sf0.01 gate — dup_of_corpus, dup_within_batch AND keep are each
+    non-empty; the dead-branch audit discipline)."""
+    return f"{col} % 3 = 2"
+
+
+def _dedup_incremental_sql(engine: str) -> str:
+    """Incremental near-dup dedup: dedup a NEW batch of documents
+    against an ALREADY-DEDUPED corpus without re-deduping the corpus —
+    the operational mode of a 100 TB curation pipeline, where each
+    day's crawl increment must not trigger a corpus×corpus re-shuffle.
+
+    Semantics (consistent with ``dedup_keep_list``'s claim ordering):
+    a batch doc is ``dup_of_corpus`` if it has a verified near-dup
+    (exact 3-gram Jaccard ≥ 0.5 on an LSH band candidate) anywhere in
+    the corpus — corpus docs are immutable and always outrank batch
+    docs; else ``dup_within_batch`` if a SMALLER batch doc_id claims
+    it; else ``keep``. ``dup_of`` is the smallest claiming partner
+    (corpus partner preferred). Corpus↔corpus pairs are never formed —
+    that work was paid when the corpus itself was deduped.
+
+    100 TB shape: the corpus side of the (b, h) band join is, in a real
+    deployment, a PERSISTED long-format signature store — written once
+    by the initial dedup run (``minhash_signatures`` → posexplode →
+    parquet bucketed by h) — so an increment costs: one signature scan
+    over Δ only, one equi-join of Δ's 4·|Δ| band rows against the
+    store (bucket-pruned to the band hashes Δ actually produces, never
+    a corpus shuffle), and one Jaccard verify per candidate. Candidate
+    volume is Σ_buckets |Δ∩b|·|b| — linear in |Δ|, bounded by the
+    corpus bucket-size distribution; a skewed corpus bucket composes
+    with the same cap/star-collapse contract as the batch chain
+    (``_neardup_edges_ctes``). This query models the store with a
+    deterministic partition of the one gate table so the whole path
+    stays a single oracle-checkable statement; the self-join carries
+    the batch/corpus routing in the join predicate, so there is ONE
+    (b, h) shuffle, not separate batch- and corpus-side plans.
+    """
+    sig = signature_sql(engine)
+    jac = jaccard_expr("sa.sh", "sb.sh", engine)
+    a_batch = _incr_is_batch("a.doc_id")
+    m_batch = _incr_is_batch("m.doc_id")
+    return f"""
+WITH sigs AS ({sig}),
+{shingled_cte(engine)},
+longsigs AS (
+{_longsigs_select(engine)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, m.doc_id AS doc_b,
+         CASE WHEN {m_batch} THEN 'batch' ELSE 'corpus' END AS side
+  FROM longsigs a JOIN longsigs m ON a.b = m.b AND a.h = m.h
+  WHERE {a_batch}
+    AND (NOT ({m_batch}) OR m.doc_id < a.doc_id)
+),
+verified AS (
+  SELECT doc_a, doc_b, side FROM (
+    SELECT c.doc_a, c.doc_b, c.side, {jac} AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.5
+),
+dup_partner AS (
+  SELECT doc_a AS doc_id,
+         min(CASE WHEN side = 'corpus' THEN doc_b END) AS corpus_dup,
+         min(CASE WHEN side = 'batch' THEN doc_b END) AS batch_dup
+  FROM verified GROUP BY doc_a
+)
+SELECT b.doc_id,
+       CASE WHEN d.corpus_dup IS NOT NULL THEN 'dup_of_corpus'
+            WHEN d.batch_dup IS NOT NULL THEN 'dup_within_batch'
+            ELSE 'keep' END AS decision,
+       coalesce(d.corpus_dup, d.batch_dup) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE {_incr_is_batch("doc_id")}) b
+LEFT JOIN dup_partner d ON d.doc_id = b.doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_dedup_incremental_sql("duckdb"),
+    doc=_dedup_incremental_sql.__doc__,
+    tags=("pipeline", "dedup"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_dedup_incremental_sql("spark"))
 
 
 def _dedup_components_oracle() -> str:

@@ -97,6 +97,11 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # keep_best by pin-or-rotation, jaccard_error at position 49 by
     # rotation; checked against _ordered()), and the rewrite is
     # value-identical by property test + full local parity.
+    # r10: the r9 external window never materialized (no
+    # CORRECTNESS_r09.json was recorded), so the r9 pins carry into
+    # the r10 window unchanged — the chain consumers still owe their
+    # first post-rewrite external row. r10's only registry change,
+    # dedup_incremental, is tier-0 (never verified) and needs no pin.
     "curation_funnel",
     "dedup_minhash_lsh_capped",
     "dedup_components",

@@ -202,6 +202,7 @@ def test_dimension_join_broadcasts(spark, name):
         # semantics).
         ("curation_funnel", 11),
         ("dedup_keep_list", 5),  # (b,h) window x2 + pair-dedup + drops + join
+        ("dedup_incremental", 3),  # one (b,h) self-join + pair-dedup + partner agg
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
         ("value_ohlc_hourly", 1),  # single-pass mergeable min_by/max_by bar compaction
         ("value_vwap_hourly", 1),  # JSON-extract inside one exact-integer agg

@@ -728,3 +728,48 @@ def test_within_cap_contract_capped_pairs_equal_chain_edges(spark, tmp_path):
 
     for q in (capped, comp, keep):
         assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth-wc")
+
+
+def test_dedup_incremental_all_three_decisions(spark, tmp_path):
+    """At sf0.01 all three decision branches fire, but the crafted
+    corpus pins the SEMANTICS the generated data can't: corpus claims
+    always outrank batch claims (doc 14 has both a corpus partner AND
+    a smaller batch partner in its cluster — corpus must win), the
+    within-batch arm claims strictly by smaller doc_id, and corpus
+    docs never appear in the output (they are immutable; only the
+    increment gets decisions). Batch = doc_id % 3 = 2 → batch docs
+    are {2, 5, 8, 11, 14}, corpus {0, 1, 3}.
+
+      cluster A: batch 2 ≡ batch 5 (identical)   → 2 keep, 5 dup_within_batch of 2
+      cluster B: corpus 3 ~ batch 8 ~ batch 14   → 8, 14 dup_of_corpus of 3
+                 (14's smaller batch partner 8 is outranked by corpus 3)
+      singleton: batch 11                        → keep
+    """
+    A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    B = "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold bronze"
+    B2 = B.rsplit(" ", 1)[0] + " copper"
+    B3 = B.rsplit(" ", 1)[0] + " platinum"
+    C = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    U1 = "cat dog bird fish horse cow sheep goat pig duck hen owl fox wolf bear deer"
+    U2 = "sun moon star cloud rain snow wind storm fog mist dew frost hail sleet thunder lightning"
+    rows = [
+        (0, U1, "en", "s", len(U1)),
+        (1, U2, "en", "s", len(U2)),
+        (2, A, "en", "s", len(A)),
+        (3, B, "en", "s", len(B)),
+        (5, A, "en", "s", len(A)),
+        (8, B2, "en", "s", len(B2)),
+        (11, C, "en", "s", len(C)),
+        (14, B3, "en", "s", len(B3)),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    q = get("dedup_incremental")
+    got = {r.doc_id: (r.decision, r.dup_of) for r in q.spark_fn(spark, sf_dir).collect()}
+    assert got == {
+        2: ("keep", None),
+        5: ("dup_within_batch", 2),
+        8: ("dup_of_corpus", 3),
+        11: ("keep", None),
+        14: ("dup_of_corpus", 3),
+    }
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_incremental/synth")

@@ -269,3 +269,49 @@ def test_observed_metrics_come_from_the_write_pass(spark, tmp_path):
     assert got["n_rows"] == ev.count()
     assert got["n_null_user"] == 0
     assert abs(got["max_value"] - ev.agg(F.max("value")).head()[0]) < 1e-9
+
+
+def test_incremental_dedup_from_signature_store(spark):
+    """The deployment shape of ``dedup_incremental``: corpus signatures
+    are written ONCE into bucketed store tables, and the increment
+    joins against them. Asserts (a) decision-for-decision equality with
+    the one-statement registered query on the same batch/corpus split,
+    and (b) the store sides of both joins are shuffle-free — only the
+    Δ side exchanges (the property that makes the increment linear in
+    |Δ| at 100 TB: the corpus is never re-scanned or re-shuffled)."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store,
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.plans.registry import get
+
+    for t in ("sigstore_longsigs", "sigstore_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    docs = load_table(spark, "documents", SF_DIR)
+    corpus = docs.where(~F.expr("doc_id % 3 = 2"))
+    batch = docs.where(F.expr("doc_id % 3 = 2"))
+
+    write_signature_store(spark, corpus, "sigstore", num_buckets=8)
+    got = dedup_incremental_from_store(spark, batch, "sigstore")
+
+    # the store side must arrive pre-bucketed: every Exchange in the
+    # plan sits above a Δ-side subtree, none above a store scan (the
+    # scans advertise their bucketing, so Catalyst inserts no Exchange
+    # between a sigstore scan and its join)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "sigstore" in line:
+            raise AssertionError(f"store-side shuffle: {line}")
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+    expected = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in get("dedup_incremental").spark_fn(spark, SF_DIR).collect()
+    }
+    assert {(r.doc_id, r.decision, r.dup_of) for r in got.collect()} == expected
+    # non-degenerate: all three decisions appear at this SF
+    assert {d for _, d, _ in expected} == {"keep", "dup_of_corpus", "dup_within_batch"}
