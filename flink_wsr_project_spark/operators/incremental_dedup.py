@@ -84,6 +84,69 @@ def write_signature_store(
     write_bucketed(_hashed_df(spark, corpus_docs), f"{table_prefix}_hashed", ["doc_id"], num_buckets)
 
 
+def absorb_kept_into_store(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    decisions: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 8,
+) -> int:
+    """Fold an increment's KEPT docs into the store so the NEXT
+    increment sees them as corpus — the day-over-day loop. One append
+    of the kept docs' signature rows to each bucketed table (bucketed
+    appends add files per bucket; no corpus rewrite, no shuffle of
+    existing data). Dropped docs are deliberately NOT absorbed: their
+    keeper already represents them, so absorbing them would only grow
+    buckets without adding recall — the same reason the batch chain's
+    drop set never re-enters candidate generation. Returns the number
+    of docs absorbed.
+
+    At 100 TB the append-files-per-bucket pattern eventually fragments
+    the store; the remedy is the standard compaction pass
+    (``sources.writers.compact_parquet`` per bucket, or a periodic
+    full ``write_signature_store`` rewrite), scheduled by file count —
+    the store stays correct at any fragmentation level.
+    """
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    # MATERIALIZE the kept set before the first append: ``decisions``
+    # is a lazy plan that READS the store tables, so executing it after
+    # the store has been appended to would re-evaluate against the
+    # mutated store — an already-absorbed doc becomes its own corpus
+    # dup, flips to non-keep, and silently drops out of the SECOND
+    # append, leaving the store with band rows but no hash array for
+    # it (every later verify against it fails). localCheckpoint pins
+    # the pre-append answer (sized by |Δ|, executor-distributed).
+    kept, ckpt_ids = local_checkpoint_tracked(
+        batch_docs.join(
+            decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
+        )
+    )
+    try:
+        n = kept.count()
+        _append_bucketed(
+            _longsigs_df(spark, kept), f"{table_prefix}_longsigs", ["h"], num_buckets
+        )
+        _append_bucketed(
+            _hashed_df(spark, kept), f"{table_prefix}_hashed", ["doc_id"], num_buckets
+        )
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
+    return n
+
+
+def _append_bucketed(df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int) -> None:
+    """Append to an existing bucketed table with the SAME bucket spec —
+    Spark validates the spec against the metastore entry, so a drifted
+    bucket count fails loudly instead of silently corrupting layout."""
+    df.write.bucketBy(num_buckets, *bucket_cols).mode("append").format("parquet").saveAsTable(
+        table
+    )
+
+
 def dedup_incremental_from_store(
     spark: SparkSession,
     batch_docs: DataFrame,

@@ -315,3 +315,46 @@ def test_incremental_dedup_from_signature_store(spark):
     assert {(r.doc_id, r.decision, r.dup_of) for r in got.collect()} == expected
     # non-degenerate: all three decisions appear at this SF
     assert {d for _, d, _ in expected} == {"keep", "dup_of_corpus", "dup_within_batch"}
+
+
+def test_signature_store_absorbs_kept_docs_across_increments(spark):
+    """The day-over-day loop: after an increment's KEPT docs are
+    absorbed into the store, the NEXT increment must see them as
+    corpus. Day-1 keeps doc 2 and drops its clone 5; day-2's doc 11
+    (a clone of 2) must come back dup_of_corpus OF 2 — which can only
+    happen if absorption worked (the initial store never contained 2).
+    Dropped docs must NOT be absorbed: nothing may ever be attributed
+    to 5."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        absorb_kept_into_store,
+        dedup_incremental_from_store,
+        write_signature_store,
+    )
+
+    for t in ("absorb_longsigs", "absorb_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    B = "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold bronze"
+    B2 = B.rsplit(" ", 1)[0] + " copper"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    write_signature_store(spark, docs([(3, B)]), "absorb", num_buckets=4)
+
+    day1 = docs([(2, A), (5, A)])
+    dec1 = dedup_incremental_from_store(spark, day1, "absorb")
+    got1 = {r.doc_id: (r.decision, r.dup_of) for r in dec1.collect()}
+    assert got1 == {2: ("keep", None), 5: ("dup_within_batch", 2)}
+    assert absorb_kept_into_store(spark, day1, dec1, "absorb", num_buckets=4) == 1
+
+    day2 = docs([(8, B2), (11, A)])
+    got2 = {
+        r.doc_id: (r.decision, r.dup_of)
+        for r in dedup_incremental_from_store(spark, day2, "absorb").collect()
+    }
+    assert got2 == {8: ("dup_of_corpus", 3), 11: ("dup_of_corpus", 2)}
