@@ -1,0 +1,123 @@
+"""Persisted IVF index for approximate-nearest-neighbor search.
+
+The registered ``ann_ivf_topk`` query (plans/pipeline_queries.py)
+trains centroids and searches in one statement so the whole path is
+oracle-checkable. THIS module is the deployment shape: the index —
+per-list centroids plus the inverted lists themselves — is written
+ONCE, bucketed on the list key, and every probe batch afterwards
+costs: one broadcast of the (tiny) centroid table, one nearest-list
+assignment over the probe rows only, and one equi-join against the
+bucketed lists where ONLY the probe side shuffles. The corpus
+embeddings are never re-scanned or re-shuffled per query batch — the
+same store discipline as the dedup signature store
+(operators/incremental_dedup.py), applied to similarity search.
+
+Index layout (two tables):
+
+* ``<prefix>_centroids`` (label, cv array<double>) — one row per
+  inverted list; small by construction (lists ≪ corpus), always
+  broadcast;
+* ``<prefix>_lists``     (vec_id, label, embedding) bucketed by
+  ``label`` — the inverted lists the probe join targets.
+
+Centroid math is byte-identical to ``ann_ivf_topk``'s (component-wise
+mean via integer-scaled sums — order-independent under any
+parallelism), and the probe reproduces its assignment and ranking
+tie-breaks exactly, so index-vs-inline equality is assertable
+row-for-row (tests/test_writers.py).
+
+At 100 TB: lists are the partition unit — nprobe-1 search touches
+~1/n_lists of the corpus per query, and because the lists are
+bucketed, that touch is a co-located join, not a shuffle. Growing the
+corpus re-buckets nothing (bucketed appends); re-training centroids is
+the periodic compaction analogue, scheduled by drift, not by size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_wsr_project_spark.operators.similarity import cosine_expr
+from flink_wsr_project_spark.sources.writers import write_bucketed
+
+
+def write_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 8,
+) -> None:
+    """One-time index build from (vec_id, embedding, label) rows: the
+    ``label`` column is the inverted-list assignment (k-means or any
+    other partitioner upstream); centroids are the per-list
+    integer-scaled component means — the exact expression
+    ``ann_ivf_topk`` trains, so probes against the store reproduce the
+    inline query bit-for-bit."""
+    embeddings.createOrReplaceTempView("_ann_index_input")
+    centroids = spark.sql(
+        """
+WITH exploded AS (
+  SELECT label, pos, CAST(x AS DOUBLE) AS x
+  FROM _ann_index_input LATERAL VIEW posexplode(embedding) t AS pos, x
+),
+comp AS (
+  SELECT label, pos,
+         sum(CAST(round(x * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS val
+  FROM exploded GROUP BY label, pos
+)
+SELECT label,
+       transform(array_sort(collect_list(struct(pos, val))), s -> s.val) AS cv
+FROM comp GROUP BY label
+"""
+    )
+    write_bucketed(centroids, f"{table_prefix}_centroids", ["label"], 1)
+    write_bucketed(
+        embeddings.select("vec_id", "label", "embedding"),
+        f"{table_prefix}_lists",
+        ["label"],
+        num_buckets,
+    )
+
+
+def ann_topk_from_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    table_prefix: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors for each (query_id, qv) probe row using
+    the persisted index, nprobe=1: broadcast the centroid table, assign
+    each query to its nearest list (ties by smallest label, matching
+    ``ann_ivf_topk``), search only that bucketed list. Self-matches
+    (neighbor_id == query_id) are excluded, matching the inline query.
+    Returns (query_id, probe_label, neighbor_id, cosine, rank)."""
+    queries.createOrReplaceTempView("_ann_query_input")
+    spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
+    spark.table(f"{table_prefix}_lists").createOrReplaceTempView("_ann_lists")
+    cos_qc = cosine_expr("q.qv", "c.cv", "spark")
+    cos_qe = cosine_expr("a.qv", "e.embedding", "spark")
+    return spark.sql(
+        f"""
+WITH probes AS (
+  SELECT query_id, qv, probe_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_c DESC, probe_label
+    ) AS rn FROM (
+      SELECT /*+ BROADCAST(c) */ q.query_id, q.qv, c.label AS probe_label,
+             {cos_qc} AS cos_c
+      FROM _ann_query_input q CROSS JOIN _ann_centroids c
+    )
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id, {cos_qe} AS cosine
+  FROM probes a JOIN _ann_lists e
+    ON e.label = a.probe_label AND e.vec_id <> a.query_id
+)
+SELECT query_id, probe_label, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS BIGINT) AS rank FROM pairs
+) WHERE rank <= {int(k)}
+"""
+    )

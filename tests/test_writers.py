@@ -358,3 +358,42 @@ def test_signature_store_absorbs_kept_docs_across_increments(spark):
         for r in dedup_incremental_from_store(spark, day2, "absorb").collect()
     }
     assert got2 == {8: ("dup_of_corpus", 3), 11: ("dup_of_corpus", 2)}
+
+
+def test_ann_index_probe_matches_inline_ivf(spark):
+    """The persisted-IVF deployment shape of ``ann_ivf_topk``: index
+    written once (centroids + label-bucketed lists), probe batches
+    join against it. Asserts (a) row-for-row equality with the inline
+    one-statement query on the same probe set (same centroid math,
+    same tie-breaks), and (b) the lists side of the search join is
+    shuffle-free — only the probe side exchanges."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.plans.registry import get
+
+    for t in ("annidx_centroids", "annidx_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "annidx", num_buckets=8)
+
+    queries = emb.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+    got = ann_topk_from_index(spark, queries, "annidx", k=5)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "annidx_lists" in line:
+            raise AssertionError(f"lists-side shuffle: {line}")
+
+    cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+    want = {tuple(getattr(r, c) for c in cols)
+            for r in get("ann_ivf_topk").spark_fn(spark, SF_DIR).collect()}
+    assert {tuple(getattr(r, c) for c in cols) for r in got.collect()} == want
+    assert len(want) > 0
