@@ -109,6 +109,60 @@ def build_band_claim_fold(ttl_ms: int):
     return fn
 
 
+def _band_signature_rows(
+    stream: DataFrame,
+    content_col: str,
+    id_col: str,
+    ts_col: str,
+    keep_hv: bool = False,
+) -> DataFrame:
+    """Shared in-row signature prep for the streaming dedup arms: one
+    row per (doc, band) with the batch pipeline's EXACT band-hash
+    expressions (operators/dedup.py), every step JVM-side in
+    whole-stage codegen. Each shingle is md5-hashed once; the 16
+    permutation folds are pure arithmetic. ``keep_hv`` additionally
+    carries the 28-bit shingle-hash array through (the incremental
+    arm's verify needs it in-row)."""
+    from flink_wsr_project_spark.operators.dedup import (
+        BAND_SIZE,
+        N_BANDS,
+        N_PERMS,
+        band_hash_expr,
+        h28,
+        minhash_from_hashed_expr,
+        shingles_from_toks,
+        toks_expr,
+    )
+
+    pre = ensure_event_time(stream, ts_col)
+    pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
+    pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
+    pre = pre.withColumn("_hv", F.expr(f"transform(_sh, s -> {h28('s', 'spark')})"))
+    # ONE projection for all 16 minhashes (chained withColumn nests a
+    # Project per call — needless per-trigger analyzer work)
+    pre = pre.withColumns(
+        {
+            f"_mh{k}": F.expr(minhash_from_hashed_expr(k, "spark", arr="_hv"))
+            for k in range(N_PERMS)
+        }
+    )
+    bands = ", ".join(
+        band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
+        for b in range(N_BANDS)
+    )
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col),
+        # millisecond epoch: the fold's eviction timer must not be
+        # coarser than the watermark granularity
+        F.expr(f"unix_millis({ts_col})").alias("t"),
+        F.posexplode("_bands").alias("band", "band_hash"),
+    ]
+    if keep_hv:
+        cols.insert(3, F.col("_hv"))
+    return pre.withColumn("_bands", F.expr(f"array({bands})")).select(*cols)
+
+
 def dedup_stream_near(
     stream: DataFrame,
     content_col: str = "text",
@@ -138,48 +192,9 @@ def dedup_stream_near(
     properties in tests/test_stateful_folds.py."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from flink_wsr_project_spark.operators.dedup import (
-        BAND_SIZE,
-        N_BANDS,
-        N_PERMS,
-        band_hash_expr,
-        h28,
-        minhash_from_hashed_expr,
-        shingles_from_toks,
-        toks_expr,
-    )
     from flink_wsr_project_spark.streaming.stateful import _interval_ms
 
-    pre = ensure_event_time(stream, ts_col)
-    pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
-    pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
-    # hash each shingle ONCE; the 16 permutation folds below are then
-    # pure arithmetic (md5 per permutation was the dominant per-doc
-    # cost — same fix as the batch signature_sql)
-    pre = pre.withColumn("_hv", F.expr(f"transform(_sh, s -> {h28('s', 'spark')})"))
-    # ONE projection for all 16 minhashes (chained withColumn nests a
-    # Project per call — needless per-trigger analyzer work)
-    pre = pre.withColumns(
-        {
-            f"_mh{k}": F.expr(minhash_from_hashed_expr(k, "spark", arr="_hv"))
-            for k in range(N_PERMS)
-        }
-    )
-    bands = ", ".join(
-        band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
-        for b in range(N_BANDS)
-    )
-    keyed = (
-        pre.withColumn("_bands", F.expr(f"array({bands})"))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(ts_col),
-            # millisecond epoch: the fold's eviction timer must not be
-            # coarser than the watermark granularity
-            F.expr(f"unix_millis({ts_col})").alias("t"),
-            F.posexplode("_bands").alias("band", "band_hash"),
-        )
-    )
+    keyed = _band_signature_rows(stream, content_col, id_col, ts_col)
     if not stream.isStreaming:
         # batch twin of the same contract (applyInPandasWithState is
         # streaming-only): keep-first by (t, doc_id) per bucket via one
@@ -296,3 +311,79 @@ def decontaminate_stream(
             "contaminated",
         )
     )
+
+
+def dedup_incremental_stream(
+    stream: DataFrame,
+    spark,
+    table_prefix: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Streaming arm of the incremental-dedup store
+    (operators/incremental_dedup.py): incoming documents are checked
+    for verified near-duplicates in the PERSISTED corpus signature
+    store, emitting (doc_id, ts, corpus_dup_of, jaccard) per verified
+    corpus partner.
+
+    Spark-first plan — stream-STATIC joins, ZERO custom state: the
+    stream side computes its band rows in-row (the batch pipeline's
+    exact expressions via ``_band_signature_rows``, shingle-hash array
+    kept in-row for the verify), equi-joins the store's bucketed
+    ``<prefix>_longsigs`` on (band, hash) — the static side arrives
+    pre-bucketed, so only stream rows shuffle — then joins the
+    candidate's hash array from ``<prefix>_hashed`` and verifies exact
+    hash-set Jaccard ≥ 0.5 in-row. With ``dedup_pairs`` (default) a
+    (doc, partner) pair colliding in several bands emits once —
+    ``dropDuplicatesWithinWatermark`` keyed on the pair, the query's
+    only stateful op, O(verified pairs within the horizon) state;
+    with it off the query is fully stateless and consumers roll up.
+
+    Within-STREAM duplicates are deliberately out of scope here:
+    compose ``dedup_stream_near`` upstream for that (same signature
+    prep, one fold) — mirroring the batch split where the store
+    answers "seen in the corpus?" and the chain answers "seen in this
+    batch?". The store grows between restarts via
+    ``absorb_kept_into_store``; a RUNNING query reads the static side
+    as of query start (Spark snapshots static relations per query) —
+    restart the stream to pick up absorbed increments."""
+    sigs = _band_signature_rows(stream, content_col, id_col, ts_col, keep_hv=True)
+    store_longsigs = spark.table(f"{table_prefix}_longsigs")
+    store_hashed = spark.table(f"{table_prefix}_hashed")
+
+    from flink_wsr_project_spark.operators.dedup import jaccard_expr
+
+    cand = sigs.join(
+        store_longsigs.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("b").cast("int").alias("band"),
+            F.col("h").alias("band_hash"),
+        ),
+        ["band", "band_hash"],
+    )
+    verified = (
+        cand.join(
+            store_hashed.select(
+                F.col("doc_id").alias("corpus_doc_id"), F.col("hv").alias("_corpus_hv")
+            ),
+            "corpus_doc_id",
+        )
+        .withColumn("jaccard", F.expr(jaccard_expr("_hv", "_corpus_hv", "spark")))
+        .where(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_id"),
+            F.col(ts_col),
+            F.col("corpus_doc_id").alias("corpus_dup_of"),
+            "jaccard",
+        )
+    )
+    if not dedup_pairs:
+        return verified
+    if verified.isStreaming:
+        return verified.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["doc_id", "corpus_dup_of"]
+        )
+    return verified.dropDuplicates(["doc_id", "corpus_dup_of"])

@@ -2072,3 +2072,88 @@ def test_ewma_state_evicts_idle_users_and_reseeds(spark, tmp_path):
         "SELECT * FROM ewma_ev WHERE user_id = 7 ORDER BY n_events"
     ).collect()
     assert [(r.n_events, r.ewma_milli) for r in rows] == [(1, 1000), (1, 5000)]
+
+
+def test_dedup_incremental_stream_against_store(spark, tmp_path):
+    """Stream-vs-store incremental dedup: a document stream is checked
+    against the persisted corpus signature store via stream-static
+    joins (no custom state; one dropDuplicatesWithinWatermark for pair
+    uniqueness). A streamed clone and a near-dup of a corpus doc must
+    emit a verified match attributed to that corpus doc, a band-level
+    hash collision below Jaccard 0.5 must NOT pass the verify, novel
+    docs emit nothing, and a pair colliding in several bands emits
+    exactly once."""
+    import os
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.streaming.dedup import dedup_incremental_stream
+
+    for t in ("incrstream_longsigs", "incrstream_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    w = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    corpus_a = " ".join(w)  # corpus doc 100
+    corpus_b = "red orange yellow green blue indigo violet crimson amber teal"
+    corpus = spark.createDataFrame(
+        [(100, corpus_a), (101, corpus_b)], "doc_id long, text string"
+    )
+    write_signature_store(spark, corpus, "incrstream", num_buckets=4)
+
+    clone = corpus_a                                  # doc 1: exact clone of 100
+    near = " ".join(w[:19]) + " zebra"                # doc 2: near-dup of 100
+    novel = "quartz raven slate topaz umber velvet walnut xenon yucca zephyr"
+
+    d = str(tmp_path / "incr_stream")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows, tag):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    write([(1, 1000, clone), (3, 1001, novel)], "b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = dedup_incremental_stream(stream, spark, "incrstream", watermark="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("incr_s").start()
+    q.processAllAvailable()
+    write([(2, 1100, near)], "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM incr_s").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # the exact clone collides in all 4 bands but emits ONE verified
+    # match (pair-dedup), jaccard exactly 1.0, attributed to doc 100
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0].corpus_dup_of == 100 and by_doc[1][0].jaccard == 1.0
+    # the near-dup verifies against doc 100 (J ≈ 0.86 ≥ 0.5), once
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0].corpus_dup_of == 100 and 0.5 <= by_doc[2][0].jaccard < 1.0
+    # the novel doc matches nothing
+    assert 3 not in by_doc
+
+    # batch mode of the same function (stream-static joins are plain
+    # joins in batch) agrees with the streamed result
+    batch_docs = spark.createDataFrame(
+        [(1, 1000, clone), (2, 1100, near), (3, 1001, novel)],
+        "doc_id long, ts long, text string",
+    ).withColumn("ts", F.expr("timestamp_seconds(ts)"))
+    got_batch = {
+        (r.doc_id, r.corpus_dup_of)
+        for r in dedup_incremental_stream(batch_docs, spark, "incrstream").collect()
+    }
+    assert got_batch == {(1, 100), (2, 100)}
