@@ -147,6 +147,52 @@ def _append_bucketed(df: DataFrame, table: str, bucket_cols: list[str], num_buck
     )
 
 
+def compact_signature_store(
+    spark: SparkSession,
+    table_prefix: str,
+    num_buckets: int = 8,
+) -> dict[str, int]:
+    """Rewrite the store tables to one file per bucket. Every
+    ``absorb_kept_into_store`` appends one file set per bucket, so a
+    long-running store accumulates files linearly with increments —
+    correctness is unaffected (bucket membership is by hash, not by
+    file) but scan/open cost grows. Compaction reads each table,
+    pins the rows (localCheckpoint — the source table is about to be
+    dropped, so the plan must not reference it lazily; the same
+    read-your-writes discipline as the absorb path), rewrites it
+    bucketed under a temp name, and swaps via DROP + ALTER TABLE
+    RENAME. Crash recovery: until the DROP, the original is intact;
+    between DROP and RENAME the ``<table>__compact`` temp holds the
+    full data — both states are recoverable by hand or by re-running.
+    Returns {table: row_count}.
+    """
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    out: dict[str, int] = {}
+    for suffix, bucket_cols in (("longsigs", ["h"]), ("hashed", ["doc_id"])):
+        table = f"{table_prefix}_{suffix}"
+        tmp = f"{table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+        try:
+            out[table] = pinned.count()
+            (
+                pinned.repartition(num_buckets, *bucket_cols)
+                .write.bucketBy(num_buckets, *bucket_cols)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+            spark.sql(f"DROP TABLE {table}")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        finally:
+            release_persistent_rdds(spark, ckpt_ids)
+    return out
+
+
 def dedup_incremental_from_store(
     spark: SparkSession,
     batch_docs: DataFrame,

@@ -397,3 +397,55 @@ def test_ann_index_probe_matches_inline_ivf(spark):
             for r in get("ann_ivf_topk").spark_fn(spark, SF_DIR).collect()}
     assert {tuple(getattr(r, c) for c in cols) for r in got.collect()} == want
     assert len(want) > 0
+
+
+def test_compact_signature_store_preserves_results(spark):
+    """Store lifecycle end: every absorb appends a file set per bucket,
+    so after several increments the store is fragmented; compaction
+    must shrink the file count, preserve every row, keep the tables
+    bucketed (probe join still exchange-free on the store side), and
+    leave probe decisions identical."""
+    import glob
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        absorb_kept_into_store,
+        compact_signature_store,
+        dedup_incremental_from_store,
+        write_signature_store,
+    )
+
+    for t in ("cmpst_longsigs", "cmpst_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    def doc(i):
+        # disjoint per-doc vocabulary: nothing is a near-dup of anything
+        return " ".join(f"word{i}x{j}" for j in range(12))
+
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    write_signature_store(spark, docs([(0, doc(0))]), "cmpst", num_buckets=4)
+
+    for day in range(1, 4):
+        batch = docs([(day * 10 + j, doc(day * 10 + j)) for j in range(2)])
+        dec = dedup_incremental_from_store(spark, batch, "cmpst")
+        assert absorb_kept_into_store(spark, batch, dec, "cmpst", num_buckets=4) == 2
+
+    files_before = len(glob.glob("spark-warehouse/cmpst_longsigs/part-*"))
+    rows_before = spark.table("cmpst_longsigs").count()
+    probe = docs([(99, doc(0)), (98, doc(31))])  # clone of day-0 + clone of day-3
+    want = {(r.doc_id, r.decision, r.dup_of)
+            for r in dedup_incremental_from_store(spark, probe, "cmpst").collect()}
+    assert want == {(99, "dup_of_corpus", 0), (98, "dup_of_corpus", 31)}
+
+    counts = compact_signature_store(spark, "cmpst", num_buckets=4)
+    assert counts["cmpst_longsigs"] == rows_before
+    files_after = len(glob.glob("spark-warehouse/cmpst_longsigs/part-*"))
+    assert files_after < files_before
+
+    got = dedup_incremental_from_store(spark, probe, "cmpst")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "cmpst" in line:
+            raise AssertionError(f"store-side shuffle after compaction: {line}")
+    assert {(r.doc_id, r.decision, r.dup_of) for r in got.collect()} == want
