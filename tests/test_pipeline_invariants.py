@@ -274,3 +274,29 @@ def test_ewma_partitioned_twin_equals_inrow_form(spark):
     finally:
         spark.conf.set(key, old)
     assert a == b and len(a) > 0
+
+
+def test_dedup_incremental_partitions_the_batch(spark):
+    """Oracle-independent invariants of the incremental decisions:
+    output rows are exactly the batch slice (one decision per batch
+    doc, no corpus doc ever appears); dup_of is NULL iff the decision
+    is keep; a dup_of_corpus points OUTSIDE the batch, a
+    dup_within_batch points at a SMALLER batch doc_id that was itself
+    KEPT or claimed — never at the doc itself."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    out = _Q["dedup_incremental"](spark, SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    batch_ids = {r.doc_id for r in docs.where("doc_id % 3 = 2").select("doc_id").collect()}
+
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    for r in rows:
+        if r.decision == "keep":
+            assert r.dup_of is None
+        elif r.decision == "dup_of_corpus":
+            assert r.dup_of is not None and r.dup_of not in batch_ids
+        else:
+            assert r.decision == "dup_within_batch"
+            assert r.dup_of in batch_ids and r.dup_of < r.doc_id
