@@ -49,6 +49,21 @@ from flink_wsr_project_spark.sources.writers import write_bucketed
 # (_neardup_edges_ctes) and the registered dedup_incremental query.
 VERIFY_JACCARD = 0.5
 
+# Table property recording the store's hash-prefix partition count, so
+# probes and absorbs discover the layout from the catalog instead of a
+# parameter that could drift from what was written.
+HASH_PARTITIONS_PROP = "spark_graft.hash_partitions"
+
+
+def _store_hash_partitions(spark: SparkSession, table: str) -> int:
+    """Partition count a partitioned store was written with (0 = the
+    store is bucketed-only)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    for r in rows:
+        if r.key == HASH_PARTITIONS_PROP:
+            return int(r.value)
+    return 0
+
 
 def _longsigs_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, b, h) band rows for ``docs`` — one in-row posexplode,
@@ -75,13 +90,56 @@ def write_signature_store(
     corpus_docs: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    hash_partitions: int = 0,
 ) -> None:
     """One-time (or per-compaction) corpus signature write: band rows
     bucketed by the candidate-join key ``h``, hash arrays bucketed by
     the verify-join key ``doc_id``. After this, increments never touch
-    the corpus text again."""
-    write_bucketed(_longsigs_df(spark, corpus_docs), f"{table_prefix}_longsigs", ["h"], num_buckets)
-    write_bucketed(_hashed_df(spark, corpus_docs), f"{table_prefix}_hashed", ["doc_id"], num_buckets)
+    the corpus text again.
+
+    With ``hash_partitions = P > 0`` each table additionally gets a
+    hash-prefix PARTITION column (``hp = pmod(h, P)`` on the band rows,
+    ``dp = pmod(doc_id, P)`` on the hash arrays) under the bucketing.
+    Partitioning is what makes the SMALL-Δ fast path
+    (:func:`dedup_incremental_from_store_pruned`) possible: a probe
+    whose band rows touch only a few of the P prefixes reads only those
+    directories (directory-level partition pruning), instead of
+    scanning the whole store the way the bucketed-only layout must. P
+    is recorded as a table property so probes/absorbs discover the
+    layout from the catalog. Keep P modest (tens): files per write =
+    P × num_buckets, and the pruned probe's driver-side partition list
+    is bounded by P."""
+    ls = _longsigs_df(spark, corpus_docs)
+    hd = _hashed_df(spark, corpus_docs)
+    if hash_partitions:
+        _write_partitioned_bucketed(
+            ls.withColumn("hp", F.pmod(F.xxhash64("h"), F.lit(hash_partitions))),
+            f"{table_prefix}_longsigs", "hp", ["h"], num_buckets,
+        )
+        _write_partitioned_bucketed(
+            hd.withColumn("dp", F.pmod("doc_id", F.lit(hash_partitions))),
+            f"{table_prefix}_hashed", "dp", ["doc_id"], num_buckets,
+        )
+        for t in (f"{table_prefix}_longsigs", f"{table_prefix}_hashed"):
+            spark.sql(
+                f"ALTER TABLE {t} SET TBLPROPERTIES "
+                f"('{HASH_PARTITIONS_PROP}'='{hash_partitions}')"
+            )
+    else:
+        write_bucketed(ls, f"{table_prefix}_longsigs", ["h"], num_buckets)
+        write_bucketed(hd, f"{table_prefix}_hashed", ["doc_id"], num_buckets)
+
+
+def _write_partitioned_bucketed(
+    df: DataFrame, table: str, part_col: str, bucket_cols: list[str], num_buckets: int
+) -> None:
+    (
+        df.write.partitionBy(part_col)
+        .bucketBy(num_buckets, *bucket_cols)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def absorb_kept_into_store(
@@ -127,24 +185,36 @@ def absorb_kept_into_store(
     )
     try:
         n = kept.count()
+        p = _store_hash_partitions(spark, f"{table_prefix}_longsigs")
+        ls, hd = _longsigs_df(spark, kept), _hashed_df(spark, kept)
+        if p:
+            ls = ls.withColumn("hp", F.pmod(F.xxhash64("h"), F.lit(p)))
+            hd = hd.withColumn("dp", F.pmod("doc_id", F.lit(p)))
         _append_bucketed(
-            _longsigs_df(spark, kept), f"{table_prefix}_longsigs", ["h"], num_buckets
+            ls, f"{table_prefix}_longsigs", "hp" if p else None, ["h"], num_buckets
         )
         _append_bucketed(
-            _hashed_df(spark, kept), f"{table_prefix}_hashed", ["doc_id"], num_buckets
+            hd, f"{table_prefix}_hashed", "dp" if p else None, ["doc_id"], num_buckets
         )
     finally:
         release_persistent_rdds(spark, ckpt_ids)
     return n
 
 
-def _append_bucketed(df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int) -> None:
+def _append_bucketed(
+    df: DataFrame,
+    table: str,
+    part_col: str | None,
+    bucket_cols: list[str],
+    num_buckets: int,
+) -> None:
     """Append to an existing bucketed table with the SAME bucket spec —
     Spark validates the spec against the metastore entry, so a drifted
     bucket count fails loudly instead of silently corrupting layout."""
-    df.write.bucketBy(num_buckets, *bucket_cols).mode("append").format("parquet").saveAsTable(
-        table
-    )
+    w = df.write
+    if part_col:
+        w = w.partitionBy(part_col)
+    w.bucketBy(num_buckets, *bucket_cols).mode("append").format("parquet").saveAsTable(table)
 
 
 def compact_signature_store(
@@ -172,22 +242,41 @@ def compact_signature_store(
     )
 
     out: dict[str, int] = {}
-    for suffix, bucket_cols in (("longsigs", ["h"]), ("hashed", ["doc_id"])):
+    for suffix, part_col, bucket_cols in (
+        ("longsigs", "hp", ["h"]),
+        ("hashed", "dp", ["doc_id"]),
+    ):
         table = f"{table_prefix}_{suffix}"
         tmp = f"{table}__compact"
+        p = _store_hash_partitions(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
         try:
             out[table] = pinned.count()
+            w = pinned.repartition(num_buckets, *bucket_cols).write
+            if p:
+                # preserve the partitioned layout (and its recorded P)
+                # through the rewrite — compaction must not silently
+                # demote a partitioned store to bucketed-only
+                w = w.partitionBy(part_col)
             (
-                pinned.repartition(num_buckets, *bucket_cols)
-                .write.bucketBy(num_buckets, *bucket_cols)
+                w.bucketBy(num_buckets, *bucket_cols)
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(tmp)
             )
+            if p:
+                spark.sql(
+                    f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                    f"('{HASH_PARTITIONS_PROP}'='{p}')"
+                )
             spark.sql(f"DROP TABLE {table}")
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            if p:
+                # RENAME moves the managed root dir but the catalog's
+                # per-partition locations still point at the old path —
+                # resync them from the directory layout
+                spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
         finally:
             release_persistent_rdds(spark, ckpt_ids)
     return out
@@ -215,8 +304,10 @@ def dedup_incremental_from_store(
     bls = _longsigs_df(spark, batch_docs)
     batch_longsigs = bls.alias("bl")
     batch_hashed = _hashed_df(spark, batch_docs)
-    store_longsigs = spark.table(f"{table_prefix}_longsigs")
-    store_hashed = spark.table(f"{table_prefix}_hashed")
+    # explicit selects: a partitioned store carries hp/dp layout columns
+    # that must not leak into the unions below
+    store_longsigs = spark.table(f"{table_prefix}_longsigs").select("doc_id", "b", "h")
+    store_hashed = spark.table(f"{table_prefix}_hashed").select("doc_id", "hv")
 
     jac = F.expr(jaccard_expr("sa.hv", "sb.hv", "spark"))
 
@@ -254,6 +345,13 @@ def dedup_incremental_from_store(
         .select("doc_a", "doc_b", "side")
     )
 
+    return _decisions(batch_docs, verified)
+
+
+def _decisions(batch_docs: DataFrame, verified: DataFrame) -> DataFrame:
+    """Verified (doc_a, doc_b, side) edges → one decision row per batch
+    doc. Corpus claims outrank batch claims; ``dup_of`` is the smallest
+    claiming partner on the winning side."""
     dup_partner = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.min(F.when(F.col("side") == "corpus", F.col("doc_b"))).alias("corpus_dup"),
         F.min(F.when(F.col("side") == "batch", F.col("doc_b"))).alias("batch_dup"),
@@ -271,3 +369,105 @@ def dedup_incremental_from_store(
             F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
         )
     )
+
+
+def dedup_incremental_from_store_pruned(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    table_prefix: str,
+) -> DataFrame:
+    """SMALL-Δ fast path over a PARTITIONED store (written with
+    ``hash_partitions = P > 0``): same decision contract as
+    :func:`dedup_incremental_from_store`, but the store is neither
+    shuffled NOR fully scanned.
+
+    How: Δ's band rows are materialized once (localCheckpoint, sized by
+    |Δ|), their distinct hash prefixes ``pmod(h, P)`` are collected —
+    a driver list bounded by the CONSTANT P, not by data — and pushed
+    into the band-table scan as a literal ``hp IN (...)`` filter, which
+    prunes at the directory level (PartitionFilters). The candidate
+    join then BROADCASTS the Δ side, so the pruned store scan streams
+    through map-side. Verify repeats the trick on the hash-array table:
+    the candidate set (small, Δ-bounded) is materialized, its corpus
+    partners' ``pmod(doc_id, P)`` prefixes prune the ``dp`` partitions,
+    and the candidates broadcast into the verify join.
+
+    When Δ touches most of the P prefixes the IN-list prunes nothing
+    and this degrades gracefully to the regular probe's scan cost plus
+    two Δ-bounded collects — use the regular (bucketed-join) path for
+    bulk increments; THIS path is for straggler micro-batches and
+    "is this doc already in the corpus?" lookups, where reading P
+    directories to answer one doc is the difference that matters at
+    100 TB."""
+    p = _store_hash_partitions(spark, f"{table_prefix}_longsigs")
+    if p <= 0:
+        raise ValueError(
+            f"store '{table_prefix}' is not hash-partitioned; write it with "
+            "hash_partitions > 0 or use dedup_incremental_from_store"
+        )
+    jac = F.expr(jaccard_expr("sa.hv", "sb.hv", "spark"))
+
+    # No checkpoints here: unlike the absorb path, nothing mutates the
+    # store between these steps, so the Δ-sized subtrees that get
+    # re-executed for the two bounded collects are deterministic and
+    # cheap — and the returned frame stays a lazy, inspectable plan.
+    bls = _longsigs_df(spark, batch_docs)
+    hps = [
+        r.hp for r in bls.select(F.pmod(F.xxhash64("h"), F.lit(p)).alias("hp")).distinct().collect()
+    ]  # ≤ P values — bounded by the layout constant, not by |Δ|
+
+    store_ls = (
+        spark.table(f"{table_prefix}_longsigs")
+        .where(F.col("hp").isin(hps))
+        .select("doc_id", "b", "h")
+    )
+    corpus_cand = (
+        store_ls.alias("cl")
+        .join(
+            F.broadcast(bls.alias("bl")),
+            (F.col("bl.b") == F.col("cl.b")) & (F.col("bl.h") == F.col("cl.h")),
+        )
+        .select(
+            F.col("bl.doc_id").alias("doc_a"),
+            F.col("cl.doc_id").alias("doc_b"),
+            F.lit("corpus").alias("side"),
+        )
+    )
+    batch_cand = (
+        bls.alias("bl")
+        .join(
+            F.broadcast(bls.alias("bm")),
+            (F.col("bl.b") == F.col("bm.b"))
+            & (F.col("bl.h") == F.col("bm.h"))
+            & (F.col("bm.doc_id") < F.col("bl.doc_id")),
+        )
+        .select(
+            F.col("bl.doc_id").alias("doc_a"),
+            F.col("bm.doc_id").alias("doc_b"),
+            F.lit("batch").alias("side"),
+        )
+    )
+    cand = corpus_cand.unionByName(batch_cand).distinct()
+    dps = [
+        r.dp
+        for r in cand.where(F.col("side") == "corpus")
+        .select(F.pmod("doc_b", F.lit(p)).alias("dp"))
+        .distinct()
+        .collect()
+    ]  # ≤ P values again
+
+    batch_hashed = _hashed_df(spark, batch_docs)
+    store_hd = (
+        spark.table(f"{table_prefix}_hashed")
+        .where(F.col("dp").isin(dps) if dps else F.lit(False))
+        .select("doc_id", "hv")
+    )
+    partner_hashed = store_hd.unionByName(batch_hashed)
+    verified = (
+        partner_hashed.alias("sb")
+        .join(F.broadcast(cand), cand.doc_b == F.col("sb.doc_id"))
+        .join(F.broadcast(batch_hashed.alias("sa")), cand.doc_a == F.col("sa.doc_id"))
+        .where(jac >= VERIFY_JACCARD)
+        .select("doc_a", "doc_b", "side")
+    )
+    return _decisions(batch_docs, verified)

@@ -449,3 +449,114 @@ def test_compact_signature_store_preserves_results(spark):
         if "Exchange" in line and "cmpst" in line:
             raise AssertionError(f"store-side shuffle after compaction: {line}")
     assert {(r.doc_id, r.decision, r.dup_of) for r in got.collect()} == want
+
+
+def test_pruned_probe_matches_full_on_partitioned_store(spark):
+    """The SMALL-Δ fast path over a hash-partitioned store. Asserts
+    (a) decision-for-decision equality with the regular bucketed-join
+    probe on the same full batch/corpus split (all three decisions
+    non-degenerate), (b) on a tiny Δ the band-table scan is pruned at
+    the directory level (PartitionFilters carries the hp IN-list and
+    the scan reads fewer partitions than the store holds), and (c) the
+    candidate join broadcasts the Δ side — the store is neither
+    shuffled nor, thanks to (b), fully scanned."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store,
+        dedup_incremental_from_store_pruned,
+        write_signature_store,
+    )
+
+    for t in ("psig_longsigs", "psig_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    docs = load_table(spark, "documents", SF_DIR)
+    corpus = docs.where(~F.expr("doc_id % 3 = 2"))
+    batch = docs.where(F.expr("doc_id % 3 = 2"))
+
+    write_signature_store(spark, corpus, "psig", num_buckets=4, hash_partitions=16)
+
+    want = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store(spark, batch, "psig").collect()
+    }
+    assert {d for _, d, _ in want} == {"keep", "dup_of_corpus", "dup_within_batch"}
+    got_full = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store_pruned(spark, batch, "psig").collect()
+    }
+    assert got_full == want
+
+    # tiny Δ: one doc that IS in-corpus duplicated, one that is not —
+    # its 4 band hashes touch ≤ 8 of the 16 hp partitions, so the
+    # IN-list must actually prune
+    dup_id = min(d for d, dec, _ in want if dec == "dup_of_corpus")
+    keep_id = min(d for d, dec, _ in want if dec == "keep")
+    tiny = docs.where(F.col("doc_id").isin([dup_id, keep_id]))
+    pruned = dedup_incremental_from_store_pruned(spark, tiny, "psig")
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    ls_scan = [
+        ln for ln in plan.splitlines() if "psig_longsigs" in ln and "PartitionFilters" in ln
+    ]
+    assert ls_scan and any("hp" in ln for ln in ls_scan), plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "psig" in line:
+            raise AssertionError(f"store-side shuffle in pruned probe: {line}")
+
+    got_tiny = {(r.doc_id, r.decision) for r in pruned.collect()}
+    assert got_tiny == {(dup_id, "dup_of_corpus"), (keep_id, "keep")}
+
+
+def test_absorb_and_compact_preserve_partitioned_layout(spark):
+    """Absorbing into and compacting a PARTITIONED store must keep the
+    hp/dp layout columns, the recorded partition count, and the pruned
+    probe's answers — compaction must not silently demote the store to
+    bucketed-only."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+        absorb_kept_into_store,
+        compact_signature_store,
+        dedup_incremental_from_store,
+        dedup_incremental_from_store_pruned,
+        write_signature_store,
+    )
+
+    for t in ("pabs_longsigs", "pabs_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    B = "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold bronze"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    write_signature_store(spark, mk([(3, B)]), "pabs", num_buckets=4, hash_partitions=8)
+
+    day1 = mk([(2, A), (5, A)])
+    dec1 = dedup_incremental_from_store(spark, day1, "pabs")
+    assert absorb_kept_into_store(spark, day1, dec1, "pabs", num_buckets=4) == 1
+    assert _store_hash_partitions(spark, "pabs_longsigs") == 8
+
+    day2 = mk([(11, A)])
+    got2 = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store_pruned(spark, day2, "pabs").collect()
+    }
+    assert got2 == {(11, "dup_of_corpus", 2)}
+
+    compact_signature_store(spark, "pabs", num_buckets=4)
+    assert _store_hash_partitions(spark, "pabs_longsigs") == 8
+    assert "hp" in spark.table("pabs_longsigs").columns
+    assert "dp" in spark.table("pabs_hashed").columns
+    got3 = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store_pruned(spark, day2, "pabs").collect()
+    }
+    assert got3 == got2
