@@ -35,10 +35,14 @@ the periodic compaction analogue, scheduled by drift, not by size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_wsr_project_spark.operators.similarity import cosine_expr
 from flink_wsr_project_spark.sources.writers import write_bucketed
+
+# Table property marking a lists table as PARTITIONED BY label (the
+# directory-per-inverted-list layout the pruned probe needs).
+PARTITIONED_LISTS_PROP = "spark_graft.partitioned_lists"
 
 
 def write_ann_index(
@@ -46,13 +50,23 @@ def write_ann_index(
     embeddings: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    partition_lists: bool = False,
 ) -> None:
     """One-time index build from (vec_id, embedding, label) rows: the
     ``label`` column is the inverted-list assignment (k-means or any
     other partitioner upstream); centroids are the per-list
     integer-scaled component means — the exact expression
     ``ann_ivf_topk`` trains, so probes against the store reproduce the
-    inline query bit-for-bit."""
+    inline query bit-for-bit.
+
+    With ``partition_lists=True`` the lists table is written
+    PARTITIONED BY ``label`` — one directory per inverted list — which
+    is what lets the pruned probe (:func:`ann_topk_from_index_pruned`)
+    read ONLY the lists a probe batch is assigned to, instead of
+    scanning the whole corpus the way the bucketed layout must. The
+    IVF list is the natural partition unit: its cardinality is the
+    (small, constant) number of lists, and nprobe-style multi-probe
+    just widens the pruned set."""
     embeddings.createOrReplaceTempView("_ann_index_input")
     centroids = spark.sql(
         """
@@ -71,12 +85,20 @@ FROM comp GROUP BY label
 """
     )
     write_bucketed(centroids, f"{table_prefix}_centroids", ["label"], 1)
-    write_bucketed(
-        embeddings.select("vec_id", "label", "embedding"),
-        f"{table_prefix}_lists",
-        ["label"],
-        num_buckets,
-    )
+    lists = embeddings.select("vec_id", "label", "embedding")
+    if partition_lists:
+        (
+            lists.write.partitionBy("label")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_lists")
+        )
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_lists SET TBLPROPERTIES "
+            f"('{PARTITIONED_LISTS_PROP}'='true')"
+        )
+    else:
+        write_bucketed(lists, f"{table_prefix}_lists", ["label"], num_buckets)
 
 
 def ann_topk_from_index(
@@ -120,4 +142,74 @@ SELECT query_id, probe_label, neighbor_id, cosine, rank FROM (
   ) AS BIGINT) AS rank FROM pairs
 ) WHERE rank <= {int(k)}
 """
+    )
+
+
+def ann_topk_from_index_pruned(
+    spark: SparkSession,
+    queries: DataFrame,
+    table_prefix: str,
+    k: int = 5,
+) -> DataFrame:
+    """Small-batch fast path over a PARTITIONED index (written with
+    ``partition_lists=True``): same results as
+    :func:`ann_topk_from_index`, but the lists table is neither
+    shuffled nor fully scanned. The probe batch is assigned to lists
+    (broadcast centroids, same tie-break), the distinct assigned
+    labels are collected — a driver list bounded by the number of
+    inverted lists, a layout constant — and pushed into the lists scan
+    as a literal partition filter; the probe side then BROADCASTS into
+    the search join. A one-query probe reads exactly one list
+    directory. Use the bucketed layout + regular probe for bulk query
+    batches that touch most lists anyway."""
+    from pyspark.sql.window import Window
+
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
+    if not any(r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows):
+        raise ValueError(
+            f"index '{table_prefix}' has no partitioned lists table; write it "
+            "with partition_lists=True or use ann_topk_from_index"
+        )
+
+    queries.createOrReplaceTempView("_ann_query_input")
+    spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
+    cos_qc = cosine_expr("q.qv", "c.cv", "spark")
+    probes = spark.sql(
+        f"""
+SELECT query_id, qv, probe_label FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_c DESC, probe_label
+  ) AS rn FROM (
+    SELECT /*+ BROADCAST(c) */ q.query_id, q.qv, c.label AS probe_label,
+           {cos_qc} AS cos_c
+    FROM _ann_query_input q CROSS JOIN _ann_centroids c
+  )
+) WHERE rn = 1
+"""
+    )
+    labels = [
+        r.probe_label for r in probes.select("probe_label").distinct().collect()
+    ]  # bounded by the number of inverted lists
+
+    lists = spark.table(f"{table_prefix}_lists").where(F.col("label").isin(labels))
+    cos_qe = F.expr(cosine_expr("a.qv", "e.embedding", "spark"))
+    pairs = (
+        lists.alias("e")
+        .join(
+            F.broadcast(probes.alias("a")),
+            (F.col("e.label") == F.col("a.probe_label"))
+            & (F.col("e.vec_id") != F.col("a.query_id")),
+        )
+        .select(
+            "a.query_id",
+            "a.probe_label",
+            F.col("e.vec_id").alias("neighbor_id"),
+            cos_qe.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "probe_label", "neighbor_id", "cosine", "rank")
     )

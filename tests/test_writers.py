@@ -560,3 +560,58 @@ def test_absorb_and_compact_preserve_partitioned_layout(spark):
         for r in dedup_incremental_from_store_pruned(spark, day2, "pabs").collect()
     }
     assert got3 == got2
+
+
+def test_pruned_ann_probe_matches_bucketed_index(spark):
+    """The partitioned-lists ANN layout: directory per inverted list,
+    probe batch reads only its assigned lists. Asserts row-for-row
+    equality with the bucketed index probe (same centroid math, same
+    tie-breaks), label PartitionFilters on the lists scan, broadcast
+    probe side, and no lists-side shuffle."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index,
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+
+    for t in ("pann_centroids", "pann_lists", "bann_centroids", "bann_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "bann", num_buckets=8)
+    write_ann_index(spark, emb, "pann", partition_lists=True)
+
+    queries = emb.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+    got = ann_topk_from_index_pruned(spark, queries, "pann", k=5)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    scan = [
+        ln for ln in plan.splitlines() if "pann_lists" in ln and "PartitionFilters" in ln
+    ]
+    assert scan and any("label" in ln for ln in scan), plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "pann_lists" in line:
+            raise AssertionError(f"lists-side shuffle in pruned probe: {line}")
+
+    cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+    want = {tuple(getattr(r, c) for c in cols)
+            for r in ann_topk_from_index(spark, queries, "bann", k=5).collect()}
+    assert {tuple(getattr(r, c) for c in cols) for r in got.collect()} == want
+    assert len(want) > 0
+
+    # a single-query probe must touch exactly one list directory
+    one = ann_topk_from_index_pruned(
+        spark, queries.limit(1), "pann", k=5
+    )
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = [ln for ln in plan1.splitlines() if "pann_lists" in ln and "PartitionFilters" in ln]
+    # one assigned list → a single-partition filter (Catalyst folds a
+    # 1-element IN to equality)
+    assert m and _re.search(r"label#\d+ (= \S+|IN \([^,)]+\))", m[0]), m
