@@ -148,6 +148,7 @@ def absorb_kept_into_store(
     decisions: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    exclude_existing: bool = False,
 ) -> int:
     """Fold an increment's KEPT docs into the store so the NEXT
     increment sees them as corpus — the day-over-day loop. One append
@@ -164,6 +165,14 @@ def absorb_kept_into_store(
     (``sources.writers.compact_parquet`` per bucket, or a periodic
     full ``write_signature_store`` rewrite), scheduled by file count —
     the store stays correct at any fragmentation level.
+
+    ``exclude_existing=True`` anti-joins the kept docs against the
+    store's own doc_ids before appending, making the absorb IDEMPOTENT
+    under replay — the contract a ``foreachBatch`` absorb loop needs,
+    where a crashed micro-batch is re-run at-least-once and must not
+    double-append docs it already absorbed. The anti-join probes the
+    ``doc_id``-bucketed hash table, so the store side stays
+    shuffle-free; cost is one extra |Δ|-sized pass.
     """
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
@@ -178,11 +187,16 @@ def absorb_kept_into_store(
     # append, leaving the store with band rows but no hash array for
     # it (every later verify against it fails). localCheckpoint pins
     # the pre-append answer (sized by |Δ|, executor-distributed).
-    kept, ckpt_ids = local_checkpoint_tracked(
-        batch_docs.join(
-            decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
-        )
+    kept_plan = batch_docs.join(
+        decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )
+    if exclude_existing:
+        kept_plan = kept_plan.join(
+            spark.table(f"{table_prefix}_hashed").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    kept, ckpt_ids = local_checkpoint_tracked(kept_plan)
     try:
         n = kept.count()
         p = _store_hash_partitions(spark, f"{table_prefix}_longsigs")
@@ -314,7 +328,13 @@ def dedup_incremental_from_store(
     corpus_cand = (
         batch_longsigs.join(
             store_longsigs.alias("cl"),
-            (F.col("bl.b") == F.col("cl.b")) & (F.col("bl.h") == F.col("cl.h")),
+            (F.col("bl.b") == F.col("cl.b"))
+            & (F.col("bl.h") == F.col("cl.h"))
+            # self-exclusion: a no-op while corpus ∩ batch = ∅, but a
+            # replayed micro-batch (at-least-once foreachBatch absorb)
+            # probes docs the store already holds — they must not
+            # become corpus-dups of themselves
+            & (F.col("bl.doc_id") != F.col("cl.doc_id")),
         )
         .select(
             F.col("bl.doc_id").alias("doc_a"),
@@ -425,7 +445,11 @@ def dedup_incremental_from_store_pruned(
         store_ls.alias("cl")
         .join(
             F.broadcast(bls.alias("bl")),
-            (F.col("bl.b") == F.col("cl.b")) & (F.col("bl.h") == F.col("cl.h")),
+            (F.col("bl.b") == F.col("cl.b"))
+            & (F.col("bl.h") == F.col("cl.h"))
+            # self-exclusion — same replayed-micro-batch rationale as
+            # the regular probe
+            & (F.col("bl.doc_id") != F.col("cl.doc_id")),
         )
         .select(
             F.col("bl.doc_id").alias("doc_a"),

@@ -387,3 +387,85 @@ def dedup_incremental_stream(
             ["doc_id", "corpus_dup_of"]
         )
     return verified.dropDuplicates(["doc_id", "corpus_dup_of"])
+
+
+def dedup_absorb_foreach_batch(
+    spark,
+    table_prefix: str,
+    decisions_sink,
+    num_buckets: int = 8,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch body for CONTINUOUS incremental dedup with corpus
+    growth — the capability ``dedup_incremental_stream``'s stream-static
+    plan cannot have (a running stream-static join snapshots the store
+    at query start; absorbed docs only appear on restart). Each
+    micro-batch here runs as a BATCH plan, so it reads the store as of
+    ITS OWN execution:
+
+        probe (pruned path when the store is hash-partitioned, else the
+        bucketed join) → hand the |Δ|-sized, pinned decision frame to
+        ``decisions_sink(decisions_df, batch_id)`` → absorb kept docs
+        with ``exclude_existing=True``.
+
+    Failure contract (foreachBatch is at-least-once): a replayed
+    micro-batch re-emits its decisions (sinks must tolerate replay, the
+    standard Spark contract) and re-runs the absorb, which the
+    anti-join makes a no-op for docs already in the store — the store
+    never double-absorbs regardless of where the previous attempt
+    crashed. One replay nuance, deliberate: a doc kept-and-absorbed by
+    the crashed attempt is self-excluded from matching ITSELF, but a
+    batch-mate that originally claimed it within-batch now finds it in
+    the CORPUS — same ``dup_of`` partner, label shifts from
+    dup_within_batch to dup_of_corpus. Partner identity, not label, is
+    the replay-stable part of the contract.
+
+    At 100 TB the per-micro-batch cost is the pruned probe's (touched
+    partitions + broadcast Δ); absorb appends one file set per batch —
+    schedule ``compact_signature_store`` by file count, exactly as the
+    daily loop does.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(dedup_absorb_foreach_batch(spark, "store", sink))
+             .start())
+    """
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+        absorb_kept_into_store,
+        dedup_incremental_from_store,
+        dedup_incremental_from_store_pruned,
+    )
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands the body a frame bound to a CLONED session;
+        # temp views are session-scoped, so every step must run on the
+        # batch frame's own session or view registrations silently
+        # resolve against stale outer-session state
+        s = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
+        )
+        pruned = _store_hash_partitions(s, f"{table_prefix}_longsigs") > 0
+        probe = (
+            dedup_incremental_from_store_pruned if pruned else dedup_incremental_from_store
+        )
+        # pin BEFORE the sink and the absorb: the decision plan reads
+        # the store, and the absorb below mutates it (the same
+        # read-your-writes discipline absorb itself documents)
+        decisions, ids = local_checkpoint_tracked(probe(s, docs, table_prefix))
+        try:
+            decisions_sink(decisions, batch_id)
+            absorb_kept_into_store(
+                s, docs, decisions, table_prefix, num_buckets, exclude_existing=True
+            )
+        finally:
+            release_persistent_rdds(s, ids)
+
+    return body

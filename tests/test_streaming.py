@@ -2157,3 +2157,75 @@ def test_dedup_incremental_stream_against_store(spark, tmp_path):
         for r in dedup_incremental_stream(batch_docs, spark, "incrstream").collect()
     }
     assert got_batch == {(1, 100), (2, 100)}
+
+
+def test_dedup_absorb_foreach_batch_grows_corpus_live(spark, tmp_path):
+    """The foreachBatch absorb loop: micro-batch 2 must see micro-batch
+    1's KEPT doc as corpus WITHOUT a stream restart — the capability a
+    stream-static plan cannot have (it snapshots the store at query
+    start). Also pins the failure contract: replaying a micro-batch
+    re-emits decisions with the SAME partner (label may shift
+    within-batch → corpus) and absorbs nothing (idempotent absorb)."""
+    import os
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.streaming.dedup import dedup_absorb_foreach_batch
+
+    for t in ("fbabs_longsigs", "fbabs_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    B = "red orange yellow green blue indigo violet crimson amber teal navy maroon olive silver gold bronze"
+    write_signature_store(
+        spark,
+        spark.createDataFrame([(3, B)], "doc_id long, text string"),
+        "fbabs",
+        num_buckets=4,
+        hash_partitions=8,  # the loop takes the pruned path
+    )
+
+    d = str(tmp_path / "fb_stream")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows, tag):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf.to_parquet(f"{d}/{tag}.parquet", index=False)
+
+    seen: dict[int, set] = {}
+
+    def sink(decisions, batch_id):
+        seen[batch_id] = {(r.doc_id, r.decision, r.dup_of) for r in decisions.collect()}
+
+    write([(2, A), (5, A)], "b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_absorb_foreach_batch(spark, "fbabs", sink, num_buckets=4)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    write([(11, A)], "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    assert seen[0] == {(2, "keep", None), (5, "dup_within_batch", 2)}
+    # the live absorb is what makes this possible mid-query:
+    assert seen[1] == {(11, "dup_of_corpus", 2)}
+
+    # replay micro-batch 1 (at-least-once): same partner, absorb no-op
+    hashed_before = spark.table("fbabs_hashed").count()
+    body = dedup_absorb_foreach_batch(spark, "fbabs", sink, num_buckets=4)
+    body(spark.createDataFrame([(2, A), (5, A)], "doc_id long, text string"), 0)
+    assert spark.table("fbabs_hashed").count() == hashed_before
+    # doc 2 does not match itself (self-exclusion); doc 5's partner is
+    # still 2, now via the corpus
+    assert seen[0] == {(2, "keep", None), (5, "dup_of_corpus", 2)}
