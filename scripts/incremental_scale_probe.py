@@ -38,6 +38,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from flink_wsr_project_spark.operators.incremental_dedup import (  # noqa: E402
     dedup_incremental_from_store,
+    dedup_incremental_from_store_pruned,
     write_signature_store,
 )
 from flink_wsr_project_spark.plans.registry import all_queries  # noqa: E402
@@ -83,10 +84,26 @@ def main(probe_dir: str) -> None:
     write_signature_store(spark, corpus, PREFIX, num_buckets=32)
     store_write_s = round(time.perf_counter() - t0, 3)
 
+    # tiny Δ (~0.1% of the batch third): the straggler-micro-batch /
+    # doc-lookup operating point the PARTITIONED layout exists for
+    tiny_div = int(os.environ.get("SPARK_GRAFT_INCR_TINY_DIV", "1000"))
+    batch_tiny = batch_large.where(F.expr(f"(doc_id div 3) % {tiny_div} = 0"))
+    for t in (f"{PREFIX}_p_longsigs", f"{PREFIX}_p_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_signature_store(
+        spark, corpus, f"{PREFIX}_p", num_buckets=4, hash_partitions=64
+    )
+
     def run_store(batch):
         return lambda: dedup_incremental_from_store(spark, batch, PREFIX).write.format(
             "noop"
         ).mode("overwrite").save()
+
+    def run_pruned(batch):
+        return lambda: dedup_incremental_from_store_pruned(
+            spark, batch, f"{PREFIX}_p"
+        ).write.format("noop").mode("overwrite").save()
 
     reg = all_queries()
 
@@ -99,10 +116,28 @@ def main(probe_dir: str) -> None:
         "dir": probe_dir,
         "rows": {
             "corpus": corpus.count(),
+            "batch_tiny": batch_tiny.count(),
             "batch_small": batch_small.count(),
             "batch_large": batch_large.count(),
         },
         "store_write_s": store_write_s,
+        "increment_tiny_regular_s": _steady(run_store(batch_tiny)),
+        "increment_tiny_pruned_s": _steady(run_pruned(batch_tiny)),
+        # the pruning effect itself, measured as files read (bytes-read
+        # is the lever at 100 TB; wall-time only shows it once the
+        # store scan dwarfs the two bounded-collect round-trips)
+        "onedoc_longsig_files_pruned": len(
+            [
+                f
+                for f in dedup_incremental_from_store_pruned(
+                    spark, batch_tiny.limit(1), f"{PREFIX}_p"
+                ).inputFiles()
+                if "_p_longsigs" in f
+            ]
+        ),
+        "onedoc_longsig_files_total": len(
+            spark.table(f"{PREFIX}_p_longsigs").inputFiles()
+        ),
         "increment_small_s": _steady(run_store(batch_small)),
         "increment_large_s": _steady(run_store(batch_large)),
         "inline_query_s": _steady(run_query("dedup_incremental")),
