@@ -390,7 +390,6 @@ def dedup_incremental_stream(
 
 
 def dedup_absorb_foreach_batch(
-    spark,
     table_prefix: str,
     decisions_sink,
     num_buckets: int = 8,
@@ -429,7 +428,7 @@ def dedup_absorb_foreach_batch(
     Usage::
 
         q = (stream.writeStream
-             .foreachBatch(dedup_absorb_foreach_batch(spark, "store", sink))
+             .foreachBatch(dedup_absorb_foreach_batch("store", sink))
              .start())
     """
     from flink_wsr_project_spark.operators.incremental_dedup import (

@@ -2208,7 +2208,7 @@ def test_dedup_absorb_foreach_batch_grows_corpus_live(spark, tmp_path):
     )
     q = (
         stream.writeStream.foreachBatch(
-            dedup_absorb_foreach_batch(spark, "fbabs", sink, num_buckets=4)
+            dedup_absorb_foreach_batch("fbabs", sink, num_buckets=4)
         )
         .start()
     )
@@ -2223,7 +2223,7 @@ def test_dedup_absorb_foreach_batch_grows_corpus_live(spark, tmp_path):
 
     # replay micro-batch 1 (at-least-once): same partner, absorb no-op
     hashed_before = spark.table("fbabs_hashed").count()
-    body = dedup_absorb_foreach_batch(spark, "fbabs", sink, num_buckets=4)
+    body = dedup_absorb_foreach_batch("fbabs", sink, num_buckets=4)
     body(spark.createDataFrame([(2, A), (5, A)], "doc_id long, text string"), 0)
     assert spark.table("fbabs_hashed").count() == hashed_before
     # doc 2 does not match itself (self-exclusion); doc 5's partner is
