@@ -150,6 +150,7 @@ def ann_topk_from_index_pruned(
     queries: DataFrame,
     table_prefix: str,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Small-batch fast path over a PARTITIONED index (written with
     ``partition_lists=True``): same results as
@@ -161,7 +162,15 @@ def ann_topk_from_index_pruned(
     as a literal partition filter; the probe side then BROADCASTS into
     the search join. A one-query probe reads exactly one list
     directory. Use the bucketed layout + regular probe for bulk query
-    batches that touch most lists anyway."""
+    batches that touch most lists anyway.
+
+    ``nprobe`` is the recall dial: each query searches its ``nprobe``
+    nearest lists instead of one. Recall@k is monotone in nprobe (the
+    candidate set only grows), the scan cost is nprobe directories per
+    query, and nprobe = number-of-lists degenerates to exact
+    brute-force. ``probe_label`` in the output is the list the
+    neighbor was FOUND in. nprobe=1 is row-for-row identical to
+    :func:`ann_topk_from_index`."""
     from pyspark.sql.window import Window
 
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
@@ -184,7 +193,7 @@ SELECT query_id, qv, probe_label FROM (
            {cos_qc} AS cos_c
     FROM _ann_query_input q CROSS JOIN _ann_centroids c
   )
-) WHERE rn = 1
+) WHERE rn <= {int(nprobe)}
 """
     )
     labels = [

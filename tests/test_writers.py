@@ -615,3 +615,67 @@ def test_pruned_ann_probe_matches_bucketed_index(spark):
     # one assigned list → a single-partition filter (Catalyst folds a
     # 1-element IN to equality)
     assert m and _re.search(r"label#\d+ (= \S+|IN \([^,)]+\))", m[0]), m
+
+
+def test_pruned_ann_nprobe_recall_is_monotone(spark):
+    """The pruned probe's nprobe recall dial: recall@5 against exact
+    brute-force cosine must be monotone in nprobe (the candidate set
+    only grows), and nprobe = number-of-lists must BE exact
+    brute-force (every list searched). Reuses the partitioned index
+    from the layout test's prefix, rebuilt fresh."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+
+    for t in ("nann_centroids", "nann_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "nann", partition_lists=True)
+    n_lists = spark.table("nann_centroids").count()
+    queries = emb.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+
+    # exact top-5: brute-force cosine over the whole corpus, same
+    # tie-break (cosine DESC, neighbor_id), self-matches excluded
+    from flink_wsr_project_spark.operators.similarity import cosine_expr
+
+    exact = spark.sql(
+        f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT a.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY {cosine_expr('a.qv', 'e.embedding', 'spark')} DESC, e.vec_id
+         ) AS rank
+  FROM (SELECT vec_id AS query_id, embedding AS qv
+        FROM {{emb}} WHERE vec_id % 50 = 0) a
+  JOIN {{emb}} e ON e.vec_id <> a.query_id
+) WHERE rank <= 5
+""",
+        emb=emb,
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe):
+        got = {}
+        rows = ann_topk_from_index_pruned(
+            spark, queries, "nann", k=5, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        return hits / total
+
+    r1, r2, rall = recall(1), recall(2), recall(int(n_lists))
+    assert r1 <= r2 <= rall
+    assert rall == 1.0  # all lists probed == exact brute force
+    assert r1 > 0
