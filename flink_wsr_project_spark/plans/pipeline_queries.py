@@ -991,12 +991,13 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ann_ivf_sql(engine: str) -> str:
+def _ann_ivf_sql(engine: str, nprobe: int = 1) -> str:
     """IVF top-5: train centroids (per-label component-wise mean via
     integer-scaled sums — order-independent, bit-exact), assign each
-    query to its nearest centroid (nprobe=1), then search only that
-    inverted list. The probed fraction is ~1/n_lists of the corpus —
-    the scale path vs the brute-force baseline."""
+    query to its ``nprobe`` nearest centroids (default 1), then search
+    only those inverted lists. The probed fraction is ~nprobe/n_lists
+    of the corpus — the scale path vs the brute-force baseline, with
+    nprobe as the recall dial (candidate set grows monotonically)."""
     if engine == "spark":
         exploded = (
             "SELECT label, pos, CAST(x AS DOUBLE) AS x "
@@ -1019,6 +1020,8 @@ def _ann_ivf_sql(engine: str) -> str:
     rn_final = rank_cast(
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
     )
+    # keep the registered nprobe=1 SQL textually unchanged
+    probe_cond = "rn = 1" if nprobe == 1 else f"rn <= {int(nprobe)}"
     return f"""
 WITH exploded AS ({exploded}),
 comp AS (
@@ -1034,7 +1037,7 @@ probes AS (
       SELECT q.query_id, q.qv, c.label AS probe_label, {cos_qc} AS cos_c
       FROM q CROSS JOIN centroids c
     )
-  ) WHERE rn = 1
+  ) WHERE {probe_cond}
 ),
 pairs AS (
   SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id, {cos_qe} AS cosine
@@ -1053,7 +1056,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _ann_recall_sql(engine: str) -> str:
+def _ann_recall_sql(engine: str, nprobe: int = 1) -> str:
     """ANN quality evaluation: recall@5 of the IVF index against the
     exact brute-force neighbors, per query vector — the metric that
     decides whether an approximate index is good enough to replace the
@@ -1065,7 +1068,7 @@ def _ann_recall_sql(engine: str) -> str:
     Scale: cost is the two member pipelines + one (query_id,
     neighbor_id) equi-join over <= 10 rows per query."""
     exact = _ann_brute_force_sql(engine)
-    ivf = _ann_ivf_sql(engine)
+    ivf = _ann_ivf_sql(engine, nprobe)
     return f"""
 WITH exact AS ({exact}),
 ivf AS ({ivf})
@@ -1087,6 +1090,28 @@ GROUP BY e.query_id
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
     return spark.sql(_ann_recall_sql("spark"))
+
+
+_NPROBE2_DOC = """Recall@5 of the IVF index probing each query's TWO
+nearest lists (nprobe=2) vs the exact neighbors — the recall dial's
+externally-checked point. The candidate set is a superset of
+``ann_ivf_recall``'s (nprobe=1), so per-query recall is monotone:
+n_hit here >= n_hit there, row for row (the deployment-shape twin is
+``ann_topk_from_index_pruned(nprobe=...)``, where the dial costs
+nprobe pruned directories per query). Scale: identical plan shape to
+ann_ivf_recall — the probes CTE keeps two rows per query instead of
+one, doubling only the searched-list volume."""
+
+
+@register(
+    "ann_ivf_recall_nprobe2",
+    oracle=_ann_recall_sql("duckdb", nprobe=2),
+    doc=_NPROBE2_DOC,
+    tags=("pipeline", "similarity"),
+)
+def ann_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_ann_recall_sql("spark", nprobe=2))
 
 
 # ---------------------------------------------------------------------------

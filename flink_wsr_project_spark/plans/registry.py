@@ -100,8 +100,11 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # r10: the r9 external window never materialized (no
     # CORRECTNESS_r09.json was recorded), so the r9 pins carry into
     # the r10 window unchanged — the chain consumers still owe their
-    # first post-rewrite external row. r10's only registry change,
-    # dedup_incremental, is tier-0 (never verified) and needs no pin.
+    # first post-rewrite external row. r10's registry changes —
+    # dedup_incremental and ann_ivf_recall_nprobe2 — are tier-0
+    # (never verified) and need no pin; the nprobe2 SQL shares
+    # _ann_ivf_sql with ann_ivf_topk/ann_ivf_recall, whose nprobe=1
+    # text is byte-identical to pre-r10 (probe_cond keeps "rn = 1").
     "curation_funnel",
     "dedup_minhash_lsh_capped",
     "dedup_components",

@@ -300,3 +300,18 @@ def test_dedup_incremental_partitions_the_batch(spark):
         else:
             assert r.decision == "dup_within_batch"
             assert r.dup_of in batch_ids and r.dup_of < r.doc_id
+
+
+def test_ann_recall_monotone_in_nprobe(spark):
+    """The nprobe recall dial's oracle-independent contract: probing a
+    query's two nearest lists can only ADD candidates, so per-query
+    n_hit at nprobe=2 >= n_hit at nprobe=1, same query set, and both
+    stay within [0, 5]."""
+    r1 = {r.query_id: r.n_hit for r in _Q["ann_ivf_recall"](spark, SF_DIR).collect()}
+    r2 = {
+        r.query_id: r.n_hit
+        for r in _Q["ann_ivf_recall_nprobe2"](spark, SF_DIR).collect()
+    }
+    assert set(r1) == set(r2) and len(r1) > 0
+    for q in r1:
+        assert 0 <= r1[q] <= r2[q] <= 5
