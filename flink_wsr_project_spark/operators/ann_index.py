@@ -173,6 +173,8 @@ def ann_topk_from_index_pruned(
     :func:`ann_topk_from_index`."""
     from pyspark.sql.window import Window
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
     if not any(r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows):
         raise ValueError(

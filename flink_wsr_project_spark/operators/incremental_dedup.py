@@ -109,6 +109,11 @@ def write_signature_store(
     layout from the catalog. Keep P modest (tens): files per write =
     P × num_buckets, and the pruned probe's driver-side partition list
     is bounded by P."""
+    if hash_partitions < 0:
+        raise ValueError(
+            f"hash_partitions must be >= 0, got {hash_partitions} "
+            "(0 = bucketed-only layout)"
+        )
     ls = _longsigs_df(spark, corpus_docs)
     hd = _hashed_df(spark, corpus_docs)
     if hash_partitions:

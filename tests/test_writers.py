@@ -679,3 +679,35 @@ SELECT query_id, neighbor_id FROM (
     assert r1 <= r2 <= rall
     assert rall == 1.0  # all lists probed == exact brute force
     assert r1 > 0
+
+
+def test_store_and_index_reject_invalid_layout_params(spark):
+    """Build-time validation: bad layout constants fail loudly at the
+    call site, never as a silently-degenerate store (same discipline
+    as the KMV k<2 and TTL-vs-watermark rejections)."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index_pruned,
+    )
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store_pruned,
+        write_signature_store,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_partitions"):
+        write_signature_store(spark, docs, "badstore", hash_partitions=-1)
+    with pytest.raises(ValueError, match="nprobe"):
+        ann_topk_from_index_pruned(
+            spark, docs.selectExpr("doc_id AS query_id"), "nann", nprobe=0
+        )
+    # a bucketed-only store rejects the pruned probe with guidance
+    import shutil
+
+    for t in ("bonly_longsigs", "bonly_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_signature_store(spark, docs, "bonly", num_buckets=2)
+    with pytest.raises(ValueError, match="not hash-partitioned"):
+        dedup_incremental_from_store_pruned(spark, docs, "bonly")
