@@ -178,3 +178,57 @@ def ann_probe_stream(
             ).alias("topk"),
         )
     )
+
+
+def ann_probe_foreach_batch(
+    table_prefix: str,
+    results_sink,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch body: top-k search of each micro-batch's query
+    vectors against the PERSISTED IVF index
+    (operators/ann_index.py) — the similarity twin of
+    ``dedup_absorb_foreach_batch``, read-only. Each micro-batch runs
+    as a batch plan, so it uses the pruned small-batch path when the
+    index was written with ``partition_lists=True`` (reads only the
+    nprobe assigned list directories per query) and the bucketed join
+    otherwise; ``results_sink(results_df, batch_id)`` receives the
+    ranked (query_id, probe_label, neighbor_id, cosine, rank) frame.
+    Unlike a stream-static join, each micro-batch sees index appends
+    made since the query started. Replay (at-least-once) re-emits a
+    batch's results unchanged — the index is read-only here, so
+    replay is exact.
+
+    Usage::
+
+        q = (vectors.writeStream
+             .foreachBatch(ann_probe_foreach_batch("annidx", sink))
+             .start())
+    """
+    from flink_wsr_project_spark.operators.ann_index import (
+        PARTITIONED_LISTS_PROP,
+        ann_topk_from_index,
+        ann_topk_from_index_pruned,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        # run on the micro-batch frame's own (cloned) session — temp
+        # views are session-scoped (see dedup_absorb_foreach_batch)
+        s = batch_df.sparkSession
+        queries = batch_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        rows = s.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
+        partitioned = any(
+            r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
+        )
+        if partitioned:
+            out = ann_topk_from_index_pruned(s, queries, table_prefix, k=k, nprobe=nprobe)
+        else:
+            out = ann_topk_from_index(s, queries, table_prefix, k=k)
+        results_sink(out, batch_id)
+
+    return body

@@ -2229,3 +2229,69 @@ def test_dedup_absorb_foreach_batch_grows_corpus_live(spark, tmp_path):
     # doc 2 does not match itself (self-exclusion); doc 5's partner is
     # still 2, now via the corpus
     assert seen[0] == {(2, "keep", None), (5, "dup_of_corpus", 2)}
+
+
+def test_ann_probe_foreach_batch_matches_batch_probe(spark, tmp_path):
+    """The foreachBatch ANN driver: each micro-batch's top-k against
+    the persisted partitioned index must equal the batch pruned probe
+    on the same query vectors, per micro-batch."""
+    import os
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_foreach_batch
+    from tests.conftest import SF_DIR
+
+    for t in ("fbann_centroids", "fbann_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "fbann", partition_lists=True)
+
+    q1 = emb.where("vec_id % 50 = 0").limit(3).select("vec_id", "embedding").toPandas()
+    q2 = emb.where("vec_id % 50 = 7").limit(2).select("vec_id", "embedding").toPandas()
+
+    d = str(tmp_path / "ann_stream")
+    os.makedirs(d, exist_ok=True)
+    seen: dict[int, set] = {}
+
+    def sink(results, batch_id):
+        seen[batch_id] = {
+            (r.query_id, r.neighbor_id, r.rank) for r in results.collect()
+        }
+
+    q1.to_parquet(f"{d}/b1.parquet", index=False)
+    stream = (
+        spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ann_probe_foreach_batch("fbann", sink, k=5, nprobe=2)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q2.to_parquet(f"{d}/b2.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+    def batch_expect(pdf):
+        qdf = spark.createDataFrame(pdf).selectExpr(
+            "vec_id AS query_id", "embedding AS qv"
+        )
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_topk_from_index_pruned(
+                spark, qdf, "fbann", k=5, nprobe=2
+            ).collect()
+        }
+
+    assert seen[0] == batch_expect(q1) and len(seen[0]) > 0
+    assert seen[1] == batch_expect(q2) and len(seen[1]) > 0
