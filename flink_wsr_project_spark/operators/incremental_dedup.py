@@ -241,7 +241,8 @@ def compact_signature_store(
     table_prefix: str,
     num_buckets: int = 8,
 ) -> dict[str, int]:
-    """Rewrite the store tables to one file per bucket. Every
+    """Rewrite the store tables to one file per bucket (per hp/dp
+    partition for a hash-partitioned store). Every
     ``absorb_kept_into_store`` appends one file set per bucket, so a
     long-running store accumulates files linearly with increments —
     correctness is unaffected (bucket membership is by hash, not by

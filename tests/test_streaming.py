@@ -2230,6 +2230,28 @@ def test_dedup_absorb_foreach_batch_grows_corpus_live(spark, tmp_path):
     # still 2, now via the corpus
     assert seen[0] == {(2, "keep", None), (5, "dup_of_corpus", 2)}
 
+    # the loop's BUCKETED-store arm (regular probe instead of pruned):
+    # same body, direct batch-mode call
+    for t in ("fbabs2_longsigs", "fbabs2_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_signature_store(
+        spark, spark.createDataFrame([(3, B)], "doc_id long, text string"),
+        "fbabs2", num_buckets=4,
+    )
+    seen2: dict[int, set] = {}
+
+    def sink2(decisions, batch_id):
+        seen2[batch_id] = {
+            (r.doc_id, r.decision, r.dup_of) for r in decisions.collect()
+        }
+
+    body2 = dedup_absorb_foreach_batch("fbabs2", sink2, num_buckets=4)
+    body2(spark.createDataFrame([(2, A), (5, A)], "doc_id long, text string"), 0)
+    body2(spark.createDataFrame([(11, A)], "doc_id long, text string"), 1)
+    assert seen2[0] == {(2, "keep", None), (5, "dup_within_batch", 2)}
+    assert seen2[1] == {(11, "dup_of_corpus", 2)}
+
 
 def test_ann_probe_foreach_batch_matches_batch_probe(spark, tmp_path):
     """The foreachBatch ANN driver: each micro-batch's top-k against
