@@ -31,6 +31,15 @@ At 100 TB: lists are the partition unit — nprobe-1 search touches
 bucketed, that touch is a co-located join, not a shuffle. Growing the
 corpus re-buckets nothing (bucketed appends); re-training centroids is
 the periodic compaction analogue, scheduled by drift, not by size.
+
+Recall note: a vector whose stored ``label`` (the upstream
+partitioner's assignment) differs from its nearest CENTROID is
+invisible to an nprobe=1 probe landing on that centroid — inherent to
+IVF whenever list assignment and centroid geometry drift apart, and
+exactly what the registered recall queries measure and the ``nprobe``
+dial recovers. ``absorb_vectors_into_index`` assigns by nearest
+centroid (the probes' own rule), so absorbed vectors never add to
+this asymmetry.
 """
 
 from __future__ import annotations
@@ -224,3 +233,82 @@ SELECT query_id, qv, probe_label FROM (
         .where(F.col("rank") <= k)
         .select("query_id", "probe_label", "neighbor_id", "cosine", "rank")
     )
+
+
+def absorb_vectors_into_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 8,
+    exclude_existing: bool = False,
+) -> int:
+    """Fold new (vec_id, embedding) rows into the persisted index —
+    the ANN twin of ``absorb_kept_into_store``. Each vector is
+    assigned to its nearest EXISTING centroid (broadcast centroid
+    table, the probes' exact tie-break: cosine DESC, smallest label),
+    then appended into the lists table under that label — one bucketed
+    (or partitioned, matching the layout the index was written with)
+    append, no rewrite of existing lists. Because probes assign
+    queries with the same rule, a query near an absorbed vector probes
+    the list that now holds it.
+
+    Centroids are deliberately NOT retrained per absorb: assignment
+    drift accumulates until the periodic retrain
+    (``write_ann_index`` over the grown corpus — the compaction
+    analogue, scheduled by drift, not size).
+
+    ``exclude_existing=True`` anti-joins against the lists' own
+    vec_ids first, making the absorb idempotent under replay — the
+    contract a ``foreachBatch`` ingest loop needs. Returns the number
+    of vectors absorbed."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    lists_table = f"{table_prefix}_lists"
+    rows = spark.sql(f"SHOW TBLPROPERTIES {lists_table}").collect()
+    partitioned = any(
+        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
+    )
+
+    vecs = vectors.select("vec_id", "embedding")
+    if exclude_existing:
+        vecs = vecs.join(
+            spark.table(lists_table).select("vec_id"), "vec_id", "left_anti"
+        )
+
+    vecs.createOrReplaceTempView("_ann_absorb_input")
+    spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
+    cos_vc = cosine_expr("v.embedding", "c.cv", "spark")
+    assigned = spark.sql(
+        f"""
+SELECT vec_id, label, embedding FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_c DESC, label
+  ) AS rn FROM (
+    SELECT /*+ BROADCAST(c) */ v.vec_id, v.embedding,
+           c.label, {cos_vc} AS cos_c
+    FROM _ann_absorb_input v CROSS JOIN _ann_centroids c
+  )
+) WHERE rn = 1
+"""
+    ).select("vec_id", "label", "embedding")
+
+    # pin before the append: with exclude_existing the plan READS the
+    # lists table the append is about to mutate (the same
+    # read-your-writes discipline as the signature store's absorb)
+    assigned, ckpt_ids = local_checkpoint_tracked(assigned)
+    try:
+        n = assigned.count()
+        w = assigned.write
+        if partitioned:
+            w = w.partitionBy("label")
+            w.mode("append").format("parquet").saveAsTable(lists_table)
+        else:
+            w.bucketBy(num_buckets, "label").mode("append").format(
+                "parquet"
+            ).saveAsTable(lists_table)
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
+    return n

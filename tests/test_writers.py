@@ -711,3 +711,59 @@ def test_store_and_index_reject_invalid_layout_params(spark):
     write_signature_store(spark, docs, "bonly", num_buckets=2)
     with pytest.raises(ValueError, match="not hash-partitioned"):
         dedup_incremental_from_store_pruned(spark, docs, "bonly")
+
+
+def test_absorb_vectors_into_index_and_probe_sees_them(spark):
+    """Index lifecycle: new vectors fold into the persisted index under
+    their nearest existing centroid; probes then find them (same
+    assignment rule on both sides), replay with exclude_existing
+    absorbs nothing, and both layouts (partitioned and bucketed lists)
+    take their append path."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        absorb_vectors_into_index,
+        ann_topk_from_index,
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+
+    for t in ("vabs_centroids", "vabs_lists", "vabsb_centroids", "vabsb_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "vabs", partition_lists=True)
+
+    v0 = emb.where("vec_id = 0").select("embedding").first().embedding
+    newvec = spark.createDataFrame(
+        [(900001, v0)], "vec_id long, embedding array<float>"
+    )
+    assert absorb_vectors_into_index(spark, newvec, "vabs") == 1
+    # replay is a no-op with exclude_existing
+    assert (
+        absorb_vectors_into_index(spark, newvec, "vabs", exclude_existing=True) == 0
+    )
+
+    probe = spark.createDataFrame(
+        [(900002, v0)], "query_id long, qv array<float>"
+    )
+    got = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index_pruned(spark, probe, "vabs", k=5).collect()
+    }
+    # the absorbed clone is an exact match IN THE PROBED LIST — found at
+    # rank 1 because probe and absorb share the nearest-centroid rule.
+    # (vec 0 itself may live in a DIFFERENT list: its table label came
+    # from upstream k-means, which need not equal its nearest centroid —
+    # that asymmetry is inherent to IVF, not to the absorb.)
+    assert (900001, 1) in got
+
+    # bucketed-layout arm
+    write_ann_index(spark, emb, "vabsb", num_buckets=4)
+    assert absorb_vectors_into_index(spark, newvec, "vabsb", num_buckets=4) == 1
+    got_b = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index(spark, probe, "vabsb", k=5).collect()
+    }
+    assert (900001, 1) in got_b
