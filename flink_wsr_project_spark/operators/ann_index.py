@@ -312,3 +312,62 @@ SELECT vec_id, label, embedding FROM (
     finally:
         release_persistent_rdds(spark, ckpt_ids)
     return n
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    table_prefix: str,
+    num_buckets: int = 8,
+) -> int:
+    """Rewrite the lists table to one file per bucket (per label
+    partition for a partitioned-lists index) — the fragmentation
+    remedy after repeated ``absorb_vectors_into_index`` appends, same
+    pattern as ``compact_signature_store``: pin the rows
+    (localCheckpoint — the source table is about to be dropped),
+    rewrite under a temp name, swap via DROP + RENAME, and re-sync
+    partition metadata after the rename for the partitioned layout.
+    Centroids are untouched — compaction defragments, RETRAINING
+    (``write_ann_index`` over the grown corpus) is the separate,
+    drift-scheduled operation. Returns the row count."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    table = f"{table_prefix}_lists"
+    tmp = f"{table}__compact"
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    partitioned = any(
+        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+    try:
+        n = pinned.count()
+        if partitioned:
+            (
+                pinned.repartition("label")
+                .write.partitionBy("label")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+            spark.sql(
+                f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                f"('{PARTITIONED_LISTS_PROP}'='true')"
+            )
+        else:
+            (
+                pinned.repartition(num_buckets, "label")
+                .write.bucketBy(num_buckets, "label")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        if partitioned:
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
+    return n

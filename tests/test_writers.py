@@ -767,3 +767,51 @@ def test_absorb_vectors_into_index_and_probe_sees_them(spark):
         for r in ann_topk_from_index(spark, probe, "vabsb", k=5).collect()
     }
     assert (900001, 1) in got_b
+
+
+def test_compact_ann_index_preserves_probe_results(spark):
+    """ANN lifecycle end: repeated vector absorbs fragment the lists
+    table; compaction must shrink files, preserve rows and the
+    partitioned layout, and leave probe results identical."""
+    import glob
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        absorb_vectors_into_index,
+        ann_topk_from_index_pruned,
+        compact_ann_index,
+        write_ann_index,
+    )
+
+    for t in ("cann_centroids", "cann_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "cann", partition_lists=True)
+    v0 = emb.where("vec_id = 0").select("embedding").first().embedding
+    for i in range(3):
+        newvec = spark.createDataFrame(
+            [(910000 + i, v0)], "vec_id long, embedding array<float>"
+        )
+        assert absorb_vectors_into_index(spark, newvec, "cann") == 1
+
+    probe = spark.createDataFrame([(920000, v0)], "query_id long, qv array<float>")
+    want = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index_pruned(spark, probe, "cann", k=5).collect()
+    }
+    assert {910000, 910001, 910002} <= {n for n, _ in want}
+
+    files_before = len(glob.glob("spark-warehouse/cann_lists/*/part-*"))
+    rows_before = spark.table("cann_lists").count()
+    assert compact_ann_index(spark, "cann") == rows_before
+    files_after = len(glob.glob("spark-warehouse/cann_lists/*/part-*"))
+    assert files_after < files_before
+    assert "label" in spark.table("cann_lists").columns
+
+    got = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index_pruned(spark, probe, "cann", k=5).collect()
+    }
+    assert got == want
