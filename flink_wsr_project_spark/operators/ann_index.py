@@ -371,3 +371,11 @@ def compact_ann_index(
     finally:
         release_persistent_rdds(spark, ckpt_ids)
     return n
+
+
+def recover_index_compaction(spark: SparkSession, table_prefix: str) -> bool:
+    """Complete an interrupted ``compact_ann_index`` swap (the
+    DROP→RENAME crash window) — idempotent, run at index startup."""
+    from flink_wsr_project_spark.sources.writers import finish_table_swap
+
+    return finish_table_swap(spark, f"{table_prefix}_lists")

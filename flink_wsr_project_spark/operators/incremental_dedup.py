@@ -253,8 +253,9 @@ def compact_signature_store(
     bucketed under a temp name, and swaps via DROP + ALTER TABLE
     RENAME. Crash recovery: until the DROP, the original is intact;
     between DROP and RENAME the ``<table>__compact`` temp holds the
-    full data — both states are recoverable by hand or by re-running.
-    Returns {table: row_count}.
+    full data — both states are recoverable by
+    :func:`recover_store_compaction` (idempotent; run at store
+    startup). Returns {table: row_count}.
     """
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
@@ -501,3 +502,20 @@ def dedup_incremental_from_store_pruned(
         .select("doc_a", "doc_b", "side")
     )
     return _decisions(batch_docs, verified)
+
+
+def recover_store_compaction(spark: SparkSession, table_prefix: str) -> list[str]:
+    """Complete an interrupted ``compact_signature_store`` swap: for
+    each store table caught in the DROP→RENAME crash window (only the
+    ``__compact`` temp exists), rename the temp into place; stale
+    temps next to a live table are dropped. Idempotent — run it
+    unconditionally at store startup. Returns the recovered table
+    names."""
+    from flink_wsr_project_spark.sources.writers import finish_table_swap
+
+    recovered = []
+    for suffix in ("longsigs", "hashed"):
+        table = f"{table_prefix}_{suffix}"
+        if finish_table_swap(spark, table):
+            recovered.append(table)
+    return recovered

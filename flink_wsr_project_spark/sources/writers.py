@@ -170,3 +170,28 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def finish_table_swap(spark: SparkSession, table: str) -> bool:
+    """Finish an interrupted compact/rewrite swap for ``table``.
+
+    The swap pattern used by the store/index compactions is: write
+    ``<table>__compact``, DROP the live table, RENAME the temp into
+    place. A crash between the DROP and the RENAME leaves only the
+    temp — this completes the rename (re-syncing partition metadata
+    when the temp is partitioned, since RENAME moves the root dir but
+    not the catalog's per-partition locations). Returns True if a
+    recovery was performed; False if the live table already exists
+    (including the crash-before-DROP window, where BOTH exist and the
+    live one is authoritative — the stale temp is dropped)."""
+    tmp = f"{table}__compact"
+    if spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"DROP TABLE {tmp}")
+        return False
+    if not spark.catalog.tableExists(tmp):
+        raise ValueError(f"neither {table} nor {tmp} exists — nothing to recover")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    if any(c.isPartition for c in spark.catalog.listColumns(table)):
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    return True

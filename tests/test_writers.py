@@ -815,3 +815,84 @@ def test_compact_ann_index_preserves_probe_results(spark):
         for r in ann_topk_from_index_pruned(spark, probe, "cann", k=5).collect()
     }
     assert got == want
+
+
+def test_recover_interrupted_compaction_swaps(spark):
+    """The compact swap's crash windows are RECOVERABLE BY CODE, not by
+    hand: simulate the crash between DROP and RENAME (only the
+    __compact temp exists) and the crash before the DROP (both exist,
+    live is authoritative) for the signature store, and the temp-only
+    window for the ANN index; recovery restores identical probe
+    results and is idempotent."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index_pruned,
+        recover_index_compaction,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store,
+        recover_store_compaction,
+        write_signature_store,
+    )
+
+    for t in ("rcv_longsigs", "rcv_hashed", "rcvann_centroids", "rcvann_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__compact")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"spark-warehouse/{t}__compact", ignore_errors=True)
+
+    docs = load_table(spark, "documents", SF_DIR)
+    corpus = docs.where(~F.expr("doc_id % 3 = 2"))
+    batch = docs.where(F.expr("doc_id % 3 = 2")).limit(20)
+    write_signature_store(spark, corpus, "rcv", num_buckets=4, hash_partitions=8)
+    want = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store(spark, batch, "rcv").collect()
+    }
+
+    # crash window A: temp written, live dropped, rename never ran
+    for t in ("rcv_longsigs", "rcv_hashed"):
+        spark.table(t).write.saveAsTable(f"{t}__compact")  # layout-agnostic copy
+        spark.sql(f"DROP TABLE {t}")
+    assert sorted(recover_store_compaction(spark, "rcv")) == [
+        "rcv_hashed",
+        "rcv_longsigs",
+    ]
+    got = {
+        (r.doc_id, r.decision, r.dup_of)
+        for r in dedup_incremental_from_store(spark, batch, "rcv").collect()
+    }
+    assert got == want
+    # idempotent re-run: nothing left to recover
+    assert recover_store_compaction(spark, "rcv") == []
+
+    # crash window B: temp written, DROP never ran — live stays, temp goes
+    spark.table("rcv_longsigs").write.saveAsTable("rcv_longsigs__compact")
+    assert recover_store_compaction(spark, "rcv") == []
+    assert not spark.catalog.tableExists("rcv_longsigs__compact")
+
+    # ANN index, window A
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "rcvann", partition_lists=True)
+    probe = spark.createDataFrame(
+        [(1, emb.where("vec_id = 0").select("embedding").first().embedding)],
+        "query_id long, qv array<float>",
+    )
+    want_ann = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index_pruned(spark, probe, "rcvann", k=5).collect()
+    }
+    spark.table("rcvann_lists").write.partitionBy("label").saveAsTable(
+        "rcvann_lists__compact"
+    )
+    spark.sql("ALTER TABLE rcvann_lists__compact SET TBLPROPERTIES "
+              "('spark_graft.partitioned_lists'='true')")
+    spark.sql("DROP TABLE rcvann_lists")
+    assert recover_index_compaction(spark, "rcvann") is True
+    got_ann = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index_pruned(spark, probe, "rcvann", k=5).collect()
+    }
+    assert got_ann == want_ann
