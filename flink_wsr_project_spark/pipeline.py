@@ -140,6 +140,16 @@ def ingest_batch(
     equi-joins against a state whose rows are ~100 bytes of integers
     per admitted document; the candidate space is Σ|bucket|², never
     |state| × |batch|.
+
+    Relation to ``streaming.dedup.dedup_absorb_foreach_batch``: this
+    function owns its OWN directory state and gives exactly-once
+    admission per batch_id (re-running a committed id is a no-op) —
+    the self-contained ingest pipeline. The absorb loop instead drives
+    the SHARED catalog signature store that batch jobs and lookups
+    probe (same decision contract as the registered
+    ``dedup_incremental`` query, pruned small-Δ path on partitioned
+    layouts) with at-least-once replay made safe by an idempotent
+    absorb. Pick by who else needs to read the state.
     """
     import os
 

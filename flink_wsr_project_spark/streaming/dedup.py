@@ -423,7 +423,10 @@ def dedup_absorb_foreach_batch(
     At 100 TB the per-micro-batch cost is the pruned probe's (touched
     partitions + broadcast Δ); absorb appends one file set per batch —
     schedule ``compact_signature_store`` by file count, exactly as the
-    daily loop does.
+    daily loop does. (``pipeline.ingest_batch`` is the sibling surface
+    with its OWN directory state and exactly-once admission per
+    batch_id; THIS loop exists to keep the shared catalog store — the
+    one batch jobs and doc-lookups probe — current.)
 
     Usage::
 
