@@ -1103,6 +1103,78 @@ ann_ivf_recall — the probes CTE keeps two rows per query instead of
 one, doubling only the searched-list volume."""
 
 
+def _quantized_recall_sql(engine: str) -> str:
+    """Recall@5 of BRUTE-FORCE cosine over int8-QUANTIZED embeddings vs
+    exact float cosine — the quality gate for the standard large-scale
+    ANN bandwidth lever (per-vector symmetric int8, the IVF-SQ8
+    scheme): at 100 TB, 4× fewer bytes scanned/shuffled per vector is
+    the difference between a feasible and an infeasible flat pass, IF
+    recall holds; this query measures exactly that, per query vector.
+
+    Quantization is deterministic and engine-identical by
+    construction: scale = 127 / max(|x|) per vector (NULL for a
+    zero vector — its cosine is NULL and it ranks last, matching the
+    float path's zero-norm contract), and rounding is explicit
+    ``floor(v + 0.5)`` (half-toward-+inf) rather than each engine's
+    ``round`` (Spark HALF_UP vs DuckDB's differ on .5 ties). Cosine
+    over the int arrays is exact-integer arithmetic in doubles, so the
+    two engines agree bit-for-bit. Scale: same single broadcast
+    nested-loop pass as ``ann_cosine_topk`` + one in-row quantization
+    projection; recall join is <= 10 rows per query."""
+    if engine == "spark":
+        maxabs = (
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        )
+        tf = (
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT))"
+        )
+    else:
+        maxabs = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        tf = (
+            "list_transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER))"
+        )
+    exact = _ann_brute_force_sql(engine)
+    cos8 = cosine_expr("q.qv8", "e.qv8", engine)
+    rn = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+    return f"""
+WITH exact AS ({exact}),
+qembed AS (
+  SELECT vec_id, {tf} AS qv8
+  FROM (SELECT vec_id, embedding, nullif({maxabs}, 0.0) AS m FROM embeddings)
+),
+qpairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos8} AS cosine
+  FROM (SELECT vec_id AS query_id, qv8 FROM qembed WHERE vec_id % 50 = 0) q
+  JOIN qembed e ON e.vec_id <> q.query_id
+),
+quant AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, {rn} AS rank FROM qpairs
+  ) WHERE rank <= 5
+)
+SELECT e.query_id AS query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(floor(count(i.neighbor_id) * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+FROM (SELECT * FROM exact WHERE rank <= 5) e
+LEFT JOIN quant i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_quantized_recall",
+    oracle=_quantized_recall_sql("duckdb"),
+    doc=_quantized_recall_sql.__doc__,
+    tags=("pipeline", "similarity"),
+)
+def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_quantized_recall_sql("spark"))
+
+
 @register(
     "ann_ivf_recall_nprobe2",
     oracle=_ann_recall_sql("duckdb", nprobe=2),

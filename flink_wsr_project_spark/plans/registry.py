@@ -101,8 +101,8 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # CORRECTNESS_r09.json was recorded), so the r9 pins carry into
     # the r10 window unchanged — the chain consumers still owe their
     # first post-rewrite external row. r10's registry changes —
-    # dedup_incremental and ann_ivf_recall_nprobe2 — are tier-0
-    # (never verified) and need no pin; the nprobe2 SQL shares
+    # dedup_incremental, ann_ivf_recall_nprobe2, ann_quantized_recall
+    # — are tier-0 (never verified) and need no pin; the nprobe2 SQL shares
     # _ann_ivf_sql with ann_ivf_topk/ann_ivf_recall, whose nprobe=1
     # text is byte-identical to pre-r10 (probe_cond keeps "rn = 1").
     "curation_funnel",

@@ -189,6 +189,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("doc_hash_features", 1),  # tokenize in-row + one (doc, dim) count
         ("ann_ivf_recall", 7),  # composes both ANN pipelines + the recall join
         ("ann_ivf_recall_nprobe2", 7),  # same shape; probes CTE keeps 2 rows/query
+        ("ann_quantized_recall", 5),  # two brute-force rank passes + recall join
         ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
         ("user_value_ewma_partitioned", 1),  # one user_id shuffle; secondary-sort fold

@@ -773,3 +773,48 @@ def test_dedup_incremental_all_three_decisions(spark, tmp_path):
         14: ("dup_of_corpus", 3),
     }
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dedup_incremental/synth")
+
+
+def test_quantized_recall_loses_a_neighbor(spark, tmp_path):
+    """At sf0.01 int8 quantization preserves every exact top-5 set
+    (n_hit == 5, recall_ppm == 1000000 for all queries — checked), so
+    the LOSS the query exists to measure never appears. Crafted
+    corpus: query [1, 0] with four clear winners and two straddlers
+    whose float cosines differ but which QUANTIZE IDENTICALLY
+    ([127, 103] both, m = 1.0):
+
+      id 907  y=0.8094 → float rank 5 (better aligned)
+      id 801  y=0.81   → float rank 6
+
+    Equal quantized cosine falls to the neighbor_id tie-break, which
+    picks 801 — so the quantized top-5 swaps 907 for 801 and recall@5
+    is exactly 4/5 on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = {
+        0: [1.0, 0.0],
+        1: [1.0, 0.1],
+        2: [1.0, 0.2],
+        3: [1.0, 0.3],
+        4: [1.0, 0.4],
+        907: [1.0, 0.8094],
+        801: [1.0, 0.81],
+    }
+    ids = sorted(vecs)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([vecs[i] for i in ids], type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), type=pa.int32()),
+        }
+    )
+    d = tmp_path / "synth_quant"
+    d.mkdir(exist_ok=True)
+    pq.write_table(emb, d / "embeddings.parquet")
+    sf_dir = str(d)
+
+    q = get("ann_quantized_recall")
+    rows = {r.query_id: (r.n_hit, r.recall_ppm) for r in q.spark_fn(spark, sf_dir).collect()}
+    assert rows == {0: (4, 800000)}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "quant_recall/synth")
