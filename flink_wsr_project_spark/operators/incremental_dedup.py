@@ -98,7 +98,7 @@ def write_signature_store(
     the corpus text again.
 
     With ``hash_partitions = P > 0`` each table additionally gets a
-    hash-prefix PARTITION column (``hp = pmod(h, P)`` on the band rows,
+    hash-prefix PARTITION column (``hp = pmod(xxhash64(h), P)`` on the band rows,
     ``dp = pmod(doc_id, P)`` on the hash arrays) under the bucketing.
     Partitioning is what makes the SMALL-Δ fast path
     (:func:`dedup_incremental_from_store_pruned`) possible: a probe
@@ -409,7 +409,7 @@ def dedup_incremental_from_store_pruned(
     shuffled NOR fully scanned.
 
     How: Δ's band rows are materialized once (localCheckpoint, sized by
-    |Δ|), their distinct hash prefixes ``pmod(h, P)`` are collected —
+    |Δ|), their distinct hash prefixes ``pmod(xxhash64(h), P)`` are collected —
     a driver list bounded by the CONSTANT P, not by data — and pushed
     into the band-table scan as a literal ``hp IN (...)`` filter, which
     prunes at the directory level (PartitionFilters). The candidate
