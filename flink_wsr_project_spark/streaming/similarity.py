@@ -228,6 +228,14 @@ def ann_probe_foreach_batch(
         if partitioned:
             out = ann_topk_from_index_pruned(s, queries, table_prefix, k=k, nprobe=nprobe)
         else:
+            if nprobe != 1:
+                # the bucketed probe is nprobe=1 only — dropping the
+                # dial silently would quietly change recall
+                raise ValueError(
+                    f"nprobe={nprobe} needs a partitioned index "
+                    f"(write_ann_index(..., partition_lists=True)); "
+                    f"'{table_prefix}' is bucketed-only"
+                )
             out = ann_topk_from_index(s, queries, table_prefix, k=k)
         results_sink(out, batch_id)
 

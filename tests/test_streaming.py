@@ -2317,3 +2317,28 @@ def test_ann_probe_foreach_batch_matches_batch_probe(spark, tmp_path):
 
     assert seen[0] == batch_expect(q1) and len(seen[0]) > 0
     assert seen[1] == batch_expect(q2) and len(seen[1]) > 0
+
+
+def test_ann_probe_foreach_batch_rejects_nprobe_on_bucketed_index(spark):
+    """The bucketed probe is nprobe=1 only; asking the foreachBatch
+    driver for nprobe>1 against a bucketed index must fail loudly
+    instead of silently changing recall."""
+    import shutil
+
+    import pytest
+
+    from flink_wsr_project_spark.operators.ann_index import write_ann_index
+    from flink_wsr_project_spark.sources.readers import load_table
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_foreach_batch
+    from tests.conftest import SF_DIR
+
+    for t in ("npb_centroids", "npb_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "npb", num_buckets=4)
+
+    body = ann_probe_foreach_batch("npb", lambda df, i: None, nprobe=2)
+    batch = emb.limit(1).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="partitioned index"):
+        body(batch, 0)
