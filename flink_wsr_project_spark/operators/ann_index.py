@@ -317,7 +317,6 @@ SELECT vec_id, label, embedding FROM (
 def compact_ann_index(
     spark: SparkSession,
     table_prefix: str,
-    num_buckets: int = 8,
 ) -> int:
     """Rewrite the lists table to one file per bucket (per label
     partition for a partitioned-lists index) — the fragmentation
@@ -326,13 +325,19 @@ def compact_ann_index(
     (localCheckpoint — the source table is about to be dropped),
     rewrite under a temp name, swap via DROP + RENAME, and re-sync
     partition metadata after the rename for the partitioned layout.
-    Centroids are untouched — compaction defragments, RETRAINING
-    (``write_ann_index`` over the grown corpus) is the separate,
-    drift-scheduled operation. Returns the row count."""
+    The bucket count for a bucketed layout is discovered from the
+    catalog (the overwrite-to-temp rewrite bypasses append-time spec
+    validation, so a drifted parameter would silently re-bucket the
+    lists and break later absorbs). Centroids are untouched —
+    compaction defragments, RETRAINING (``write_ann_index`` over the
+    grown corpus) is the separate, drift-scheduled operation; see
+    :func:`measure_index_drift` for the trigger. Returns the row
+    count."""
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
+    from flink_wsr_project_spark.sources.writers import table_num_buckets
 
     table = f"{table_prefix}_lists"
     tmp = f"{table}__compact"
@@ -340,6 +345,12 @@ def compact_ann_index(
     partitioned = any(
         r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
     )
+    num_buckets = 0 if partitioned else table_num_buckets(spark, table)
+    if not partitioned and num_buckets <= 0:
+        raise ValueError(
+            f"{table} is neither partitioned-lists nor bucketed in the "
+            "catalog — not an index written by write_ann_index"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
     try:

@@ -10,8 +10,14 @@ being re-scanned, re-hashed, or re-shuffled.
 
 Store layout (two bucketed tables):
 
-* ``<prefix>_longsigs``  (doc_id, b, h)  bucketed by ``h``   — the LSH
-  band index the increment's candidate join probes;
+* ``<prefix>_longsigs``  (doc_id, b, h)  bucketed by ``(b, h)`` — the
+  LSH band index the increment's candidate join probes. The bucket
+  key is the candidate join's EXACT key set: bucketing by ``h`` alone
+  leaves Spark re-shuffling the store to ``(b, h)`` whenever the
+  optimizer does not broadcast it (subset partitioning does not
+  satisfy co-partitioning under the default
+  ``spark.sql.requireAllClusterKeysForCoPartition=true``) — measured
+  in tests/test_writers.py's broadcast-disabled plan walk;
 * ``<prefix>_hashed``    (doc_id, hv array<bigint>)  bucketed by
   ``doc_id`` — the 28-bit shingle-hash arrays the Jaccard verify needs
   (ints, not shingle strings: the store must not hold a second copy of
@@ -119,7 +125,7 @@ def write_signature_store(
     if hash_partitions:
         _write_partitioned_bucketed(
             ls.withColumn("hp", F.pmod(F.xxhash64("h"), F.lit(hash_partitions))),
-            f"{table_prefix}_longsigs", "hp", ["h"], num_buckets,
+            f"{table_prefix}_longsigs", "hp", ["b", "h"], num_buckets,
         )
         _write_partitioned_bucketed(
             hd.withColumn("dp", F.pmod("doc_id", F.lit(hash_partitions))),
@@ -131,7 +137,7 @@ def write_signature_store(
                 f"('{HASH_PARTITIONS_PROP}'='{hash_partitions}')"
             )
     else:
-        write_bucketed(ls, f"{table_prefix}_longsigs", ["h"], num_buckets)
+        write_bucketed(ls, f"{table_prefix}_longsigs", ["b", "h"], num_buckets)
         write_bucketed(hd, f"{table_prefix}_hashed", ["doc_id"], num_buckets)
 
 
@@ -210,7 +216,7 @@ def absorb_kept_into_store(
             ls = ls.withColumn("hp", F.pmod(F.xxhash64("h"), F.lit(p)))
             hd = hd.withColumn("dp", F.pmod("doc_id", F.lit(p)))
         _append_bucketed(
-            ls, f"{table_prefix}_longsigs", "hp" if p else None, ["h"], num_buckets
+            ls, f"{table_prefix}_longsigs", "hp" if p else None, ["b", "h"], num_buckets
         )
         _append_bucketed(
             hd, f"{table_prefix}_hashed", "dp" if p else None, ["doc_id"], num_buckets
@@ -239,7 +245,6 @@ def _append_bucketed(
 def compact_signature_store(
     spark: SparkSession,
     table_prefix: str,
-    num_buckets: int = 8,
 ) -> dict[str, int]:
     """Rewrite the store tables to one file per bucket (per hp/dp
     partition for a hash-partitioned store). Every
@@ -255,23 +260,46 @@ def compact_signature_store(
     between DROP and RENAME the ``<table>__compact`` temp holds the
     full data — both states are recoverable by
     :func:`recover_store_compaction` (idempotent; run at store
-    startup). Returns {table: row_count}.
+    startup). Returns {table: row_count after compaction}.
+
+    The bucket count is discovered from the catalog, never passed in:
+    the overwrite-to-temp rewrite bypasses append-time spec
+    validation, so a drifted parameter would silently re-bucket the
+    store and break every later (validated) absorb append.
+
+    The longsigs rewrite applies ``dropDuplicates`` — the table is a
+    set by construction, but a crash BETWEEN absorb's two appends
+    (longsigs lands first; the replay idempotency anti-join checks
+    only the hashed table) replays the band rows, so compaction is
+    where replay-duplicated longsigs rows get healed. Decisions were
+    already immune (the probe distincts its candidates); this stops
+    the store bloat and duplicate stream emissions.
     """
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
+    from flink_wsr_project_spark.sources.writers import table_num_buckets
 
     out: dict[str, int] = {}
     for suffix, part_col, bucket_cols in (
-        ("longsigs", "hp", ["h"]),
+        ("longsigs", "hp", ["b", "h"]),
         ("hashed", "dp", ["doc_id"]),
     ):
         table = f"{table_prefix}_{suffix}"
         tmp = f"{table}__compact"
         p = _store_hash_partitions(spark, table)
+        num_buckets = table_num_buckets(spark, table)
+        if num_buckets <= 0:
+            raise ValueError(
+                f"{table} carries no bucket spec in the catalog — not a "
+                "signature-store table written by write_signature_store"
+            )
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+        source = spark.table(table)
+        if suffix == "longsigs":
+            source = source.dropDuplicates()
+        pinned, ckpt_ids = local_checkpoint_tracked(source)
         try:
             out[table] = pinned.count()
             w = pinned.repartition(num_buckets, *bucket_cols).write
@@ -348,6 +376,7 @@ def dedup_incremental_from_store(
             F.col("cl.doc_id").alias("doc_b"),
             F.lit("corpus").alias("side"),
         )
+        .distinct()
     )
     batch_cand = (
         batch_longsigs.join(
@@ -361,15 +390,28 @@ def dedup_incremental_from_store(
             F.col("bm.doc_id").alias("doc_b"),
             F.lit("batch").alias("side"),
         )
+        .distinct()
     )
-    cand = corpus_cand.unionByName(batch_cand).distinct()
 
-    partner_hashed = store_hashed.unionByName(batch_hashed)
-    verified = (
-        cand.join(batch_hashed.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
-        .join(partner_hashed.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
-        .where(jac >= VERIFY_JACCARD)
-        .select("doc_a", "doc_b", "side")
+    # Verify each candidate arm against ITS OWN partner table instead
+    # of one union: a store_hashed ∪ batch_hashed union would discard
+    # the store's doc_id bucketing, so absent a (stats-dependent)
+    # broadcast the corpus-sized hashed table would shuffle — the exact
+    # store-side exchange this module's contract forbids. Split, the
+    # corpus arm's partners come from the bucketed table (only the
+    # Δ-bounded cand side exchanges) and the batch arm never touches
+    # the store at all. The arms carry disjoint ``side`` literals, so
+    # per-arm distinct() above equals distinct() over the old union.
+    def _verify(arm: DataFrame, partner: DataFrame) -> DataFrame:
+        return (
+            arm.join(batch_hashed.alias("sa"), arm.doc_a == F.col("sa.doc_id"))
+            .join(partner.alias("sb"), arm.doc_b == F.col("sb.doc_id"))
+            .where(jac >= VERIFY_JACCARD)
+            .select("doc_a", "doc_b", "side")
+        )
+
+    verified = _verify(corpus_cand, store_hashed).unionByName(
+        _verify(batch_cand, batch_hashed)
     )
 
     return _decisions(batch_docs, verified)

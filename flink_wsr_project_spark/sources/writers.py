@@ -51,6 +51,49 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def table_num_buckets(spark: SparkSession, table: str) -> int:
+    """Bucket count of a bucketed table, from the catalog (0 = not
+    bucketed). Compactions must use THIS, never a parameter: the
+    rewrite goes through an overwrite of a temp table, which bypasses
+    Spark's append-time bucket-spec validation, so a parameter that
+    drifted from the original spec would silently re-bucket the store
+    and make every LATER append (which IS validated) fail."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    return 0
+
+
+def table_data_file_stats(spark: SparkSession, table: str) -> tuple[int, int]:
+    """(data file count, leaf directory count) for a managed table —
+    the inputs to the compaction trigger. Uses the catalog's file
+    index (``inputFiles``), so it reflects exactly what a scan would
+    open; the leaf-directory count is the partition-directory count
+    for a partitioned table (1 for unpartitioned)."""
+    files = spark.table(table).inputFiles()
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    return len(files), max(1, len(dirs))
+
+
+def should_compact(
+    spark: SparkSession, table: str, max_files_per_bucket: int = 4
+) -> bool:
+    """Compaction trigger as code: True when the table's scan would
+    open more than ``max_files_per_bucket`` files per bucket slot
+    (bucket × partition directory). Every bucketed append adds one
+    file per non-empty bucket, so a long-running absorb loop crosses
+    this threshold linearly with increments; after a compaction
+    (one file per slot) it is False again. For an unbucketed
+    (partitioned-only) table the slot is the partition directory."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    n_files, n_dirs = table_data_file_stats(spark, table)
+    buckets = table_num_buckets(spark, table) or 1
+    return n_files > max_files_per_bucket * buckets * n_dirs
+
+
 def atomic_swap_dir(live: str, tmp: str) -> None:
     """Replace directory ``live`` with sibling ``tmp`` so that EVERY
     intermediate crash point leaves a recoverable copy:

@@ -395,6 +395,7 @@ def dedup_absorb_foreach_batch(
     num_buckets: int = 8,
     content_col: str = "text",
     id_col: str = "doc_id",
+    max_files_per_bucket: int | None = None,
 ):
     """foreachBatch body for CONTINUOUS incremental dedup with corpus
     growth — the capability ``dedup_incremental_stream``'s stream-static
@@ -421,12 +422,20 @@ def dedup_absorb_foreach_batch(
     the replay-stable part of the contract.
 
     At 100 TB the per-micro-batch cost is the pruned probe's (touched
-    partitions + broadcast Δ); absorb appends one file set per batch —
-    schedule ``compact_signature_store`` by file count, exactly as the
-    daily loop does. (``pipeline.ingest_batch`` is the sibling surface
-    with its OWN directory state and exactly-once admission per
-    batch_id; THIS loop exists to keep the shared catalog store — the
-    one batch jobs and doc-lookups probe — current.)
+    partitions + broadcast Δ); absorb appends one file set per batch.
+    With ``max_files_per_bucket`` set, the file-count compaction
+    schedule is CODE, not advice: after each absorb the body checks
+    ``sources.writers.should_compact`` against the longsigs table and
+    runs ``compact_signature_store`` when the threshold is crossed —
+    so a long-running loop's scan cost is bounded by the dial instead
+    of growing linearly with batches. The check is two catalog file
+    listings per batch; the compaction itself is the crash-recoverable
+    swap (run ``recover_store_compaction`` at loop startup). Left
+    ``None``, compaction stays an external scheduling concern.
+    (``pipeline.ingest_batch`` is the sibling surface with its OWN
+    directory state and exactly-once admission per batch_id; THIS loop
+    exists to keep the shared catalog store — the one batch jobs and
+    doc-lookups probe — current.)
 
     Usage::
 
@@ -437,6 +446,7 @@ def dedup_absorb_foreach_batch(
     from flink_wsr_project_spark.operators.incremental_dedup import (
         _store_hash_partitions,
         absorb_kept_into_store,
+        compact_signature_store,
         dedup_incremental_from_store,
         dedup_incremental_from_store_pruned,
     )
@@ -444,6 +454,7 @@ def dedup_absorb_foreach_batch(
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
+    from flink_wsr_project_spark.sources.writers import should_compact
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the body a frame bound to a CLONED session;
@@ -469,5 +480,9 @@ def dedup_absorb_foreach_batch(
             )
         finally:
             release_persistent_rdds(s, ids)
+        if max_files_per_bucket is not None and should_compact(
+            s, f"{table_prefix}_longsigs", max_files_per_bucket
+        ):
+            compact_signature_store(s, table_prefix)
 
     return body

@@ -240,3 +240,56 @@ def ann_probe_foreach_batch(
         results_sink(out, batch_id)
 
     return body
+
+
+def ann_ingest_foreach_batch(
+    table_prefix: str,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_bucket: int | None = None,
+    on_batch=None,
+):
+    """foreachBatch body for CONTINUOUS index growth — the write twin
+    of ``ann_probe_foreach_batch`` and the similarity sibling of
+    ``dedup_absorb_foreach_batch``: each micro-batch's vectors are
+    folded into the persisted IVF index under their nearest existing
+    centroid with ``exclude_existing=True``, so an at-least-once
+    replay never double-appends (the idempotency contract
+    ``absorb_vectors_into_index`` provides).
+
+    With ``max_files_per_bucket`` set, the compaction schedule is code:
+    after each absorb the body checks ``should_compact`` on the lists
+    table and runs ``compact_ann_index`` when the per-slot file count
+    crosses the dial — a long-running ingest loop's probe cost stays
+    bounded instead of growing a file per batch. (Run
+    ``recover_index_compaction`` at loop startup — the swap is the
+    crash-recoverable DROP+RENAME.) Retraining is deliberately NOT
+    wired here: it is quality-scheduled, by ``measure_index_drift``,
+    not file-count-scheduled.
+
+    ``on_batch(n_absorbed, batch_id)`` is an optional observer hook
+    (metrics/backpressure), called after the absorb.
+    """
+    from flink_wsr_project_spark.operators.ann_index import (
+        absorb_vectors_into_index,
+        compact_ann_index,
+    )
+    from flink_wsr_project_spark.sources.writers import should_compact
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        vecs = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        n = absorb_vectors_into_index(
+            s, vecs, table_prefix, num_buckets, exclude_existing=True
+        )
+        if on_batch is not None:
+            on_batch(n, batch_id)
+        if max_files_per_bucket is not None and should_compact(
+            s, f"{table_prefix}_lists", max_files_per_bucket
+        ):
+            compact_ann_index(s, table_prefix)
+
+    return body

@@ -25,6 +25,45 @@ def _shuffles(df) -> int:
     )
 
 
+def _store_reshuffle_violations(plan: str, marker: str) -> list[str]:
+    """Store-side-shuffle check that actually walks the plan TREE: for
+    every FileScan of a ``marker`` store table, climb its ancestor
+    chain (nearest line above with smaller tree-drawing indent) and
+    flag an Exchange/BroadcastExchange encountered BEFORE the first
+    Join — i.e. the store being re-shuffled (or shipped whole) on its
+    way into its join. Exchanges ABOVE a join are downstream of Δ-sized
+    results and fine. The old substring check ("Exchange" and marker on
+    ONE line) was vacuous — Spark Exchange lines never name a table."""
+    import re as _re
+
+    lines = plan.splitlines()
+    depths = [_re.match(r"^[\s:+|-]*", ln).end() for ln in lines]
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Scan" in ln and marker in ln:
+            d = depths[i]
+            for j in range(i - 1, -1, -1):
+                if depths[j] < d:
+                    d = depths[j]
+                    node = lines[j].strip()
+                    if "Join" in node or "CartesianProduct" in node:
+                        break
+                    if "Exchange" in node:
+                        bad.append(f"{node[:100]}  <- over ->  {ln.strip()[:80]}")
+                        break
+    return bad
+
+
+def _assert_store_unshuffled(df, marker: str) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # non-vacuity: the store scan must actually appear in the plan
+    assert any(
+        "Scan" in ln and marker in ln for ln in plan.splitlines()
+    ), f"no {marker} scan in plan — check is vacuous"
+    viol = _store_reshuffle_violations(plan, marker)
+    assert not viol, f"store-side shuffle: {viol}"
+
+
 def test_partitioned_write_prunes(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("events_part")) + "/out"
     events = load_table(spark, "events", SF_DIR)
@@ -298,14 +337,21 @@ def test_incremental_dedup_from_signature_store(spark):
     write_signature_store(spark, corpus, "sigstore", num_buckets=8)
     got = dedup_incremental_from_store(spark, batch, "sigstore")
 
-    # the store side must arrive pre-bucketed: every Exchange in the
-    # plan sits above a Δ-side subtree, none above a store scan (the
-    # scans advertise their bucketing, so Catalyst inserts no Exchange
-    # between a sigstore scan and its join)
+    # the store side must arrive pre-bucketed: no Exchange between a
+    # sigstore scan and its join. Asserted with auto-broadcast OFF —
+    # at test SF the optimizer would otherwise broadcast the tiny
+    # store, which hides exactly the layout property under test (at
+    # 100 TB the store cannot be broadcast; bucketing is what saves
+    # the shuffle). The (b, h) bucket key must cover the candidate
+    # join's FULL key set — bucketing by h alone re-shuffles here.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_store_unshuffled(
+            dedup_incremental_from_store(spark, batch, "sigstore"), "sigstore"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     plan = got._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange" in line and "sigstore" in line:
-            raise AssertionError(f"store-side shuffle: {line}")
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
 
     expected = {
@@ -387,10 +433,15 @@ def test_ann_index_probe_matches_inline_ivf(spark):
     )
     got = ann_topk_from_index(spark, queries, "annidx", k=5)
 
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange" in line and "annidx_lists" in line:
-            raise AssertionError(f"lists-side shuffle: {line}")
+    # lists-side shuffle-free, with auto-broadcast off so the tiny test
+    # corpus cannot hide the bucketing property behind a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_store_unshuffled(
+            ann_topk_from_index(spark, queries, "annidx", k=5), "annidx_lists"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
     cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
     want = {tuple(getattr(r, c) for c in cols)
@@ -438,17 +489,174 @@ def test_compact_signature_store_preserves_results(spark):
             for r in dedup_incremental_from_store(spark, probe, "cmpst").collect()}
     assert want == {(99, "dup_of_corpus", 0), (98, "dup_of_corpus", 31)}
 
-    counts = compact_signature_store(spark, "cmpst", num_buckets=4)
+    counts = compact_signature_store(spark, "cmpst")
     assert counts["cmpst_longsigs"] == rows_before
     files_after = len(glob.glob("spark-warehouse/cmpst_longsigs/part-*"))
     assert files_after < files_before
+    # the rewrite must preserve the catalog bucket spec it discovered
+    from flink_wsr_project_spark.sources.writers import table_num_buckets
+
+    assert table_num_buckets(spark, "cmpst_longsigs") == 4
 
     got = dedup_incremental_from_store(spark, probe, "cmpst")
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange" in line and "cmpst" in line:
-            raise AssertionError(f"store-side shuffle after compaction: {line}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_store_unshuffled(
+            dedup_incremental_from_store(spark, probe, "cmpst"), "cmpst"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     assert {(r.doc_id, r.decision, r.dup_of) for r in got.collect()} == want
+
+
+def test_compaction_heals_replay_duplicated_longsigs(spark):
+    """The absorb crash window between its two appends: longsigs lands
+    first, the replay idempotency anti-join checks only the hashed
+    table — so a crash there leaves the replay re-appending band rows.
+    Decisions are immune (the probe distincts candidates) but the
+    store bloats and pair-stream consumers see duplicates; compaction
+    must HEAL it (the longsigs table is a set by construction, so the
+    rewrite dropDuplicates is always sound)."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _longsigs_df,
+        absorb_kept_into_store,
+        compact_signature_store,
+        dedup_incremental_from_store,
+        write_signature_store,
+    )
+
+    for t in ("heal_longsigs", "heal_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    write_signature_store(spark, docs([(1, A)]), "heal", num_buckets=4)
+
+    day = docs([(2, "one two three four five six seven eight nine ten")])
+    dec = dedup_incremental_from_store(spark, day, "heal")
+    assert absorb_kept_into_store(spark, day, dec, "heal", num_buckets=4) == 1
+
+    # simulate the crashed-then-replayed first append: the band rows of
+    # doc 2 land a second time (the anti-join never saw its hashed row)
+    _longsigs_df(spark, day).write.bucketBy(4, "b", "h").mode("append").format(
+        "parquet"
+    ).saveAsTable("heal_longsigs")
+    distinct_rows = spark.table("heal_longsigs").distinct().count()
+    assert spark.table("heal_longsigs").count() > distinct_rows
+
+    probe = docs([(9, A)])
+    want = {(r.doc_id, r.decision, r.dup_of)
+            for r in dedup_incremental_from_store(spark, probe, "heal").collect()}
+
+    counts = compact_signature_store(spark, "heal")
+    assert counts["heal_longsigs"] == distinct_rows
+    assert spark.table("heal_longsigs").count() == distinct_rows
+    got = {(r.doc_id, r.decision, r.dup_of)
+           for r in dedup_incremental_from_store(spark, probe, "heal").collect()}
+    assert got == want == {(9, "dup_of_corpus", 1)}
+
+
+def test_should_compact_trigger_fires_and_resets_in_absorb_loop(spark):
+    """VERDICT r10 task: compaction scheduling as code. The
+    ``should_compact`` check must stay False on a fresh store, cross
+    its threshold after enough absorb appends, and the loop-integrated
+    trigger (dedup_absorb_foreach_batch(max_files_per_bucket=...))
+    must then compact so the next check is False again — with probe
+    decisions preserved across the whole lifecycle."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store,
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.sources.writers import should_compact
+    from flink_wsr_project_spark.streaming.dedup import dedup_absorb_foreach_batch
+
+    for t in ("trig_longsigs", "trig_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    def doc(i):
+        return " ".join(f"trg{i}w{j}" for j in range(12))
+
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    write_signature_store(spark, docs([(0, doc(0))]), "trig", num_buckets=2)
+    assert should_compact(spark, "trig_longsigs", max_files_per_bucket=2) is False
+
+    seen = []
+    body = dedup_absorb_foreach_batch(
+        "trig", lambda d, i: seen.append(d.count()), num_buckets=2,
+        max_files_per_bucket=2,
+    )
+    from flink_wsr_project_spark.sources.writers import table_data_file_stats
+
+    for day in range(1, 7):
+        body(docs([(day * 10, doc(day * 10))]), day)
+        # the in-loop trigger bounds the scan cost INVARIANTLY: after
+        # every batch the store holds at most dial × buckets files
+        n_files, _ = table_data_file_stats(spark, "trig_longsigs")
+        assert n_files <= 2 * 2, f"day {day}: {n_files} files — trigger never fired"
+    # 7 write ops (initial + 6 appends) each created >= 1 file, so a
+    # bounded end state proves at least one consolidating rewrite ran
+    assert should_compact(spark, "trig_longsigs", max_files_per_bucket=2) is False
+    assert len(seen) == 6
+
+    # every absorbed doc is still probe-visible after the compactions
+    got = {(r.doc_id, r.decision, r.dup_of)
+           for r in dedup_incremental_from_store(
+               spark, docs([(99, doc(30))]), "trig").collect()}
+    assert got == {(99, "dup_of_corpus", 30)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        should_compact(spark, "trig_longsigs", max_files_per_bucket=0)
+
+
+def test_ann_ingest_loop_absorbs_and_compacts(spark):
+    """The ANN ingest loop (streaming/similarity.py): vectors fold in
+    per micro-batch (replay-idempotent), the file-count trigger
+    compacts the lists table, and probes see every absorbed vector
+    afterwards."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.sources.writers import should_compact
+    from flink_wsr_project_spark.streaming.similarity import ann_ingest_foreach_batch
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    for t in ("aing_centroids", "aing_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "aing", partition_lists=True)
+    v0 = emb.where("vec_id = 0").select("embedding").first().embedding
+
+    absorbed = []
+    body = ann_ingest_foreach_batch(
+        "aing", max_files_per_bucket=2, on_batch=lambda n, i: absorbed.append(n)
+    )
+    for i in range(5):
+        newvec = spark.createDataFrame(
+            [(930000 + i, v0)], "vec_id long, embedding array<float>"
+        )
+        body(newvec, i)
+    # replay of the last batch is a no-op
+    body(spark.createDataFrame([(930004, v0)], "vec_id long, embedding array<float>"), 5)
+    assert absorbed == [1, 1, 1, 1, 1, 0]
+    assert should_compact(spark, "aing_lists", max_files_per_bucket=2) is False
+
+    probe = spark.createDataFrame([(940000, v0)], "query_id long, qv array<float>")
+    got = {r.neighbor_id
+           for r in ann_topk_from_index_pruned(spark, probe, "aing", k=5).collect()}
+    assert {930000, 930001, 930002, 930003, 930004} == got & set(range(930000, 930005))
 
 
 def test_pruned_probe_matches_full_on_partitioned_store(spark):
@@ -503,9 +711,7 @@ def test_pruned_probe_matches_full_on_partitioned_store(spark):
         ln for ln in plan.splitlines() if "psig_longsigs" in ln and "PartitionFilters" in ln
     ]
     assert ls_scan and any("hp" in ln for ln in ls_scan), plan
-    for line in plan.splitlines():
-        if "Exchange" in line and "psig" in line:
-            raise AssertionError(f"store-side shuffle in pruned probe: {line}")
+    _assert_store_unshuffled(pruned, "psig")
 
     got_tiny = {(r.doc_id, r.decision) for r in pruned.collect()}
     assert got_tiny == {(dup_id, "dup_of_corpus"), (keep_id, "keep")}
@@ -551,7 +757,7 @@ def test_absorb_and_compact_preserve_partitioned_layout(spark):
     }
     assert got2 == {(11, "dup_of_corpus", 2)}
 
-    compact_signature_store(spark, "pabs", num_buckets=4)
+    compact_signature_store(spark, "pabs")
     assert _store_hash_partitions(spark, "pabs_longsigs") == 8
     assert "hp" in spark.table("pabs_longsigs").columns
     assert "dp" in spark.table("pabs_hashed").columns
@@ -595,9 +801,7 @@ def test_pruned_ann_probe_matches_bucketed_index(spark):
         ln for ln in plan.splitlines() if "pann_lists" in ln and "PartitionFilters" in ln
     ]
     assert scan and any("label" in ln for ln in scan), plan
-    for line in plan.splitlines():
-        if "Exchange" in line and "pann_lists" in line:
-            raise AssertionError(f"lists-side shuffle in pruned probe: {line}")
+    _assert_store_unshuffled(got, "pann_lists")
 
     cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
     want = {tuple(getattr(r, c) for c in cols)
