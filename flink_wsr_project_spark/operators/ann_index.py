@@ -54,6 +54,26 @@ from flink_wsr_project_spark.sources.writers import write_bucketed
 PARTITIONED_LISTS_PROP = "spark_graft.partitioned_lists"
 
 
+def _centroid_sql(view: str) -> str:
+    """Per-label centroid over (label, embedding) rows in ``view`` —
+    integer-scaled component means (order-independent under any
+    parallelism), the exact expression ``ann_ivf_topk`` trains."""
+    return f"""
+WITH exploded AS (
+  SELECT label, pos, CAST(x AS DOUBLE) AS x
+  FROM {view} LATERAL VIEW posexplode(embedding) t AS pos, x
+),
+comp AS (
+  SELECT label, pos,
+         sum(CAST(round(x * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS val
+  FROM exploded GROUP BY label, pos
+)
+SELECT label,
+       transform(array_sort(collect_list(struct(pos, val))), s -> s.val) AS cv
+FROM comp GROUP BY label
+"""
+
+
 def write_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -77,22 +97,7 @@ def write_ann_index(
     (small, constant) number of lists, and nprobe-style multi-probe
     just widens the pruned set."""
     embeddings.createOrReplaceTempView("_ann_index_input")
-    centroids = spark.sql(
-        """
-WITH exploded AS (
-  SELECT label, pos, CAST(x AS DOUBLE) AS x
-  FROM _ann_index_input LATERAL VIEW posexplode(embedding) t AS pos, x
-),
-comp AS (
-  SELECT label, pos,
-         sum(CAST(round(x * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS val
-  FROM exploded GROUP BY label, pos
-)
-SELECT label,
-       transform(array_sort(collect_list(struct(pos, val))), s -> s.val) AS cv
-FROM comp GROUP BY label
-"""
-    )
+    centroids = spark.sql(_centroid_sql("_ann_index_input"))
     write_bucketed(centroids, f"{table_prefix}_centroids", ["label"], 1)
     lists = embeddings.select("vec_id", "label", "embedding")
     if partition_lists:
@@ -390,3 +395,164 @@ def recover_index_compaction(spark: SparkSession, table_prefix: str) -> bool:
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
     return finish_table_swap(spark, f"{table_prefix}_lists")
+
+
+def _centroid_literals(rows) -> tuple[list, list[str]]:
+    """(labels sorted ascending, double-literal array SQL per label)
+    from collected centroid rows. The stored ``cv`` is DECIMAL(38,17)
+    (the integer-scaled mean divides by a decimal literal), but every
+    probe-side cosine casts it to DOUBLE before scoring (``dot_expr``),
+    so Python ``float()`` — the IEEE double nearest the decimal — plus
+    ``repr()`` (exact double round-trip) makes the literal fold score
+    the SAME cosine as a join against the centroid table would."""
+    pairs = sorted((r.label, [float(x) for x in r.cv]) for r in rows)
+    labels = [lb for lb, _ in pairs]
+    arrs = [
+        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+        for _, vec in pairs
+    ]
+    return labels, arrs
+
+
+def _nearest_label_expr(vec_col: str, labels: list, arrs: list[str]) -> str:
+    """In-row nearest-centroid label over DRIVER-LITERAL centroids —
+    the probes' exact tie-break (cosine DESC, smallest label: the
+    labels array is sorted ascending and array_position returns the
+    FIRST index of the max). Zero-norm vectors coalesce every cosine
+    to -2 and deterministically land on the smallest label. Same
+    centroids-as-literals iteration shape as embedding_kmeans: k·d
+    scalars ride the plan, the data never shuffles for assignment."""
+    from flink_wsr_project_spark.operators.similarity import cosine_expr
+
+    cos_arr = "array(" + ",".join(
+        f"coalesce({cosine_expr(vec_col, a, 'spark')}, CAST(-2.0 AS DOUBLE))"
+        for a in arrs
+    ) + ")"
+    lab_arr = "array(" + ",".join(f"CAST({lb} AS BIGINT)" for lb in labels) + ")"
+    return (
+        f"element_at({lab_arr}, "
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) AS INT))"
+    )
+
+
+def measure_index_drift(spark: SparkSession, table_prefix: str) -> dict:
+    """The retrain trigger's MEASUREMENT — the number the module
+    docstring's "scheduled by drift" promise needs to actually fire.
+    Two fractions over one full scan of the lists table:
+
+    * ``stored_centroid_mismatch`` — rows whose stored ``label`` ≠
+      nearest PERSISTED centroid. This is the IVF assignment asymmetry
+      the recall notes describe; absorbs never add to it (they assign
+      BY nearest persisted centroid), so it is flat over the absorb
+      loop — a health check, not a trigger.
+    * ``fresh_centroid_mismatch`` — rows whose stored ``label`` ≠
+      nearest WOULD-BE-RETRAINED centroid (per-list means recomputed
+      from the lists table as they are NOW). This is the k-means
+      unstable-assignment fraction: absorbed off-center mass drags the
+      true list means away from the persisted centroids, so it GROWS
+      with absorbs and falls back after ``retrain_ann_index`` — the
+      trigger ``should_retrain`` thresholds.
+
+    Plan shape: fresh means are one (label, pos) aggregate over the
+    lists (k·d scalars back to the driver — the bounded-collect
+    discipline); both assignments are in-row literal folds (no
+    shuffle, no window); the two fractions come from one scalar
+    aggregate. Cost: one scan + one k·d aggregate, at any corpus
+    size."""
+    lists = spark.table(f"{table_prefix}_lists")
+    stored = spark.table(f"{table_prefix}_centroids").collect()
+    lists.createOrReplaceTempView("_ann_drift_lists")
+    fresh = spark.sql(_centroid_sql("_ann_drift_lists")).collect()
+
+    s_labels, s_arrs = _centroid_literals(stored)
+    f_labels, f_arrs = _centroid_literals(fresh)
+    row = (
+        lists.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.expr(_nearest_label_expr("embedding", s_labels, s_arrs)).alias("ns"),
+            F.expr(_nearest_label_expr("embedding", f_labels, f_arrs)).alias("nf"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("label") != F.col("ns")).cast("long")).alias("ms"),
+            F.sum((F.col("label") != F.col("nf")).cast("long")).alias("mf"),
+        )
+        .first()
+    )
+    n = row.n or 0
+    return {
+        "n_rows": n,
+        "n_lists": len(s_labels),
+        "stored_centroid_mismatch": (row.ms / n) if n else 0.0,
+        "fresh_centroid_mismatch": (row.mf / n) if n else 0.0,
+    }
+
+
+def should_retrain(
+    spark: SparkSession, table_prefix: str, max_fresh_mismatch: float = 0.1
+) -> bool:
+    """True when the fresh-centroid mismatch fraction (the k-means
+    unstable-assignment rate the absorb loop accumulates) exceeds the
+    dial — the drift-scheduled retrain trigger, as code. The measured
+    operating curve (drift vs recall across an absorb loop) is in
+    SCALE.md; 0.1 sits below the point where nprobe=1 recall on the
+    drifted region starts to fall."""
+    if not 0.0 < max_fresh_mismatch < 1.0:
+        raise ValueError(
+            f"max_fresh_mismatch must be in (0, 1), got {max_fresh_mismatch}"
+        )
+    d = measure_index_drift(spark, table_prefix)
+    return d["fresh_centroid_mismatch"] > max_fresh_mismatch
+
+
+def retrain_ann_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Retrain the index over its own grown corpus — one Lloyd step:
+    re-assign every stored vector to its nearest FRESH centroid (the
+    per-list means of the lists as they are now, in-row literal fold,
+    no shuffle), then rebuild the index from those assignments with
+    :func:`write_ann_index` (which recomputes the persisted centroids
+    as the means of the NEW lists — the update half of the step).
+    Layout (partitioned vs bucketed, bucket count) is discovered from
+    the catalog and preserved. Repeated retrains are exactly repeated
+    Lloyd steps and converge; one step is what collapses the absorb
+    loop's accumulated drift (measured in SCALE.md — fresh mismatch
+    back to ~0, recall on the drifted region restored).
+
+    The re-assignment plan READS the tables the rebuild overwrites, so
+    the assigned rows are pinned first (localCheckpoint — the same
+    read-your-writes discipline as absorb/compaction). Returns
+    ``measure_index_drift`` of the rebuilt index."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+    from flink_wsr_project_spark.sources.writers import table_num_buckets
+
+    lists_table = f"{table_prefix}_lists"
+    rows = spark.sql(f"SHOW TBLPROPERTIES {lists_table}").collect()
+    partitioned = any(
+        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
+    )
+    num_buckets = 0 if partitioned else table_num_buckets(spark, lists_table)
+
+    lists = spark.table(lists_table)
+    lists.createOrReplaceTempView("_ann_retrain_lists")
+    fresh = spark.sql(_centroid_sql("_ann_retrain_lists")).collect()
+    f_labels, f_arrs = _centroid_literals(fresh)
+    assigned = lists.select(
+        "vec_id",
+        F.expr(_nearest_label_expr("embedding", f_labels, f_arrs)).alias("label"),
+        "embedding",
+    )
+    pinned, ckpt_ids = local_checkpoint_tracked(assigned)
+    try:
+        write_ann_index(
+            spark,
+            pinned,
+            table_prefix,
+            num_buckets=num_buckets or 8,
+            partition_lists=partitioned,
+        )
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
+    return measure_index_drift(spark, table_prefix)

@@ -1,0 +1,200 @@
+"""ANN index drift: the retrain trigger's measurement and the proof
+that retraining actually restores what drift costs.
+
+The r10 index module asserted "re-training centroids is ... scheduled
+by drift" without anything computing drift (ann_index.py r10:33). This
+file pins the whole closed loop on a crafted, fully deterministic
+geometry:
+
+    build (drift 0) → absorb a boundary-straddling cluster (the lists
+    SPLIT it, fresh-centroid mismatch rises, nprobe=1 recall falls) →
+    ``should_retrain`` fires → one Lloyd-step ``retrain_ann_index``
+    (re-assign to fresh means + rebuild) reunifies the cluster →
+    drift back to 0, recall back to 1.0, trigger clears.
+
+Why the two drift numbers differ by construction: absorbs assign BY
+nearest persisted centroid, so ``stored_centroid_mismatch`` stays flat
+over the loop (asserted 0 here) — it measures the upstream
+partitioner's asymmetry, not absorb drift. ``fresh_centroid_mismatch``
+is the k-means unstable-assignment rate against the lists' CURRENT
+means, which absorbed off-center mass drags — the trigger quantity.
+Measured operating curve on the sf0.01 corpus: SCALE.md round 11
+(scripts/ann_drift_probe.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_wsr_project_spark.operators.ann_index import (
+    absorb_vectors_into_index,
+    ann_topk_from_index_pruned,
+    measure_index_drift,
+    retrain_ann_index,
+    should_retrain,
+    write_ann_index,
+)
+from flink_wsr_project_spark.operators.similarity import cosine_expr
+
+D = 64
+
+
+def _vec(**kv):
+    v = [0.0] * D
+    for k, x in kv.items():
+        v[int(k)] = x
+    return v
+
+
+def _recall_at_5(spark, queries, prefix: str) -> float:
+    """recall@5 of the pruned nprobe=1 probe vs exact brute-force
+    cosine over the index's own corpus (same tie-breaks)."""
+    corpus = spark.table(f"{prefix}_lists").select("vec_id", "embedding")
+    queries.createOrReplaceTempView("_drift_q")
+    corpus.createOrReplaceTempView("_drift_c")
+    exact = spark.sql(
+        f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {cosine_expr('q.qv', 'e.embedding', 'spark')} DESC, e.vec_id
+         ) AS rank
+  FROM _drift_q q JOIN _drift_c e ON e.vec_id <> q.query_id
+) WHERE rank <= 5"""
+    )
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in ann_topk_from_index_pruned(spark, queries, prefix, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_absorb_drift_is_measured_and_retrain_restores_recall(spark):
+    for t in ("drift_centroids", "drift_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    # organic lists: 20 vectors around e0 (label 0), 20 around e1
+    # (label 1); per-vector jitter lives in disjoint high dims so the
+    # two lists are cleanly separated and every number is deterministic
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, _vec(**{"0": 1.0, str(20 + (i % 8)): 0.02 * (i + 1)})))
+    for i in range(20):
+        rows.append(
+            (100 + i, 1, _vec(**{"1": 1.0, str(28 + (i % 8)): 0.02 * (i + 1)}))
+        )
+    org = spark.createDataFrame(rows, "vec_id long, label bigint, embedding array<float>")
+    write_ann_index(spark, org, "drift", partition_lists=True)
+
+    d0 = measure_index_drift(spark, "drift")
+    assert d0 == {
+        "n_rows": 40,
+        "n_lists": 2,
+        "stored_centroid_mismatch": 0.0,
+        "fresh_centroid_mismatch": 0.0,
+    }
+
+    # a 50-vector cluster near the list-0/list-1 boundary, biased
+    # toward list 0 — every 5th member biased just past the boundary,
+    # so absorb (nearest PERSISTED centroid, the probes' rule) splits
+    # it 40/10 across the two lists: the classic drift shape where new
+    # mass mostly belongs to one list but stragglers leak over
+    cl = []
+    for i in range(50):
+        base = {"0": 1.04, "1": 1.0, str(10 + (i % 6)): 0.01 * (i + 1)}
+        if i % 5 == 0:
+            base["0"] = 0.96
+        cl.append((1000 + i, _vec(**base)))
+    clus = spark.createDataFrame(cl, "vec_id long, embedding array<float>")
+    assert absorb_vectors_into_index(spark, clus, "drift") == 50
+    split = {
+        r.label: r.n
+        for r in spark.table("drift_lists")
+        .where("vec_id >= 1000")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert split == {0: 40, 1: 10}
+
+    d1 = measure_index_drift(spark, "drift")
+    # absorbs assign by nearest persisted centroid → the stored number
+    # stays flat; the fresh number is exactly the leaked minority: the
+    # cluster mass drags list 0's true mean onto the cluster, so the
+    # 10 strays' nearest FRESH centroid flips to list 0
+    assert d1["stored_centroid_mismatch"] == 0.0
+    assert abs(d1["fresh_centroid_mismatch"] - 10 / 90) < 1e-12
+
+    queries = clus.selectExpr("vec_id AS query_id", "embedding AS qv")
+    r_pre = _recall_at_5(spark, queries, "drift")
+    # split cluster: nprobe=1 queries see only their own side's members
+    assert 0.5 <= r_pre <= 0.9
+
+    # the trigger, as code: fires on the drifted index, clears after
+    assert should_retrain(spark, "drift", max_fresh_mismatch=0.05) is True
+
+    d2 = retrain_ann_index(spark, "drift")
+    assert d2["fresh_centroid_mismatch"] == 0.0
+    assert d2["stored_centroid_mismatch"] == 0.0
+    split2 = {
+        r.label: r.n
+        for r in spark.table("drift_lists")
+        .where("vec_id >= 1000")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert split2 == {0: 50}  # one Lloyd step reunified the cluster
+
+    r_post = _recall_at_5(spark, queries, "drift")
+    assert r_post == 1.0 > r_pre
+    assert should_retrain(spark, "drift", max_fresh_mismatch=0.05) is False
+
+    with pytest.raises(ValueError, match="max_fresh_mismatch"):
+        should_retrain(spark, "drift", max_fresh_mismatch=0.0)
+
+
+def test_retrain_preserves_layout_and_probe_parity(spark):
+    """Retraining must keep the index layout (partitioned lists +
+    property, or bucketed spec) and leave a clean-index probe
+    unchanged: with zero drift, the Lloyd step is a fixed point —
+    assignments don't move, so probes return identical rows."""
+    for t in ("rtl_centroids", "rtl_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, _vec(**{"0": 1.0, str(20 + i): 0.02 * (i + 1)})))
+    for i in range(10):
+        rows.append((100 + i, 1, _vec(**{"1": 1.0, str(40 + i): 0.02 * (i + 1)})))
+    org = spark.createDataFrame(rows, "vec_id long, label bigint, embedding array<float>")
+    write_ann_index(spark, org, "rtl", partition_lists=True)
+
+    queries = org.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+    cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+    want = {
+        tuple(getattr(r, c) for c in cols)
+        for r in ann_topk_from_index_pruned(spark, queries, "rtl", k=5).collect()
+    }
+
+    d = retrain_ann_index(spark, "rtl")
+    assert d["fresh_centroid_mismatch"] == 0.0
+    rows_p = spark.sql("SHOW TBLPROPERTIES rtl_lists").collect()
+    assert any(
+        r.key == "spark_graft.partitioned_lists" and r.value == "true" for r in rows_p
+    )
+    got = {
+        tuple(getattr(r, c) for c in cols)
+        for r in ann_topk_from_index_pruned(spark, queries, "rtl", k=5).collect()
+    }
+    assert got == want and len(got) > 0
