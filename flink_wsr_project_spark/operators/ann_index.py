@@ -53,6 +53,47 @@ from flink_wsr_project_spark.sources.writers import write_bucketed
 # directory-per-inverted-list layout the pruned probe needs).
 PARTITIONED_LISTS_PROP = "spark_graft.partitioned_lists"
 
+# Table property marking a lists table as int8-QUANTIZED (IVF-SQ8):
+# the lists store `eq array<tinyint>` INSTEAD of the float embedding —
+# measured 3.85× fewer compressed parquet bytes per vector column at
+# sf0.01 (SCALE.md round 11), which at 100 TB is the difference
+# between a feasible and an infeasible list scan. Probes score cosine
+# over the int arrays (the per-vector 127/max|x| scale CANCELS in
+# cosine, so no scale column is stored); recall of that scoring is the
+# externally-verified ann_quantized_recall result. Float re-rank
+# fetches original vectors from the SOURCE corpus by id — the index
+# deliberately does not hold a second float copy.
+QUANTIZED_LISTS_PROP = "spark_graft.quantized_lists"
+
+
+def quantized_expr(vec: str) -> str:
+    """Per-vector symmetric int8 quantization of a float array —
+    byte-identical math to the registered ``ann_quantized_recall``
+    query (plans/pipeline_queries.py::_quantized_recall_sql): scale
+    127 / max|x| (NULL elements for a zero vector — its cosine is NULL
+    and ranks last, the float path's zero-norm contract), explicit
+    ``floor(v + 0.5)`` rounding. TINYINT holds the full [-127, 127]
+    range; the scoring promotes to double either way, so the values
+    are identical to the query's INT variant."""
+    maxabs = (
+        f"aggregate({vec}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    return (
+        f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / "
+        f"nullif({maxabs}, 0.0) + 0.5) AS TINYINT))"
+    )
+
+
+def _lists_props(spark: SparkSession, table_prefix: str) -> tuple[bool, bool]:
+    """(partitioned, quantized) flags of an index's lists table."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
+    props = {r.key: r.value for r in rows}
+    return (
+        props.get(PARTITIONED_LISTS_PROP) == "true",
+        props.get(QUANTIZED_LISTS_PROP) == "true",
+    )
+
 
 def _centroid_sql(view: str) -> str:
     """Per-label centroid over (label, embedding) rows in ``view`` —
@@ -80,6 +121,7 @@ def write_ann_index(
     table_prefix: str,
     num_buckets: int = 8,
     partition_lists: bool = False,
+    quantize: bool = False,
 ) -> None:
     """One-time index build from (vec_id, embedding, label) rows: the
     ``label`` column is the inverted-list assignment (k-means or any
@@ -95,11 +137,22 @@ def write_ann_index(
     scanning the whole corpus the way the bucketed layout must. The
     IVF list is the natural partition unit: its cardinality is the
     (small, constant) number of lists, and nprobe-style multi-probe
-    just widens the pruned set."""
+    just widens the pruned set.
+
+    With ``quantize=True`` the lists table stores the int8-quantized
+    ``eq array<tinyint>`` INSTEAD of the float embedding (IVF-SQ8 —
+    see ``QUANTIZED_LISTS_PROP``); centroids are still trained on the
+    floats, so probe-to-list assignment is unchanged and only the
+    in-list scoring moves to integer cosine."""
     embeddings.createOrReplaceTempView("_ann_index_input")
     centroids = spark.sql(_centroid_sql("_ann_index_input"))
     write_bucketed(centroids, f"{table_prefix}_centroids", ["label"], 1)
-    lists = embeddings.select("vec_id", "label", "embedding")
+    if quantize:
+        lists = embeddings.select(
+            "vec_id", "label", F.expr(quantized_expr("embedding")).alias("eq")
+        )
+    else:
+        lists = embeddings.select("vec_id", "label", "embedding")
     if partition_lists:
         (
             lists.write.partitionBy("label")
@@ -113,6 +166,11 @@ def write_ann_index(
         )
     else:
         write_bucketed(lists, f"{table_prefix}_lists", ["label"], num_buckets)
+    if quantize:
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_lists SET TBLPROPERTIES "
+            f"('{QUANTIZED_LISTS_PROP}'='true')"
+        )
 
 
 def ann_topk_from_index(
@@ -126,12 +184,23 @@ def ann_topk_from_index(
     each query to its nearest list (ties by smallest label, matching
     ``ann_ivf_topk``), search only that bucketed list. Self-matches
     (neighbor_id == query_id) are excluded, matching the inline query.
-    Returns (query_id, probe_label, neighbor_id, cosine, rank)."""
+    Returns (query_id, probe_label, neighbor_id, cosine, rank).
+
+    Against a QUANTIZED index the query vector is quantized in-row
+    with the write path's exact scheme and ``cosine`` is the integer
+    cosine — the scoring whose recall ``ann_quantized_recall``
+    verifies externally."""
+    _, quantized = _lists_props(spark, table_prefix)
     queries.createOrReplaceTempView("_ann_query_input")
     spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
     spark.table(f"{table_prefix}_lists").createOrReplaceTempView("_ann_lists")
     cos_qc = cosine_expr("q.qv", "c.cv", "spark")
-    cos_qe = cosine_expr("a.qv", "e.embedding", "spark")
+    if quantized:
+        probe_vec = f"{quantized_expr('q.qv')} AS qv"
+        cos_qe = cosine_expr("a.qv", "e.eq", "spark")
+    else:
+        probe_vec = "q.qv"
+        cos_qe = cosine_expr("a.qv", "e.embedding", "spark")
     return spark.sql(
         f"""
 WITH probes AS (
@@ -139,7 +208,7 @@ WITH probes AS (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_c DESC, probe_label
     ) AS rn FROM (
-      SELECT /*+ BROADCAST(c) */ q.query_id, q.qv, c.label AS probe_label,
+      SELECT /*+ BROADCAST(c) */ q.query_id, {probe_vec}, c.label AS probe_label,
              {cos_qc} AS cos_c
       FROM _ann_query_input q CROSS JOIN _ann_centroids c
     )
@@ -165,6 +234,8 @@ def ann_topk_from_index_pruned(
     table_prefix: str,
     k: int = 5,
     nprobe: int = 1,
+    rerank_from: DataFrame | None = None,
+    rerank_m: int | None = None,
 ) -> DataFrame:
     """Small-batch fast path over a PARTITIONED index (written with
     ``partition_lists=True``): same results as
@@ -184,17 +255,39 @@ def ann_topk_from_index_pruned(
     query, and nprobe = number-of-lists degenerates to exact
     brute-force. ``probe_label`` in the output is the list the
     neighbor was FOUND in. nprobe=1 is row-for-row identical to
-    :func:`ann_topk_from_index`."""
+    :func:`ann_topk_from_index`.
+
+    Against a QUANTIZED index (IVF-SQ8 lists) the in-list scoring is
+    integer cosine over the stored int8 arrays, reading the 3.85×-
+    smaller ``eq`` column. ``rerank_from`` (a float (vec_id,
+    embedding) frame — the SOURCE corpus, not the index) turns that
+    into the standard two-stage search: the quantized stage keeps the
+    top ``rerank_m`` (default 3k) candidates per query, then the small
+    candidate set BROADCASTS into one equi-join against the source
+    and the final top-k ranks by exact float cosine — the source
+    never shuffles, and with ``rerank_m`` = corpus size the result
+    equals exact float brute force (pinned in tests). Re-rank against
+    a float index is rejected (nothing to refine)."""
     from pyspark.sql.window import Window
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_lists").collect()
-    if not any(r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows):
+    partitioned, quantized = _lists_props(spark, table_prefix)
+    if not partitioned:
         raise ValueError(
             f"index '{table_prefix}' has no partitioned lists table; write it "
             "with partition_lists=True or use ann_topk_from_index"
         )
+    if rerank_from is not None and not quantized:
+        raise ValueError(
+            "rerank_from is the float refinement of a QUANTIZED index; "
+            f"'{table_prefix}' already stores float embeddings"
+        )
+    if rerank_m is not None and rerank_from is None:
+        raise ValueError("rerank_m without rerank_from does nothing")
+    m = rerank_m if rerank_m is not None else 3 * k
+    if rerank_from is not None and m < k:
+        raise ValueError(f"rerank_m ({m}) must be >= k ({k})")
 
     queries.createOrReplaceTempView("_ann_query_input")
     spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
@@ -216,8 +309,16 @@ SELECT query_id, qv, probe_label FROM (
         r.probe_label for r in probes.select("probe_label").distinct().collect()
     ]  # bounded by the number of inverted lists
 
+    if quantized:
+        probes = probes.select(
+            "query_id",
+            F.col("qv").alias("fqv"),
+            F.expr(quantized_expr("qv")).alias("qv"),
+            "probe_label",
+        )
     lists = spark.table(f"{table_prefix}_lists").where(F.col("label").isin(labels))
-    cos_qe = F.expr(cosine_expr("a.qv", "e.embedding", "spark"))
+    list_vec = "e.eq" if quantized else "e.embedding"
+    cos_qe = F.expr(cosine_expr("a.qv", list_vec, "spark"))
     pairs = (
         lists.alias("e")
         .join(
@@ -227,16 +328,36 @@ SELECT query_id, qv, probe_label FROM (
         )
         .select(
             "a.query_id",
+            *(["a.fqv"] if quantized and rerank_from is not None else []),
             "a.probe_label",
             F.col("e.vec_id").alias("neighbor_id"),
             cos_qe.alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    out_cols = ["query_id", "probe_label", "neighbor_id", "cosine", "rank"]
+    if rerank_from is None:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select(*out_cols)
+        )
+    cands = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .drop("rank", "cosine")
+    )
+    cos_f = F.expr(cosine_expr("c.fqv", "s.embedding", "spark"))
+    reranked = (
+        rerank_from.select("vec_id", "embedding")
+        .alias("s")
+        .join(F.broadcast(cands.alias("c")), F.col("s.vec_id") == F.col("c.neighbor_id"))
+        .select("c.query_id", "c.probe_label", "c.neighbor_id", cos_f.alias("cosine"))
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+        .select(*out_cols)
     )
 
 
@@ -272,10 +393,7 @@ def absorb_vectors_into_index(
     )
 
     lists_table = f"{table_prefix}_lists"
-    rows = spark.sql(f"SHOW TBLPROPERTIES {lists_table}").collect()
-    partitioned = any(
-        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
-    )
+    partitioned, quantized = _lists_props(spark, table_prefix)
 
     vecs = vectors.select("vec_id", "embedding")
     if exclude_existing:
@@ -299,6 +417,13 @@ SELECT vec_id, label, embedding FROM (
 ) WHERE rn = 1
 """
     ).select("vec_id", "label", "embedding")
+    if quantized:
+        # incoming vectors are float; the stored representation is the
+        # write path's exact int8 scheme (assignment above already used
+        # the float form against the float-trained centroids)
+        assigned = assigned.select(
+            "vec_id", "label", F.expr(quantized_expr("embedding")).alias("eq")
+        )
 
     # pin before the append: with exclude_existing the plan READS the
     # lists table the append is about to mutate (the same
@@ -346,10 +471,7 @@ def compact_ann_index(
 
     table = f"{table_prefix}_lists"
     tmp = f"{table}__compact"
-    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    partitioned = any(
-        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
-    )
+    partitioned, quantized = _lists_props(spark, table_prefix)
     num_buckets = 0 if partitioned else table_num_buckets(spark, table)
     if not partitioned and num_buckets <= 0:
         raise ValueError(
@@ -379,6 +501,13 @@ def compact_ann_index(
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(tmp)
+            )
+        if quantized:
+            # the rewrite must not silently demote a quantized index
+            # to "looks float" — probes dispatch on this property
+            spark.sql(
+                f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                f"('{QUANTIZED_LISTS_PROP}'='true')"
             )
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
@@ -458,8 +587,19 @@ def measure_index_drift(spark: SparkSession, table_prefix: str) -> dict:
     discipline); both assignments are in-row literal folds (no
     shuffle, no window); the two fractions come from one scalar
     aggregate. Cost: one scan + one k·d aggregate, at any corpus
-    size."""
+    size.
+
+    On a QUANTIZED index the measurement runs over the stored int8
+    arrays: nearest-PERSISTED-centroid assignment is scale-invariant
+    (cosine), so the stored number matches the float measurement up
+    to rounding; the fresh means mix per-vector scales (mean of
+    scaled vectors ≠ scaled mean), so the fresh number is the drift
+    of the quantized geometry itself — consistent within itself,
+    which is all a threshold needs."""
+    _, quantized = _lists_props(spark, table_prefix)
     lists = spark.table(f"{table_prefix}_lists")
+    if quantized:
+        lists = lists.select("vec_id", "label", F.col("eq").alias("embedding"))
     stored = spark.table(f"{table_prefix}_centroids").collect()
     lists.createOrReplaceTempView("_ann_drift_lists")
     fresh = spark.sql(_centroid_sql("_ann_drift_lists")).collect()
@@ -505,7 +645,9 @@ def should_retrain(
     return d["fresh_centroid_mismatch"] > max_fresh_mismatch
 
 
-def retrain_ann_index(spark: SparkSession, table_prefix: str) -> dict:
+def retrain_ann_index(
+    spark: SparkSession, table_prefix: str, source: DataFrame | None = None
+) -> dict:
     """Retrain the index over its own grown corpus — one Lloyd step:
     re-assign every stored vector to its nearest FRESH centroid (the
     per-list means of the lists as they are now, in-row literal fold,
@@ -521,7 +663,16 @@ def retrain_ann_index(spark: SparkSession, table_prefix: str) -> dict:
     The re-assignment plan READS the tables the rebuild overwrites, so
     the assigned rows are pinned first (localCheckpoint — the same
     read-your-writes discipline as absorb/compaction). Returns
-    ``measure_index_drift`` of the rebuilt index."""
+    ``measure_index_drift`` of the rebuilt index.
+
+    A QUANTIZED index cannot retrain from itself — centroid means over
+    the int8 arrays would fold each vector's own scale into the
+    geometry (quantization is deliberately lossy the one way that
+    doesn't matter for cosine but does for means). Pass ``source``,
+    the float (vec_id, embedding) corpus the index was built from:
+    current list membership joins the source by id (one bucketed/
+    broadcastable equi-join — the source never shuffles), means and
+    re-assignment run on floats, and the rebuild re-quantizes."""
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
@@ -529,13 +680,25 @@ def retrain_ann_index(spark: SparkSession, table_prefix: str) -> dict:
     from flink_wsr_project_spark.sources.writers import table_num_buckets
 
     lists_table = f"{table_prefix}_lists"
-    rows = spark.sql(f"SHOW TBLPROPERTIES {lists_table}").collect()
-    partitioned = any(
-        r.key == PARTITIONED_LISTS_PROP and r.value == "true" for r in rows
-    )
+    partitioned, quantized = _lists_props(spark, table_prefix)
     num_buckets = 0 if partitioned else table_num_buckets(spark, lists_table)
 
-    lists = spark.table(lists_table)
+    if quantized:
+        if source is None:
+            raise ValueError(
+                f"index '{table_prefix}' stores int8-quantized lists; retrain "
+                "needs the float corpus — pass source=(vec_id, embedding)"
+            )
+        lists = spark.table(lists_table).select("vec_id", "label").join(
+            source.select("vec_id", "embedding"), "vec_id"
+        )
+    elif source is not None:
+        raise ValueError(
+            f"index '{table_prefix}' stores float embeddings; retrain reads "
+            "them directly — source would silently shadow the index contents"
+        )
+    else:
+        lists = spark.table(lists_table)
     lists.createOrReplaceTempView("_ann_retrain_lists")
     fresh = spark.sql(_centroid_sql("_ann_retrain_lists")).collect()
     f_labels, f_arrs = _centroid_literals(fresh)
@@ -552,6 +715,7 @@ def retrain_ann_index(spark: SparkSession, table_prefix: str) -> dict:
             table_prefix,
             num_buckets=num_buckets or 8,
             partition_lists=partitioned,
+            quantize=quantized,
         )
     finally:
         release_persistent_rdds(spark, ckpt_ids)
