@@ -217,6 +217,85 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )).drop("_k")
 
 
+def synthesize_image_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine 24 bpp BMP per DOCUMENT whose pixel bytes are the
+    document's TEXT (truncated/zero-padded to the 12·w-byte body, width
+    4·(doc_id%4+1) as in :func:`synthesize_media_assets`) — the "render
+    of the document" table the image-dedup query needs: near-duplicate
+    texts produce near-identical pixels, so perceptual-hash dedup over
+    these images mirrors the corpus's real duplicate structure instead
+    of hashing uniform synthetic fill. All JVM expressions, no UDF;
+    byte-exactly reconstructible from (doc_id, text), which is what
+    makes the dHash query DuckDB-oracle-able."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    bmp_header = F.element_at(
+        F.array(*[F.lit(BMP_HEADER_HEX[w]) for w in BMP_WIDTHS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    body = F.expr(
+        "rpad(substring(text, 1, CAST(12 * 4 * (doc_id % 4 + 1) AS INT)), "
+        "CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0')"
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.unhex(bmp_header), F.encode(body, "UTF-8")).alias("payload"),
+    )
+
+
+def extract_image_dhash(assets: DataFrame) -> DataFrame:
+    """(asset_id, dhash) via mapInPandas over REAL BMP bytes — the
+    Arrow-batched perceptual-hash step of the image-dedup pipeline.
+
+    The hash is a 32-bit difference hash (dHash): parse width and the
+    pixel-data offset from the BMP header, sample a 9-wide × 4-tall
+    grid of pixels (nearest-neighbor column sampling ``min(c·w/9,
+    w−1)`` — integer math, no interpolation, so the hash is
+    deterministic and SQL-reconstructible), take per-pixel gray as the
+    SUM of the three channel bytes (monotone in intensity; the /3 of
+    true luminance cancels in the > comparison), and set bit
+    ``y·8 + x`` when gray(x+1, y) > gray(x, y). Rows are hashed in BMP
+    STORAGE order (bottom-up) — a fixed permutation of image rows,
+    irrelevant to near-dup semantics and identical on both compare
+    sides. No shuffle, no driver collect; payloads stream one Arrow
+    batch at a time like :func:`extract_features`."""
+
+    # self-contained closure — see the NOTE in extract_features
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as pd
+
+        def _dhash(payload) -> int:
+            b = bytes(payload)
+            if b[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (off,) = _struct.unpack_from("<I", b, 10)
+            w, h_rows = _struct.unpack_from("<ii", b, 18)
+            h = 0
+            for y in range(abs(h_rows)):
+                prev = None
+                for c in range(9):
+                    px = min(c * w // 9, w - 1)
+                    base = off + 3 * (y * w + px)
+                    s = b[base] + b[base + 1] + b[base + 2]
+                    if prev is not None and s > prev:
+                        h |= 1 << (y * 8 + (c - 1))
+                    prev = s
+            return h
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pdf["payload"].map(_dhash).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, "asset_id long, dhash long")
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — every
     modality decoded for real:

@@ -76,38 +76,27 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r9: _neardup_edges_ctes was re-architected (4 per-band
-    # aggregate-join-backs -> one long-format (b, h) window shuffle,
-    # single tag-unioned verify pass) — every chain consumer must earn
-    # a post-rewrite external row. dedup_keep_list / dedup_keep_best /
-    # dedup_components enter the r9 window by natural rotation
-    # (last green r6/r6/r7 — checked against _ordered()); the funnel
-    # would not, so it is pinned. dedup_minhash_lsh_capped is pinned
-    # because _LSH_BUCKET_CAP became env-derived (same default, but
-    # the constant now interpolates through os.environ).
-    # r6's uv_daily_kmv canary earned its green row in r8 and rotates
-    # out. dedup_components is pinned because registering
-    # neardup_bucket_claims (tier-0, never verified) would otherwise
-    # displace it from the 50-slot window to position 51 (checked
-    # against _ordered()) — and it consumes the rewritten edge CTE.
-    # Late-r9 also changed signature_sql (md5-once hashed path) and
-    # minhash_jaccard_error's SQL: no extra pins needed — the window
-    # already externally verifies the new signature SQL through seven
-    # minhash consumers (claims/components/funnel/capped/keep_list/
-    # keep_best by pin-or-rotation, jaccard_error at position 49 by
-    # rotation; checked against _ordered()), and the rewrite is
-    # value-identical by property test + full local parity.
-    # r10: the r9 external window never materialized (no
-    # CORRECTNESS_r09.json was recorded), so the r9 pins carry into
-    # the r10 window unchanged — the chain consumers still owe their
-    # first post-rewrite external row. r10's registry changes —
-    # dedup_incremental, ann_ivf_recall_nprobe2, ann_quantized_recall
-    # — are tier-0 (never verified) and need no pin; the nprobe2 SQL shares
-    # _ann_ivf_sql with ann_ivf_topk/ann_ivf_recall, whose nprobe=1
-    # text is byte-identical to pre-r10 (probe_cond keeps "rn = 1").
-    "curation_funnel",
-    "dedup_minhash_lsh_capped",
-    "dedup_components",
+    # r11: the r9/r10 pins (curation_funnel, dedup_minhash_lsh_capped,
+    # dedup_components) all earned their post-rewrite external greens
+    # in CORRECTNESS_r10 and rotate out. This round's only registered-
+    # query surface change is the NEW image_dhash_neardup, which is
+    # tier-0 (never verified) and enters the window automatically; the
+    # r11 store/index work (incremental_dedup (b,h) bucketing + split
+    # verify, ann_index drift/retrain/quantized lists) does not touch
+    # any registered query's SQL — dedup_incremental and the ann_*
+    # queries are standalone one-statement plans, byte-identical to
+    # their r10-green text. operators/multimodal.py gained two new
+    # functions (synthesize_image_renders, extract_image_dhash) but
+    # media_features' own path (synthesize_media_assets +
+    # extract_features) is untouched; it is pinned anyway since it is
+    # the one r10-green query whose MODULE changed, and a regression
+    # there would otherwise wait a full rotation (checked against
+    # _ordered(): without the pin it sits past position 50).
+    # With the tuple otherwise empty, the r11 window is exactly the
+    # rotation's tail: the r6 straggler series_pattern_topk (verified
+    # at position ~3 of _ordered()), all 47 r7-green queries, and the
+    # oldest r8 rows — closing VERDICT r10's item 5.
+    "media_features",
 )
 
 

@@ -16,7 +16,12 @@ from tests.conftest import SF_DIR
 _QUERIES = all_queries()
 
 # Arrow-batched Pandas paths are allowed only where declared.
-_PANDAS_OK = {"media_features", "embedding_gram_upper", "user_value_ewma_partitioned"}
+_PANDAS_OK = {
+    "media_features",
+    "image_dhash_neardup",
+    "embedding_gram_upper",
+    "user_value_ewma_partitioned",
+}
 
 # Deliberate tiny-side cross joins (1-row scalar subquery / ≤10-row
 # centroid table); everything else must never be cartesian.
