@@ -271,14 +271,20 @@ def _neardup_edges_ctes(engine: str) -> str:
     collapsing genuinely distinct docs. A member that fails the
     verify is simply not claimed and stays kept.
 
-    Documented recall residual: star edges verify member-vs-KEEPER
-    only. If the bucket-min keeper is itself a band-hash false
-    positive, members that ARE mutual near-dups fail the keeper
-    verify and their member↔member edges are not recovered from this
-    bucket (another band can still supply them). That is a deliberate
-    trade — re-anchoring failed members would need a second verify
-    pass (another shingle join) for a case that requires the
-    bucket-MIN doc, specifically, to be the collision outlier.
+    Quantified recall residual (r11; was prose until then): star
+    edges verify member-vs-KEEPER only, so a bucket whose MIN doc is
+    a band-hash false positive contributes NOTHING — measured on the
+    adversarial corpus (FP crafted to collide in one band AND hold
+    the min id): the poisoned band loses 3/3 of its star candidates,
+    while each of the other three bands supplies its 2/2 keeper
+    edges, leaving the drop set EQUAL to the uncapped reference
+    (tests/test_synthetic_parity.py::
+    test_star_collapse_residual_quantified_when_keeper_is_false_positive).
+    Total loss would require the FP to collide in ALL bands and hold
+    the min id everywhere — a full 16-value signature collision,
+    i.e. a minhash duplicate, not a false positive. That bound is
+    why re-anchoring failed members (a second verify pass per
+    bucket) stays rejected.
 
     Plan shape (the r8 lesson, re-architected): the 4 band columns
     EXPLODE to long format ``(doc_id, b, h)`` so all four bands ride

@@ -818,3 +818,107 @@ def test_quantized_recall_loses_a_neighbor(spark, tmp_path):
     rows = {r.query_id: (r.n_hit, r.recall_ppm) for r in q.spark_fn(spark, sf_dir).collect()}
     assert rows == {0: (4, 800000)}
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "quant_recall/synth")
+
+
+def test_star_collapse_residual_quantified_when_keeper_is_false_positive(spark, tmp_path):
+    """Quantifies the documented star-collapse recall residual
+    (_neardup_edges_ctes docstring): star edges verify member-vs-KEEPER
+    only, so when the bucket-MIN doc is a band-hash false positive, the
+    mutual near-dup members behind it lose every edge FROM THAT BUCKET.
+    The r10 verdict asked for a number behind "another band can still
+    supply them" — this corpus measures it.
+
+    Corpus: the offline-searched band-3 collision text from
+    test_star_edge_verify_rejects_false_positive_member, but the false
+    positive gets doc_id 0 — SMALLER than the clones — so in band 3 it
+    IS the bucket-min keeper. Per-band star-edge audit (inline SQL over
+    the chain's own signature/verify fragments):
+
+      bands 0-2: bucket {1,2,3}   → 2 star candidates, 2 verified
+      band 3:    bucket {0,1,2,3} → 3 star candidates, 0 verified
+                 (keeper 0 fails Jaccard vs every clone: the poisoned
+                  band contributes NOTHING)
+
+    So the per-band loss is total (3/3 candidates) in the poisoned
+    band, and the recovery is total for the SEMANTICS: identical
+    members share ALL four band buckets, the other three bands each
+    supply the (1,2),(1,3) keeper edges, and the chain's drop set
+    equals the uncapped reference. A poisoned-everywhere corpus would
+    need the false positive to collide in all 4 bands AND hold the
+    min id — a full 16-value minhash signature collision, i.e. a
+    minhash DUPLICATE, not a false positive. That bound is the number
+    SCALE.md r11 records."""
+    from flink_wsr_project_spark.operators.dedup import (
+        jaccard_expr,
+        longsigs_select,
+        shingled_cte,
+        signature_sql,
+    )
+    from flink_wsr_project_spark.plans.pipeline_queries import _LSH_BUCKET_CAP
+
+    if _LSH_BUCKET_CAP != 2:  # corpus is built for cap=2; the env
+        pytest.skip("SPARK_GRAFT_LSH_BUCKET_CAP overridden")  # override is legitimate
+
+    clone = "the quick brown fox jumps over the lazy dog again and again today"
+    fp = (
+        clone
+        + " umbrella dahlia cedar vortex juniper clove larch birch"
+        + " wombat moss sphinx kelp reed bramble"
+    )
+    rows = [
+        (0, fp, "en", "web", len(fp)),
+        (1, clone, "en", "web", len(clone)),
+        (2, clone, "en", "web", len(clone)),
+        (3, clone, "en", "web", len(clone)),
+        (20, "completely different content about spark structured streaming state",
+         "en", "web", 66),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+
+    # per-band star audit over the chain's own SQL fragments
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    jac = jaccard_expr("sa.sh", "sb.sh", "spark")
+    audit = spark.sql(f"""
+WITH sigs AS ({signature_sql('spark')}),
+{shingled_cte('spark')},
+longsigs AS (
+{longsigs_select('spark')}
+),
+marked AS (
+  SELECT doc_id, b, h,
+         count(*) OVER (PARTITION BY b, h) AS n,
+         min(doc_id) OVER (PARTITION BY b, h) AS keeper
+  FROM longsigs
+),
+star AS (
+  SELECT DISTINCT b, keeper AS doc_a, doc_id AS doc_b
+  FROM marked WHERE n > {_LSH_BUCKET_CAP} AND doc_id > keeper
+)
+SELECT s.b AS band,
+       count(*) AS candidates,
+       sum(CASE WHEN {jac} >= 0.5 THEN 1 ELSE 0 END) AS verified
+FROM star s
+JOIN shingled sa ON sa.doc_id = s.doc_a
+JOIN shingled sb ON sb.doc_id = s.doc_b
+GROUP BY s.b
+""")
+    got = {r.band: (r.candidates, r.verified) for r in audit.collect()}
+    assert got == {0: (2, 2), 1: (2, 2), 2: (2, 2), 3: (3, 0)}
+
+    # semantics survive the poisoned band: drop set == the uncapped
+    # reference, the false positive stays kept and alone
+    keep = get("dedup_keep_list")
+    actions = {r.doc_id: r.action for r in keep.spark_fn(spark, sf_dir).collect()}
+    assert actions == {0: "keep", 1: "keep", 2: "drop", 3: "drop", 20: "keep"}
+    uncapped = get("dedup_minhash_lsh")
+    uncapped_drops = {
+        r.doc_b for r in uncapped.spark_fn(spark, sf_dir).collect() if r.jaccard >= 0.5
+    }
+    assert {d for d, a in actions.items() if a == "drop"} == uncapped_drops == {2, 3}
+
+    comp = get("dedup_components")
+    comps = {r.doc_id: r.component_id for r in comp.spark_fn(spark, sf_dir).collect()}
+    assert comps == {0: 0, 1: 1, 2: 1, 3: 1, 20: 20}
+
+    for q in (keep, comp):
+        assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth-fpmin")
