@@ -526,6 +526,58 @@ def recover_index_compaction(spark: SparkSession, table_prefix: str) -> bool:
     return finish_table_swap(spark, f"{table_prefix}_lists")
 
 
+def maintain_ann_index(
+    spark: SparkSession,
+    table_prefix: str,
+    max_files_per_bucket: int = 4,
+    max_fresh_mismatch: float = 0.1,
+    source: DataFrame | None = None,
+) -> dict:
+    """The index's scheduled-maintenance entry point — ONE call that
+    runs both lifecycle remedies behind their measured triggers, in
+    the order that matters:
+
+    1. recover any interrupted compaction swap (idempotent);
+    2. ``compact_ann_index`` if ``should_compact`` (file count per
+       bucket/partition slot crossed the dial);
+    3. ``retrain_ann_index`` if ``should_retrain`` (fresh-centroid
+       mismatch crossed the dial; ``source`` is required for a
+       quantized index and forwarded).
+
+    Compaction precedes the drift check so the retrain's full scan
+    reads the defragmented layout. Returns a report dict
+    ``{recovered, compacted, drift_before, retrained, drift_after}``
+    — the row an operations dashboard logs per maintenance tick.
+    Probes and ingest loops never call this; it is the cron-shaped
+    sibling of the in-loop ``max_files_per_bucket`` trigger, for
+    deployments that prefer maintenance windows over in-band
+    compaction."""
+    from flink_wsr_project_spark.sources.writers import should_compact
+
+    if not 0.0 < max_fresh_mismatch < 1.0:
+        raise ValueError(
+            f"max_fresh_mismatch must be in (0, 1), got {max_fresh_mismatch}"
+        )
+    recovered = recover_index_compaction(spark, table_prefix)
+    compacted = False
+    if should_compact(spark, f"{table_prefix}_lists", max_files_per_bucket):
+        compact_ann_index(spark, table_prefix)
+        compacted = True
+    drift_before = measure_index_drift(spark, table_prefix)
+    retrained = False
+    drift_after = drift_before
+    if drift_before["fresh_centroid_mismatch"] > max_fresh_mismatch:
+        drift_after = retrain_ann_index(spark, table_prefix, source=source)
+        retrained = True
+    return {
+        "recovered": recovered,
+        "compacted": compacted,
+        "drift_before": drift_before,
+        "retrained": retrained,
+        "drift_after": drift_after,
+    }
+
+
 def _centroid_literals(rows) -> tuple[list, list[str]]:
     """(labels sorted ascending, double-literal array SQL per label)
     from collected centroid rows. The stored ``cv`` is DECIMAL(38,17)

@@ -198,3 +198,79 @@ def test_retrain_preserves_layout_and_probe_parity(spark):
         for r in ann_topk_from_index_pruned(spark, queries, "rtl", k=5).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_maintain_ann_index_runs_both_remedies_behind_their_triggers(spark):
+    """The cron-shaped maintenance entry point: recover → compact (by
+    file count) → retrain (by measured drift), each behind its dial,
+    one report dict out. Reuses the drift geometry; fragmentation
+    comes from absorbing the cluster one vector at a time."""
+    import glob
+
+    from flink_wsr_project_spark.operators.ann_index import maintain_ann_index
+
+    for t in ("mnt_centroids", "mnt_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__compact")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"spark-warehouse/{t}__compact", ignore_errors=True)
+
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, _vec(**{"0": 1.0, str(20 + (i % 8)): 0.02 * (i + 1)})))
+    for i in range(20):
+        rows.append(
+            (100 + i, 1, _vec(**{"1": 1.0, str(28 + (i % 8)): 0.02 * (i + 1)}))
+        )
+    org = spark.createDataFrame(rows, "vec_id long, label bigint, embedding array<float>")
+    write_ann_index(spark, org, "mnt", partition_lists=True)
+
+    # healthy index: nothing fires
+    rep0 = maintain_ann_index(spark, "mnt")
+    assert (rep0["recovered"], rep0["compacted"], rep0["retrained"]) == (
+        False, False, False,
+    )
+
+    # fragment + drift: one absorb per cluster member
+    for i in range(24):
+        base = {"0": 1.04, "1": 1.0, str(10 + (i % 6)): 0.01 * (i + 1)}
+        if i % 5 == 0:
+            base["0"] = 0.96
+        v = spark.createDataFrame(
+            [(1000 + i, _vec(**base))], "vec_id long, embedding array<float>"
+        )
+        assert absorb_vectors_into_index(spark, v, "mnt") == 1
+
+    files_before = len(glob.glob("spark-warehouse/mnt_lists/*/part-*"))
+    rep1 = maintain_ann_index(
+        spark, "mnt", max_files_per_bucket=2, max_fresh_mismatch=0.02
+    )
+    assert rep1["compacted"] is True
+    assert rep1["retrained"] is True
+    assert rep1["drift_before"]["fresh_centroid_mismatch"] > 0.02
+    assert rep1["drift_after"]["fresh_centroid_mismatch"] <= 0.02
+    assert len(glob.glob("spark-warehouse/mnt_lists/*/part-*")) < files_before
+
+    # second tick is a no-op — both dials are back under threshold
+    rep2 = maintain_ann_index(
+        spark, "mnt", max_files_per_bucket=2, max_fresh_mismatch=0.02
+    )
+    assert (rep2["recovered"], rep2["compacted"], rep2["retrained"]) == (
+        False, False, False,
+    )
+
+    # crash-window recovery is step 1: temp-only state gets repaired
+    spark.table("mnt_lists").write.partitionBy("label").saveAsTable(
+        "mnt_lists__compact"
+    )
+    spark.sql("ALTER TABLE mnt_lists__compact SET TBLPROPERTIES "
+              "('spark_graft.partitioned_lists'='true')")
+    spark.sql("DROP TABLE mnt_lists")
+    rep3 = maintain_ann_index(
+        spark, "mnt", max_files_per_bucket=2, max_fresh_mismatch=0.02
+    )
+    assert rep3["recovered"] is True
+    assert spark.table("mnt_lists").count() == rep2["drift_after"]["n_rows"]
+
+    with pytest.raises(ValueError, match="max_fresh_mismatch"):
+        maintain_ann_index(spark, "mnt", max_fresh_mismatch=1.5)
