@@ -1288,6 +1288,20 @@ def _image_dhash_oracle() -> str:
     pigeonhole; the hash-exact match therefore proves BOTH that the
     binary decode is correct and that the blocking is lossless (the
     simhash_neardup_blocked pattern)."""
+    ham = hamming_expr("a.dhash", "b.dhash", "duckdb")
+    return f"""
+WITH {_image_dhash_oracle_ctes()}
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+def _image_dhash_oracle_ctes() -> str:
+    """Shared DuckDB WITH-body reconstructing each document's render
+    dHash arithmetically: ``h`` ends as (doc_id, dhash). See
+    ``_image_dhash_oracle`` for the derivation."""
     base = "3 * ((i // 9) * w + least((i % 9) * w // 9, w - 1))"
     gray = " + ".join(
         f"ascii(substring(body, CAST({base} + {o} AS INT), 1))" for o in (1, 2, 3)
@@ -1297,9 +1311,7 @@ def _image_dhash_oracle() -> str:
         " > s[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)]"
         " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END"
     )
-    ham = hamming_expr("a.dhash", "b.dhash", "duckdb")
-    return f"""
-WITH img AS (
+    return f"""img AS (
   SELECT doc_id, 4 * (doc_id % 4 + 1) AS w,
          rpad(substring(text, 1, CAST(12 * 4 * (doc_id % 4 + 1) AS INT)),
               CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0') AS body
@@ -1311,12 +1323,7 @@ samp AS (
 h AS (
   SELECT doc_id, CAST(list_sum(list_transform(range(32), i -> {bit})) AS BIGINT) AS dhash
   FROM samp
-)
-SELECT doc_a, doc_b, hamming FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
-  FROM h a JOIN h b ON a.doc_id < b.doc_id
-) WHERE hamming <= 3
-"""
+)"""
 
 
 @register(
@@ -1364,6 +1371,84 @@ WITH cand AS (
 SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b, {ham} AS hamming FROM cand
 ) WHERE hamming <= 3
+"""
+    )
+
+
+def _image_keep_list_oracle() -> str:
+    """Keep/drop per image from the dHash pairs — smallest claiming
+    partner wins, exactly the text ``dedup_keep_list`` discipline, so
+    the two keep-lists can be consumed by the same curation step.
+    Exhaustive pair enumeration (the Spark side blocks by byte-block
+    pigeonhole; the match proves losslessness again)."""
+    ham = hamming_expr("a.dhash", "b.dhash", "duckdb")
+    return f"""
+WITH {_image_dhash_oracle_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+  ) WHERE hamming <= 3
+),
+claims AS (
+  SELECT doc_b AS asset_id, min(doc_a) AS dup_of FROM pairs GROUP BY doc_b
+)
+SELECT d.doc_id AS asset_id,
+       CASE WHEN c.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action,
+       c.dup_of AS dup_of
+FROM h d LEFT JOIN claims c ON c.asset_id = d.doc_id
+"""
+
+
+@register(
+    "image_dhash_keep_list",
+    oracle=_image_keep_list_oracle(),
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def image_dhash_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep/drop row per rendered image: an image is dropped iff a
+    smaller-id image claims it within Hamming ≤ 3 of its dHash
+    (``dup_of`` = the smallest claimer) — the image twin of
+    ``dedup_keep_list``, same action contract, so curation steps
+    consume either keep-list unchanged. Plan: the Arrow dHash pass,
+    the byte-block pigeonhole candidate join (never O(n²)), one
+    min-aggregate per claimed image, one left join back to all
+    images. The oracle enumerates pairs exhaustively from the
+    arithmetic hash reconstruction, so the external hash match proves
+    decode + blocking + claim semantics in one check."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_image_renders,
+    )
+
+    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d.createOrReplaceTempView("_img_dhash_kl")
+    blocks = "\n  UNION\n".join(
+        f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
+        f" a.dhash AS h_a, b.dhash AS h_b"
+        f" FROM _img_dhash_kl a JOIN _img_dhash_kl b"
+        f" ON (shiftright(a.dhash, {8 * b_}) & 255) = (shiftright(b.dhash, {8 * b_}) & 255)"
+        f" AND a.asset_id < b.asset_id"
+        for b_ in range(4)
+    )
+    ham = hamming_expr("h_a", "h_b", "spark")
+    return spark.sql(
+        f"""
+WITH cand AS (
+{blocks}
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b, {ham} AS hamming FROM cand
+  ) WHERE hamming <= 3
+),
+claims AS (
+  SELECT doc_b AS asset_id, min(doc_a) AS dup_of FROM pairs GROUP BY doc_b
+)
+SELECT d.asset_id,
+       CASE WHEN c.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action,
+       c.dup_of AS dup_of
+FROM _img_dhash_kl d LEFT JOIN claims c ON c.asset_id = d.asset_id
 """
     )
 

@@ -79,8 +79,9 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # r11: the r9/r10 pins (curation_funnel, dedup_minhash_lsh_capped,
     # dedup_components) all earned their post-rewrite external greens
     # in CORRECTNESS_r10 and rotate out. This round's only registered-
-    # query surface change is the NEW image_dhash_neardup, which is
-    # tier-0 (never verified) and enters the window automatically; the
+    # query surface changes are the NEW image_dhash_neardup and
+    # image_dhash_keep_list, both tier-0 (never verified) and
+    # entering the window automatically; the
     # r11 store/index work (incremental_dedup (b,h) bucketing + split
     # verify, ann_index drift/retrain/quantized lists) does not touch
     # any registered query's SQL — dedup_incremental and the ann_*

@@ -64,6 +64,58 @@ def table_num_buckets(spark: SparkSession, table: str) -> int:
     return 0
 
 
+def table_bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
+    """(bucket count, bucket columns) from the catalog — (0, []) when
+    the table is not bucketed."""
+    num, cols = 0, []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            num = int(r.data_type)
+        elif r.col_name == "Bucket Columns":
+            cols = [c.strip(" `") for c in r.data_type.strip("[]").split(",") if c.strip()]
+    return num, cols
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> int:
+    """Generic file-count compaction for any bucketed managed table:
+    discover the bucket spec (and partition columns) from the catalog,
+    pin the rows (localCheckpoint — the source is about to be
+    dropped), rewrite one file per bucket slot under ``<table>__compact``,
+    swap via DROP + RENAME. The same crash windows as the store
+    compactions, recovered by :func:`finish_table_swap` at startup.
+    Returns the row count.
+
+    Stores that carry table properties or need rewrite-time healing
+    (the signature store's longsigs dropDuplicates, the ANN index's
+    layout properties) keep their own compactors; THIS is the plain
+    path for property-free stores like the dHash block store."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    num, cols = table_bucket_spec(spark, table)
+    if num <= 0 or not cols:
+        raise ValueError(f"{table} carries no bucket spec in the catalog")
+    part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    tmp = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+    try:
+        n = pinned.count()
+        w = pinned.repartition(num, *cols).write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.bucketBy(num, *cols).mode("overwrite").format("parquet").saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        if part_cols:
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
+    return n
+
+
 def table_data_file_stats(spark: SparkSession, table: str) -> tuple[int, int]:
     """(data file count, leaf directory count) for a managed table —
     the inputs to the compaction trigger. Uses the catalog's file

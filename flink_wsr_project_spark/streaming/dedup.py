@@ -486,3 +486,60 @@ def dedup_absorb_foreach_batch(
             compact_signature_store(s, table_prefix)
 
     return body
+
+
+def image_dedup_foreach_batch(
+    table_prefix: str,
+    decisions_sink,
+    num_buckets: int = 8,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_files_per_bucket: int | None = None,
+):
+    """foreachBatch body for CONTINUOUS incremental image dedup — the
+    multimodal sibling of ``dedup_absorb_foreach_batch``, over the
+    persisted dHash block store (operators/image_dedup.py). Each
+    micro-batch of (asset_id, payload) images probes the store as a
+    batch plan (Arrow decode + dHash, one co-located block join),
+    hands the |Δ|-pinned decisions to ``decisions_sink(df, batch_id)``,
+    absorbs the kept images with ``exclude_existing=True`` (replay
+    appends nothing), and — with ``max_files_per_bucket`` set —
+    compacts the single block table through the generic catalog-driven
+    compactor when the file dial fires. The store being ONE table
+    means replay has no partial-absorb window to heal.
+    """
+    from flink_wsr_project_spark.operators.image_dedup import (
+        absorb_kept_into_dhash_store,
+        image_dedup_from_store,
+    )
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+    from flink_wsr_project_spark.sources.writers import (
+        compact_bucketed_table,
+        should_compact,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        assets = batch_df.select(
+            F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+        )
+        decisions, ids = local_checkpoint_tracked(
+            image_dedup_from_store(s, assets, table_prefix)
+        )
+        try:
+            decisions_sink(decisions, batch_id)
+            absorb_kept_into_dhash_store(
+                s, assets, decisions, table_prefix, num_buckets,
+                exclude_existing=True,
+            )
+        finally:
+            release_persistent_rdds(s, ids)
+        if max_files_per_bucket is not None and should_compact(
+            s, f"{table_prefix}_blocks", max_files_per_bucket
+        ):
+            compact_bucketed_table(s, f"{table_prefix}_blocks")
+
+    return body

@@ -132,3 +132,67 @@ def test_dhash_store_absorb_lifecycle(spark, tmp_path):
     ) == 0
     # exactly the corpus image + the one kept image, 4 block rows each
     assert spark.table("imgabs_blocks").count() == 2 * 4
+
+
+def test_image_dedup_loop_compacts_and_generic_compactor_preserves(spark, tmp_path):
+    """The continuous loop (streaming/dedup.py::image_dedup_foreach_batch):
+    decisions sink per batch, kept images absorb idempotently, and the
+    generic catalog-driven compactor keeps the single block table's
+    file count bounded by the dial after every batch — with probe
+    decisions preserved across compactions and the bucket spec intact."""
+    from flink_wsr_project_spark.sources.writers import (
+        should_compact,
+        table_bucket_spec,
+        table_data_file_stats,
+    )
+    from flink_wsr_project_spark.streaming.dedup import image_dedup_foreach_batch
+
+    def render(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        d = tmp_path / f"loop_{rows[0][0]}"
+        d.mkdir(exist_ok=True)
+        pdf.to_parquet(d / "documents.parquet", index=False)
+        return synthesize_image_renders(spark, str(d))
+
+    import hashlib
+
+    def txt(i):
+        # md5-derived, mutually far in dHash space. All loop ids sit in
+        # the widest render class (id % 4 == 3 → w=16): a 4-px-wide
+        # image has only 3 informative difference bits per row, so
+        # "distinct" texts can still collide within Hamming 3 — the
+        # wide class gives the full 8 bits/row (checked offline: no
+        # pair of these ids is within Hamming 3).
+        h = hashlib.md5(f"imgloop{i}".encode()).hexdigest() * 8
+        return " ".join(h[k * 6 : (k + 1) * 6] for k in range(30))
+
+    _drop(spark, "imgloop")
+    write_dhash_store(spark, render([(3, txt(3), "en", "s", 1)]), "imgloop",
+                      num_buckets=2)
+
+    seen = []
+    body = image_dedup_foreach_batch(
+        "imgloop", lambda d, i: seen.append(
+            {r.asset_id: r.decision for r in d.collect()}),
+        num_buckets=2, max_files_per_bucket=2,
+    )
+    days = [7, 11, 15, 19, 23, 27]
+    for n, day in enumerate(days, start=1):
+        body(render([(day, txt(day), "en", "s", 1)]), n)
+        n_files, _ = table_data_file_stats(spark, "imgloop_blocks")
+        assert n_files <= 2 * 2, f"day {day}: {n_files} files"
+    assert should_compact(spark, "imgloop_blocks", max_files_per_bucket=2) is False
+    assert table_bucket_spec(spark, "imgloop_blocks") == (2, ["blk", "bv"])
+    assert all(list(d.values()) == ["keep"] for d in seen) and len(seen) == 6
+
+    # every absorbed image is probe-visible after the compactions:
+    # 99 renders day-23's text in the same width class → exact clone
+    got = {
+        (r.asset_id, r.decision, r.dup_of)
+        for r in image_dedup_from_store(
+            spark, render([(99, txt(23), "en", "s", 1)]), "imgloop"
+        ).collect()
+    }
+    assert got == {(99, "dup_of_corpus", 23)}

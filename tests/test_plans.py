@@ -19,6 +19,7 @@ _QUERIES = all_queries()
 _PANDAS_OK = {
     "media_features",
     "image_dhash_neardup",
+    "image_dhash_keep_list",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
