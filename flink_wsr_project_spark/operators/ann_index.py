@@ -194,12 +194,22 @@ def ann_topk_from_index(
     queries.createOrReplaceTempView("_ann_query_input")
     spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
     spark.table(f"{table_prefix}_lists").createOrReplaceTempView("_ann_lists")
-    cos_qc = cosine_expr("q.qv", "c.cv", "spark")
     if quantized:
-        probe_vec = f"{quantized_expr('q.qv')} AS qv"
+        # quantize in a projection BELOW the centroid cross join so the
+        # max|x| + transform pass runs once per QUERY, not once per
+        # (query × centroid) row; assignment still scores on the float
+        # form (centroids are float-trained)
+        probe_src = (
+            f"(SELECT query_id, qv AS fqv, {quantized_expr('qv')} AS qv8 "
+            f"FROM _ann_query_input) q"
+        )
+        probe_vec = "q.qv8 AS qv"
+        cos_qc = cosine_expr("q.fqv", "c.cv", "spark")
         cos_qe = cosine_expr("a.qv", "e.eq", "spark")
     else:
+        probe_src = "_ann_query_input q"
         probe_vec = "q.qv"
+        cos_qc = cosine_expr("q.qv", "c.cv", "spark")
         cos_qe = cosine_expr("a.qv", "e.embedding", "spark")
     return spark.sql(
         f"""
@@ -210,7 +220,7 @@ WITH probes AS (
     ) AS rn FROM (
       SELECT /*+ BROADCAST(c) */ q.query_id, {probe_vec}, c.label AS probe_label,
              {cos_qc} AS cos_c
-      FROM _ann_query_input q CROSS JOIN _ann_centroids c
+      FROM {probe_src} CROSS JOIN _ann_centroids c
     )
   ) WHERE rn = 1
 ),
@@ -348,10 +358,22 @@ SELECT query_id, qv, probe_label FROM (
         .drop("rank", "cosine")
     )
     cos_f = F.expr(cosine_expr("c.fqv", "s.embedding", "spark"))
+    # RIGHT outer with the broadcast candidates on the right: a
+    # candidate whose vec_id is MISSING from the source (e.g. absorbed
+    # after the source snapshot) must stay visible as a NULL-cosine
+    # row that ranks last — an inner join would silently drop it from
+    # the top-k, the silent-wrong-results mode this function's dial
+    # validation exists to prevent. A complete source is still the
+    # operator contract; NULL cosines in the output are the audit
+    # trail that it was violated.
     reranked = (
         rerank_from.select("vec_id", "embedding")
         .alias("s")
-        .join(F.broadcast(cands.alias("c")), F.col("s.vec_id") == F.col("c.neighbor_id"))
+        .join(
+            F.broadcast(cands.alias("c")),
+            F.col("s.vec_id") == F.col("c.neighbor_id"),
+            "right_outer",
+        )
         .select("c.query_id", "c.probe_label", "c.neighbor_id", cos_f.alias("cosine"))
     )
     return (
@@ -551,14 +573,36 @@ def maintain_ann_index(
     Probes and ingest loops never call this; it is the cron-shaped
     sibling of the in-loop ``max_files_per_bucket`` trigger, for
     deployments that prefer maintenance windows over in-band
-    compaction."""
+    compaction.
+
+    The source/layout pairing is validated UP FRONT (a quantized
+    index without ``source`` would otherwise tick green for months
+    and die mid-maintenance the first time drift crosses the dial —
+    a late, state-dependent failure for a statically-knowable
+    misconfiguration)."""
     from flink_wsr_project_spark.sources.writers import should_compact
 
     if not 0.0 < max_fresh_mismatch < 1.0:
         raise ValueError(
             f"max_fresh_mismatch must be in (0, 1), got {max_fresh_mismatch}"
         )
+    # recovery FIRST — a crash-window index has no lists table to
+    # inspect until the swap/rebuild completes; the source/layout
+    # validation follows immediately, still ahead of every expensive
+    # step (compaction scan, drift scan)
     recovered = recover_index_compaction(spark, table_prefix)
+    recovered = recover_index_retrain(spark, table_prefix) or recovered
+    _, quantized = _lists_props(spark, table_prefix)
+    if quantized and source is None:
+        raise ValueError(
+            f"index '{table_prefix}' is quantized: maintain_ann_index needs "
+            "source=(vec_id, embedding) so a drift-triggered retrain can run"
+        )
+    if not quantized and source is not None:
+        raise ValueError(
+            f"index '{table_prefix}' stores float embeddings; retrain reads "
+            "them directly — source would silently shadow the index contents"
+        )
     compacted = False
     if should_compact(spark, f"{table_prefix}_lists", max_files_per_bucket):
         compact_ann_index(spark, table_prefix)
@@ -724,16 +768,22 @@ def retrain_ann_index(
     the float (vec_id, embedding) corpus the index was built from:
     current list membership joins the source by id (one bucketed/
     broadcastable equi-join — the source never shuffles), means and
-    re-assignment run on floats, and the rebuild re-quantizes."""
-    from flink_wsr_project_spark.operators.iterative import (
-        local_checkpoint_tracked,
-        release_persistent_rdds,
-    )
-    from flink_wsr_project_spark.sources.writers import table_num_buckets
+    re-assignment run on floats, and the rebuild re-quantizes. A
+    source missing any stored vec_id is rejected LOUDLY — an
+    inner-join would silently shrink the index (absorbed-but-not-yet-
+    in-source vectors would vanish from probes forever).
 
+    Crash safety: unlike compaction (a single-table swap), the
+    rebuild overwrites BOTH index tables, and the lists table is the
+    only copy of the corpus for a float index — so the re-assigned
+    rows are STAGED to a durable ``<prefix>_retrain_src`` table (with
+    the layout recorded as properties) before any index table is
+    touched. A crash mid-rebuild leaves the staging table, and
+    :func:`recover_index_retrain` (idempotent; run at startup, and
+    run by ``maintain_ann_index``) re-executes the rebuild from it.
+    The staging table is dropped only after the rebuild completes."""
     lists_table = f"{table_prefix}_lists"
     partitioned, quantized = _lists_props(spark, table_prefix)
-    num_buckets = 0 if partitioned else table_num_buckets(spark, lists_table)
 
     if quantized:
         if source is None:
@@ -741,9 +791,20 @@ def retrain_ann_index(
                 f"index '{table_prefix}' stores int8-quantized lists; retrain "
                 "needs the float corpus — pass source=(vec_id, embedding)"
             )
-        lists = spark.table(lists_table).select("vec_id", "label").join(
-            source.select("vec_id", "embedding"), "vec_id"
+        src = source.select("vec_id", "embedding")
+        missing = (
+            spark.table(lists_table)
+            .select("vec_id")
+            .join(src.select("vec_id"), "vec_id", "left_anti")
+            .count()
         )
+        if missing:
+            raise ValueError(
+                f"source is missing {missing} vec_ids the index holds "
+                "(absorbed vectors not yet in the source corpus?) — a "
+                "rebuild from it would silently drop them from probes"
+            )
+        lists = spark.table(lists_table).select("vec_id", "label").join(src, "vec_id")
     elif source is not None:
         raise ValueError(
             f"index '{table_prefix}' stores float embeddings; retrain reads "
@@ -759,16 +820,55 @@ def retrain_ann_index(
         F.expr(_nearest_label_expr("embedding", f_labels, f_arrs)).alias("label"),
         "embedding",
     )
-    pinned, ckpt_ids = local_checkpoint_tracked(assigned)
-    try:
-        write_ann_index(
-            spark,
-            pinned,
-            table_prefix,
-            num_buckets=num_buckets or 8,
-            partition_lists=partitioned,
-            quantize=quantized,
-        )
-    finally:
-        release_persistent_rdds(spark, ckpt_ids)
+
+    from flink_wsr_project_spark.sources.writers import table_num_buckets
+
+    staging = f"{table_prefix}_retrain_src"
+    num_buckets = 0 if partitioned else table_num_buckets(spark, lists_table)
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    assigned.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(
+        f"ALTER TABLE {staging} SET TBLPROPERTIES ("
+        f"'{_RETRAIN_PARTITIONED_PROP}'='{str(partitioned).lower()}', "
+        f"'{_RETRAIN_QUANTIZED_PROP}'='{str(quantized).lower()}', "
+        f"'{_RETRAIN_BUCKETS_PROP}'='{num_buckets or 8}')"
+    )
+    _finish_retrain(spark, table_prefix)
     return measure_index_drift(spark, table_prefix)
+
+
+# staging-table properties recording the layout a retrain must rebuild
+_RETRAIN_PARTITIONED_PROP = "spark_graft.retrain_partitioned"
+_RETRAIN_QUANTIZED_PROP = "spark_graft.retrain_quantized"
+_RETRAIN_BUCKETS_PROP = "spark_graft.retrain_buckets"
+
+
+def _finish_retrain(spark: SparkSession, table_prefix: str) -> None:
+    """Rebuild both index tables from the durable staging table, then
+    drop it. Idempotent from the staging table's perspective: the
+    rebuild is a deterministic overwrite, so re-running after any
+    crash point yields the same index."""
+    staging = f"{table_prefix}_retrain_src"
+    props = {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {staging}").collect()}
+    write_ann_index(
+        spark,
+        spark.table(staging),
+        table_prefix,
+        num_buckets=int(props.get(_RETRAIN_BUCKETS_PROP, "8")),
+        partition_lists=props.get(_RETRAIN_PARTITIONED_PROP) == "true",
+        quantize=props.get(_RETRAIN_QUANTIZED_PROP) == "true",
+    )
+    spark.sql(f"DROP TABLE {staging}")
+
+
+def recover_index_retrain(spark: SparkSession, table_prefix: str) -> bool:
+    """Complete an interrupted :func:`retrain_ann_index`: if the
+    durable staging table exists, the rebuild crashed somewhere after
+    staging (possibly mid-overwrite of either index table) — re-run
+    it from the staging rows and drop them. Idempotent; run at index
+    startup alongside :func:`recover_index_compaction`. Returns True
+    when a recovery ran."""
+    if not spark.catalog.tableExists(f"{table_prefix}_retrain_src"):
+        return False
+    _finish_retrain(spark, table_prefix)
+    return True

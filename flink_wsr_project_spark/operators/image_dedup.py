@@ -100,12 +100,18 @@ def image_dedup_from_store(
     partner on the winning side), so downstream keep-list consumers
     are interchangeable between the two stores.
 
-    Plan: batch hashes once through Arrow; its 4·|Δ| block rows
-    shuffle to the store's (blk, bv) bucketing; Hamming verifies
-    in-join on the denormalized hashes (no second join); the
-    within-batch arm is a self-join of Δ's own block rows. The store
-    side is exchange-free (plan-tree-walk pinned)."""
-    bd = _dhash_df(spark, batch_assets)
+    Plan: batch hashes ONCE through Arrow — the (asset_id, dhash)
+    frame is localCheckpointed so the decode subtree is not
+    re-executed for each of its four consumers (corpus join, both
+    sides of the self-join, final left join); the checkpoint is
+    |Δ|-sized and released by Spark's ContextCleaner when the
+    decision frame goes out of scope (an explicit tracked release is
+    impossible here — the returned frame still references it). The
+    4·|Δ| block rows shuffle to the store's (blk, bv) bucketing;
+    Hamming verifies in-join on the denormalized hashes (no second
+    join); the within-batch arm is a self-join of Δ's own block rows.
+    The store side is exchange-free (plan-tree-walk pinned)."""
+    bd = _dhash_df(spark, batch_assets).localCheckpoint()
     blocks = _block_rows(bd)
     store = spark.table(f"{table_prefix}_blocks")
     ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
@@ -146,23 +152,15 @@ def image_dedup_from_store(
         .distinct()
     )
 
+    # the decision contract is the signature store's, by the same
+    # code — not a copy that could drift (the docstring's "keep-list
+    # consumers are interchangeable" promise)
+    from flink_wsr_project_spark.operators.incremental_dedup import _decisions
+
     verified = corpus_cand.unionByName(batch_cand)
-    dup_partner = verified.groupBy(F.col("doc_a").alias("asset_id")).agg(
-        F.min(F.when(F.col("side") == "corpus", F.col("doc_b"))).alias("corpus_dup"),
-        F.min(F.when(F.col("side") == "batch", F.col("doc_b"))).alias("batch_dup"),
-    )
-    return (
-        bd.select("asset_id")
-        .join(dup_partner, "asset_id", "left")
-        .select(
-            "asset_id",
-            F.when(F.col("corpus_dup").isNotNull(), F.lit("dup_of_corpus"))
-            .when(F.col("batch_dup").isNotNull(), F.lit("dup_within_batch"))
-            .otherwise(F.lit("keep"))
-            .alias("decision"),
-            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
-        )
-    )
+    return _decisions(
+        bd.select(F.col("asset_id").alias("doc_id")), verified
+    ).withColumnRenamed("doc_id", "asset_id")
 
 
 def absorb_kept_into_dhash_store(
@@ -211,3 +209,13 @@ def absorb_kept_into_dhash_store(
     finally:
         release_persistent_rdds(spark, ckpt_ids)
     return n
+
+
+def recover_dhash_store(spark: SparkSession, table_prefix: str) -> bool:
+    """Complete an interrupted block-table compaction swap (the
+    generic compactor's DROP→RENAME crash window) — idempotent, run
+    at loop startup like its text/ANN siblings. Returns True when a
+    recovery ran."""
+    from flink_wsr_project_spark.sources.writers import finish_table_swap
+
+    return finish_table_swap(spark, f"{table_prefix}_blocks")

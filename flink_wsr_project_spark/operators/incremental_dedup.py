@@ -279,7 +279,7 @@ def compact_signature_store(
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
-    from flink_wsr_project_spark.sources.writers import table_num_buckets
+    from flink_wsr_project_spark.sources.writers import table_bucket_spec
 
     out: dict[str, int] = {}
     for suffix, part_col, bucket_cols in (
@@ -289,11 +289,22 @@ def compact_signature_store(
         table = f"{table_prefix}_{suffix}"
         tmp = f"{table}__compact"
         p = _store_hash_partitions(spark, table)
-        num_buckets = table_num_buckets(spark, table)
+        num_buckets, actual_cols = table_bucket_spec(spark, table)
         if num_buckets <= 0:
             raise ValueError(
                 f"{table} carries no bucket spec in the catalog — not a "
                 "signature-store table written by write_signature_store"
+            )
+        if actual_cols != bucket_cols:
+            # refuse rather than silently re-bucket: the rewrite goes
+            # through an overwrite, which would change the physical
+            # spec under the operator (e.g. a store persisted before
+            # longsigs moved from [h] to [b, h] bucketing)
+            raise ValueError(
+                f"{table} is bucketed by {actual_cols}, this code writes "
+                f"{bucket_cols} — the store predates the current layout; "
+                "rebuild it with write_signature_store before absorbing "
+                "or compacting"
             )
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         source = spark.table(table)

@@ -234,8 +234,16 @@ def synthesize_image_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(BMP_HEADER_HEX[w]) for w in BMP_WIDTHS]),
         (F.col("doc_id") % 4 + 1).cast("int"),
     )
+    # non-printable-ASCII chars are folded to '0' BEFORE sizing: the
+    # body is sized in characters but encoded as UTF-8, so a multibyte
+    # codepoint would make the payload longer than the header-declared
+    # 12·w bytes (an invalid BMP) and split the oracle's character
+    # arithmetic from the decoder's byte reads. '[^ -~]' is the
+    # printable-ASCII complement written without escapes, so the regex
+    # is byte-identical in Spark and DuckDB.
     body = F.expr(
-        "rpad(substring(text, 1, CAST(12 * 4 * (doc_id % 4 + 1) AS INT)), "
+        "rpad(substring(regexp_replace(text, '[^ -~]', '0'), 1, "
+        "CAST(12 * 4 * (doc_id % 4 + 1) AS INT)), "
         "CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0')"
     )
     return docs.select(

@@ -1313,7 +1313,8 @@ def _image_dhash_oracle_ctes() -> str:
     )
     return f"""img AS (
   SELECT doc_id, 4 * (doc_id % 4 + 1) AS w,
-         rpad(substring(text, 1, CAST(12 * 4 * (doc_id % 4 + 1) AS INT)),
+         rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1,
+                        CAST(12 * 4 * (doc_id % 4 + 1) AS INT)),
               CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0') AS body
   FROM documents
 ),

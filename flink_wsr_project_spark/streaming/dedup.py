@@ -506,7 +506,10 @@ def image_dedup_foreach_batch(
     appends nothing), and — with ``max_files_per_bucket`` set —
     compacts the single block table through the generic catalog-driven
     compactor when the file dial fires. The store being ONE table
-    means replay has no partial-absorb window to heal.
+    means replay has no partial-absorb window to heal; the compaction
+    swap's DROP→RENAME window is healed by
+    ``operators.image_dedup.recover_dhash_store`` — run it at loop
+    startup, exactly like the text loop's ``recover_store_compaction``.
     """
     from flink_wsr_project_spark.operators.image_dedup import (
         absorb_kept_into_dhash_store,

@@ -274,3 +274,65 @@ def test_maintain_ann_index_runs_both_remedies_behind_their_triggers(spark):
 
     with pytest.raises(ValueError, match="max_fresh_mismatch"):
         maintain_ann_index(spark, "mnt", max_fresh_mismatch=1.5)
+
+
+def test_retrain_is_crash_recoverable_and_validates_source_coverage(spark):
+    """Review fixes, pinned: (a) retrain stages the re-assigned rows
+    durably before touching either index table, so the crash window
+    (staging exists, index possibly mid-overwrite) recovers by code;
+    (b) a quantized-index retrain whose source is missing stored
+    vec_ids is rejected LOUDLY instead of silently shrinking the
+    index; (c) maintain_ann_index rejects a quantized index without a
+    source UP FRONT, not at the first drift-triggered retrain."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        maintain_ann_index,
+        recover_index_retrain,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    for t in ("rcvr_centroids", "rcvr_lists", "rcvr_retrain_src",
+              "rcvq_centroids", "rcvq_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, _vec(**{"0": 1.0, str(20 + i): 0.02 * (i + 1)})))
+    for i in range(10):
+        rows.append((100 + i, 1, _vec(**{"1": 1.0, str(40 + i): 0.02 * (i + 1)})))
+    org = spark.createDataFrame(rows, "vec_id long, label bigint, embedding array<float>")
+    write_ann_index(spark, org, "rcvr", partition_lists=True)
+    assert recover_index_retrain(spark, "rcvr") is False  # nothing staged
+
+    queries = org.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding AS qv")
+    cols = ("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+    want = {tuple(getattr(r, c) for c in cols)
+            for r in ann_topk_from_index_pruned(spark, queries, "rcvr", k=5).collect()}
+
+    # simulate the crash: staging written (as retrain would), then the
+    # rebuild died — here we even drop the lists table entirely, the
+    # worst mid-overwrite state
+    org.write.mode("overwrite").format("parquet").saveAsTable("rcvr_retrain_src")
+    spark.sql("ALTER TABLE rcvr_retrain_src SET TBLPROPERTIES ("
+              "'spark_graft.retrain_partitioned'='true', "
+              "'spark_graft.retrain_quantized'='false', "
+              "'spark_graft.retrain_buckets'='8')")
+    spark.sql("DROP TABLE rcvr_lists")
+    assert recover_index_retrain(spark, "rcvr") is True
+    assert not spark.catalog.tableExists("rcvr_retrain_src")
+    got = {tuple(getattr(r, c) for c in cols)
+           for r in ann_topk_from_index_pruned(spark, queries, "rcvr", k=5).collect()}
+    assert got == want
+    assert recover_index_retrain(spark, "rcvr") is False  # idempotent
+
+    # (b) + (c): quantized index, incomplete source
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "rcvq", partition_lists=True, quantize=True)
+    partial = emb.where("vec_id % 2 = 0").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="missing"):
+        retrain_ann_index(spark, "rcvq", source=partial)
+    with pytest.raises(ValueError, match="needs"):
+        maintain_ann_index(spark, "rcvq")  # quantized without source: up-front
+    with pytest.raises(ValueError, match="shadow"):
+        maintain_ann_index(spark, "rcvr", source=org)  # float with source

@@ -213,3 +213,33 @@ def test_quantized_index_lifecycle_absorb_compact_retrain(spark):
     write_ann_index(spark, emb, "lfann", partition_lists=True)
     with pytest.raises(ValueError, match="shadow"):
         retrain_ann_index(spark, "lfann", source=emb)
+
+
+def test_rerank_surfaces_missing_source_ids_instead_of_dropping(spark):
+    """A candidate the quantized stage proposes but the float source
+    does not contain must stay VISIBLE as a NULL-cosine row ranking
+    last — an inner join would silently remove it from the top-k (the
+    absorbed-after-snapshot scenario). Craft: absorb a clone of vec 0
+    into the quantized index, then re-rank against the ORIGINAL
+    corpus (which lacks the clone)."""
+    _drop(spark, "msq")
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "msq", partition_lists=True, quantize=True)
+    v0 = emb.where("vec_id = 0").select("embedding").first().embedding
+    assert absorb_vectors_into_index(
+        spark,
+        spark.createDataFrame([(970001, v0)], "vec_id long, embedding array<float>"),
+        "msq",
+    ) == 1
+
+    probe = spark.createDataFrame([(980000, v0)], "query_id long, qv array<float>")
+    n_lists = int(spark.table("msq_centroids").count())
+    rows = ann_topk_from_index_pruned(
+        spark, probe, "msq", k=int(emb.count()) + 1, nprobe=n_lists,
+        rerank_from=emb, rerank_m=int(emb.count()) + 1,
+    ).collect()
+    by_id = {r.neighbor_id: r for r in rows}
+    assert 970001 in by_id, "missing-source candidate was silently dropped"
+    assert by_id[970001].cosine is None  # the audit trail
+    # NULL cosine ranks after every real candidate
+    assert by_id[970001].rank == max(r.rank for r in rows)

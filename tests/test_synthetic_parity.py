@@ -922,3 +922,38 @@ GROUP BY s.b
 
     for q in (keep, comp):
         assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, f"{q.name}/synth-fpmin")
+
+
+def test_image_dhash_sanitizes_non_ascii_text_identically(spark, tmp_path):
+    """The render body is sized in CHARACTERS but encoded as UTF-8:
+    an unsanitized multibyte codepoint would overflow the BMP's
+    declared byte length (invalid container) and split the oracle's
+    character arithmetic from the decoder's byte reads. Both engines
+    now fold non-printable-ASCII to '0' with the escape-free
+    '[^ -~]' class BEFORE sizing; a crafted corpus with multibyte,
+    control, and boundary characters pins the parity — and that a
+    sanitized clone of an ASCII doc still hashes identical (the fold
+    is deterministic, not lossy-random)."""
+    exotic = "café naïve 中文 data \tmixed—dash " * 6
+    plain = exotic.replace("é", "0").replace("ï", "0").replace(
+        "中", "0").replace("文", "0").replace("\t", "0").replace(
+        "—", "0")
+    rows = [
+        (0, exotic, "en", "web", len(exotic)),
+        (4, plain, "en", "web", len(plain)),  # same width class as 0
+        (8, "completely different content about spark streaming state xyz",
+         "en", "web", 61),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+
+    q = get("image_dhash_neardup")
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in q.spark_fn(spark, sf_dir).collect()}
+    # the sanitized exotic doc renders byte-identically to its
+    # hand-folded ASCII twin → Hamming 0
+    assert (0, 4, 0) in got
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "dhash/synth-nonascii")
+
+    kl = get("image_dhash_keep_list")
+    actions = {r.asset_id: r.action for r in kl.spark_fn(spark, sf_dir).collect()}
+    assert actions == {0: "keep", 4: "drop", 8: "keep"}
+    assert_parity(kl.spark_fn(spark, sf_dir), kl.oracle, sf_dir, "dhash_kl/synth-nonascii")

@@ -1100,3 +1100,37 @@ def test_recover_interrupted_compaction_swaps(spark):
         for r in ann_topk_from_index_pruned(spark, probe, "rcvann", k=5).collect()
     }
     assert got_ann == want_ann
+
+
+def test_compaction_refuses_legacy_bucket_columns(spark):
+    """A store persisted under an older bucket layout (longsigs
+    bucketed by [h] alone, pre-(b,h)) must be REFUSED by compaction
+    with a rebuild hint — the overwrite-to-temp rewrite would
+    otherwise silently re-bucket the table under the operator."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _longsigs_df,
+        compact_signature_store,
+    )
+
+    for t in ("legacy_longsigs", "legacy_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil_rmtree(f"spark-warehouse/{t}")
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    # hand-write the PRE-r11 layout: longsigs bucketed by h alone
+    _longsigs_df(spark, docs).write.bucketBy(4, "h").mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("legacy_longsigs")
+    spark.createDataFrame([(1, [1, 2, 3])], "doc_id long, hv array<bigint>").write.bucketBy(
+        4, "doc_id"
+    ).mode("overwrite").format("parquet").saveAsTable("legacy_hashed")
+
+    with pytest.raises(ValueError, match="predates"):
+        compact_signature_store(spark, "legacy")
+
+
+def shutil_rmtree(path):
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
