@@ -12,7 +12,14 @@ Prints one JSON line with per-batch seconds and decision counts.
 Flat per-batch seconds across the run = the loop does not re-pay the
 growing corpus.
 
-Usage: python scripts/absorb_loop_probe.py /tmp/spark_graft_sf1 10
+With a third argument the loop runs with the in-band compaction dial
+(``max_files_per_bucket``) armed: the output then also reports the
+longsigs file count after every batch (bounded by dial×buckets when
+the trigger works) and the per-batch seconds INCLUDE the amortized
+compaction rewrites — the measured cost of keeping the store's scan
+fan-in bounded from inside the loop.
+
+Usage: python scripts/absorb_loop_probe.py /tmp/spark_graft_sf1 10 [max_files_per_bucket]
 """
 
 from __future__ import annotations
@@ -39,7 +46,9 @@ from flink_wsr_project_spark.streaming.dedup import (  # noqa: E402
 PREFIX = "absorb_probe"
 
 
-def main(probe_dir: str, n_batches: int) -> None:
+def main(
+    probe_dir: str, n_batches: int, max_files_per_bucket: int | None = None
+) -> None:
     spark = get_spark("absorb-loop-probe")
     docs = load_table(spark, "documents", probe_dir)
     corpus = docs.where(~F.expr("doc_id % 3 = 2"))
@@ -62,9 +71,14 @@ def main(probe_dir: str, n_batches: int) -> None:
         }
         counts.append(by)
 
-    body = dedup_absorb_foreach_batch(PREFIX, sink, num_buckets=8)
+    from flink_wsr_project_spark.sources.writers import table_data_file_stats
+
+    body = dedup_absorb_foreach_batch(
+        PREFIX, sink, num_buckets=8, max_files_per_bucket=max_files_per_bucket
+    )
 
     per_batch_s: list[float] = []
+    files_per_batch: list[int] = []
     for i in range(n_batches):
         clones = batch_all.where(F.expr(f"pmod(doc_id div 3, {n_batches}) = {i}"))
         # the clone corpus makes every raw batch doc a corpus dup, so
@@ -82,10 +96,12 @@ def main(probe_dir: str, n_batches: int) -> None:
         t0 = time.perf_counter()
         body(mb, i)
         per_batch_s.append(round(time.perf_counter() - t0, 3))
+        files_per_batch.append(table_data_file_stats(spark, f"{PREFIX}_longsigs")[0])
 
     out = {
         "dir": probe_dir,
         "n_batches": n_batches,
+        "max_files_per_bucket": max_files_per_bucket,
         "corpus_rows": corpus.count(),
         "batch_rows_total": batch_all.count(),
         "store_write_s": store_write_s,
@@ -93,6 +109,7 @@ def main(probe_dir: str, n_batches: int) -> None:
         "first_vs_last": round(per_batch_s[-1] / per_batch_s[0], 3)
         if per_batch_s[0]
         else None,
+        "longsig_files_after_each_batch": files_per_batch,
         "decisions_per_batch": counts,
         "store_rows_end": spark.table(f"{PREFIX}_longsigs").count(),
     }
@@ -103,4 +120,5 @@ if __name__ == "__main__":
     main(
         sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1",
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+        int(sys.argv[3]) if len(sys.argv) > 3 else None,
     )
