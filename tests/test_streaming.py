@@ -2342,3 +2342,75 @@ def test_ann_probe_foreach_batch_rejects_nprobe_on_bucketed_index(spark):
     batch = emb.limit(1).select("vec_id", "embedding")
     with pytest.raises(ValueError, match="partitioned index"):
         body(batch, 0)
+
+
+def test_image_dedup_foreach_batch_grows_corpus_live(spark, tmp_path):
+    """The image loop's live-growth contract, through a REAL stream
+    (not a direct body call): micro-batch 2's clone must come back
+    dup_of_corpus of micro-batch 1's KEPT image without a restart —
+    the dHash block store's absorb happening mid-query, exactly like
+    the text loop's test above. Clones share a width class (id % 4)
+    by construction, since the render width is id-derived."""
+    import os
+    import shutil
+
+    from flink_wsr_project_spark.operators.image_dedup import write_dhash_store
+    from flink_wsr_project_spark.operators.multimodal import synthesize_image_renders
+    from flink_wsr_project_spark.streaming.dedup import image_dedup_foreach_batch
+
+    spark.sql("DROP TABLE IF EXISTS fbimg_blocks")
+    shutil.rmtree("spark-warehouse/fbimg_blocks", ignore_errors=True)
+
+    A = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+         " kilo lima mike november oscar papa quebec romeo sierra tango")
+    B = ("zero nine eight seven six five four three two one plus minus"
+         " times divided equals approximately infinity sum product union")
+
+    def render(rows, tag):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        dd = tmp_path / f"fbimg_docs_{tag}"
+        dd.mkdir(exist_ok=True)
+        pdf.to_parquet(dd / "documents.parquet", index=False)
+        return synthesize_image_renders(spark, str(dd))
+
+    write_dhash_store(spark, render([(3, B, "en", "s", len(B))], "c"), "fbimg",
+                      num_buckets=4)
+
+    d = str(tmp_path / "fbimg_stream")
+    os.makedirs(d, exist_ok=True)
+    seen: dict[int, set] = {}
+
+    def sink(decisions, batch_id):
+        seen[batch_id] = {(r.asset_id, r.decision, r.dup_of) for r in decisions.collect()}
+
+    # one part file per logical batch → one micro-batch per write
+    render([(2, A, "en", "s", len(A)), (6, A, "en", "s", len(A))], "b1").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("asset_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            image_dedup_foreach_batch("fbimg", sink, num_buckets=4)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    render([(10, A, "en", "s", len(A))], "b2").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    q.processAllAvailable()
+    q.stop()
+
+    assert seen[0] == {(2, "keep", None), (6, "dup_within_batch", 2)}
+    assert seen[1] == {(10, "dup_of_corpus", 2)}  # live absorb, no restart
+
+    # replay micro-batch 1: idempotent absorb, partner-stable decisions
+    blocks_before = spark.table("fbimg_blocks").count()
+    body = image_dedup_foreach_batch("fbimg", sink, num_buckets=4)
+    body(render([(2, A, "en", "s", len(A)), (6, A, "en", "s", len(A))], "rp"), 0)
+    assert spark.table("fbimg_blocks").count() == blocks_before
+    assert {(i, p) for i, _, p in seen[0]} == {(2, None), (6, 2)}
