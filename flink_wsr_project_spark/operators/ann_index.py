@@ -358,26 +358,51 @@ SELECT query_id, qv, probe_label FROM (
         .drop("rank", "cosine")
     )
     cos_f = F.expr(cosine_expr("c.fqv", "s.embedding", "spark"))
-    # RIGHT outer with the broadcast candidates on the right: a
-    # candidate whose vec_id is MISSING from the source (e.g. absorbed
-    # after the source snapshot) must stay visible as a NULL-cosine
-    # row that ranks last — an inner join would silently drop it from
-    # the top-k, the silent-wrong-results mode this function's dial
-    # validation exists to prevent. A complete source is still the
-    # operator contract; NULL cosines in the output are the audit
-    # trail that it was violated.
-    reranked = (
+    # INNER join with the broadcast candidates as the BUILD side —
+    # BuildRight inner is the shape Spark actually supports for a
+    # broadcast right operand (the r11 right_outer form silently
+    # DROPPED the broadcast hint: "build right for right outer join"
+    # is unsupported, so the source either broadcast whole or
+    # sort-merged — shuffling the float corpus per probe batch, the
+    # opposite of this docstring's contract; ADVICE r11). The
+    # audit-trail semantics survive via the anti arm below: a
+    # candidate whose vec_id is MISSING from the source (e.g.
+    # absorbed after the source snapshot) must stay visible as a
+    # NULL-cosine row that ranks last — silently dropping it from
+    # the top-k is the wrong-results mode the dial validation
+    # prevents. A complete source is still the operator contract;
+    # NULL cosines in the output are the audit trail that it was
+    # violated.
+    matched = (
         rerank_from.select("vec_id", "embedding")
         .alias("s")
         .join(
             F.broadcast(cands.alias("c")),
             F.col("s.vec_id") == F.col("c.neighbor_id"),
-            "right_outer",
         )
         .select("c.query_id", "c.probe_label", "c.neighbor_id", cos_f.alias("cosine"))
     )
+    # cands-vs-matched left_anti: both sides are |m·k|-sized (the
+    # matched arm re-executes its broadcast join subtree — a second
+    # exchange-free source scan, never a shuffle), so the anti join
+    # broadcasts too. In the expected complete-source case it is
+    # empty.
+    missing = (
+        cands.join(
+            F.broadcast(matched.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        .select(
+            "query_id",
+            "probe_label",
+            "neighbor_id",
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    )
     return (
-        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        matched.unionByName(missing)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(*out_cols)
     )

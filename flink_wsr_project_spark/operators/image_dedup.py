@@ -7,8 +7,8 @@ Store layout (ONE bucketed table — deliberately simpler than the
 text store's two):
 
 * ``<prefix>_blocks`` (asset_id, blk, bv, dhash) bucketed by
-  ``(blk, bv)`` — four rows per image, one per byte-block of its
-  32-bit dHash, with the FULL hash denormalized onto every row.
+  ``(blk, bv)`` — four rows per image, one per 16-BIT block of its
+  64-bit dHash, with the FULL hash denormalized onto every row.
 
 The denormalization is the design choice worth the 8 bytes/row: the
 Hamming verify needs only the two full hashes, so carrying ``dhash``
@@ -26,11 +26,18 @@ Spark re-shuffling the corpus whenever it cannot broadcast it
 At 100 TB: a probe batch Δ costs one Arrow pass to hash Δ's images
 (no shuffle), one equi-join of 4·|Δ| block rows against the bucketed
 store (only Δ shuffles), and an in-join bit_count — the corpus is
-never re-decoded, re-hashed, or re-shuffled. Candidate volume is
-Σ|block bucket|² bounded, never |Δ|×|corpus| (byte blocks have ≤256
-values per blk, so bucket sizes track the hash distribution measured
-in SCALE.md r11: ~8× below exhaustive at sf0.01 and widening with
-corpus size).
+never re-decoded, re-hashed, or re-shuffled. Candidate volume:
+16-bit block keys make UNRELATED images collide on a block with
+p = 1/65536 (the r11 8-bit keys collided at 1/256 — an all-pairs job
+with a constant discount; SCALE.md r12 measures the difference), so
+background candidate volume is n²/16384 ≈ negligible and real
+candidates track true near-dup clusters — EXCEPT degenerate blocks
+(uniform image regions: all-padding rows hash to bv = 0), whose
+buckets grow with the corpus. That residual is handled the text
+path's way: ``bucket_cap`` star-collapses over-cap buckets to their
+min-id representative (Hamming-verified, so no false dups) and
+``dhash_block_skew`` reports what the cap rerouted — no silent
+truncation.
 """
 
 from __future__ import annotations
@@ -40,22 +47,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flink_wsr_project_spark.operators.dedup import hamming_expr
 from flink_wsr_project_spark.sources.writers import write_bucketed
 
-# Hamming acceptance bound. 4 byte-blocks pigeonhole-cover Hamming <= 3
-# exactly (any pair within 3 flipped bits agrees on >= 1 untouched
-# block), so the block join is LOSSLESS for this bound — the same
-# guarantee the registered query's exhaustive oracle proves.
+# Hamming acceptance bound. 4 16-bit blocks pigeonhole-cover
+# Hamming <= 3 exactly (any pair within 3 flipped bits agrees on >= 1
+# untouched block), so the block join is LOSSLESS for this bound —
+# the same guarantee the registered query's exhaustive oracle proves.
 MAX_HAMMING = 3
 
 
 def _block_rows(assets_dhash: DataFrame) -> DataFrame:
-    """(asset_id, blk, bv, dhash) — four in-row byte-block projections
-    of each 32-bit hash; posexplode only, no shuffle."""
+    """(asset_id, blk, bv, dhash) — four in-row 16-bit-block
+    projections of each 64-bit hash (mask AFTER the arithmetic shift,
+    so the signed int64 form is handled exactly); posexplode only, no
+    shuffle."""
     return assets_dhash.select(
         "asset_id",
         "dhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), b -> shiftright(dhash, 8 * b) & 255)"
+                "transform(sequence(0, 3), b -> shiftright(dhash, 16 * b) & 65535)"
             )
         ).alias("blk", "bv"),
     ).select("asset_id", "blk", "bv", "dhash")
@@ -90,6 +99,7 @@ def image_dedup_from_store(
     spark: SparkSession,
     batch_assets: DataFrame,
     table_prefix: str,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Dedup a batch of images (asset_id, payload) against the
     persisted corpus store + within the batch itself. Returns one row
@@ -99,6 +109,18 @@ def image_dedup_from_store(
     the smaller asset_id wins; ``dup_of`` is the smallest claiming
     partner on the winning side), so downstream keep-list consumers
     are interchangeable between the two stores.
+
+    ``bucket_cap`` is the skew valve (the text path's
+    ``_LSH_BUCKET_CAP`` discipline applied to the block join): store
+    buckets holding more than ``bucket_cap`` images — degenerate
+    blocks, e.g. the all-padding bv=0 rows of uniform image regions —
+    are star-collapsed instead of enumerated: a probe row landing in
+    one compares ONLY against the bucket's min-id representative
+    (Hamming-verified, so no false dup claims; a true dup whose
+    nearest partner is a non-representative member of an over-cap
+    bucket may be missed through that block — the bounded residual
+    ``dhash_block_skew`` reports). ``None`` (the default) keeps the
+    exact join everywhere.
 
     Plan: batch hashes ONCE through Arrow — the (asset_id, dhash)
     frame is localCheckpointed so the decode subtree is not
@@ -110,14 +132,51 @@ def image_dedup_from_store(
     4·|Δ| block rows shuffle to the store's (blk, bv) bucketing;
     Hamming verifies in-join on the denormalized hashes (no second
     join); the within-batch arm is a self-join of Δ's own block rows.
-    The store side is exchange-free (plan-tree-walk pinned)."""
+    The store side is exchange-free (plan-tree-walk pinned): with a
+    cap, the per-bucket stats aggregate groups BY THE BUCKET KEYS
+    (partial+final both ride the bucketed scan) and the over-cap
+    bucket list broadcasts — the store still never shuffles."""
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     bd = _dhash_df(spark, batch_assets).localCheckpoint()
     blocks = _block_rows(bd)
     store = spark.table(f"{table_prefix}_blocks")
     ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
 
+    probe_blocks = blocks
+    star_cand = None
+    if bucket_cap is not None:
+        # one grouping pass on the store's own bucket keys (no
+        # exchange: grouping keys == bucket spec), kept rows bounded
+        # by the over-cap bucket count — broadcast both ways
+        over = (
+            store.groupBy("blk", "bv")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("asset_id").alias("rep_id"),
+                F.min_by("dhash", "asset_id").alias("rep_hash"),
+            )
+            .where(F.col("n") > bucket_cap)
+            .select("blk", "bv", "rep_id", "rep_hash")
+        )
+        probe_blocks = blocks.join(
+            F.broadcast(over.select("blk", "bv")), ["blk", "bv"], "left_anti"
+        )
+        ham_rep = F.expr(hamming_expr("bl.dhash", "ov.rep_hash", "spark"))
+        star_cand = (
+            blocks.alias("bl")
+            .join(F.broadcast(over.alias("ov")), ["blk", "bv"])
+            .where(F.col("bl.asset_id") != F.col("ov.rep_id"))
+            .where(ham_rep <= MAX_HAMMING)
+            .select(
+                F.col("bl.asset_id").alias("doc_a"),
+                F.col("ov.rep_id").alias("doc_b"),
+                F.lit("corpus").alias("side"),
+            )
+        )
+
     corpus_cand = (
-        blocks.alias("bl")
+        probe_blocks.alias("bl")
         .join(
             store.alias("st"),
             (F.col("bl.blk") == F.col("st.blk"))
@@ -132,8 +191,10 @@ def image_dedup_from_store(
             F.col("st.asset_id").alias("doc_b"),
             F.lit("corpus").alias("side"),
         )
-        .distinct()
     )
+    if star_cand is not None:
+        corpus_cand = corpus_cand.unionByName(star_cand)
+    corpus_cand = corpus_cand.distinct()
     ham_b = F.expr(hamming_expr("bl.dhash", "bm.dhash", "spark"))
     batch_cand = (
         blocks.alias("bl")
@@ -209,6 +270,40 @@ def absorb_kept_into_dhash_store(
     finally:
         release_persistent_rdds(spark, ckpt_ids)
     return n
+
+
+def dhash_block_skew(
+    spark: SparkSession, table_prefix: str, bucket_cap: int
+) -> DataFrame:
+    """The store-side twin of the registered ``image_block_skew``
+    query — the "no silent caps" dashboard row for a deployed dHash
+    store: per block index, the bucket count, the largest bucket, how
+    many buckets a ``bucket_cap`` would star-collapse, and the
+    candidate pairs that saves (Σ n·(n−1)/2 − (n−1) over over-cap
+    buckets). One grouping pass on the store's own bucket keys (no
+    exchange) + one 4-row rollup."""
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    sizes = (
+        spark.table(f"{table_prefix}_blocks")
+        .groupBy("blk", "bv")
+        .agg(F.count("*").alias("n"))
+    )
+    over = F.col("n") > bucket_cap
+    return (
+        sizes.groupBy("blk")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(over.cast("long")).alias("buckets_capped"),
+            F.sum(
+                F.when(over, (F.col("n") * (F.col("n") - 1)) / 2 - (F.col("n") - 1))
+                .otherwise(0)
+                .cast("long")
+            ).alias("pairs_saved"),
+        )
+        .orderBy("blk")
+    )
 
 
 def recover_dhash_store(spark: SparkSession, table_prefix: str) -> bool:

@@ -60,16 +60,27 @@ BMP_WIDTHS = (4, 8, 12, 16)
 BMP_HEIGHT = 4
 
 
-def _bmp_header(w: int) -> bytes:
-    body = 3 * w * BMP_HEIGHT
+def _bmp_header(w: int, h: int = BMP_HEIGHT) -> bytes:
+    body = 3 * w * h
     return (
         b"BM"
         + struct.pack("<IHHI", 54 + body, 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, w, BMP_HEIGHT, 1, 24, 0, body, 0, 0, 0, 0)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body, 0, 0, 0, 0)
     )
 
 
 BMP_HEADER_HEX = {w: _bmp_header(w).hex().upper() for w in BMP_WIDTHS}
+
+# Document-render geometry (synthesize_image_renders): height 8 — NOT
+# the media-asset height 4 — so the 9x8 dHash grid samples eight
+# DISTINCT pixel rows and all 64 hash bits are independent. (On a
+# 4-row image, nearest-neighbor row sampling duplicates each row into
+# two grid rows, which collapses every 16-bit block to <= 256 distinct
+# values — exactly the 8-bit-key candidate blow-up the 64-bit hash
+# exists to fix.) Widths stay multiples of 4, so 3·w is 4-byte aligned
+# and the synthetic bodies need no BMP row padding.
+RENDER_HEIGHT = 8
+RENDER_HEADER_HEX = {w: _bmp_header(w, RENDER_HEIGHT).hex().upper() for w in BMP_WIDTHS}
 
 # Synthetic Y4M geometry: 4x4 4:2:0 at 25 fps -> 24 bytes per frame
 # (16 Y + 4 Cb + 4 Cr), 1-5 frames by doc_id%5. Frame bodies are the
@@ -219,32 +230,37 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthesize_image_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One genuine 24 bpp BMP per DOCUMENT whose pixel bytes are the
-    document's TEXT (truncated/zero-padded to the 12·w-byte body, width
-    4·(doc_id%4+1) as in :func:`synthesize_media_assets`) — the "render
-    of the document" table the image-dedup query needs: near-duplicate
-    texts produce near-identical pixels, so perceptual-hash dedup over
-    these images mirrors the corpus's real duplicate structure instead
-    of hashing uniform synthetic fill. All JVM expressions, no UDF;
+    document's TEXT (truncated/zero-padded to the 3·w·8-byte body,
+    width 4·(doc_id%4+1), height ``RENDER_HEIGHT`` = 8 so the 9x8
+    dHash grid gets eight distinct pixel rows) — the "render of the
+    document" table the image-dedup query needs: near-duplicate texts
+    produce near-identical pixels, so perceptual-hash dedup over these
+    images mirrors the corpus's real duplicate structure instead of
+    hashing uniform synthetic fill. All JVM expressions, no UDF;
     byte-exactly reconstructible from (doc_id, text), which is what
-    makes the dHash query DuckDB-oracle-able."""
+    makes the dHash query DuckDB-oracle-able. Short documents leave
+    their tail rows all-'0' padding — deliberate: uniform regions are
+    the realistic skew case (flat images share hash blocks), and the
+    capped block join + ``image_block_skew`` report are how the
+    pipeline handles it."""
     from flink_wsr_project_spark.sources.readers import load_table
 
     docs = load_table(spark, "documents", sf_dir)
     bmp_header = F.element_at(
-        F.array(*[F.lit(BMP_HEADER_HEX[w]) for w in BMP_WIDTHS]),
+        F.array(*[F.lit(RENDER_HEADER_HEX[w]) for w in BMP_WIDTHS]),
         (F.col("doc_id") % 4 + 1).cast("int"),
     )
     # non-printable-ASCII chars are folded to '0' BEFORE sizing: the
     # body is sized in characters but encoded as UTF-8, so a multibyte
     # codepoint would make the payload longer than the header-declared
-    # 12·w bytes (an invalid BMP) and split the oracle's character
+    # 24·w bytes (an invalid BMP) and split the oracle's character
     # arithmetic from the decoder's byte reads. '[^ -~]' is the
     # printable-ASCII complement written without escapes, so the regex
     # is byte-identical in Spark and DuckDB.
     body = F.expr(
         "rpad(substring(regexp_replace(text, '[^ -~]', '0'), 1, "
-        "CAST(12 * 4 * (doc_id % 4 + 1) AS INT)), "
-        "CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0')"
+        "CAST(24 * 4 * (doc_id % 4 + 1) AS INT)), "
+        "CAST(24 * 4 * (doc_id % 4 + 1) AS INT), '0')"
     )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -256,18 +272,25 @@ def extract_image_dhash(assets: DataFrame) -> DataFrame:
     """(asset_id, dhash) via mapInPandas over REAL BMP bytes — the
     Arrow-batched perceptual-hash step of the image-dedup pipeline.
 
-    The hash is a 32-bit difference hash (dHash): parse width and the
-    pixel-data offset from the BMP header, sample a 9-wide × 4-tall
-    grid of pixels (nearest-neighbor column sampling ``min(c·w/9,
-    w−1)`` — integer math, no interpolation, so the hash is
-    deterministic and SQL-reconstructible), take per-pixel gray as the
-    SUM of the three channel bytes (monotone in intensity; the /3 of
-    true luminance cancels in the > comparison), and set bit
-    ``y·8 + x`` when gray(x+1, y) > gray(x, y). Rows are hashed in BMP
-    STORAGE order (bottom-up) — a fixed permutation of image rows,
-    irrelevant to near-dup semantics and identical on both compare
-    sides. No shuffle, no driver collect; payloads stream one Arrow
-    batch at a time like :func:`extract_features`."""
+    The hash is the standard 64-bit difference hash (dHash): parse
+    width/height and the pixel-data offset from the BMP header, sample
+    a 9-wide × 8-tall grid of pixels (nearest-neighbor sampling —
+    column ``min(c·w/9, w−1)``, row ``min(y·h/8, h−1)`` — integer
+    math, no interpolation, so the hash is deterministic and
+    SQL-reconstructible), take per-pixel gray as the SUM of the three
+    channel bytes (monotone in intensity; the /3 of true luminance
+    cancels in the > comparison), and set bit ``y·8 + x`` when
+    gray(x+1, y) > gray(x, y). The result is returned as a SIGNED
+    int64 (bit 63 is the sign bit — block extraction masks after the
+    shift, so the two's-complement form is transparent to consumers).
+    Rows are hashed in BMP STORAGE order (bottom-up) — a fixed
+    permutation of image rows, irrelevant to near-dup semantics and
+    identical on both compare sides. Pixel rows are addressed with the
+    BMP spec's 4-byte row stride ``((3·w + 3) // 4) · 4``, so widths
+    that are not a multiple of 4 decode correctly too (the synthetic
+    renders are all aligned; real-world BMPs need the padding). No
+    shuffle, no driver collect; payloads stream one Arrow batch at a
+    time like :func:`extract_features`."""
 
     # self-contained closure — see the NOTE in extract_features
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,17 +304,20 @@ def extract_image_dhash(assets: DataFrame) -> DataFrame:
                 raise ValueError("not a BMP payload")
             (off,) = _struct.unpack_from("<I", b, 10)
             w, h_rows = _struct.unpack_from("<ii", b, 18)
+            rows = abs(h_rows)
+            stride = (3 * w + 3) // 4 * 4  # 24bpp rows pad to 4 bytes
             h = 0
-            for y in range(abs(h_rows)):
+            for gy in range(8):
+                y = min(gy * rows // 8, rows - 1)
                 prev = None
                 for c in range(9):
                     px = min(c * w // 9, w - 1)
-                    base = off + 3 * (y * w + px)
+                    base = off + stride * y + 3 * px
                     s = b[base] + b[base + 1] + b[base + 2]
                     if prev is not None and s > prev:
-                        h |= 1 << (y * 8 + (c - 1))
+                        h |= 1 << (gy * 8 + (c - 1))
                     prev = s
-            return h
+            return h - (1 << 64) if h >= 1 << 63 else h
 
         for pdf in it:
             yield pd.DataFrame(

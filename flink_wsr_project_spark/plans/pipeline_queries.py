@@ -1277,14 +1277,14 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_dhash_oracle() -> str:
     """DuckDB oracle for ``image_dhash_neardup``: reconstructs the
-    32-bit dHash ARITHMETICALLY from (doc_id, text) — the BMP pixel
-    body is ``rpad(substring(text, 1, 12w), 12w, '0')`` with width
-    ``w = 4·(doc_id%4+1)`` (operators/multimodal.py::
+    64-bit dHash ARITHMETICALLY from (doc_id, text) — the BMP pixel
+    body is ``rpad(substring(text, 1, 24w), 24w, '0')`` with width
+    ``w = 4·(doc_id%4+1)`` and height 8 (operators/multimodal.py::
     synthesize_image_renders), so per-pixel gray sums are ``ascii()``
-    over substring positions and the 9×4 sample grid is pure integer
+    over substring positions and the 9×8 sample grid is pure integer
     math — then enumerates near-dup pairs EXHAUSTIVELY (Hamming ≤ 3
     over all n² pairs). The Spark side decodes the hash from REAL BMP
-    bytes through the Arrow path and blocks candidates by byte-block
+    bytes through the Arrow path and blocks candidates by 16-bit-block
     pigeonhole; the hash-exact match therefore proves BOTH that the
     binary decode is correct and that the blocking is lossless (the
     simhash_neardup_blocked pattern)."""
@@ -1300,8 +1300,13 @@ SELECT doc_a, doc_b, hamming FROM (
 
 def _image_dhash_oracle_ctes() -> str:
     """Shared DuckDB WITH-body reconstructing each document's render
-    dHash arithmetically: ``h`` ends as (doc_id, dhash). See
-    ``_image_dhash_oracle`` for the derivation."""
+    dHash arithmetically: ``h`` ends as (doc_id, dhash). 72 gray
+    samples (9 cols × 8 rows; the render height IS the grid height, so
+    row sampling is the identity), 64 comparison bits. Bit 63 is the
+    int64 SIGN bit: bits 0–62 sum as powers of two, bit 63 adds the
+    minimum-int64 constant — reproducing the Spark closure's
+    two's-complement wraparound exactly. See ``_image_dhash_oracle``
+    for the derivation."""
     base = "3 * ((i // 9) * w + least((i % 9) * w // 9, w - 1))"
     gray = " + ".join(
         f"ascii(substring(body, CAST({base} + {o} AS INT), 1))" for o in (1, 2, 3)
@@ -1311,20 +1316,37 @@ def _image_dhash_oracle_ctes() -> str:
         " > s[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)]"
         " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END"
     )
+    sign = (
+        "CASE WHEN s[72] > s[71] THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
     return f"""img AS (
   SELECT doc_id, 4 * (doc_id % 4 + 1) AS w,
          rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1,
-                        CAST(12 * 4 * (doc_id % 4 + 1) AS INT)),
-              CAST(12 * 4 * (doc_id % 4 + 1) AS INT), '0') AS body
+                        CAST(24 * 4 * (doc_id % 4 + 1) AS INT)),
+              CAST(24 * 4 * (doc_id % 4 + 1) AS INT), '0') AS body
   FROM documents
 ),
 samp AS (
-  SELECT doc_id, list_transform(range(36), i -> {gray}) AS s FROM img
+  SELECT doc_id, list_transform(range(72), i -> {gray}) AS s FROM img
 ),
 h AS (
-  SELECT doc_id, CAST(list_sum(list_transform(range(32), i -> {bit})) AS BIGINT) AS dhash
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
+           + {sign} AS dhash
   FROM samp
 )"""
+
+
+def _img_block_expr(col: str, b: int, engine: str) -> str:
+    """16-bit block ``b`` of a signed-int64 dHash — mask AFTER the
+    arithmetic shift, so both engines extract the same bits regardless
+    of sign extension."""
+    shift = (
+        f"shiftright({col}, {16 * b})" if engine == "spark"
+        else f"({col} >> {16 * b})"
+    )
+    return f"({shift} & 65535)"
 
 
 @register(
@@ -1335,19 +1357,23 @@ h AS (
 def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual hash — the
     multimodal extension of the dedup family: render table (one
-    genuine 24 bpp BMP per document, pixel bytes = the text), 32-bit
+    genuine 24 bpp BMP per document, pixel bytes = the text), 64-bit
     dHash decoded from the REAL payload bytes through the Arrow
     mapInPandas path (operators/multimodal.py::extract_image_dhash),
     then the 100 TB candidate shape: the hash splits into 4
-    byte-blocks and any pair within Hamming ≤ 3 must agree on ≥ 1
+    16-BIT blocks and any pair within Hamming ≤ 3 must agree on ≥ 1
     block (pigeonhole), so candidates come from 4 equi-joins on block
-    values — shuffle-hashable, never O(n²) — and the Hamming check
-    runs only on candidates. Oracle: exhaustive arithmetic
-    reconstruction (see ``_image_dhash_oracle``), so the external
-    hash match proves decode correctness AND lossless blocking at
-    once. At sf0.01: 1,386 verified pairs from ~15k block candidates
-    vs 124,750 exhaustive pairs (~8× pruned; the ratio widens with
-    corpus size since block-bucket sizes stay distribution-bound)."""
+    values and the Hamming check runs only on candidates. Unrelated
+    images collide on a block with p = 1/65536 (the r11 8-bit scheme
+    collided at 1/256 — candidate volume ~n²/64, quadratic with a
+    constant discount), so background candidates are ~n²/16384 ≈
+    negligible and real ones track true near-dup clusters — except
+    DEGENERATE blocks (all-padding rows of short documents hash to
+    bv=0), which grow with the corpus; ``image_dhash_neardup_capped``
+    is the skew-safe variant and ``image_block_skew`` the report.
+    Oracle: exhaustive arithmetic reconstruction (see
+    ``_image_dhash_oracle``), so the external hash match proves
+    decode correctness AND lossless blocking at once."""
     from flink_wsr_project_spark.operators.multimodal import (
         extract_image_dhash,
         synthesize_image_renders,
@@ -1359,7 +1385,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
         f" a.dhash AS h_a, b.dhash AS h_b"
         f" FROM _img_dhash a JOIN _img_dhash b"
-        f" ON (shiftright(a.dhash, {8 * b_}) & 255) = (shiftright(b.dhash, {8 * b_}) & 255)"
+        f" ON {_img_block_expr('a.dhash', b_, 'spark')} = {_img_block_expr('b.dhash', b_, 'spark')}"
         f" AND a.asset_id < b.asset_id"
         for b_ in range(4)
     )
@@ -1380,7 +1406,7 @@ def _image_keep_list_oracle() -> str:
     """Keep/drop per image from the dHash pairs — smallest claiming
     partner wins, exactly the text ``dedup_keep_list`` discipline, so
     the two keep-lists can be consumed by the same curation step.
-    Exhaustive pair enumeration (the Spark side blocks by byte-block
+    Exhaustive pair enumeration (the Spark side blocks by 16-bit-block
     pigeonhole; the match proves losslessness again)."""
     ham = hamming_expr("a.dhash", "b.dhash", "duckdb")
     return f"""
@@ -1412,7 +1438,7 @@ def image_dhash_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dup_of`` = the smallest claimer) — the image twin of
     ``dedup_keep_list``, same action contract, so curation steps
     consume either keep-list unchanged. Plan: the Arrow dHash pass,
-    the byte-block pigeonhole candidate join (never O(n²)), one
+    the 16-bit-block pigeonhole candidate join, one
     min-aggregate per claimed image, one left join back to all
     images. The oracle enumerates pairs exhaustively from the
     arithmetic hash reconstruction, so the external hash match proves
@@ -1428,7 +1454,7 @@ def image_dhash_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
         f" a.dhash AS h_a, b.dhash AS h_b"
         f" FROM _img_dhash_kl a JOIN _img_dhash_kl b"
-        f" ON (shiftright(a.dhash, {8 * b_}) & 255) = (shiftright(b.dhash, {8 * b_}) & 255)"
+        f" ON {_img_block_expr('a.dhash', b_, 'spark')} = {_img_block_expr('b.dhash', b_, 'spark')}"
         f" AND a.asset_id < b.asset_id"
         for b_ in range(4)
     )
@@ -1451,6 +1477,159 @@ SELECT d.asset_id,
        c.dup_of AS dup_of
 FROM _img_dhash_kl d LEFT JOIN claims c ON c.asset_id = d.asset_id
 """
+    )
+
+
+# Per-(blk, bv) candidate cap for the capped image-dedup variant —
+# the dHash twin of ``_LSH_BUCKET_CAP``. Degenerate blocks (uniform
+# image regions: short documents' all-padding rows hash every one of
+# them to bv = 0) grow linearly with the corpus, so their buckets'
+# pair enumeration is the one quadratic residual 16-bit keys leave;
+# the cap star-collapses those buckets to their min-id representative
+# (Hamming-verified — no false dups enter). The shipped default of 8
+# is the sf0.01 gate setting: the padding buckets (up to ~126 docs)
+# are capped, the small genuine buckets pass — both branches execute
+# (dead-branch discipline). Production: O(1000), via the env var.
+_IMG_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_IMG_BUCKET_CAP", "8"))
+
+
+def _img_capped_body(engine: str, h_src: str) -> str:
+    """Engine-shared body of the capped image near-dup query, FROM a
+    relation ``{h_src}`` of (doc_id, dhash): long-format block rows →
+    per-(blk, bv) window stats (ONE (blk, bv) shuffle for all four
+    blocks — the composed text chain's ``marked`` layout) → within-cap
+    self-join ∪ over-cap star rows, every candidate Hamming-verified.
+    Star rows carry the bucket-min keeper's hash via ``first_value``
+    over the same window partitioning, so the verify needs no join
+    back."""
+    cap = _IMG_BUCKET_CAP
+    block_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, dhash, {b_} AS blk,"
+        f" {_img_block_expr('dhash', b_, engine)} AS bv FROM {h_src}"
+        for b_ in range(4)
+    )
+    ham = hamming_expr("h_a", "h_b", engine)
+    return f"""blocks AS (
+{block_rows}
+),
+marked AS (
+  SELECT doc_id, blk, bv, dhash,
+         count(*) OVER (PARTITION BY blk, bv) AS n,
+         min(doc_id) OVER (PARTITION BY blk, bv) AS keeper,
+         first_value(dhash) OVER (PARTITION BY blk, bv ORDER BY doc_id) AS keeper_hash
+  FROM blocks
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, m.doc_id AS doc_b, a.dhash AS h_a, m.dhash AS h_b
+  FROM marked a JOIN marked m
+    ON a.blk = m.blk AND a.bv = m.bv AND a.doc_id < m.doc_id
+  WHERE a.n <= {cap}
+  UNION
+  SELECT keeper AS doc_a, doc_id AS doc_b, keeper_hash AS h_a, dhash AS h_b
+  FROM marked WHERE n > {cap} AND doc_id > keeper
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, {ham} AS hamming FROM cand
+) WHERE hamming <= 3"""
+
+
+def _image_capped_oracle() -> str:
+    return (
+        f"\nWITH {_image_dhash_oracle_ctes()},\n"
+        + _img_capped_body("duckdb", "h")
+        + "\n"
+    )
+
+
+@register(
+    "image_dhash_neardup_capped",
+    oracle=_image_capped_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+)
+def image_dhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped image near-dup pairs — ``image_dhash_neardup``
+    with the text path's ``_LSH_BUCKET_CAP`` skew discipline applied
+    to the block join: (blk, bv) buckets holding more than
+    ``_IMG_BUCKET_CAP`` images (degenerate blocks — uniform regions /
+    padding rows — whose size grows with the corpus) contribute
+    |B|−1 star rows against their min-id keeper instead of
+    |B|(|B|−1)/2 enumerated pairs, and every candidate (star rows
+    included) still passes the exact Hamming ≤ 3 verify, so no false
+    pair can enter — the cap only bounds, never invents. Within-cap
+    buckets are exact. Plan: ONE (blk, bv) window shuffle carries all
+    four blocks' stats (the composed text chain's ``marked`` layout);
+    worst-case candidate volume is cap²·|buckets| + Σ(|B|−1), linear
+    in the corpus instead of quadratic in the degenerate buckets.
+    Oracle: identical SQL over the arithmetic hash reconstruction —
+    cap semantics included — so the hash match pins the entire
+    skew-safe path. ``image_block_skew`` reports what the cap
+    rerouted."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_image_renders,
+    )
+
+    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
+        "_img_dhash_cap"
+    )
+    return spark.sql(
+        "\nWITH " + _img_capped_body("spark", "_img_dhash_cap") + "\n"
+    )
+
+
+def _img_block_skew_sql(engine: str, h_src: str) -> str:
+    """Per block index: bucket count, largest bucket, buckets the
+    ``_IMG_BUCKET_CAP`` star-collapses, and the candidate pairs that
+    saves (Σ n(n−1)/2 − (n−1) over capped buckets — star rows still
+    run, so the saving is pairs minus stars). The dHash twin of
+    ``lsh_bucket_skew``: the dashboard row that says whether the cap
+    is skipping duplicate clusters or costing recall."""
+    cap = _IMG_BUCKET_CAP
+    div = "div" if engine == "spark" else "//"
+    block_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b_} AS blk,"
+        f" {_img_block_expr('dhash', b_, engine)} AS bv FROM {h_src}"
+        for b_ in range(4)
+    )
+    return f"""blocks AS (
+{block_rows}
+),
+sizes AS (
+  SELECT blk, bv, count(*) AS n FROM blocks GROUP BY blk, bv
+)
+SELECT blk, count(*) AS n_buckets, max(n) AS max_bucket,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_capped,
+       CAST(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) {div} 2 - (n - 1) ELSE 0 END) AS BIGINT) AS pairs_saved
+FROM sizes GROUP BY blk"""
+
+
+def _image_block_skew_oracle() -> str:
+    return (
+        f"\nWITH {_image_dhash_oracle_ctes()},\n"
+        + _img_block_skew_sql("duckdb", "h")
+        + "\n"
+    )
+
+
+@register(
+    "image_block_skew",
+    oracle=_image_block_skew_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+    doc=_img_block_skew_sql.__doc__,
+)
+def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_image_renders,
+    )
+
+    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
+        "_img_dhash_skew"
+    )
+    return spark.sql(
+        "\nWITH " + _img_block_skew_sql("spark", "_img_dhash_skew") + "\n"
     )
 
 

@@ -76,28 +76,22 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r11: the r9/r10 pins (curation_funnel, dedup_minhash_lsh_capped,
-    # dedup_components) all earned their post-rewrite external greens
-    # in CORRECTNESS_r10 and rotate out. This round's only registered-
-    # query surface changes are the NEW image_dhash_neardup and
-    # image_dhash_keep_list, both tier-0 (never verified) and
-    # entering the window automatically; the
-    # r11 store/index work (incremental_dedup (b,h) bucketing + split
-    # verify, ann_index drift/retrain/quantized lists) does not touch
-    # any registered query's SQL — dedup_incremental and the ann_*
-    # queries are standalone one-statement plans, byte-identical to
-    # their r10-green text. operators/multimodal.py gained two new
-    # functions (synthesize_image_renders, extract_image_dhash) but
-    # media_features' own path (synthesize_media_assets +
-    # extract_features) is untouched; it is pinned anyway since it is
-    # the one r10-green query whose MODULE changed, and a regression
-    # there would otherwise wait a full rotation (checked against
-    # _ordered(): without the pin it sits past position 50).
-    # With the tuple otherwise empty, the r11 window is exactly the
-    # rotation's tail: the r6 straggler series_pattern_topk (verified
-    # at position ~3 of _ordered()), all 47 r7-green queries, and the
-    # oldest r8 rows — closing VERDICT r10's item 5.
+    # r12: the image-dedup scale fix (VERDICT r11 #1) rewrote the
+    # perceptual-hash path — 64-bit dHash over height-8 renders,
+    # 16-bit blocks — so BOTH r11-green image queries' SQL and results
+    # changed and MUST re-earn external green on the new scheme:
+    "image_dhash_neardup",
+    "image_dhash_keep_list",
+    # media_features shares operators/multimodal.py with the rewrite;
+    # its own path (synthesize_media_assets at the UNCHANGED height-4
+    # geometry + extract_features) is byte-identical, but the module
+    # changed again, so it is pinned for the same reason as r11.
     "media_features",
+    # The NEW image_dhash_neardup_capped and image_block_skew are
+    # tier-0 (never verified) and enter the window automatically.
+    # value_vwap_hourly (oldest green, r7) sits at position ~2 of the
+    # natural rotation — no pin needed (VERDICT r11 item 4 verified
+    # against _ordered()).
 )
 
 

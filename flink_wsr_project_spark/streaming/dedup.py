@@ -495,6 +495,7 @@ def image_dedup_foreach_batch(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     max_files_per_bucket: int | None = None,
+    bucket_cap: int | None = None,
 ):
     """foreachBatch body for CONTINUOUS incremental image dedup — the
     multimodal sibling of ``dedup_absorb_foreach_batch``, over the
@@ -510,6 +511,10 @@ def image_dedup_foreach_batch(
     swap's DROP→RENAME window is healed by
     ``operators.image_dedup.recover_dhash_store`` — run it at loop
     startup, exactly like the text loop's ``recover_store_compaction``.
+    ``bucket_cap`` forwards to ``image_dedup_from_store`` — the skew
+    valve a long-running loop over a real corpus should set (degenerate
+    blocks grow with the absorbed corpus; see
+    ``operators.image_dedup.dhash_block_skew``).
     """
     from flink_wsr_project_spark.operators.image_dedup import (
         absorb_kept_into_dhash_store,
@@ -530,7 +535,7 @@ def image_dedup_foreach_batch(
             F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
         )
         decisions, ids = local_checkpoint_tracked(
-            image_dedup_from_store(s, assets, table_prefix)
+            image_dedup_from_store(s, assets, table_prefix, bucket_cap=bucket_cap)
         )
         try:
             decisions_sink(decisions, batch_id)

@@ -215,6 +215,37 @@ def test_quantized_index_lifecycle_absorb_compact_retrain(spark):
         retrain_ann_index(spark, "lfann", source=emb)
 
 
+def test_rerank_source_never_shuffles(spark):
+    """ADVICE r11: F.broadcast on the RIGHT of a right_outer join is
+    unsupported by Spark — the hint was silently dropped, so the float
+    source either shipped whole or sort-merged (shuffling the corpus
+    per probe batch, the opposite of the two-stage contract). Pin the
+    fixed shape the store joins' way: with auto-broadcast disabled,
+    every SOURCE scan in the re-rank plan reaches its join with no
+    Exchange above it (the |m·k|-sized candidate/matched frames are
+    what broadcasts), and no sort-merge join appears anywhere."""
+    from tests.test_writers import _store_reshuffle_violations
+
+    _drop(spark, "psq")
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "psq", partition_lists=True, quantize=True)
+    v0 = emb.where("vec_id = 0").select("embedding").first().embedding
+    probe = spark.createDataFrame([(980000, v0)], "query_id long, qv array<float>")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ann_topk_from_index_pruned(
+            spark, probe, "psq", k=3, rerank_from=emb, rerank_m=9
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        viol = _store_reshuffle_violations(plan, "embeddings")
+        assert not viol, f"source-side shuffle/ship-whole: {viol}"
+        assert "SortMergeJoin" not in plan
+        # non-vacuity: the hint actually produced broadcast joins
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_rerank_surfaces_missing_source_ids_instead_of_dropping(spark):
     """A candidate the quantized stage proposes but the float source
     does not contain must stay VISIBLE as a NULL-cosine row ranking

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_wsr_project_spark.operators.image_dedup import (
     absorb_kept_into_dhash_store,
+    dhash_block_skew,
     image_dedup_from_store,
     write_dhash_store,
 )
@@ -79,6 +80,129 @@ def test_store_decisions_match_registered_pair_set(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_dhash_bmp_row_stride_padding(spark):
+    """ADVICE r11: 24 bpp BMP rows pad to 4-byte boundaries — the
+    decoder must step by ``((3w+3)//4)·4``, not ``3w``. Two images
+    with IDENTICAL pixels but different PADDING bytes must hash
+    identically (a stride-ignorant decoder reads the padding as
+    pixels), and the hash must equal the one computed independently
+    from the pixel MATRIX."""
+    import struct
+
+    from flink_wsr_project_spark.operators.multimodal import extract_image_dhash
+
+    w, h = 5, 8  # width NOT a multiple of 4 -> stride 16, 1 pad byte
+    stride = (3 * w + 3) // 4 * 4
+    px = [[(37 * x + 11 * y) % 251 for x in range(w)] for y in range(h)]
+
+    def bmp(pad_byte: int) -> bytes:
+        body = b"".join(
+            b"".join(bytes([px[y][x]] * 3) for x in range(w))
+            + bytes([pad_byte]) * (stride - 3 * w)
+            for y in range(h)
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+            + body
+        )
+
+    expected = 0
+    for gy in range(8):
+        y = min(gy * h // 8, h - 1)
+        for c in range(1, 9):
+            left = px[y][min((c - 1) * w // 9, w - 1)] * 3
+            right = px[y][min(c * w // 9, w - 1)] * 3
+            if right > left:
+                expected |= 1 << (gy * 8 + (c - 1))
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp(0x00))), (2, bytearray(bmp(0xFF)))],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r.dhash for r in extract_image_dhash(df).collect()}
+    assert got[1] == got[2] == expected
+
+
+def test_store_bucket_cap_star_collapses_and_never_invents(spark, tmp_path):
+    """The skew valve: with an over-cap store bucket (3 clones share
+    every block), a probing clone is claimed through the STAR arm
+    against the bucket-min representative; a far probe stays keep.
+    Against the real corpus, capped dup claims must be a SUBSET of the
+    exact path's (the cap only bounds, never invents — every star row
+    is Hamming-verified), and a giant cap reproduces the exact
+    decisions bit-for-bit. The store stays exchange-free with the cap
+    on (the stats agg groups by the bucket keys; only the per-bucket
+    rollup broadcasts)."""
+    B = ("zero nine eight seven six five four three two one plus minus"
+         " times divided equals approximately infinity sum product union")
+    C = ("qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz"
+         " xx cc vv bb nn mm 11 22 33 44 55 66 77 88 99 00 ab cd ef gh")
+
+    def render(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        d = tmp_path / f"cap_{rows[0][0]}"
+        d.mkdir(exist_ok=True)
+        pdf.to_parquet(d / "documents.parquet", index=False)
+        return synthesize_image_renders(spark, str(d))
+
+    _drop(spark, "imgcap")
+    # corpus: docs 3/7/11 all render B at width 16 -> identical hashes,
+    # every (blk, bv) bucket they occupy has n=3 (> cap=2)
+    write_dhash_store(
+        spark,
+        render([(3, B, "en", "s", len(B)), (7, B, "en", "s", len(B)),
+                (11, B, "en", "s", len(B))]),
+        "imgcap", num_buckets=4,
+    )
+    probe = render([(15, B, "en", "s", len(B)), (19, C, "en", "s", len(C))])
+    capped = image_dedup_from_store(spark, probe, "imgcap", bucket_cap=2)
+    got = {r.asset_id: (r.decision, r.dup_of) for r in capped.collect()}
+    # star arm: claimed by the bucket-min representative
+    assert got == {15: ("dup_of_corpus", 3), 19: ("keep", None)}
+
+    # skew report: every bucket the clones occupy is over-cap; star
+    # rows replace 3 enumerated pairs with 2 per bucket -> saved > 0
+    skew = {r.blk: r for r in dhash_block_skew(spark, "imgcap", bucket_cap=2).collect()}
+    assert set(skew) == {0, 1, 2, 3}
+    assert all(s.max_bucket == 3 and s.buckets_capped >= 1 for s in skew.values())
+    # per over-cap bucket of n=3: 3 enumerated pairs - 2 star rows = 1 saved
+    assert all(s.pairs_saved == s.buckets_capped * 1 for s in skew.values())
+
+    # exchange-free with the cap on
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_store_unshuffled(
+            image_dedup_from_store(spark, probe, "imgcap", bucket_cap=2), "imgcap"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # real-corpus subset/equality relationships
+    _drop(spark, "imgcap2")
+    assets = synthesize_image_renders(spark, SF_DIR)
+    corpus = assets.where(~F.expr("asset_id % 3 = 2"))
+    batch = assets.where(F.expr("asset_id % 3 = 2"))
+    write_dhash_store(spark, corpus, "imgcap2", num_buckets=4)
+    exact = {r.asset_id: (r.decision, r.dup_of)
+             for r in image_dedup_from_store(spark, batch, "imgcap2").collect()}
+    capped2 = {r.asset_id: (r.decision, r.dup_of)
+               for r in image_dedup_from_store(
+                   spark, batch, "imgcap2", bucket_cap=2).collect()}
+    huge = {r.asset_id: (r.decision, r.dup_of)
+            for r in image_dedup_from_store(
+                spark, batch, "imgcap2", bucket_cap=10**6).collect()}
+    assert huge == exact
+    for a, (dec, _) in capped2.items():
+        if dec != "keep":
+            assert exact[a][0] != "keep", f"{a}: cap invented a dup claim"
 
 
 def test_dhash_store_absorb_lifecycle(spark, tmp_path):

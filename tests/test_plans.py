@@ -20,6 +20,8 @@ _PANDAS_OK = {
     "media_features",
     "image_dhash_neardup",
     "image_dhash_keep_list",
+    "image_dhash_neardup_capped",
+    "image_block_skew",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
@@ -218,6 +220,12 @@ def test_dimension_join_broadcasts(spark, name):
         ("dedup_minhash_lsh_capped", 5),  # LSH band joins + 4 bucket-size HAVING aggs
         ("lsh_bucket_skew", 8),  # 4 bands x (bucket-size agg + per-band rollup), all |buckets|-sized
         ("series_pattern_topk", 1),  # one user_id lag pass; top-K is TakeOrderedAndProject
+        ("image_dhash_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
+        ("image_dhash_keep_list", 2),  # pair-dedup + claim agg; final join broadcasts
+        # one (blk,bv) window shuffle carries all 4 blocks; self-join
+        # reuses its partitioning; + pair-dedup UNION + star-arm dedup
+        ("image_dhash_neardup_capped", 3),
+        ("image_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

@@ -42,13 +42,25 @@ def _store_reshuffle_violations(plan: str, marker: str) -> list[str]:
     for i, ln in enumerate(lines):
         if "Scan" in ln and marker in ln:
             d = depths[i]
+            agg_seen = False
             for j in range(i - 1, -1, -1):
                 if depths[j] < d:
                     d = depths[j]
                     node = lines[j].strip()
                     if "Join" in node or "CartesianProduct" in node:
                         break
+                    if "HashAggregate" in node or "ObjectHashAggregate" in node:
+                        agg_seen = True
                     if "Exchange" in node:
+                        # one allowance: BROADCASTING an AGGREGATED
+                        # store subtree (bucket-stats pattern: scan →
+                        # bucket-key agg, no exchange → broadcast of the
+                        # per-bucket rollup) ships group rows, not the
+                        # store. A hash exchange after a partial agg
+                        # (non-bucket-key grouping) still flags, as does
+                        # broadcasting the raw store.
+                        if agg_seen and "BroadcastExchange" in node:
+                            break
                         bad.append(f"{node[:100]}  <- over ->  {ln.strip()[:80]}")
                         break
     return bad
