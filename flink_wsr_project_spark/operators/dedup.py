@@ -180,7 +180,29 @@ def jaccard_expr(a: str, b: str, engine: str) -> str:
     return f"{inter} / ({na} + {nb} - {inter})"
 
 
-SIMHASH_BITS = 32
+# 60 SimHash bits (r12; was 32 until round 11). Two reasons, both the
+# image-dedup lesson (VERDICT r11 #1) applied to text:
+# (1) the token hash was h28, so bits 28-31 of the "32-bit" simhash
+#     were CONSTANT ZERO — the blocked variant's 4th byte-block had
+#     ≤16 distinct values, an n²/32 candidate generator on its own;
+# (2) Hamming ≤ 3 of 32 bits tolerates ~9% bit noise — 1,387 "pairs"
+#     in the 500-doc test corpus, mostly hash coincidence (measured;
+#     the 60-bit hash finds 13, the true near-dup structure).
+# 60 = 15 hex chars of md5 → positive BIGINT in both engines (16
+# chars could set the sign bit, which DuckDB's '0x..'::BIGINT cast
+# rejects); 4×15-bit blocks keep the pigeonhole cover of Hamming ≤ 3
+# with 32,768 values per block key.
+SIMHASH_BITS = 60
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // 4
+
+
+def h60(s: str, engine: str) -> str:
+    """60-bit md5-prefix hash of a string expression (the SimHash token
+    hash — see SIMHASH_BITS; minhash keeps h28 so its a·h+b stays in
+    int64)."""
+    if engine == "spark":
+        return f"cast(conv(substr(md5({s}),1,15),16,10) as bigint)"
+    return f"('0x'||substr(md5({s}),1,15))::BIGINT"
 
 
 def simhash_bit_sums(hv: str, engine: str) -> list[str]:
@@ -193,7 +215,8 @@ def simhash_bit_sums(hv: str, engine: str) -> list[str]:
 
 
 def simhash_combine(engine: str) -> str:
-    """Fold the 32 bit-majority sums into one BIGINT."""
+    """Fold the 60 bit-majority sums into one BIGINT (bit 59 < the
+    sign bit, so no two's-complement handling is needed)."""
     terms = " + ".join(
         f"(CASE WHEN bs{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(SIMHASH_BITS)
@@ -202,14 +225,14 @@ def simhash_combine(engine: str) -> str:
 
 
 def simhash_sql(engine: str, source: str = "documents") -> str:
-    """doc_id → 32-bit SimHash over whitespace tokens (frequency-weighted
+    """doc_id → 60-bit SimHash over whitespace tokens (frequency-weighted
     via duplicate tokens)."""
     t = toks_expr("text", engine)
     if engine == "spark":
         tok = f"SELECT doc_id, explode({t}) AS tok FROM {source}"
     else:
         tok = f"SELECT doc_id, unnest({t}) AS tok FROM {source}"
-    hv = h28("tok", engine)
+    hv = h60("tok", engine)
     sums = ",\n       ".join(simhash_bit_sums("hv", engine))
     return (
         f"WITH tok AS ({tok}),\n"

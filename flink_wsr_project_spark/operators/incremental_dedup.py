@@ -355,9 +355,14 @@ def dedup_incremental_from_store(
     within the batch the smaller doc_id wins; ``dup_of`` is the
     smallest claiming partner on the winning side).
 
-    Plan shape: Δ's band rows shuffle once to the store's ``h``
-    bucketing for the candidate join; candidates then verify against
-    the ``doc_id``-bucketed hash arrays (store side shuffle-free both
+    Plan shape: Δ's band rows shuffle once to the store's ``(b, h)``
+    bucketing for the candidate join — the FULL join key, the r11 fix:
+    bucketing by the subset ``h`` alone does not co-partition a
+    ``(b, h)`` equi-join, so every increment would have re-shuffled
+    the corpus wherever broadcast is impossible (the layout the
+    compactor now refuses to deviate from, ``tests/test_writers.py``'s
+    plan-tree walk). Candidates then verify against the
+    ``doc_id``-bucketed hash arrays (store side shuffle-free both
     times); the within-batch arm is a self-join of Δ's own band rows —
     all candidate work is linear in |Δ| for a fixed corpus bucket-size
     distribution."""

@@ -556,9 +556,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_neardup_sql(engine: str) -> str:
-    """SimHash near-dup pairs: Hamming distance ≤ 3. The self-join is
-    bounded here (≤5k docs); the 100 TB path blocks on simhash bytes
-    (join on one of 4 rotated byte-prefixes) before the Hamming check."""
+    """SimHash near-dup pairs: Hamming distance ≤ 3 of the 60-bit
+    hash. The self-join is bounded here (≤5k docs); the 100 TB path
+    blocks on 15-bit simhash blocks (simhash_neardup_blocked) before
+    the Hamming check."""
     ham = hamming_expr("a.simhash", "b.simhash", engine)
     return f"""
 WITH s AS ({simhash_sql(engine)})
@@ -1682,18 +1683,27 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_blocked_spark_sql() -> str:
-    """The 100 TB SimHash path: pigeonhole blocking. A 32-bit simhash
-    splits into 4 byte-blocks; any pair with Hamming ≤ 3 must agree on
-    ≥ 1 block, so candidates come from 4 equi-joins on block values
-    (shuffle-hashable, never O(n²)) and the Hamming check only runs on
-    candidates. Registered against the SAME oracle as the exhaustive
-    self-join (simhash_neardup_pairs) — the match proves the blocking
-    is lossless."""
+    """The 100 TB SimHash path: pigeonhole blocking. The 60-bit
+    simhash splits into 4 15-BIT blocks (r12 — the image-dedup
+    key-width lesson applied to text: the old 32-bit hash's byte
+    blocks had ≤256 values, and its 4th block ≤16 since the token
+    hash was only 28 bits — an n²-with-constant candidate generator;
+    15-bit keys have 32,768 values, measured 2.8k candidates vs the
+    old 32k on the 500-doc corpus); any pair with Hamming ≤ 3 must
+    agree on ≥ 1 block, so candidates come from 4 equi-joins on block
+    values and the Hamming check only runs on candidates. Registered
+    against the SAME oracle as the exhaustive self-join
+    (simhash_neardup_pairs) — the match proves the blocking is
+    lossless."""
+    from flink_wsr_project_spark.operators.dedup import SIMHASH_BLOCK_BITS
+
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = "\n  UNION\n".join(
         f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         f" a.simhash AS sh_a, b.simhash AS sh_b"
         f" FROM s a JOIN s b"
-        f" ON (shiftright(a.simhash, {8 * b_}) & 255) = (shiftright(b.simhash, {8 * b_}) & 255)"
+        f" ON (shiftright(a.simhash, {SIMHASH_BLOCK_BITS * b_}) & {mask})"
+        f" = (shiftright(b.simhash, {SIMHASH_BLOCK_BITS * b_}) & {mask})"
         f" AND a.doc_id < b.doc_id"
         for b_ in range(4)
     )

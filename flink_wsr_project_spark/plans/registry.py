@@ -82,6 +82,12 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # changed and MUST re-earn external green on the new scheme:
     "image_dhash_neardup",
     "image_dhash_keep_list",
+    # ... and the same key-width lesson applied to SimHash (60-bit
+    # hash over h60 token hashes, 15-bit blocks): all three simhash
+    # queries' results changed and must re-earn green:
+    "dedup_simhash",
+    "simhash_neardup_pairs",
+    "simhash_neardup_blocked",
     # media_features shares operators/multimodal.py with the rewrite;
     # its own path (synthesize_media_assets at the UNCHANGED height-4
     # geometry + extract_features) is byte-identical, but the module

@@ -249,6 +249,8 @@ def ann_ingest_foreach_batch(
     vec_col: str = "embedding",
     max_files_per_bucket: int | None = None,
     on_batch=None,
+    max_fresh_mismatch: float | None = None,
+    retrain_source_fn=None,
 ):
     """foreachBatch body for CONTINUOUS index growth — the write twin
     of ``ann_probe_foreach_batch`` and the similarity sibling of
@@ -264,21 +266,54 @@ def ann_ingest_foreach_batch(
     crosses the dial — a long-running ingest loop's probe cost stays
     bounded instead of growing a file per batch. (Run
     ``recover_index_compaction`` at loop startup — the swap is the
-    crash-recoverable DROP+RENAME.) Retraining is deliberately NOT
-    wired here: it is quality-scheduled, by ``measure_index_drift``,
-    not file-count-scheduled.
+    crash-recoverable DROP+RENAME.)
+
+    ``max_fresh_mismatch`` arms the RETRAIN dial in-loop: after each
+    absorb the body measures drift and runs ``retrain_ann_index`` when
+    the fresh-centroid mismatch crosses it. The drift measurement is
+    one lists scan + a k·d aggregate PER BATCH — cheap next to the
+    absorb at micro-batch cadence, but a deployment that prefers
+    maintenance windows should leave this ``None`` and run
+    ``maintain_ann_index`` on a schedule instead. For a QUANTIZED
+    index a retrain cannot self-train on the int8 arrays, so
+    ``retrain_source_fn(spark) -> (vec_id, embedding)`` must hand the
+    loop the CURRENT float corpus (it must contain every vec_id the
+    index holds — absorbed vectors included — or retrain rejects it
+    loudly); it is a callable, not a frame, because foreachBatch
+    bodies run on the micro-batch's cloned session and the corpus
+    grows between batches. The pairing is validated on the FIRST
+    batch, not at the first drift crossing (a misconfigured loop
+    should die immediately, not weeks in — the ``maintain_ann_index``
+    rule).
 
     ``on_batch(n_absorbed, batch_id)`` is an optional observer hook
     (metrics/backpressure), called after the absorb.
     """
     from flink_wsr_project_spark.operators.ann_index import (
+        _lists_props,
         absorb_vectors_into_index,
         compact_ann_index,
+        retrain_ann_index,
+        should_retrain,
     )
     from flink_wsr_project_spark.sources.writers import should_compact
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if max_fresh_mismatch is not None:
+            _, quantized = _lists_props(s, table_prefix)
+            if quantized and retrain_source_fn is None:
+                raise ValueError(
+                    f"index '{table_prefix}' is quantized: the in-loop retrain "
+                    "dial needs retrain_source_fn so a drift-triggered retrain "
+                    "can actually run"
+                )
+            if not quantized and retrain_source_fn is not None:
+                raise ValueError(
+                    f"index '{table_prefix}' stores float embeddings; retrain "
+                    "reads them directly — retrain_source_fn would silently "
+                    "shadow the index contents"
+                )
         vecs = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
@@ -291,5 +326,13 @@ def ann_ingest_foreach_batch(
             s, f"{table_prefix}_lists", max_files_per_bucket
         ):
             compact_ann_index(s, table_prefix)
+        if max_fresh_mismatch is not None and should_retrain(
+            s, table_prefix, max_fresh_mismatch
+        ):
+            retrain_ann_index(
+                s,
+                table_prefix,
+                source=retrain_source_fn(s) if retrain_source_fn else None,
+            )
 
     return body

@@ -161,6 +161,41 @@ def test_absorb_drift_is_measured_and_retrain_restores_recall(spark):
         should_retrain(spark, "drift", max_fresh_mismatch=0.0)
 
 
+def test_fresh_index_is_nearest_centroid_consistent(spark):
+    """VERDICT r11 #2: a freshly-written index must not start
+    inconsistent. On the REAL corpus — whose as-given labels are ~59%
+    away from their nearest would-be centroid — the default build now
+    drives assignments to a Lloyd fixed point: fresh mismatch is
+    EXACTLY 0 (the drift measurement uses the same centroid-mean and
+    nearest-label expressions the build converged), ``should_retrain``
+    does not fire on a brand-new index, and ``reassign=False``
+    preserves the labels-as-given mode (where the old headline
+    inconsistency is still measurable — the controlled-geometry tests'
+    and the inline-parity test's contract)."""
+    from flink_wsr_project_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    for t in ("fresh_centroids", "fresh_lists", "freshraw_centroids",
+              "freshraw_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(spark, emb, "fresh", partition_lists=True)
+    d = measure_index_drift(spark, "fresh")
+    assert d["n_rows"] == emb.count()
+    assert d["fresh_centroid_mismatch"] == 0.0
+    assert d["stored_centroid_mismatch"] == 0.0
+    assert should_retrain(spark, "fresh") is False
+
+    write_ann_index(spark, emb, "freshraw", partition_lists=True, reassign=False)
+    d_raw = measure_index_drift(spark, "freshraw")
+    # the r11 headline number: as-given labels start far from their
+    # nearest would-be-retrained centroid (~0.59 on this corpus)
+    assert d_raw["fresh_centroid_mismatch"] > 0.4
+    assert should_retrain(spark, "freshraw") is True
+
+
 def test_retrain_preserves_layout_and_probe_parity(spark):
     """Retraining must keep the index layout (partitioned lists +
     property, or bucketed spec) and leave a clean-index probe

@@ -438,7 +438,11 @@ def test_ann_index_probe_matches_inline_ivf(spark):
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
 
     emb = load_table(spark, "embeddings", SF_DIR)
-    write_ann_index(spark, emb, "annidx", num_buckets=8)
+    # reassign=False: the labels-as-given mode is what reproduces the
+    # inline ann_ivf_topk query bit-for-bit (the inline query trains
+    # on and searches the upstream labels; the default build-time
+    # Lloyd pass would re-list ~59% of this corpus)
+    write_ann_index(spark, emb, "annidx", num_buckets=8, reassign=False)
 
     queries = emb.where("vec_id % 50 = 0").selectExpr(
         "vec_id AS query_id", "embedding AS qv"
@@ -666,9 +670,120 @@ def test_ann_ingest_loop_absorbs_and_compacts(spark):
     assert should_compact(spark, "aing_lists", max_files_per_bucket=2) is False
 
     probe = spark.createDataFrame([(940000, v0)], "query_id long, qv array<float>")
+    # the build-time Lloyd pass means vec 0 ITSELF now lives in the
+    # probed list (pre-r12, the as-given labels were 59% inconsistent
+    # and vec 0 often wasn't); it ties every clone at cosine 1.0 and
+    # wins on id, so top-6 = vec 0 + all five absorbed clones
     got = {r.neighbor_id
-           for r in ann_topk_from_index_pruned(spark, probe, "aing", k=5).collect()}
-    assert {930000, 930001, 930002, 930003, 930004} == got & set(range(930000, 930005))
+           for r in ann_topk_from_index_pruned(spark, probe, "aing", k=6).collect()}
+    assert got == {0, 930000, 930001, 930002, 930003, 930004}
+
+
+def test_ann_ingest_loop_retrains_quantized_when_drift_crosses_dial(spark):
+    """VERDICT r11 #6: a QUANTIZED index in the streaming ingest loop
+    must be able to EXECUTE its retrain when the drift dial fires —
+    retrain_ann_index rejects int8 self-training, so the loop hands
+    the float corpus through ``retrain_source_fn``. Drive the
+    controlled drift geometry through one micro-batch: the absorbed
+    boundary cluster splits 40/10 (fresh mismatch 10/90 > dial 0.05),
+    the in-loop trigger retrains from the source, the cluster is
+    reunified into ONE list (the proof a retrain actually ran — an
+    absorb alone leaves the 40/10 split), the index stays quantized,
+    and the two-stage rerank probe returns float-exact top-5 for the
+    cluster members. Misconfigured pairings die on the FIRST batch."""
+    import shutil
+
+    import pytest
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        QUANTIZED_LISTS_PROP,
+        ann_topk_from_index_pruned,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.streaming.similarity import ann_ingest_foreach_batch
+    from tests.test_ann_drift import _vec
+
+    for t in ("qing_centroids", "qing_lists", "qing_retrain_src",
+              "fing_centroids", "fing_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, _vec(**{"0": 1.0, str(20 + (i % 8)): 0.02 * (i + 1)})))
+    for i in range(20):
+        rows.append(
+            (100 + i, 1, _vec(**{"1": 1.0, str(28 + (i % 8)): 0.02 * (i + 1)}))
+        )
+    org = spark.createDataFrame(rows, "vec_id long, label bigint, embedding array<float>")
+    write_ann_index(spark, org, "qing", partition_lists=True, quantize=True)
+
+    cl = []
+    for i in range(50):
+        base = {"0": 1.04, "1": 1.0, str(10 + (i % 6)): 0.01 * (i + 1)}
+        if i % 5 == 0:
+            base["0"] = 0.96
+        cl.append((1000 + i, _vec(**base)))
+
+    # the source of truth grows with the loop: org + everything absorbed
+    source_rows = [(v, e) for v, _, e in rows] + cl
+
+    def source_fn(s):
+        return s.createDataFrame(source_rows, "vec_id long, embedding array<float>")
+
+    body = ann_ingest_foreach_batch(
+        "qing", max_fresh_mismatch=0.05, retrain_source_fn=source_fn
+    )
+    body(spark.createDataFrame(cl, "vec_id long, embedding array<float>"), 0)
+
+    split = {
+        r.label: r.n
+        for r in spark.table("qing_lists").where("vec_id >= 1000")
+        .groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert list(split.values()) == [50], f"cluster not reunified: {split}"
+    props = {r.key: r.value
+             for r in spark.sql("SHOW TBLPROPERTIES qing_lists").collect()}
+    assert props.get(QUANTIZED_LISTS_PROP) == "true"
+    assert "eq" in spark.table("qing_lists").columns
+
+    # float-exact top-5 via the two-stage rerank: every cluster query's
+    # neighbors are the brute-force float top-5 (one list holds them all)
+    queries = spark.createDataFrame(
+        cl[:10], "vec_id long, embedding array<float>"
+    ).selectExpr("vec_id AS query_id", "embedding AS qv")
+    src = source_fn(spark)
+    got = {}
+    for r in ann_topk_from_index_pruned(
+        spark, queries, "qing", k=5, rerank_from=src, rerank_m=200
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    queries.createOrReplaceTempView("_qing_q")
+    src.createOrReplaceTempView("_qing_c")
+    from flink_wsr_project_spark.operators.similarity import cosine_expr
+    exact = spark.sql(f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {cosine_expr('q.qv', 'e.embedding', 'spark')} DESC, e.vec_id
+         ) AS rank
+  FROM _qing_q q JOIN _qing_c e ON e.vec_id <> q.query_id
+) WHERE rank <= 5""")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got == truth
+
+    # misconfigured pairings die on batch 0, not at the drift crossing
+    one = spark.createDataFrame([(5000, _vec(**{"0": 1.0}))],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="retrain_source_fn"):
+        ann_ingest_foreach_batch("qing", max_fresh_mismatch=0.05)(one, 0)
+    write_ann_index(spark, org, "fing", partition_lists=True)
+    with pytest.raises(ValueError, match="shadow"):
+        ann_ingest_foreach_batch(
+            "fing", max_fresh_mismatch=0.05, retrain_source_fn=source_fn
+        )(one, 0)
 
 
 def test_pruned_probe_matches_full_on_partitioned_store(spark):
@@ -829,8 +944,9 @@ def test_pruned_ann_probe_matches_bucketed_index(spark):
     import re as _re
     m = [ln for ln in plan1.splitlines() if "pann_lists" in ln and "PartitionFilters" in ln]
     # one assigned list → a single-partition filter (Catalyst folds a
-    # 1-element IN to equality)
-    assert m and _re.search(r"label#\d+ (= \S+|IN \([^,)]+\))", m[0]), m
+    # 1-element IN to equality); the label is BIGINT since the r12
+    # build-time Lloyd pass (attribute prints with an L suffix)
+    assert m and _re.search(r"label#\d+L? (= \S+|IN \([^,)]+\))", m[0]), m
 
 
 def test_pruned_ann_nprobe_recall_is_monotone(spark):
@@ -968,12 +1084,13 @@ def test_absorb_vectors_into_index_and_probe_sees_them(spark):
         (r.neighbor_id, r.rank)
         for r in ann_topk_from_index_pruned(spark, probe, "vabs", k=5).collect()
     }
-    # the absorbed clone is an exact match IN THE PROBED LIST — found at
-    # rank 1 because probe and absorb share the nearest-centroid rule.
-    # (vec 0 itself may live in a DIFFERENT list: its table label came
-    # from upstream k-means, which need not equal its nearest centroid —
-    # that asymmetry is inherent to IVF, not to the absorb.)
-    assert (900001, 1) in got
+    # probe, absorb, and (since r12) the BUILD all share the
+    # nearest-centroid rule, so the probed list is guaranteed to hold
+    # BOTH vec 0 and its absorbed clone: cosine 1.0 ties break on id —
+    # vec 0 rank 1, the clone rank 2. (Pre-r12 vec 0's upstream label
+    # could put it in a different list; that build-time asymmetry is
+    # what write_ann_index's Lloyd pass removed.)
+    assert {(0, 1), (900001, 2)} <= got
 
     # bucketed-layout arm
     write_ann_index(spark, emb, "vabsb", num_buckets=4)
@@ -982,7 +1099,7 @@ def test_absorb_vectors_into_index_and_probe_sees_them(spark):
         (r.neighbor_id, r.rank)
         for r in ann_topk_from_index(spark, probe, "vabsb", k=5).collect()
     }
-    assert (900001, 1) in got_b
+    assert {(0, 1), (900001, 2)} <= got_b
 
 
 def test_compact_ann_index_preserves_probe_results(spark):
