@@ -1634,6 +1634,82 @@ def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _modal_agreement_sql(engine: str, h_src: str) -> str:
+    """Cross-MODAL dedup agreement: the text keep-list (MinHash-LSH +
+    Jaccard-verified, cap-aware — ``dedup_keep_list`` verbatim as a
+    subquery) against the image keep-list derived from each document's
+    RENDER (64-bit dHash, 16-bit-block candidates, Hamming ≤ 3 —
+    ``image_dhash_keep_list``'s claim rule). One row: how many
+    documents each modality drops, how many both drop, and how often
+    the two methods agree — the method-comparison a multimodal
+    curation rollout needs before trusting perceptual dedup to stand
+    in for text dedup (the render samples only a pixel grid of the
+    text, so image dedup is the coarser signal by construction).
+    Identical SQL in both engines over ``{h_src}`` = (doc_id, dhash);
+    the blocked candidate join is lossless (pigeonhole), so the
+    oracle needs no exhaustive variant."""
+    text_kl = _dedup_keep_list_sql(engine)
+    ham = hamming_expr("h_a", "h_b", engine)
+    blocks = "\n    UNION\n".join(
+        f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" a.dhash AS h_a, b.dhash AS h_b"
+        f" FROM {h_src} a JOIN {h_src} b"
+        f" ON {_img_block_expr('a.dhash', b_, engine)} = {_img_block_expr('b.dhash', b_, engine)}"
+        f" AND a.doc_id < b.doc_id"
+        for b_ in range(4)
+    )
+    return f"""tkl AS (
+  SELECT doc_id, action = 'drop' AS tdrop FROM ({text_kl})
+),
+icl AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+    SELECT doc_a, doc_b, {ham} AS hamming FROM (
+{blocks}
+    )
+  ) WHERE hamming <= 3
+),
+j AS (
+  SELECT t.doc_id, t.tdrop, (c.doc_id IS NOT NULL) AS idrop
+  FROM tkl t LEFT JOIN icl c ON c.doc_id = t.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tdrop THEN 1 ELSE 0 END) AS BIGINT) AS text_drops,
+       CAST(sum(CASE WHEN idrop THEN 1 ELSE 0 END) AS BIGINT) AS image_drops,
+       CAST(sum(CASE WHEN tdrop AND idrop THEN 1 ELSE 0 END) AS BIGINT) AS both_drop,
+       CAST(sum(CASE WHEN tdrop = idrop THEN 1 ELSE 0 END) AS BIGINT) AS agree
+FROM j"""
+
+
+def _modal_agreement_oracle() -> str:
+    return (
+        f"\nWITH {_image_dhash_oracle_ctes()},\n"
+        + _modal_agreement_sql("duckdb", "h")
+        + "\n"
+    )
+
+
+@register(
+    "modal_dedup_agreement",
+    oracle=_modal_agreement_oracle(),
+    doc=_modal_agreement_sql.__doc__,
+    tags=("pipeline", "multimodal", "dedup", "similarity"),
+)
+def modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_image_renders,
+    )
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
+        "_img_dhash_agree"
+    )
+    return spark.sql(
+        "\nWITH " + _modal_agreement_sql("spark", "_img_dhash_agree") + "\n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bigram statistics (n-gram LM-style corpus counts)
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ _PANDAS_OK = {
     "image_dhash_keep_list",
     "image_dhash_neardup_capped",
     "image_block_skew",
+    "modal_dedup_agreement",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
@@ -226,6 +227,8 @@ def test_dimension_join_broadcasts(spark, name):
         # reuses its partitioning; + pair-dedup UNION + star-arm dedup
         ("image_dhash_neardup_capped", 3),
         ("image_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
+        # text keep-list member (5) + image pair-dedup + 1-row agg
+        ("modal_dedup_agreement", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
