@@ -53,6 +53,30 @@ from flink_wsr_project_spark.sources.writers import write_bucketed
 # the same guarantee the registered query's exhaustive oracle proves.
 MAX_HAMMING = 3
 
+# Partition count of a hash-partitioned block store (0/absent =
+# bucketed-only) — the catalog-recorded layout contract, exactly the
+# signature store's HASH_PARTITIONS_PROP discipline: probes and
+# absorbs discover the layout instead of trusting a parameter that
+# could drift from what was written.
+BLOCK_PARTITIONS_PROP = "spark_graft.block_partitions"
+
+
+def _store_block_partitions(spark: SparkSession, table_prefix: str) -> int:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_blocks").collect()
+    for r in rows:
+        if r.key == BLOCK_PARTITIONS_PROP:
+            return int(r.value)
+    return 0
+
+
+def _bp_expr(p: int):
+    """Partition prefix of a block row: a mixed hash of the FULL
+    candidate-join key (blk, bv) mod P, so each (blk, bv) bucket lives
+    entirely inside one partition directory — which is what makes the
+    pruned probe's per-bucket cap statistics exact over the pruned
+    slice."""
+    return F.pmod(F.xxhash64("blk", "bv"), F.lit(p))
+
 
 def _block_rows(assets_dhash: DataFrame) -> DataFrame:
     """(asset_id, blk, bv, dhash) — four in-row 16-bit-block
@@ -82,17 +106,48 @@ def write_dhash_store(
     corpus_assets: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    hash_partitions: int = 0,
 ) -> None:
     """One-time corpus hash write: decode + dHash every corpus image
     once (Arrow-batched), store the block rows bucketed on the
     candidate-join key. After this, increments never touch the corpus
-    payload bytes again."""
-    write_bucketed(
-        _block_rows(_dhash_df(spark, corpus_assets)),
-        f"{table_prefix}_blocks",
-        ["blk", "bv"],
-        num_buckets,
-    )
+    payload bytes again.
+
+    With ``hash_partitions = P > 0`` the table additionally gets a
+    hash-prefix PARTITION column ``bp = pmod(xxhash64(blk, bv), P)``
+    under the bucketing — the signature store's small-Δ layout
+    applied to images: a probe whose 4·|Δ| block rows touch only a
+    few of the P prefixes reads only those directories
+    (:func:`image_dedup_from_store_pruned`), instead of scanning the
+    whole store the way the bucketed-only layout must. P is recorded
+    as a table property; keep it modest (tens) — files per write =
+    P × num_buckets."""
+    if hash_partitions < 0:
+        raise ValueError(
+            f"hash_partitions must be >= 0, got {hash_partitions} "
+            "(0 = bucketed-only layout)"
+        )
+    blocks = _block_rows(_dhash_df(spark, corpus_assets))
+    if hash_partitions:
+        (
+            blocks.withColumn("bp", _bp_expr(hash_partitions))
+            .write.partitionBy("bp")
+            .bucketBy(num_buckets, "blk", "bv")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_blocks")
+        )
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_blocks SET TBLPROPERTIES "
+            f"('{BLOCK_PARTITIONS_PROP}'='{hash_partitions}')"
+        )
+    else:
+        write_bucketed(
+            blocks,
+            f"{table_prefix}_blocks",
+            ["blk", "bv"],
+            num_buckets,
+        )
 
 
 def image_dedup_from_store(
@@ -140,7 +195,11 @@ def image_dedup_from_store(
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     bd = _dhash_df(spark, batch_assets).localCheckpoint()
     blocks = _block_rows(bd)
-    store = spark.table(f"{table_prefix}_blocks")
+    # explicit select: a partitioned store carries the bp layout
+    # column, which must not leak into candidate/decision frames
+    store = spark.table(f"{table_prefix}_blocks").select(
+        "asset_id", "blk", "bv", "dhash"
+    )
     ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
 
     probe_blocks = blocks
@@ -224,6 +283,121 @@ def image_dedup_from_store(
     ).withColumnRenamed("doc_id", "asset_id")
 
 
+def image_dedup_from_store_pruned(
+    spark: SparkSession,
+    batch_assets: DataFrame,
+    table_prefix: str,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SMALL-Δ fast path over a PARTITIONED block store (written with
+    ``hash_partitions = P > 0``): same decision contract as
+    :func:`image_dedup_from_store`, but the store is neither shuffled
+    NOR fully scanned — the signature store's pruned probe, for
+    images. Δ hashes once (the localCheckpoint pins the Arrow decode
+    for its several consumers); the distinct ``bp`` prefixes of its
+    4·|Δ| block rows are collected — ≤ P values, a layout constant —
+    and pushed into the block-table scan as a literal partition
+    filter; the candidate join then BROADCASTS the Δ side, so the
+    pruned store scan streams through map-side with the Hamming
+    verify in-join. A one-image probe reads 4 of the P directories.
+
+    ``bucket_cap`` works as in the full probe, and its per-bucket
+    statistics stay EXACT over the pruned slice: ``bp`` is a function
+    of the full (blk, bv) key, so every bucket the probe touches lives
+    entirely inside the pruned directories. Use the full probe for
+    bulk batches that touch most prefixes anyway."""
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
+    p = _store_block_partitions(spark, table_prefix)
+    if p <= 0:
+        raise ValueError(
+            f"store '{table_prefix}' is not hash-partitioned; write it with "
+            "hash_partitions > 0 or use image_dedup_from_store"
+        )
+    bd = _dhash_df(spark, batch_assets).localCheckpoint()
+    blocks = _block_rows(bd)
+    bps = [
+        r.bp for r in blocks.select(_bp_expr(p).alias("bp")).distinct().collect()
+    ]  # <= P values — bounded by the layout constant, not |Δ|
+    store = (
+        spark.table(f"{table_prefix}_blocks")
+        .where(F.col("bp").isin(bps))
+        .select("asset_id", "blk", "bv", "dhash")
+    )
+    ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
+
+    probe_blocks = blocks
+    star_cand = None
+    if bucket_cap is not None:
+        over = (
+            store.groupBy("blk", "bv")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("asset_id").alias("rep_id"),
+                F.min_by("dhash", "asset_id").alias("rep_hash"),
+            )
+            .where(F.col("n") > bucket_cap)
+            .select("blk", "bv", "rep_id", "rep_hash")
+        )
+        probe_blocks = blocks.join(
+            F.broadcast(over.select("blk", "bv")), ["blk", "bv"], "left_anti"
+        )
+        ham_rep = F.expr(hamming_expr("bl.dhash", "ov.rep_hash", "spark"))
+        star_cand = (
+            blocks.alias("bl")
+            .join(F.broadcast(over.alias("ov")), ["blk", "bv"])
+            .where(F.col("bl.asset_id") != F.col("ov.rep_id"))
+            .where(ham_rep <= MAX_HAMMING)
+            .select(
+                F.col("bl.asset_id").alias("doc_a"),
+                F.col("ov.rep_id").alias("doc_b"),
+                F.lit("corpus").alias("side"),
+            )
+        )
+
+    corpus_cand = (
+        store.alias("st")
+        .join(
+            F.broadcast(probe_blocks.alias("bl")),
+            (F.col("bl.blk") == F.col("st.blk"))
+            & (F.col("bl.bv") == F.col("st.bv"))
+            & (F.col("bl.asset_id") != F.col("st.asset_id")),
+        )
+        .where(ham <= MAX_HAMMING)
+        .select(
+            F.col("bl.asset_id").alias("doc_a"),
+            F.col("st.asset_id").alias("doc_b"),
+            F.lit("corpus").alias("side"),
+        )
+    )
+    if star_cand is not None:
+        corpus_cand = corpus_cand.unionByName(star_cand)
+
+    ham_b = F.expr(hamming_expr("bl.dhash", "bm.dhash", "spark"))
+    batch_cand = (
+        blocks.alias("bl")
+        .join(
+            F.broadcast(blocks.alias("bm")),
+            (F.col("bl.blk") == F.col("bm.blk"))
+            & (F.col("bl.bv") == F.col("bm.bv"))
+            & (F.col("bm.asset_id") < F.col("bl.asset_id")),
+        )
+        .where(ham_b <= MAX_HAMMING)
+        .select(
+            F.col("bl.asset_id").alias("doc_a"),
+            F.col("bm.asset_id").alias("doc_b"),
+            F.lit("batch").alias("side"),
+        )
+    )
+
+    from flink_wsr_project_spark.operators.incremental_dedup import _decisions
+
+    verified = corpus_cand.unionByName(batch_cand).distinct()
+    return _decisions(
+        bd.select(F.col("asset_id").alias("doc_id")), verified
+    ).withColumnRenamed("doc_id", "asset_id")
+
+
 def absorb_kept_into_dhash_store(
     spark: SparkSession,
     batch_assets: DataFrame,
@@ -260,9 +434,13 @@ def absorb_kept_into_dhash_store(
     kept, ckpt_ids = local_checkpoint_tracked(kept_plan)
     try:
         n = kept.count()
+        rows = _block_rows(_dhash_df(spark, kept))
+        # match the layout the store was written with (catalog-
+        # discovered, like the signature store's absorb)
+        p = _store_block_partitions(spark, table_prefix)
+        w = rows.withColumn("bp", _bp_expr(p)).write.partitionBy("bp") if p else rows.write
         (
-            _block_rows(_dhash_df(spark, kept))
-            .write.bucketBy(num_buckets, "blk", "bv")
+            w.bucketBy(num_buckets, "blk", "bv")
             .mode("append")
             .format("parquet")
             .saveAsTable(f"{table_prefix}_blocks")

@@ -85,10 +85,14 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     compactions, recovered by :func:`finish_table_swap` at startup.
     Returns the row count.
 
-    Stores that carry table properties or need rewrite-time healing
-    (the signature store's longsigs dropDuplicates, the ANN index's
-    layout properties) keep their own compactors; THIS is the plain
-    path for property-free stores like the dHash block store."""
+    Stores that need rewrite-time healing (the signature store's
+    longsigs dropDuplicates) or non-generic layout logic (the ANN
+    index's partitioned-lists variant) keep their own compactors;
+    THIS is the plain path for stores like the dHash block store.
+    ``spark_graft.*`` table properties (layout contracts probes
+    dispatch on) are copied across the swap — a rewrite that silently
+    dropped them would demote a partitioned store to "looks
+    bucketed-only" and break its pruned probe."""
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
@@ -98,6 +102,11 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     if num <= 0 or not cols:
         raise ValueError(f"{table} carries no bucket spec in the catalog")
     part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if r.key.startswith("spark_graft.")
+    }
     tmp = f"{table}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
@@ -107,6 +116,9 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.bucketBy(num, *cols).mode("overwrite").format("parquet").saveAsTable(tmp)
+        if props:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
         if part_cols:

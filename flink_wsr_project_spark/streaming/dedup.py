@@ -496,6 +496,7 @@ def image_dedup_foreach_batch(
     payload_col: str = "payload",
     max_files_per_bucket: int | None = None,
     bucket_cap: int | None = None,
+    pruned: bool = False,
 ):
     """foreachBatch body for CONTINUOUS incremental image dedup — the
     multimodal sibling of ``dedup_absorb_foreach_batch``, over the
@@ -511,14 +512,19 @@ def image_dedup_foreach_batch(
     swap's DROP→RENAME window is healed by
     ``operators.image_dedup.recover_dhash_store`` — run it at loop
     startup, exactly like the text loop's ``recover_store_compaction``.
-    ``bucket_cap`` forwards to ``image_dedup_from_store`` — the skew
-    valve a long-running loop over a real corpus should set (degenerate
-    blocks grow with the absorbed corpus; see
-    ``operators.image_dedup.dhash_block_skew``).
+    ``bucket_cap`` forwards to the probe — the skew valve a
+    long-running loop over a real corpus should set (degenerate blocks
+    grow with the absorbed corpus; see
+    ``operators.image_dedup.dhash_block_skew``). ``pruned=True``
+    routes each micro-batch through the partition-pruned probe
+    (``image_dedup_from_store_pruned``; the store must have been
+    written with ``hash_partitions > 0``) — the small-Δ setting where
+    a trickle of images should read 4/P directories, not the store.
     """
     from flink_wsr_project_spark.operators.image_dedup import (
         absorb_kept_into_dhash_store,
         image_dedup_from_store,
+        image_dedup_from_store_pruned,
     )
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
@@ -534,8 +540,9 @@ def image_dedup_foreach_batch(
         assets = batch_df.select(
             F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
         )
+        probe = image_dedup_from_store_pruned if pruned else image_dedup_from_store
         decisions, ids = local_checkpoint_tracked(
-            image_dedup_from_store(s, assets, table_prefix, bucket_cap=bucket_cap)
+            probe(s, assets, table_prefix, bucket_cap=bucket_cap)
         )
         try:
             decisions_sink(decisions, batch_id)

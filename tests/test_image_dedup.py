@@ -205,6 +205,90 @@ def test_store_bucket_cap_star_collapses_and_never_invents(spark, tmp_path):
             assert exact[a][0] != "keep", f"{a}: cap invented a dup claim"
 
 
+def test_pruned_image_probe_matches_full_on_partitioned_store(spark, tmp_path):
+    """The small-Δ fast path for images (the signature store's pruned
+    probe applied to the dHash block store): decision-for-decision
+    equality with the full probe on the %3 split, directory-level
+    pruning visible in the plan (bp IN-list PartitionFilters, fewer
+    input directories than the store holds), broadcast Δ side, capped
+    variant agreeing with the full capped probe, absorb matching the
+    partitioned layout, and the GENERIC compactor preserving both the
+    bucket spec and the spark_graft layout property across its swap
+    (a rewrite that dropped it would silently demote the store to
+    bucketed-only)."""
+    from flink_wsr_project_spark.operators.image_dedup import (
+        BLOCK_PARTITIONS_PROP,
+        _store_block_partitions,
+        image_dedup_from_store_pruned,
+    )
+    from flink_wsr_project_spark.sources.writers import (
+        compact_bucketed_table,
+        table_bucket_spec,
+        table_data_file_stats,
+    )
+
+    _drop(spark, "imgpr")
+    assets = synthesize_image_renders(spark, SF_DIR)
+    corpus = assets.where(~F.expr("asset_id % 3 = 2"))
+    batch = assets.where(F.expr("asset_id % 3 = 2"))
+    write_dhash_store(spark, corpus, "imgpr", num_buckets=2, hash_partitions=16)
+    assert _store_block_partitions(spark, "imgpr") == 16
+
+    want = {(r.asset_id, r.decision, r.dup_of)
+            for r in image_dedup_from_store(spark, batch, "imgpr").collect()}
+    got_df = image_dedup_from_store_pruned(spark, batch, "imgpr")
+    got = {(r.asset_id, r.decision, r.dup_of) for r in got_df.collect()}
+    assert got == want and {d for _, d, _ in got} >= {"keep", "dup_of_corpus"}
+
+    # one-image probe: bp partition filter prunes directories
+    one = assets.where("asset_id = 2")
+    one_df = image_dedup_from_store_pruned(spark, one, "imgpr")
+    plan = one_df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines()
+            if "imgpr_blocks" in ln and "PartitionFilters" in ln]
+    assert scan and any("bp" in ln for ln in scan), plan
+    store_dirs = {f.rsplit("/", 2)[1]
+                  for f in spark.table("imgpr_blocks").inputFiles()}
+    read_dirs = {f.rsplit("/", 2)[1] for f in one_df.inputFiles()
+                 if "imgpr_blocks" in f}
+    assert len(read_dirs) <= 4 < len(store_dirs)
+    assert "BroadcastHashJoin" in plan
+
+    # capped pruned == capped full (bucket stats exact over the slice)
+    want_cap = {(r.asset_id, r.decision, r.dup_of)
+                for r in image_dedup_from_store(
+                    spark, batch, "imgpr", bucket_cap=2).collect()}
+    got_cap = {(r.asset_id, r.decision, r.dup_of)
+               for r in image_dedup_from_store_pruned(
+                   spark, batch, "imgpr", bucket_cap=2).collect()}
+    assert got_cap == want_cap
+
+    # absorb follows the partitioned layout; generic compaction keeps
+    # the property AND the pruned probe working
+    dec = image_dedup_from_store(spark, batch, "imgpr")
+    n = absorb_kept_into_dhash_store(spark, batch, dec, "imgpr", num_buckets=2)
+    assert n > 0
+    compact_bucketed_table(spark, "imgpr_blocks")
+    assert _store_block_partitions(spark, "imgpr") == 16
+    assert table_bucket_spec(spark, "imgpr_blocks") == (2, ["blk", "bv"])
+    n_files, n_dirs = table_data_file_stats(spark, "imgpr_blocks")
+    assert n_files <= 2 * n_dirs
+    replay = {(r.asset_id, r.decision) for r in
+              image_dedup_from_store_pruned(spark, one, "imgpr").collect()}
+    # the absorbed asset 2 now matches ITSELF-excluded partners only;
+    # it was kept pre-absorb, so replay sees it as keep or a dup of a
+    # smaller absorbed partner — assert the probe still runs pruned
+    # and returns exactly one decision row
+    assert len(replay) == 1
+
+    # a bucketed-only store rejects the pruned probe with guidance
+    import pytest
+    _drop(spark, "imgbo")
+    write_dhash_store(spark, one, "imgbo", num_buckets=2)
+    with pytest.raises(ValueError, match="not hash-partitioned"):
+        image_dedup_from_store_pruned(spark, one, "imgbo")
+
+
 def test_dhash_store_absorb_lifecycle(spark, tmp_path):
     """Day-over-day growth with the within-batch branch exercised:
     day-1 has an in-batch clone pair (same text, same width class →
