@@ -195,6 +195,19 @@ def test_fresh_index_is_nearest_centroid_consistent(spark):
     assert d_raw["fresh_centroid_mismatch"] > 0.4
     assert should_retrain(spark, "freshraw") is True
 
+    # a fresh QUANTIZED index measures drift on the int8 geometry —
+    # not exactly 0 (means over mixed per-vector scales carry rounding
+    # noise; measured 0.008 on this corpus) but far under the dial:
+    # the no-fire-at-birth guarantee holds for both layouts
+    for t in ("freshq_centroids", "freshq_lists"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_ann_index(spark, emb, "freshq", partition_lists=True, quantize=True)
+    dq = measure_index_drift(spark, "freshq")
+    assert dq["stored_centroid_mismatch"] == 0.0
+    assert dq["fresh_centroid_mismatch"] < 0.05
+    assert should_retrain(spark, "freshq") is False
+
 
 def test_retrain_preserves_layout_and_probe_parity(spark):
     """Retraining must keep the index layout (partitioned lists +
