@@ -268,6 +268,112 @@ def synthesize_image_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio-render geometry (synthesize_audio_renders): 8-bit mono PCM at
+# 8 kHz, exactly 520 frames = 65 fingerprint windows × 8 frames
+# (65 ms clips). 520 is the FIXED canvas the fingerprint compares on —
+# clips are truncated/zero-padded to it, the aligned-window discipline
+# real acoustic fingerprints use.
+AUDIO_RENDER_FRAMES = 520
+AUDIO_FP_WINDOWS = 65
+_AR_HEADER = (
+    b"RIFF"
+    + struct.pack("<I", 36 + AUDIO_RENDER_FRAMES)
+    + b"WAVE"
+    + b"fmt "
+    + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE, 1, 8)
+    + b"data"
+    + struct.pack("<I", AUDIO_RENDER_FRAMES)
+)
+AUDIO_RENDER_HEADER_HEX = _AR_HEADER.hex().upper()
+
+# Minimum signal length to fingerprint: half the canvas. Shorter clips
+# are mostly padding — their window energies degenerate and everything
+# short "sounds like" everything short (measured: dropping the gate
+# takes the sf0.01 pair count 12 → 403, 367 of them involving a short
+# clip). Real fingerprinting applies the same minimum-duration rule.
+AUDIO_FP_MIN_CHARS = AUDIO_RENDER_FRAMES // 2
+
+
+def synthesize_audio_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine 8-bit mono WAV per FINGERPRINTABLE document (signal
+    fills ≥ half the 520-frame canvas — see ``AUDIO_FP_MIN_CHARS``):
+    the PCM samples are the document's TEXT bytes (printable-ASCII
+    folded, truncated/zero-padded to the canvas), the audio sibling of
+    :func:`synthesize_image_renders` — near-duplicate texts produce
+    near-identical waveforms, so acoustic-fingerprint dedup over these
+    clips mirrors the corpus's real duplicate structure. All JVM
+    expressions, no UDF; byte-exactly reconstructible from (doc_id,
+    text), which is what makes the fingerprint query oracle-able."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("n_chars") >= AUDIO_FP_MIN_CHARS
+    )
+    body = F.expr(
+        f"rpad(substring(regexp_replace(text, '[^ -~]', '0'), 1, "
+        f"{AUDIO_RENDER_FRAMES}), {AUDIO_RENDER_FRAMES}, '0')"
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.unhex(F.lit(AUDIO_RENDER_HEADER_HEX)), F.encode(body, "UTF-8")
+        ).alias("payload"),
+    )
+
+
+def extract_audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """(asset_id, afp) via mapInPandas over REAL WAV bytes — the
+    acoustic-fingerprint step of the audio-dedup pipeline, decoded
+    with the stdlib ``wave`` codec (genuine RIFF parse, not header
+    skipping).
+
+    The fingerprint is a 64-bit windowed-energy difference hash — the
+    1-D sibling of the image dHash and a deliberately simplified
+    member of the chromaprint family (energy deltas over aligned time
+    windows; a spectral front-end would slot in where the window-sum
+    is computed without changing the Spark plumbing): the decoded
+    8-bit PCM splits into ``AUDIO_FP_WINDOWS`` = 65 consecutive
+    windows of ``n_frames // 65`` samples, window ENERGY is the
+    integer SUM of sample bytes (deterministic, SQL-reconstructible),
+    and bit ``i`` is set when energy(i+1) > energy(i). Returned as a
+    signed int64 (bit 63 = sign; consumers mask after shifting, as
+    with the image hash). No shuffle, no driver collect; payloads
+    stream one Arrow batch at a time."""
+
+    # self-contained closure — see the NOTE in extract_features
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as pd
+
+        def _afp(payload) -> int:
+            with _wave.open(_io.BytesIO(bytes(payload))) as w:
+                if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                    raise ValueError("fingerprint expects 8-bit mono PCM")
+                n = w.getnframes()
+                frames = w.readframes(n)
+            win = n // 65
+            if win < 1:
+                raise ValueError(f"clip too short to fingerprint: {n} frames")
+            sums = [sum(frames[k * win : (k + 1) * win]) for k in range(65)]
+            h = 0
+            for i in range(64):
+                if sums[i + 1] > sums[i]:
+                    h |= 1 << i
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "afp": pdf["payload"].map(_afp).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, "asset_id long, afp long")
+
+
 def extract_image_dhash(assets: DataFrame) -> DataFrame:
     """(asset_id, dhash) via mapInPandas over REAL BMP bytes — the
     Arrow-batched perceptual-hash step of the image-dedup pipeline.

@@ -1634,6 +1634,109 @@ def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_fp_oracle_ctes() -> str:
+    """DuckDB WITH-body reconstructing each audio render's 64-bit
+    windowed-energy fingerprint arithmetically: the WAV PCM is the
+    document's printable-ASCII text truncated/zero-padded to the
+    520-byte canvas (operators/multimodal.py::synthesize_audio_renders,
+    gated to clips whose signal fills ≥ half the canvas), so window
+    energies are ``ascii()`` sums over 8-char substrings and the bit
+    rule is pure integer comparison. Bit 63 is the int64 sign bit,
+    handled as in the image oracle. ``h`` ends as (doc_id, afp)."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        AUDIO_FP_MIN_CHARS,
+        AUDIO_FP_WINDOWS,
+        AUDIO_RENDER_FRAMES,
+    )
+
+    w_len = AUDIO_RENDER_FRAMES // AUDIO_FP_WINDOWS
+    gray = f"list_sum(list_transform(range({w_len}), j -> ascii(substring(pcm, CAST(w * {w_len} + j + 1 AS INT), 1))))"
+    bit = (
+        "CASE WHEN s[CAST(i + 2 AS INT)] > s[CAST(i + 1 AS INT)]"
+        " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END"
+    )
+    sign = (
+        f"CASE WHEN s[{AUDIO_FP_WINDOWS}] > s[{AUDIO_FP_WINDOWS - 1}] "
+        "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""pcm0 AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1,
+                        {AUDIO_RENDER_FRAMES}),
+              {AUDIO_RENDER_FRAMES}, '0') AS pcm
+  FROM documents WHERE n_chars >= {AUDIO_FP_MIN_CHARS}
+),
+samp AS (
+  SELECT doc_id, list_transform(range({AUDIO_FP_WINDOWS}), w -> {gray}) AS s
+  FROM pcm0
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
+           + {sign} AS afp
+  FROM samp
+)"""
+
+
+def _audio_fp_oracle() -> str:
+    ham = hamming_expr("a.afp", "b.afp", "duckdb")
+    return f"""
+WITH {_audio_fp_oracle_ctes()}
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register(
+    "audio_fp_neardup",
+    oracle=_audio_fp_oracle(),
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by acoustic fingerprint — the
+    third modality in the dedup family (text MinHash/SimHash, image
+    dHash, now audio): render table (one genuine 8-bit mono WAV per
+    fingerprintable document, PCM = the text bytes on a fixed 520-
+    frame canvas, short clips gated out the way real fingerprinting
+    requires a minimum duration), 64-bit windowed-energy difference
+    hash decoded from the REAL WAV bytes through the Arrow mapInPandas
+    path (stdlib ``wave`` — genuine RIFF parse), then the same 100 TB
+    candidate shape as the image path: 4×16-bit block pigeonhole
+    (lossless for Hamming ≤ 3), Hamming verify only on candidates.
+    Oracle: exhaustive arithmetic reconstruction of the fingerprint
+    from (doc_id, text), so the external hash match proves WAV decode
+    correctness AND lossless blocking at once."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        synthesize_audio_renders,
+    )
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d.createOrReplaceTempView("_audio_fp")
+    blocks = "\n  UNION\n".join(
+        f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
+        f" a.afp AS h_a, b.afp AS h_b"
+        f" FROM _audio_fp a JOIN _audio_fp b"
+        f" ON {_img_block_expr('a.afp', b_, 'spark')} = {_img_block_expr('b.afp', b_, 'spark')}"
+        f" AND a.asset_id < b.asset_id"
+        for b_ in range(4)
+    )
+    ham = hamming_expr("h_a", "h_b", "spark")
+    return spark.sql(
+        f"""
+WITH cand AS (
+{blocks}
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, {ham} AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+    )
+
+
 def _modal_agreement_sql(engine: str, h_src: str) -> str:
     """Cross-MODAL dedup agreement: the text keep-list (MinHash-LSH +
     Jaccard-verified, cap-aware — ``dedup_keep_list`` verbatim as a

@@ -23,6 +23,7 @@ _PANDAS_OK = {
     "image_dhash_neardup_capped",
     "image_block_skew",
     "modal_dedup_agreement",
+    "audio_fp_neardup",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
@@ -229,6 +230,7 @@ def test_dimension_join_broadcasts(spark, name):
         ("image_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
         # text keep-list member (5) + image pair-dedup + 1-row agg
         ("modal_dedup_agreement", 7),
+        ("audio_fp_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
