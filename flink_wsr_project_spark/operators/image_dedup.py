@@ -94,11 +94,44 @@ def _block_rows(assets_dhash: DataFrame) -> DataFrame:
     ).select("asset_id", "blk", "bv", "dhash")
 
 
-def _dhash_df(spark: SparkSession, assets: DataFrame) -> DataFrame:
-    """(asset_id, dhash) via the Arrow decode path."""
+# Hash-extractor identity of a block store, recorded at write time.
+# The store machinery is hash-agnostic (any 64-bit perceptual hash
+# blocks the same way — image dHash, the audio windowed-energy
+# fingerprint, a future video frame hash), but a store written with
+# one extractor and probed with another would return garbage
+# DECISIONS, silently — so the identity is a catalog contract that
+# probes and absorbs validate.
+EXTRACTOR_PROP = "spark_graft.hash_extractor"
+
+
+def _default_extractor():
     from flink_wsr_project_spark.operators.multimodal import extract_image_dhash
 
-    return extract_image_dhash(assets)
+    return extract_image_dhash
+
+
+def _check_extractor(spark: SparkSession, table_prefix: str, extractor) -> None:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_blocks").collect()
+    recorded = next((r.value for r in rows if r.key == EXTRACTOR_PROP), None)
+    name = (extractor or _default_extractor()).__name__
+    if recorded is not None and recorded != name:
+        raise ValueError(
+            f"store '{table_prefix}' was written with hash extractor "
+            f"'{recorded}' but is being probed/absorbed with '{name}' — "
+            "hashes from different extractors never match; pass the "
+            "extractor the store was built with"
+        )
+
+
+def _dhash_df(spark: SparkSession, assets: DataFrame, extractor=None) -> DataFrame:
+    """(asset_id, dhash) via the Arrow decode path — ``extractor`` is
+    any (asset_id, payload) → (asset_id, <64-bit hash>) frame fn
+    (default: the image dHash); the hash column is normalized to
+    ``dhash`` so the store layout is extractor-agnostic."""
+    fn = extractor or _default_extractor()
+    out = fn(assets)
+    hcol = [c for c in out.columns if c != "asset_id"][0]
+    return out.select("asset_id", F.col(hcol).alias("dhash"))
 
 
 def write_dhash_store(
@@ -107,6 +140,7 @@ def write_dhash_store(
     table_prefix: str,
     num_buckets: int = 8,
     hash_partitions: int = 0,
+    extractor=None,
 ) -> None:
     """One-time corpus hash write: decode + dHash every corpus image
     once (Arrow-batched), store the block rows bucketed on the
@@ -121,13 +155,19 @@ def write_dhash_store(
     (:func:`image_dedup_from_store_pruned`), instead of scanning the
     whole store the way the bucketed-only layout must. P is recorded
     as a table property; keep it modest (tens) — files per write =
-    P × num_buckets."""
+    P × num_buckets.
+
+    ``extractor`` is the perceptual-hash fn (default: the image
+    dHash; pass ``extract_audio_fingerprint`` for an audio store —
+    the block machinery is 64-bit-hash-agnostic). Its identity is
+    recorded as a table property and validated by every probe/absorb,
+    so a mixed-extractor store cannot happen silently."""
     if hash_partitions < 0:
         raise ValueError(
             f"hash_partitions must be >= 0, got {hash_partitions} "
             "(0 = bucketed-only layout)"
         )
-    blocks = _block_rows(_dhash_df(spark, corpus_assets))
+    blocks = _block_rows(_dhash_df(spark, corpus_assets, extractor))
     if hash_partitions:
         (
             blocks.withColumn("bp", _bp_expr(hash_partitions))
@@ -148,6 +188,10 @@ def write_dhash_store(
             ["blk", "bv"],
             num_buckets,
         )
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_blocks SET TBLPROPERTIES "
+        f"('{EXTRACTOR_PROP}'='{(extractor or _default_extractor()).__name__}')"
+    )
 
 
 def image_dedup_from_store(
@@ -155,6 +199,7 @@ def image_dedup_from_store(
     batch_assets: DataFrame,
     table_prefix: str,
     bucket_cap: int | None = None,
+    extractor=None,
 ) -> DataFrame:
     """Dedup a batch of images (asset_id, payload) against the
     persisted corpus store + within the batch itself. Returns one row
@@ -193,7 +238,8 @@ def image_dedup_from_store(
     bucket list broadcasts — the store still never shuffles."""
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
-    bd = _dhash_df(spark, batch_assets).localCheckpoint()
+    _check_extractor(spark, table_prefix, extractor)
+    bd = _dhash_df(spark, batch_assets, extractor).localCheckpoint()
     blocks = _block_rows(bd)
     # explicit select: a partitioned store carries the bp layout
     # column, which must not leak into candidate/decision frames
@@ -288,6 +334,7 @@ def image_dedup_from_store_pruned(
     batch_assets: DataFrame,
     table_prefix: str,
     bucket_cap: int | None = None,
+    extractor=None,
 ) -> DataFrame:
     """SMALL-Δ fast path over a PARTITIONED block store (written with
     ``hash_partitions = P > 0``): same decision contract as
@@ -314,7 +361,8 @@ def image_dedup_from_store_pruned(
             f"store '{table_prefix}' is not hash-partitioned; write it with "
             "hash_partitions > 0 or use image_dedup_from_store"
         )
-    bd = _dhash_df(spark, batch_assets).localCheckpoint()
+    _check_extractor(spark, table_prefix, extractor)
+    bd = _dhash_df(spark, batch_assets, extractor).localCheckpoint()
     blocks = _block_rows(bd)
     bps = [
         r.bp for r in blocks.select(_bp_expr(p).alias("bp")).distinct().collect()
@@ -405,6 +453,7 @@ def absorb_kept_into_dhash_store(
     table_prefix: str,
     num_buckets: int = 8,
     exclude_existing: bool = False,
+    extractor=None,
 ) -> int:
     """Fold the batch's KEPT images into the store (the day-over-day
     loop): one bucketed append of their block rows. Dropped images are
@@ -422,6 +471,7 @@ def absorb_kept_into_dhash_store(
         release_persistent_rdds,
     )
 
+    _check_extractor(spark, table_prefix, extractor)
     kept_plan = batch_assets.join(
         decisions.where(F.col("decision") == "keep").select("asset_id"), "asset_id"
     )
@@ -434,7 +484,7 @@ def absorb_kept_into_dhash_store(
     kept, ckpt_ids = local_checkpoint_tracked(kept_plan)
     try:
         n = kept.count()
-        rows = _block_rows(_dhash_df(spark, kept))
+        rows = _block_rows(_dhash_df(spark, kept, extractor))
         # match the layout the store was written with (catalog-
         # discovered, like the signature store's absorb)
         p = _store_block_partitions(spark, table_prefix)

@@ -497,6 +497,7 @@ def image_dedup_foreach_batch(
     max_files_per_bucket: int | None = None,
     bucket_cap: int | None = None,
     pruned: bool = False,
+    extractor=None,
 ):
     """foreachBatch body for CONTINUOUS incremental image dedup — the
     multimodal sibling of ``dedup_absorb_foreach_batch``, over the
@@ -520,6 +521,10 @@ def image_dedup_foreach_batch(
     (``image_dedup_from_store_pruned``; the store must have been
     written with ``hash_partitions > 0``) — the small-Δ setting where
     a trickle of images should read 4/P directories, not the store.
+    ``extractor`` swaps the perceptual hash (default image dHash; pass
+    ``extract_audio_fingerprint`` for a continuous AUDIO dedup loop —
+    the store validates the identity it was written with, so the
+    wrong loop config dies loudly on its first batch).
     """
     from flink_wsr_project_spark.operators.image_dedup import (
         absorb_kept_into_dhash_store,
@@ -542,13 +547,13 @@ def image_dedup_foreach_batch(
         )
         probe = image_dedup_from_store_pruned if pruned else image_dedup_from_store
         decisions, ids = local_checkpoint_tracked(
-            probe(s, assets, table_prefix, bucket_cap=bucket_cap)
+            probe(s, assets, table_prefix, bucket_cap=bucket_cap, extractor=extractor)
         )
         try:
             decisions_sink(decisions, batch_id)
             absorb_kept_into_dhash_store(
                 s, assets, decisions, table_prefix, num_buckets,
-                exclude_existing=True,
+                exclude_existing=True, extractor=extractor,
             )
         finally:
             release_persistent_rdds(s, ids)

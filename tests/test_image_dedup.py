@@ -205,6 +205,79 @@ def test_store_bucket_cap_star_collapses_and_never_invents(spark, tmp_path):
             assert exact[a][0] != "keep", f"{a}: cap invented a dup claim"
 
 
+def test_block_store_serves_audio_via_extractor(spark):
+    """The block store is 64-bit-hash-agnostic: written with the audio
+    windowed-energy fingerprint it runs the SAME incremental dedup
+    contract over WAV clips — decisions must match what the registered
+    ``audio_fp_neardup`` pair set implies; a probe or absorb with the
+    WRONG extractor is rejected from the catalog-recorded identity
+    (hashes from different extractors never match, so the mismatch
+    would otherwise be silent garbage); replayed absorbs stay
+    idempotent."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        synthesize_audio_renders,
+    )
+
+    _drop(spark, "audst")
+    assets = synthesize_audio_renders(spark, SF_DIR)
+    corpus = assets.where(~F.expr("asset_id % 3 = 2"))
+    batch = assets.where(F.expr("asset_id % 3 = 2"))
+    write_dhash_store(
+        spark, corpus, "audst", num_buckets=4, extractor=extract_audio_fingerprint
+    )
+
+    got = {
+        (r.asset_id, r.decision, r.dup_of)
+        for r in image_dedup_from_store(
+            spark, batch, "audst", extractor=extract_audio_fingerprint
+        ).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in get("audio_fp_neardup").spark_fn(spark, SF_DIR).collect()
+    ]
+    in_batch = {a for a, _, _ in got}
+    expected = set()
+    for a in in_batch:
+        corpus_p = {
+            (y if x == a else x)
+            for x, y in pairs
+            if a in (x, y) and (y if x == a else x) not in in_batch
+        }
+        batch_p = {x for x, y in pairs if y == a and x in in_batch}
+        if corpus_p:
+            expected.add((a, "dup_of_corpus", min(corpus_p)))
+        elif batch_p:
+            expected.add((a, "dup_within_batch", min(batch_p)))
+        else:
+            expected.add((a, "keep", None))
+    assert got == expected
+    assert {d for _, d, _ in got} >= {"keep"}  # decisions exist
+
+    # wrong extractor (the image default) dies loudly, probe AND absorb
+    with pytest.raises(ValueError, match="extract_audio_fingerprint"):
+        image_dedup_from_store(spark, batch, "audst")
+    dec = image_dedup_from_store(
+        spark, batch, "audst", extractor=extract_audio_fingerprint
+    )
+    with pytest.raises(ValueError, match="extract_audio_fingerprint"):
+        absorb_kept_into_dhash_store(spark, batch, dec, "audst", num_buckets=4)
+
+    # absorb + replay idempotency on the audio hash
+    n = absorb_kept_into_dhash_store(
+        spark, batch, dec, "audst", num_buckets=4,
+        extractor=extract_audio_fingerprint,
+    )
+    assert n == sum(1 for _, d, _ in got if d == "keep")
+    assert absorb_kept_into_dhash_store(
+        spark, batch, dec, "audst", num_buckets=4, exclude_existing=True,
+        extractor=extract_audio_fingerprint,
+    ) == 0
+
+
 def test_pruned_image_probe_matches_full_on_partitioned_store(spark, tmp_path):
     """The small-Δ fast path for images (the signature store's pruned
     probe applied to the dHash block store): decision-for-decision
