@@ -374,6 +374,102 @@ def extract_audio_fingerprint(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, "asset_id long, afp long")
 
 
+# Video-render geometry (synthesize_video_renders): 2x2 4:2:0 Y4M at
+# 25 fps, exactly 65 frames (one fingerprint window per frame; 2.6 s
+# clips). Frame payload = 4 Y + 1 Cb + 1 Cr = 6 bytes, so the fixed
+# canvas is 390 signal bytes; clips with less than half that are not
+# fingerprintable (the audio gate's rationale).
+VIDEO_RENDER_FRAMES = 65
+VIDEO_FRAME_BYTES = 6
+VIDEO_RENDER_HEADER = "YUV4MPEG2 W2 H2 F25:1 Ip A0:0 C420\n"
+VIDEO_FP_MIN_CHARS = VIDEO_RENDER_FRAMES * VIDEO_FRAME_BYTES // 2
+
+
+def synthesize_video_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine Y4M stream per FINGERPRINTABLE document: 65 2x2
+    4:2:0 frames whose 6 payload bytes each are consecutive chunks of
+    the document's TEXT (printable-ASCII folded, truncated/zero-padded
+    to the 390-byte canvas) — the video sibling of the image/audio
+    renders: near-duplicate texts produce near-identical frame
+    sequences. All JVM expressions (header literal + per-frame FRAME
+    markers from one in-row transform), no UDF; byte-exactly
+    reconstructible from (doc_id, text). '\\n' cannot occur inside a
+    frame body (non-printables fold to '0'), so the FRAME markers are
+    unambiguous."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    canvas = VIDEO_RENDER_FRAMES * VIDEO_FRAME_BYTES
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("n_chars") >= VIDEO_FP_MIN_CHARS
+    )
+    frames = F.expr(
+        f"array_join(transform(sequence(0, {VIDEO_RENDER_FRAMES - 1}), "
+        f"f -> concat('FRAME', char(10), "
+        f"substring(rpad(substring(regexp_replace(text, '[^ -~]', '0'), 1, {canvas}), "
+        f"{canvas}, '0'), CAST({VIDEO_FRAME_BYTES} * f + 1 AS INT), "
+        f"{VIDEO_FRAME_BYTES}))), '')"
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.concat(F.lit(VIDEO_RENDER_HEADER), frames), "UTF-8").alias(
+            "payload"
+        ),
+    )
+
+
+def extract_video_fingerprint(assets: DataFrame) -> DataFrame:
+    """(asset_id, vfp) via mapInPandas over REAL Y4M bytes — the
+    temporal-activity fingerprint of the video-dedup pipeline: parse
+    the stream header (W/H → frame payload size), validate the frame
+    structure, take each frame's ENERGY as the integer sum of its
+    payload bytes, and set bit ``i`` of the 64-bit hash when
+    energy(frame i+1) > energy(frame i) over the first 65 frames —
+    the per-frame sibling of the audio windowed-energy hash (a real
+    codec's per-frame luma mean would slot in at the energy step
+    without changing the plumbing). Clips with fewer than 65 frames
+    are rejected (the fixed-canvas discipline). Signed int64 like the
+    other 64-bit hashes; no shuffle, no driver collect."""
+
+    # self-contained closure — see the NOTE in extract_features
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def _vfp(payload) -> int:
+            b = bytes(payload)
+            if not b.startswith(b"YUV4MPEG2 "):
+                raise ValueError("not a Y4M payload")
+            header, _, rest = b.partition(b"\n")
+            params = {p[:1]: p[1:] for p in header.split(b" ")[1:] if p}
+            w, hh = int(params[b"W"]), int(params[b"H"])
+            fb = w * hh * 3 // 2
+            step = 6 + fb  # b"FRAME\n" + payload
+            n = len(rest) // step
+            if len(rest) != n * step:
+                raise ValueError("Y4M frame payload length mismatch")
+            if n < 65:
+                raise ValueError(f"clip too short to fingerprint: {n} frames")
+            sums = []
+            for f in range(65):
+                if rest[f * step : f * step + 6] != b"FRAME\n":
+                    raise ValueError(f"missing FRAME marker at frame {f}")
+                sums.append(sum(rest[f * step + 6 : (f + 1) * step]))
+            h = 0
+            for i in range(64):
+                if sums[i + 1] > sums[i]:
+                    h |= 1 << i
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "vfp": pdf["payload"].map(_vfp).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, "asset_id long, vfp long")
+
+
 def extract_image_dhash(assets: DataFrame) -> DataFrame:
     """(asset_id, dhash) via mapInPandas over REAL BMP bytes — the
     Arrow-batched perceptual-hash step of the image-dedup pipeline.

@@ -1737,6 +1737,105 @@ SELECT doc_a, doc_b, hamming FROM (
     )
 
 
+def _video_fp_oracle() -> str:
+    """DuckDB oracle reconstructing the Y4M temporal fingerprint
+    arithmetically: frame f's 6 payload bytes are chars [6f+1, 6f+6]
+    of the 390-char canvas (operators/multimodal.py::
+    synthesize_video_renders), so frame energies are ``ascii()`` sums
+    and the bit rule is integer comparison — then exhaustive
+    Hamming ≤ 3 pairs over the gated clips."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        VIDEO_FP_MIN_CHARS,
+        VIDEO_FRAME_BYTES,
+        VIDEO_RENDER_FRAMES,
+    )
+
+    canvas = VIDEO_RENDER_FRAMES * VIDEO_FRAME_BYTES
+    gray = (
+        f"list_sum(list_transform(range({VIDEO_FRAME_BYTES}), "
+        f"j -> ascii(substring(pcm, CAST(w * {VIDEO_FRAME_BYTES} + j + 1 AS INT), 1))))"
+    )
+    bit = (
+        "CASE WHEN s[CAST(i + 2 AS INT)] > s[CAST(i + 1 AS INT)]"
+        " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END"
+    )
+    sign = (
+        f"CASE WHEN s[{VIDEO_RENDER_FRAMES}] > s[{VIDEO_RENDER_FRAMES - 1}] "
+        "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"
+    )
+    ham = hamming_expr("a.vfp", "b.vfp", "duckdb")
+    return f"""
+WITH pcm0 AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1, {canvas}),
+              {canvas}, '0') AS pcm
+  FROM documents WHERE n_chars >= {VIDEO_FP_MIN_CHARS}
+),
+samp AS (
+  SELECT doc_id, list_transform(range({VIDEO_RENDER_FRAMES}), w -> {gray}) AS s
+  FROM pcm0
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
+           + {sign} AS vfp
+  FROM samp
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register(
+    "video_fp_neardup",
+    oracle=_video_fp_oracle(),
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by temporal-activity fingerprint
+    — completing the modality triple (text, image, audio, video all
+    dedup through the same 64-bit-hash / 16-bit-block discipline):
+    render table (one genuine 65-frame 2x2 Y4M stream per
+    fingerprintable document, frame payloads = consecutive text
+    chunks), per-frame energies decoded from the REAL stream bytes
+    through the Arrow mapInPandas path (header parse + FRAME-marker
+    validation), difference-hashed over consecutive frames, then the
+    16-bit-block pigeonhole candidate join with the Hamming ≤ 3
+    verify on candidates. The min-duration gate and fixed canvas are
+    the audio path's measured lessons. Oracle: exhaustive arithmetic
+    reconstruction, so the external hash match proves the Y4M decode
+    AND lossless blocking at once."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_video_fingerprint,
+        synthesize_video_renders,
+    )
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d.createOrReplaceTempView("_video_fp")
+    blocks = "\n  UNION\n".join(
+        f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
+        f" a.vfp AS h_a, b.vfp AS h_b"
+        f" FROM _video_fp a JOIN _video_fp b"
+        f" ON {_img_block_expr('a.vfp', b_, 'spark')} = {_img_block_expr('b.vfp', b_, 'spark')}"
+        f" AND a.asset_id < b.asset_id"
+        for b_ in range(4)
+    )
+    ham = hamming_expr("h_a", "h_b", "spark")
+    return spark.sql(
+        f"""
+WITH cand AS (
+{blocks}
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, {ham} AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+    )
+
+
 def _modal_agreement_sql(engine: str, h_src: str) -> str:
     """Cross-MODAL dedup agreement: the text keep-list (MinHash-LSH +
     Jaccard-verified, cap-aware — ``dedup_keep_list`` verbatim as a

@@ -24,6 +24,7 @@ _PANDAS_OK = {
     "image_block_skew",
     "modal_dedup_agreement",
     "audio_fp_neardup",
+    "video_fp_neardup",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
@@ -231,6 +232,7 @@ def test_dimension_join_broadcasts(spark, name):
         # text keep-list member (5) + image pair-dedup + 1-row agg
         ("modal_dedup_agreement", 7),
         ("audio_fp_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
+        ("video_fp_neardup", 1),  # same shape over the Y4M fingerprint
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
