@@ -1494,16 +1494,19 @@ FROM _img_dhash_kl d LEFT JOIN claims c ON c.asset_id = d.asset_id
 _IMG_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_IMG_BUCKET_CAP", "8"))
 
 
-def _img_capped_body(engine: str, h_src: str) -> str:
-    """Engine-shared body of the capped image near-dup query, FROM a
+def _img_capped_body(engine: str, h_src: str, cap: int | None = None) -> str:
+    """Engine-shared body of the capped near-dup pair query, FROM a
     relation ``{h_src}`` of (doc_id, dhash): long-format block rows →
     per-(blk, bv) window stats (ONE (blk, bv) shuffle for all four
     blocks — the composed text chain's ``marked`` layout) → within-cap
     self-join ∪ over-cap star rows, every candidate Hamming-verified.
     Star rows carry the bucket-min keeper's hash via ``first_value``
     over the same window partitioning, so the verify needs no join
-    back."""
-    cap = _IMG_BUCKET_CAP
+    back. Modality-agnostic (r13): any 64-bit perceptual hash aliased
+    to ``dhash`` runs the same skew-safe shape — the image, audio and
+    video capped queries all instantiate THIS builder with their own
+    ``cap`` dial, so the discipline cannot drift between modalities."""
+    cap = _IMG_BUCKET_CAP if cap is None else cap
     block_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, dhash, {b_} AS blk,"
         f" {_img_block_expr('dhash', b_, engine)} AS bv FROM {h_src}"
@@ -1579,14 +1582,16 @@ def image_dhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _img_block_skew_sql(engine: str, h_src: str) -> str:
+def _img_block_skew_sql(engine: str, h_src: str, cap: int | None = None) -> str:
     """Per block index: bucket count, largest bucket, buckets the
-    ``_IMG_BUCKET_CAP`` star-collapses, and the candidate pairs that
-    saves (Σ n(n−1)/2 − (n−1) over capped buckets — star rows still
+    cap star-collapses, and the candidate pairs that saves
+    (Σ n(n−1)/2 − (n−1) over capped buckets — star rows still
     run, so the saving is pairs minus stars). The dHash twin of
     ``lsh_bucket_skew``: the dashboard row that says whether the cap
-    is skipping duplicate clusters or costing recall."""
-    cap = _IMG_BUCKET_CAP
+    is skipping duplicate clusters or costing recall. Modality-
+    agnostic like ``_img_capped_body`` — each capped pair query ships
+    with its skew report instantiated from this builder."""
+    cap = _IMG_BUCKET_CAP if cap is None else cap
     div = "div" if engine == "spark" else "//"
     block_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b_} AS blk,"
@@ -1737,13 +1742,13 @@ SELECT doc_a, doc_b, hamming FROM (
     )
 
 
-def _video_fp_oracle() -> str:
-    """DuckDB oracle reconstructing the Y4M temporal fingerprint
+def _video_fp_oracle_ctes() -> str:
+    """DuckDB WITH-body reconstructing the Y4M temporal fingerprint
     arithmetically: frame f's 6 payload bytes are chars [6f+1, 6f+6]
     of the 390-char canvas (operators/multimodal.py::
     synthesize_video_renders), so frame energies are ``ascii()`` sums
-    and the bit rule is integer comparison — then exhaustive
-    Hamming ≤ 3 pairs over the gated clips."""
+    and the bit rule is integer comparison. ``h`` ends as
+    (doc_id, vfp) over the gated clips."""
     from flink_wsr_project_spark.operators.multimodal import (
         VIDEO_FP_MIN_CHARS,
         VIDEO_FRAME_BYTES,
@@ -1763,9 +1768,7 @@ def _video_fp_oracle() -> str:
         f"CASE WHEN s[{VIDEO_RENDER_FRAMES}] > s[{VIDEO_RENDER_FRAMES - 1}] "
         "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"
     )
-    ham = hamming_expr("a.vfp", "b.vfp", "duckdb")
-    return f"""
-WITH pcm0 AS (
+    return f"""pcm0 AS (
   SELECT doc_id,
          rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1, {canvas}),
               {canvas}, '0') AS pcm
@@ -1780,7 +1783,15 @@ h AS (
          CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
            + {sign} AS vfp
   FROM samp
-)
+)"""
+
+
+def _video_fp_oracle() -> str:
+    """Exhaustive Hamming ≤ 3 pairs over the arithmetically
+    reconstructed fingerprints (see ``_video_fp_oracle_ctes``)."""
+    ham = hamming_expr("a.vfp", "b.vfp", "duckdb")
+    return f"""
+WITH {_video_fp_oracle_ctes()}
 SELECT doc_a, doc_b, hamming FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
   FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -1833,6 +1844,190 @@ SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b, {ham} AS hamming FROM cand
 ) WHERE hamming <= 3
 """
+    )
+
+
+# Per-(blk, bv) caps for the audio/video capped pair queries — each
+# modality gets its own dial (the degenerate-bucket mass is an input
+# property: silence tails for audio, static scenes for video, padding
+# rows for images — different distributions, one discipline). Measured
+# at sf0.01 (scripts/av_candidate_probe.py): the audio block-3 bv=0
+# bucket holds 142 of 284 gated clips (docs shorter than the 520-byte
+# canvas have constant-zero energy deltas over their padding tail, so
+# the TOP 16 hash bits collapse), contributing ~10k of the 10,277
+# uncapped candidate pairs; video's twin bucket holds 102 of 358. The
+# default 8 is the sf0.01 gate setting — 3 buckets cap, the small
+# genuine buckets pass, both branches execute (dead-branch
+# discipline). Production: O(1000), via the env vars.
+_AUDIO_BUCKET_CAP = _parse_bucket_cap(
+    os.environ.get("SPARK_GRAFT_AUDIO_BUCKET_CAP", "8")
+)
+_VIDEO_BUCKET_CAP = _parse_bucket_cap(
+    os.environ.get("SPARK_GRAFT_VIDEO_BUCKET_CAP", "8")
+)
+
+
+def _audio_capped_oracle() -> str:
+    return (
+        f"\nWITH {_audio_fp_oracle_ctes()},\n"
+        "ah AS (SELECT doc_id, afp AS dhash FROM h),\n"
+        + _img_capped_body("duckdb", "ah", cap=_AUDIO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+@register(
+    "audio_fp_neardup_capped",
+    oracle=_audio_capped_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+)
+def audio_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped audio near-dup pairs — ``audio_fp_neardup`` with
+    the image path's proven skew discipline (r12's ``_IMG_BUCKET_CAP``
+    rewrite, now modality-shared): (blk, bv) buckets holding more than
+    ``_AUDIO_BUCKET_CAP`` clips contribute |B|−1 star rows against
+    their min-id keeper instead of |B|(|B|−1)/2 enumerated pairs, every
+    candidate still Hamming-verified, so the cap only bounds, never
+    invents. The degenerate mass here is SILENCE-shaped: clips shorter
+    than the 520-frame canvas have constant-zero energy deltas over the
+    padding tail, so the top 16 fingerprint bits collapse and the
+    block-3 bv=0 bucket grows with the corpus (measured at sf0.01: 142
+    of 284 gated clips — one bucket carrying ~10k of the 10,277
+    uncapped candidates; the min-duration gate bounds the DOMINANT mass
+    but is an input-distribution argument, the cap is the structural
+    valve). Plan: the Arrow WAV-decode pass, then ONE (blk, bv) window
+    shuffle for all four blocks — `_img_capped_body` instantiated on
+    the audio fingerprint. Oracle: identical SQL over the arithmetic
+    reconstruction, cap semantics included. ``audio_block_skew``
+    reports what the cap rerouted."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        synthesize_audio_renders,
+    )
+
+    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d.select(
+        F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
+    ).createOrReplaceTempView("_audio_fp_cap")
+    return spark.sql(
+        "\nWITH "
+        + _img_capped_body("spark", "_audio_fp_cap", cap=_AUDIO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+def _audio_block_skew_oracle() -> str:
+    return (
+        f"\nWITH {_audio_fp_oracle_ctes()},\n"
+        "ah AS (SELECT doc_id, afp AS dhash FROM h),\n"
+        + _img_block_skew_sql("duckdb", "ah", cap=_AUDIO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+@register(
+    "audio_block_skew",
+    oracle=_audio_block_skew_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+)
+def audio_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of ``image_block_skew`` — per fingerprint block
+    index: bucket count, largest bucket, buckets ``_AUDIO_BUCKET_CAP``
+    star-collapses and the candidate pairs that saves. The dashboard
+    row that keeps ``audio_fp_neardup_capped`` honest (no silent
+    caps): block 3 is where the silence/padding degeneracy lives, and
+    this is the report that shows it."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        synthesize_audio_renders,
+    )
+
+    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d.select(
+        F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
+    ).createOrReplaceTempView("_audio_fp_skew")
+    return spark.sql(
+        "\nWITH "
+        + _img_block_skew_sql("spark", "_audio_fp_skew", cap=_AUDIO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+def _video_capped_oracle() -> str:
+    return (
+        f"\nWITH {_video_fp_oracle_ctes()},\n"
+        "vh AS (SELECT doc_id, vfp AS dhash FROM h),\n"
+        + _img_capped_body("duckdb", "vh", cap=_VIDEO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+@register(
+    "video_fp_neardup_capped",
+    oracle=_video_capped_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+)
+def video_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped video near-dup pairs — the last modality to get
+    the structural skew valve (r12 shipped ``video_fp_neardup``
+    uncapped; VERDICT r12 #1). STATIC-SCENE degeneracy: clips whose
+    tail frames are canvas padding have constant frame energy, so the
+    top fingerprint bits collapse and the block-3 bv=0 bucket grows
+    with the corpus (measured at sf0.01: 102 of 358 gated clips —
+    ~5.1k of the 5,448 uncapped candidates from one bucket). Same
+    engine-shared ``_img_capped_body``: over-cap (blk, bv) buckets
+    star-collapse to their min-id keeper, Hamming verify kept, ONE
+    (blk, bv) window shuffle for all four blocks. Oracle: identical
+    SQL over the arithmetic Y4M reconstruction, cap semantics
+    included. ``video_block_skew`` reports what the cap rerouted."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_video_fingerprint,
+        synthesize_video_renders,
+    )
+
+    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d.select(
+        F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
+    ).createOrReplaceTempView("_video_fp_cap")
+    return spark.sql(
+        "\nWITH "
+        + _img_capped_body("spark", "_video_fp_cap", cap=_VIDEO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+def _video_block_skew_oracle() -> str:
+    return (
+        f"\nWITH {_video_fp_oracle_ctes()},\n"
+        "vh AS (SELECT doc_id, vfp AS dhash FROM h),\n"
+        + _img_block_skew_sql("duckdb", "vh", cap=_VIDEO_BUCKET_CAP)
+        + "\n"
+    )
+
+
+@register(
+    "video_block_skew",
+    oracle=_video_block_skew_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "skew"),
+)
+def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video twin of ``image_block_skew`` — the no-silent-caps
+    report for ``video_fp_neardup_capped``: per block index, buckets,
+    max bucket, capped-bucket count and pairs saved under
+    ``_VIDEO_BUCKET_CAP``."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_video_fingerprint,
+        synthesize_video_renders,
+    )
+
+    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d.select(
+        F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
+    ).createOrReplaceTempView("_video_fp_skew")
+    return spark.sql(
+        "\nWITH "
+        + _img_block_skew_sql("spark", "_video_fp_skew", cap=_VIDEO_BUCKET_CAP)
+        + "\n"
     )
 
 

@@ -24,7 +24,11 @@ _PANDAS_OK = {
     "image_block_skew",
     "modal_dedup_agreement",
     "audio_fp_neardup",
+    "audio_fp_neardup_capped",
+    "audio_block_skew",
     "video_fp_neardup",
+    "video_fp_neardup_capped",
+    "video_block_skew",
     "embedding_gram_upper",
     "user_value_ewma_partitioned",
 }
@@ -233,6 +237,13 @@ def test_dimension_join_broadcasts(spark, name):
         ("modal_dedup_agreement", 7),
         ("audio_fp_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
         ("video_fp_neardup", 1),  # same shape over the Y4M fingerprint
+        # the image capped shape instantiated per modality (r13): one
+        # (blk,bv) window shuffle carries all 4 blocks; + pair-dedup
+        # UNION + star-arm dedup
+        ("audio_fp_neardup_capped", 3),
+        ("video_fp_neardup_capped", 3),
+        ("audio_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
+        ("video_block_skew", 2),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
