@@ -97,11 +97,22 @@ def _block_rows(assets_dhash: DataFrame) -> DataFrame:
 # Hash-extractor identity of a block store, recorded at write time.
 # The store machinery is hash-agnostic (any 64-bit perceptual hash
 # blocks the same way — image dHash, the audio windowed-energy
-# fingerprint, a future video frame hash), but a store written with
-# one extractor and probed with another would return garbage
+# fingerprint, the video temporal fingerprint), but a store written
+# with one extractor and probed with another would return garbage
 # DECISIONS, silently — so the identity is a catalog contract that
 # probes and absorbs validate.
 EXTRACTOR_PROP = "spark_graft.hash_extractor"
+
+# Hash-FORMAT version of a block store: hash width / block width /
+# scheme revision, stamped at write time and validated with the
+# extractor identity. The name alone is not enough (ADVICE r12): a
+# store written by the r11 32-bit/8-bit code carries the SAME function
+# name 'extract_image_dhash', so a name-only check would probe it with
+# 64-bit hashes, match near-nothing, and decide 'keep' for every true
+# dup — silent garbage. Bump this constant whenever the hash or
+# blocking scheme changes; old stores then fail loudly until rebuilt.
+HASH_FORMAT_PROP = "spark_graft.hash_format"
+HASH_FORMAT = "h64b16v1"
 
 
 def _default_extractor():
@@ -111,15 +122,37 @@ def _default_extractor():
 
 
 def _check_extractor(spark: SparkSession, table_prefix: str, extractor) -> None:
+    """Hard identity gate on every probe/absorb: the store must carry
+    BOTH the extractor name and the hash-format version, and both must
+    match the probing code. Absence is a failure, not a pass (ADVICE
+    r12): a store with no recorded identity is either pre-r13 (written
+    under an older or unknown scheme) or a crashed write — both cases
+    where silently probing would return near-zero matches and decide
+    'keep' for every true dup. Rebuild with :func:`write_dhash_store`."""
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_blocks").collect()
-    recorded = next((r.value for r in rows if r.key == EXTRACTOR_PROP), None)
+    props = {r.key: r.value for r in rows}
+    recorded, fmt = props.get(EXTRACTOR_PROP), props.get(HASH_FORMAT_PROP)
     name = (extractor or _default_extractor()).__name__
-    if recorded is not None and recorded != name:
+    if recorded is None or fmt is None:
+        raise ValueError(
+            f"store '{table_prefix}' carries no recorded hash identity "
+            f"({EXTRACTOR_PROP}/{HASH_FORMAT_PROP} missing) — written by "
+            "an older scheme or an interrupted write; rebuild it with "
+            "write_dhash_store (probing blind would silently match "
+            "nothing and mark every true dup 'keep')"
+        )
+    if recorded != name:
         raise ValueError(
             f"store '{table_prefix}' was written with hash extractor "
             f"'{recorded}' but is being probed/absorbed with '{name}' — "
             "hashes from different extractors never match; pass the "
             "extractor the store was built with"
+        )
+    if fmt != HASH_FORMAT:
+        raise ValueError(
+            f"store '{table_prefix}' was written under hash format "
+            f"'{fmt}' but this code produces '{HASH_FORMAT}' — same "
+            "extractor name, different scheme; rebuild the store"
         )
 
 
@@ -177,10 +210,6 @@ def write_dhash_store(
             .format("parquet")
             .saveAsTable(f"{table_prefix}_blocks")
         )
-        spark.sql(
-            f"ALTER TABLE {table_prefix}_blocks SET TBLPROPERTIES "
-            f"('{BLOCK_PARTITIONS_PROP}'='{hash_partitions}')"
-        )
     else:
         write_bucketed(
             blocks,
@@ -188,9 +217,22 @@ def write_dhash_store(
             ["blk", "bv"],
             num_buckets,
         )
+    # ALL identity/layout properties in ONE statement (ADVICE r12): a
+    # crash between two ALTERs used to leave a partitioned store that
+    # reported p=0 with a recorded extractor — a half-valid identity.
+    # Now the store is either fully stamped or carries no identity at
+    # all, and _check_extractor fails the latter loudly. P=0 is
+    # recorded explicitly so "bucketed-only" and "never stamped" are
+    # distinguishable states.
+    props = {
+        EXTRACTOR_PROP: (extractor or _default_extractor()).__name__,
+        HASH_FORMAT_PROP: HASH_FORMAT,
+        BLOCK_PARTITIONS_PROP: str(hash_partitions),
+    }
     spark.sql(
-        f"ALTER TABLE {table_prefix}_blocks SET TBLPROPERTIES "
-        f"('{EXTRACTOR_PROP}'='{(extractor or _default_extractor()).__name__}')"
+        f"ALTER TABLE {table_prefix}_blocks SET TBLPROPERTIES ("
+        + ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        + ")"
     )
 
 
@@ -524,11 +566,17 @@ def dhash_block_skew(
             F.count("*").alias("n_buckets"),
             F.max("n").alias("max_bucket"),
             F.sum(over.cast("long")).alias("buckets_capped"),
+            # integer div, not float-/2-then-cast (ADVICE r12): exact
+            # for very large buckets and arithmetic-identical to the
+            # registered _img_block_skew_sql's `div`
             F.sum(
-                F.when(over, (F.col("n") * (F.col("n") - 1)) / 2 - (F.col("n") - 1))
-                .otherwise(0)
-                .cast("long")
-            ).alias("pairs_saved"),
+                F.when(
+                    over,
+                    F.expr("(n * (n - 1)) div 2") - (F.col("n") - 1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("pairs_saved"),
         )
         .orderBy("blk")
     )

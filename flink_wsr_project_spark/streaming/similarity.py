@@ -298,9 +298,15 @@ def ann_ingest_foreach_batch(
     )
     from flink_wsr_project_spark.sources.writers import should_compact
 
+    # one-shot: the quantized/retrain_source_fn pairing is validated on
+    # the FIRST batch only (ADVICE r12 — it used to re-run the catalog
+    # round-trip every micro-batch; the index's quantization never
+    # changes mid-loop, so once is enough)
+    _validated = [False]
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        if max_fresh_mismatch is not None:
+        if max_fresh_mismatch is not None and not _validated[0]:
             _, quantized = _lists_props(s, table_prefix)
             if quantized and retrain_source_fn is None:
                 raise ValueError(
@@ -314,6 +320,7 @@ def ann_ingest_foreach_batch(
                     "reads them directly — retrain_source_fn would silently "
                     "shadow the index contents"
                 )
+            _validated[0] = True
         vecs = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )

@@ -278,6 +278,118 @@ def test_block_store_serves_audio_via_extractor(spark):
     ) == 0
 
 
+def test_block_store_serves_video_via_extractor(spark):
+    """The third member of the extractor-agnostic claim (VERDICT r12
+    #2 — audio had this test, video only an assertion): written with
+    the video temporal fingerprint, the SAME block store runs the
+    incremental dedup contract over Y4M clips — decisions must match
+    what the registered ``video_fp_neardup`` pair set implies; the
+    wrong extractor is rejected from the catalog identity; absorb +
+    replay stay idempotent on the video hash."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_video_fingerprint,
+        synthesize_video_renders,
+    )
+
+    _drop(spark, "vidst")
+    assets = synthesize_video_renders(spark, SF_DIR)
+    corpus = assets.where(~F.expr("asset_id % 3 = 2"))
+    batch = assets.where(F.expr("asset_id % 3 = 2"))
+    write_dhash_store(
+        spark, corpus, "vidst", num_buckets=4, extractor=extract_video_fingerprint
+    )
+
+    got = {
+        (r.asset_id, r.decision, r.dup_of)
+        for r in image_dedup_from_store(
+            spark, batch, "vidst", extractor=extract_video_fingerprint
+        ).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in get("video_fp_neardup").spark_fn(spark, SF_DIR).collect()
+    ]
+    in_batch = {a for a, _, _ in got}
+    expected = set()
+    for a in in_batch:
+        corpus_p = {
+            (y if x == a else x)
+            for x, y in pairs
+            if a in (x, y) and (y if x == a else x) not in in_batch
+        }
+        batch_p = {x for x, y in pairs if y == a and x in in_batch}
+        if corpus_p:
+            expected.add((a, "dup_of_corpus", min(corpus_p)))
+        elif batch_p:
+            expected.add((a, "dup_within_batch", min(batch_p)))
+        else:
+            expected.add((a, "keep", None))
+    assert got == expected
+    assert {d for _, d, _ in got} >= {"keep"}
+
+    # wrong extractor (the image default) dies loudly, probe AND absorb
+    with pytest.raises(ValueError, match="extract_video_fingerprint"):
+        image_dedup_from_store(spark, batch, "vidst")
+    dec = image_dedup_from_store(
+        spark, batch, "vidst", extractor=extract_video_fingerprint
+    )
+    with pytest.raises(ValueError, match="extract_video_fingerprint"):
+        absorb_kept_into_dhash_store(spark, batch, dec, "vidst", num_buckets=4)
+
+    # absorb + replay idempotency on the video hash
+    n = absorb_kept_into_dhash_store(
+        spark, batch, dec, "vidst", num_buckets=4,
+        extractor=extract_video_fingerprint,
+    )
+    assert n == sum(1 for _, d, _ in got if d == "keep")
+    assert absorb_kept_into_dhash_store(
+        spark, batch, dec, "vidst", num_buckets=4, exclude_existing=True,
+        extractor=extract_video_fingerprint,
+    ) == 0
+
+
+def test_store_identity_gate_hard_fails(spark):
+    """ADVICE r12 (medium): a store with NO recorded identity — pre-r13
+    store or an interrupted write — must fail probes/absorbs loudly
+    instead of silently matching nothing (the old name-only check
+    passed on absence, so an old-scheme store probed with new-scheme
+    hashes decided 'keep' for every true dup). Same for a matching
+    extractor NAME under a different recorded hash FORMAT — exactly
+    the r11→r12 32-bit→64-bit scenario the format stamp exists for."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.image_dedup import (
+        EXTRACTOR_PROP,
+        HASH_FORMAT_PROP,
+    )
+
+    _drop(spark, "imgid")
+    assets = synthesize_image_renders(spark, SF_DIR).limit(30)
+    write_dhash_store(spark, assets, "imgid", num_buckets=2)
+    # the healthy store probes fine
+    image_dedup_from_store(spark, assets.limit(5), "imgid").collect()
+
+    # strip the identity → every probe/absorb path refuses
+    spark.sql(
+        f"ALTER TABLE imgid_blocks UNSET TBLPROPERTIES "
+        f"('{EXTRACTOR_PROP}', '{HASH_FORMAT_PROP}')"
+    )
+    with pytest.raises(ValueError, match="no recorded hash identity"):
+        image_dedup_from_store(spark, assets.limit(5), "imgid")
+
+    # same extractor name, older recorded format → refused with the
+    # format names in the message
+    spark.sql(
+        f"ALTER TABLE imgid_blocks SET TBLPROPERTIES "
+        f"('{EXTRACTOR_PROP}'='extract_image_dhash', "
+        f"'{HASH_FORMAT_PROP}'='h32b8v0')"
+    )
+    with pytest.raises(ValueError, match="h32b8v0"):
+        image_dedup_from_store(spark, assets.limit(5), "imgid")
+
+
 def test_pruned_image_probe_matches_full_on_partitioned_store(spark, tmp_path):
     """The small-Δ fast path for images (the signature store's pruned
     probe applied to the dHash block store): decision-for-decision
