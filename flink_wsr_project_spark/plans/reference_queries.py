@@ -855,7 +855,7 @@ FROM keyed GROUP BY kv_key
 @register("kv_upsert_final_state", oracle=_KV_STATE_ORACLE, tags=("K3",))
 def kv_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final external-KV state under the K3 sink's upsert contract —
-    the batch materialization of what ``streaming.sinks.external_kv_sink``
+    the batch materialization of what ``streaming.sinks.external_kv_sink_distributed``
     leaves in the store after all micro-batches: one row per key with
     the LAST written value (update-mode re-fires and failure replays
     OVERWRITE, never duplicate — the reference's Redis ``hset``

@@ -895,7 +895,7 @@ def test_external_kv_sink_upserts_by_key_across_epochs(spark, tmp_path):
     """K3 (UniqueVisitor_03_Bloom.scala:136-149): the external-store
     sink upserts (key, value) per epoch — a re-fired window OVERWRITES
     its key (Redis hset semantics), never duplicates."""
-    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink
+    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink_demo
 
     d = str(tmp_path / "kv_sink")
 
@@ -915,7 +915,7 @@ def test_external_kv_sink_upserts_by_key_across_epochs(spark, tmp_path):
         allowed_lateness="60 seconds", aggs=[F.count("*").alias("cnt")],
     )
     store = DictStore()
-    q = external_kv_sink(agg, ["window_end"], "cnt", store)
+    q = external_kv_sink_demo(agg, ["window_end"], "cnt", store)
     q.processAllAvailable()
     assert store.data == {"3600": "3"}
     write([500])  # late re-fire → overwrite, not duplicate
@@ -941,7 +941,7 @@ def test_external_kv_sink_distributed_matches_collect_sink(spark, tmp_path):
     from flink_wsr_project_spark.streaming.sinks import (
         DictStore,
         DirStore,
-        external_kv_sink,
+        external_kv_sink_demo,
         external_kv_sink_distributed,
     )
 
@@ -993,7 +993,7 @@ def test_external_kv_sink_distributed_matches_collect_sink(spark, tmp_path):
     assert dir_store.data == before
 
     dict_store = DictStore()
-    q3 = external_kv_sink(agg_stream(), ["window_end"], "cnt", dict_store)
+    q3 = external_kv_sink_demo(agg_stream(), ["window_end"], "cnt", dict_store)
     q3.processAllAvailable()
     q3.stop()
     assert dir_store.data == dict_store.data == {"3600": "4", "10800": "1"}
@@ -1274,13 +1274,13 @@ def test_locf_stream_matches_batch(spark, events_stream_dir):
 
 def test_kv_sink_final_state_matches_batch(spark, tmp_path):
     """The registered ``kv_upsert_final_state`` query IS the K3 sink's
-    final-state contract: driving the REAL external_kv_sink (update
+    final-state contract: driving the REAL external_kv_sink_demo (update
     mode, running count per (user_id, event_type)) over the same rows
     in TWO micro-batches leaves the DictStore holding exactly the
     query's (kv_key -> kv_value) map — every key was rewritten across
     epochs (upsert), never duplicated."""
     from flink_wsr_project_spark.plans.registry import get
-    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink
+    from flink_wsr_project_spark.streaming.sinks import DictStore, external_kv_sink_demo
 
     d = str(tmp_path / "kv_events")
     ev = load_table(spark, "events", SF_DIR).select("user_id", "event_type", "ts")
@@ -1300,7 +1300,7 @@ def test_kv_sink_final_state_matches_batch(spark, tmp_path):
         )
     )
     store = DictStore()
-    q = external_kv_sink(agg, ["user_id", "event_type"], "cnt", store)
+    q = external_kv_sink_demo(agg, ["user_id", "event_type"], "cnt", store)
     q.processAllAvailable()
     mid_state = dict(store.data)
     # second epoch: the rest of the rows — running counts OVERWRITE
