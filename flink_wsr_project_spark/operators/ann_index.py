@@ -231,6 +231,33 @@ def write_ann_index(
         )
 
 
+def delete_from_ann_index(
+    spark: SparkSession, table_prefix: str, vec_ids: DataFrame
+) -> int:
+    """Takedown for the index: record vec_ids as tombstones
+    (operators/tombstones.py; O(|ids|), no list rewrite). Probes —
+    bucketed, pruned, and two-stage reranked — stop returning the
+    deleted vectors immediately; absorbs and replays refuse to re-add
+    them; drift measurement and retrain run over the live rows only;
+    :func:`compact_ann_index` (or the next retrain's rebuild) reclaims
+    the physical rows. Returns the number of ids recorded."""
+    from flink_wsr_project_spark.operators.tombstones import add_tombstones
+
+    return add_tombstones(spark, table_prefix, vec_ids, "vec_id")
+
+
+def _live_lists(spark: SparkSession, table_prefix: str) -> DataFrame:
+    """The lists table minus tombstoned vec_ids — the frame every read
+    path (probes, drift, retrain, compaction) must use. The anti-join
+    broadcasts the bounded deleted-id set; the lists side keeps its
+    bucketed/partitioned layout and stays exchange-free."""
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
+    return apply_tombstones(
+        spark, spark.table(f"{table_prefix}_lists"), table_prefix, "vec_id"
+    )
+
+
 def ann_topk_from_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -251,7 +278,7 @@ def ann_topk_from_index(
     _, quantized = _lists_props(spark, table_prefix)
     queries.createOrReplaceTempView("_ann_query_input")
     spark.table(f"{table_prefix}_centroids").createOrReplaceTempView("_ann_centroids")
-    spark.table(f"{table_prefix}_lists").createOrReplaceTempView("_ann_lists")
+    _live_lists(spark, table_prefix).createOrReplaceTempView("_ann_lists")
     if quantized:
         # quantize in a projection BELOW the centroid cross join so the
         # max|x| + transform pass runs once per QUERY, not once per
@@ -384,7 +411,16 @@ SELECT query_id, qv, probe_label FROM (
             F.expr(quantized_expr("qv")).alias("qv"),
             "probe_label",
         )
-    lists = spark.table(f"{table_prefix}_lists").where(F.col("label").isin(labels))
+    # tombstone mask AFTER the partition filter — pruning still reads
+    # only the probed list directories
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
+    lists = apply_tombstones(
+        spark,
+        spark.table(f"{table_prefix}_lists").where(F.col("label").isin(labels)),
+        table_prefix,
+        "vec_id",
+    )
     list_vec = "e.eq" if quantized else "e.embedding"
     cos_qe = F.expr(cosine_expr("a.qv", list_vec, "spark"))
     pairs = (
@@ -497,10 +533,16 @@ def absorb_vectors_into_index(
         release_persistent_rdds,
     )
 
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     lists_table = f"{table_prefix}_lists"
     partitioned, quantized = _lists_props(spark, table_prefix)
 
-    vecs = vectors.select("vec_id", "embedding")
+    # unconditional tombstone mask — a deleted vector never re-enters,
+    # replays included, even after compaction/retrain dropped its rows
+    vecs = apply_tombstones(
+        spark, vectors.select("vec_id", "embedding"), table_prefix, "vec_id"
+    )
     if exclude_existing:
         vecs = vecs.join(
             spark.table(lists_table).select("vec_id"), "vec_id", "left_anti"
@@ -584,7 +626,9 @@ def compact_ann_index(
             "catalog — not an index written by write_ann_index"
         )
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+    # tombstones applied physically by the rewrite (the tombstone table
+    # itself is rewritten deduplicated — and KEPT — after the swap)
+    pinned, ckpt_ids = local_checkpoint_tracked(_live_lists(spark, table_prefix))
     try:
         n = pinned.count()
         if partitioned:
@@ -620,15 +664,23 @@ def compact_ann_index(
             spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     finally:
         release_persistent_rdds(spark, ckpt_ids)
+    from flink_wsr_project_spark.operators.tombstones import (
+        rewrite_tombstones_deduped,
+    )
+
+    rewrite_tombstones_deduped(spark, table_prefix)
     return n
 
 
 def recover_index_compaction(spark: SparkSession, table_prefix: str) -> bool:
     """Complete an interrupted ``compact_ann_index`` swap (the
-    DROP→RENAME crash window) — idempotent, run at index startup."""
+    DROP→RENAME crash window) and any interrupted tombstone rewrite —
+    idempotent, run at index startup."""
+    from flink_wsr_project_spark.operators.tombstones import recover_tombstones
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
-    return finish_table_swap(spark, f"{table_prefix}_lists")
+    recovered = finish_table_swap(spark, f"{table_prefix}_lists")
+    return recover_tombstones(spark, table_prefix) or recovered
 
 
 def maintain_ann_index(
@@ -776,7 +828,7 @@ def measure_index_drift(spark: SparkSession, table_prefix: str) -> dict:
     of the quantized geometry itself — consistent within itself,
     which is all a threshold needs."""
     _, quantized = _lists_props(spark, table_prefix)
-    lists = spark.table(f"{table_prefix}_lists")
+    lists = _live_lists(spark, table_prefix)
     if quantized:
         lists = lists.select("vec_id", "label", F.col("eq").alias("embedding"))
     stored = spark.table(f"{table_prefix}_centroids").collect()
@@ -868,6 +920,11 @@ def retrain_ann_index(
     lists_table = f"{table_prefix}_lists"
     partitioned, quantized = _lists_props(spark, table_prefix)
 
+    # retrain rebuilds from the LIVE rows only — deleted vectors are
+    # physically reclaimed by the rebuild (their tombstones stay, so
+    # replayed absorbs still cannot resurrect them), and a tombstoned
+    # vec_id missing from a quantized retrain's source is NOT an error
+    live = _live_lists(spark, table_prefix)
     if quantized:
         if source is None:
             raise ValueError(
@@ -876,8 +933,7 @@ def retrain_ann_index(
             )
         src = source.select("vec_id", "embedding")
         missing = (
-            spark.table(lists_table)
-            .select("vec_id")
+            live.select("vec_id")
             .join(src.select("vec_id"), "vec_id", "left_anti")
             .count()
         )
@@ -887,14 +943,14 @@ def retrain_ann_index(
                 "(absorbed vectors not yet in the source corpus?) — a "
                 "rebuild from it would silently drop them from probes"
             )
-        lists = spark.table(lists_table).select("vec_id", "label").join(src, "vec_id")
+        lists = live.select("vec_id", "label").join(src, "vec_id")
     elif source is not None:
         raise ValueError(
             f"index '{table_prefix}' stores float embeddings; retrain reads "
             "them directly — source would silently shadow the index contents"
         )
     else:
-        lists = spark.table(lists_table)
+        lists = live
     lists.createOrReplaceTempView("_ann_retrain_lists")
     fresh = spark.sql(_centroid_sql("_ann_retrain_lists")).collect()
     f_labels, f_arrs = _centroid_literals(fresh)

@@ -236,6 +236,24 @@ def write_dhash_store(
     )
 
 
+def delete_from_dhash_store(
+    spark: SparkSession, table_prefix: str, asset_ids: DataFrame
+) -> int:
+    """Takedown for the block store (any modality — image/audio/video
+    stores share the machinery): record the ids as tombstones
+    (operators/tombstones.py; O(|ids|), no store rewrite). Probes stop
+    matching the deleted assets immediately — including their role as
+    dedup keepers and as bucket-cap star REPRESENTATIVES (the over-cap
+    stats are computed on the live, tombstone-masked store, so a
+    deleted representative is replaced by the bucket's next min-id on
+    the very next probe); absorbs and their replays refuse to re-add
+    them; :func:`compact_dhash_store` reclaims the physical rows.
+    Returns the number of ids recorded."""
+    from flink_wsr_project_spark.operators.tombstones import add_tombstones
+
+    return add_tombstones(spark, table_prefix, asset_ids, "asset_id")
+
+
 def image_dedup_from_store(
     spark: SparkSession,
     batch_assets: DataFrame,
@@ -278,15 +296,23 @@ def image_dedup_from_store(
     cap, the per-bucket stats aggregate groups BY THE BUCKET KEYS
     (partial+final both ride the bucketed scan) and the over-cap
     bucket list broadcasts — the store still never shuffles."""
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     _check_extractor(spark, table_prefix, extractor)
     bd = _dhash_df(spark, batch_assets, extractor).localCheckpoint()
     blocks = _block_rows(bd)
     # explicit select: a partitioned store carries the bp layout
-    # column, which must not leak into candidate/decision frames
-    store = spark.table(f"{table_prefix}_blocks").select(
-        "asset_id", "blk", "bv", "dhash"
+    # column, which must not leak into candidate/decision frames.
+    # Tombstoned assets anti-join away HERE, before both the candidate
+    # join and the bucket-cap stats — deleted keepers stop claiming and
+    # deleted star representatives stop representing, in one mask.
+    store = apply_tombstones(
+        spark,
+        spark.table(f"{table_prefix}_blocks").select("asset_id", "blk", "bv", "dhash"),
+        table_prefix,
+        "asset_id",
     )
     ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
 
@@ -397,6 +423,8 @@ def image_dedup_from_store_pruned(
     bulk batches that touch most prefixes anyway."""
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     p = _store_block_partitions(spark, table_prefix)
     if p <= 0:
         raise ValueError(
@@ -409,10 +437,17 @@ def image_dedup_from_store_pruned(
     bps = [
         r.bp for r in blocks.select(_bp_expr(p).alias("bp")).distinct().collect()
     ]  # <= P values — bounded by the layout constant, not |Δ|
-    store = (
+    # tombstone mask AFTER the partition filter: pruning still reads
+    # only Δ's directories, the anti-join just drops deleted rows from
+    # the pruned stream (bucket-cap stats stay exact over the LIVE
+    # pruned slice)
+    store = apply_tombstones(
+        spark,
         spark.table(f"{table_prefix}_blocks")
         .where(F.col("bp").isin(bps))
-        .select("asset_id", "blk", "bv", "dhash")
+        .select("asset_id", "blk", "bv", "dhash"),
+        table_prefix,
+        "asset_id",
     )
     ham = F.expr(hamming_expr("bl.dhash", "st.dhash", "spark"))
 
@@ -513,10 +548,16 @@ def absorb_kept_into_dhash_store(
         release_persistent_rdds,
     )
 
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     _check_extractor(spark, table_prefix, extractor)
     kept_plan = batch_assets.join(
         decisions.where(F.col("decision") == "keep").select("asset_id"), "asset_id"
     )
+    # unconditional tombstone mask — a deleted asset never re-enters,
+    # replays included, even after compaction dropped its rows (see
+    # operators/tombstones.py)
+    kept_plan = apply_tombstones(spark, kept_plan, table_prefix, "asset_id")
     if exclude_existing:
         kept_plan = kept_plan.join(
             spark.table(f"{table_prefix}_blocks").select("asset_id").distinct(),
@@ -552,10 +593,14 @@ def dhash_block_skew(
     candidate pairs that saves (Σ n·(n−1)/2 − (n−1) over over-cap
     buckets). One grouping pass on the store's own bucket keys (no
     exchange) + one 4-row rollup."""
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     if bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     sizes = (
-        spark.table(f"{table_prefix}_blocks")
+        apply_tombstones(
+            spark, spark.table(f"{table_prefix}_blocks"), table_prefix, "asset_id"
+        )
         .groupBy("blk", "bv")
         .agg(F.count("*").alias("n"))
     )
@@ -582,11 +627,39 @@ def dhash_block_skew(
     )
 
 
+def compact_dhash_store(spark: SparkSession, table_prefix: str) -> int:
+    """Block-store compaction: the generic catalog-driven rewrite
+    (one file per bucket slot, properties preserved) with the
+    TOMBSTONES applied physically — deleted assets' block rows are
+    reclaimed by the rewrite the compactor was paying anyway, and the
+    tombstone table is then rewritten deduplicated but kept (the ids
+    must keep masking absorb replays; re-admission is the explicit
+    ``clear_tombstones``). Use THIS instead of the bare
+    ``compact_bucketed_table`` for block stores — the generic one
+    defragments but cannot know about deletions. Returns the surviving
+    row count."""
+    from flink_wsr_project_spark.operators.tombstones import (
+        apply_tombstones,
+        rewrite_tombstones_deduped,
+    )
+    from flink_wsr_project_spark.sources.writers import compact_bucketed_table
+
+    n = compact_bucketed_table(
+        spark,
+        f"{table_prefix}_blocks",
+        transform=lambda df: apply_tombstones(spark, df, table_prefix, "asset_id"),
+    )
+    rewrite_tombstones_deduped(spark, table_prefix)
+    return n
+
+
 def recover_dhash_store(spark: SparkSession, table_prefix: str) -> bool:
     """Complete an interrupted block-table compaction swap (the
-    generic compactor's DROP→RENAME crash window) — idempotent, run
-    at loop startup like its text/ANN siblings. Returns True when a
-    recovery ran."""
+    generic compactor's DROP→RENAME crash window) and any interrupted
+    tombstone rewrite — idempotent, run at loop startup like its
+    text/ANN siblings. Returns True when a recovery ran."""
+    from flink_wsr_project_spark.operators.tombstones import recover_tombstones
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
-    return finish_table_swap(spark, f"{table_prefix}_blocks")
+    recovered = finish_table_swap(spark, f"{table_prefix}_blocks")
+    return recover_tombstones(spark, table_prefix) or recovered

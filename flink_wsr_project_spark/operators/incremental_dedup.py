@@ -153,6 +153,23 @@ def _write_partitioned_bucketed(
     )
 
 
+def delete_from_signature_store(
+    spark: SparkSession, table_prefix: str, doc_ids: DataFrame
+) -> int:
+    """Takedown: mark docs deleted (operators/tombstones.py — one
+    O(|ids|) append, no store rewrite). Effects: probes stop matching
+    the deleted docs immediately (their candidate rows anti-join away,
+    so a deleted KEEPER releases its dup claims); absorbs — replays
+    included — refuse to re-add them even after compaction has
+    physically dropped their rows; the next
+    :func:`compact_signature_store` reclaims the physical rows.
+    Re-admission is the explicit ``clear_tombstones``. Returns the
+    number of ids recorded."""
+    from flink_wsr_project_spark.operators.tombstones import add_tombstones
+
+    return add_tombstones(spark, table_prefix, doc_ids, "doc_id")
+
+
 def absorb_kept_into_store(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -198,9 +215,16 @@ def absorb_kept_into_store(
     # append, leaving the store with band rows but no hash array for
     # it (every later verify against it fails). localCheckpoint pins
     # the pre-append answer (sized by |Δ|, executor-distributed).
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     kept_plan = batch_docs.join(
         decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )
+    # tombstones mask UNCONDITIONALLY (not just exclude_existing): a
+    # deleted doc must not re-enter via any absorb — including a
+    # replayed batch arriving AFTER compaction physically dropped the
+    # rows the exclude_existing anti-join would have matched
+    kept_plan = apply_tombstones(spark, kept_plan, table_prefix, "doc_id")
     if exclude_existing:
         kept_plan = kept_plan.join(
             spark.table(f"{table_prefix}_hashed").select("doc_id"),
@@ -274,10 +298,20 @@ def compact_signature_store(
     where replay-duplicated longsigs rows get healed. Decisions were
     already immune (the probe distincts its candidates); this stops
     the store bloat and duplicate stream emissions.
+
+    TOMBSTONES are applied physically here (r13): both tables rewrite
+    MINUS the deleted ids — the reclamation the delete itself deferred
+    — and the tombstone table is then rewritten deduplicated but KEPT
+    (deleted ids must keep masking absorb replays forever; re-admission
+    is the explicit ``clear_tombstones``).
     """
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
+    )
+    from flink_wsr_project_spark.operators.tombstones import (
+        apply_tombstones,
+        rewrite_tombstones_deduped,
     )
     from flink_wsr_project_spark.sources.writers import table_bucket_spec
 
@@ -307,7 +341,7 @@ def compact_signature_store(
                 "or compacting"
             )
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        source = spark.table(table)
+        source = apply_tombstones(spark, spark.table(table), table_prefix, "doc_id")
         if suffix == "longsigs":
             source = source.dropDuplicates()
         pinned, ckpt_ids = local_checkpoint_tracked(source)
@@ -339,6 +373,7 @@ def compact_signature_store(
                 spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
         finally:
             release_persistent_rdds(spark, ckpt_ids)
+    rewrite_tombstones_deduped(spark, table_prefix)
     return out
 
 
@@ -366,12 +401,23 @@ def dedup_incremental_from_store(
     times); the within-batch arm is a self-join of Δ's own band rows —
     all candidate work is linear in |Δ| for a fixed corpus bucket-size
     distribution."""
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
     bls = _longsigs_df(spark, batch_docs)
     batch_longsigs = bls.alias("bl")
     batch_hashed = _hashed_df(spark, batch_docs)
     # explicit selects: a partitioned store carries hp/dp layout columns
-    # that must not leak into the unions below
-    store_longsigs = spark.table(f"{table_prefix}_longsigs").select("doc_id", "b", "h")
+    # that must not leak into the unions below. Tombstoned docs
+    # anti-join away at candidate generation (broadcast of the bounded
+    # deleted-id set — the store side stays exchange-free), so a
+    # deleted doc neither matches nor claims; the hashed table needs no
+    # mask — it is only ever joined BY surviving candidates' ids.
+    store_longsigs = apply_tombstones(
+        spark,
+        spark.table(f"{table_prefix}_longsigs").select("doc_id", "b", "h"),
+        table_prefix,
+        "doc_id",
+    )
     store_hashed = spark.table(f"{table_prefix}_hashed").select("doc_id", "hv")
 
     jac = F.expr(jaccard_expr("sa.hv", "sb.hv", "spark"))
@@ -501,10 +547,15 @@ def dedup_incremental_from_store_pruned(
         r.hp for r in bls.select(F.pmod(F.xxhash64("h"), F.lit(p)).alias("hp")).distinct().collect()
     ]  # ≤ P values — bounded by the layout constant, not by |Δ|
 
-    store_ls = (
+    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+
+    store_ls = apply_tombstones(
+        spark,
         spark.table(f"{table_prefix}_longsigs")
         .where(F.col("hp").isin(hps))
-        .select("doc_id", "b", "h")
+        .select("doc_id", "b", "h"),
+        table_prefix,
+        "doc_id",
     )
     corpus_cand = (
         store_ls.alias("cl")
@@ -571,9 +622,13 @@ def recover_store_compaction(spark: SparkSession, table_prefix: str) -> list[str
     names."""
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
+    from flink_wsr_project_spark.operators.tombstones import recover_tombstones
+
     recovered = []
     for suffix in ("longsigs", "hashed"):
         table = f"{table_prefix}_{suffix}"
         if finish_table_swap(spark, table):
             recovered.append(table)
+    if recover_tombstones(spark, table_prefix):
+        recovered.append(f"{table_prefix}_tombstones")
     return recovered

@@ -76,7 +76,7 @@ def table_bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
     return num, cols
 
 
-def compact_bucketed_table(spark: SparkSession, table: str) -> int:
+def compact_bucketed_table(spark: SparkSession, table: str, transform=None) -> int:
     """Generic file-count compaction for any bucketed managed table:
     discover the bucket spec (and partition columns) from the catalog,
     pin the rows (localCheckpoint — the source is about to be
@@ -85,10 +85,17 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     compactions, recovered by :func:`finish_table_swap` at startup.
     Returns the row count.
 
-    Stores that need rewrite-time healing (the signature store's
-    longsigs dropDuplicates) or non-generic layout logic (the ANN
-    index's partitioned-lists variant) keep their own compactors;
-    THIS is the plain path for stores like the dHash block store.
+    ``transform`` (optional ``DataFrame -> DataFrame``) is applied to
+    the source rows before the rewrite — the hook store-specific
+    compactors use for rewrite-time healing that belongs IN the
+    rewrite (e.g. the dHash store's tombstone reclamation,
+    ``operators.image_dedup.compact_dhash_store``). It must preserve
+    the schema; partition/bucket layout is reapplied on write either
+    way.
+
+    Stores that need multi-table coordination (the signature store)
+    or non-generic layout logic (the ANN index's partitioned-lists
+    variant) keep their own compactors; THIS is the plain path.
     ``spark_graft.*`` table properties (layout contracts probes
     dispatch on) are copied across the swap — a rewrite that silently
     dropped them would demote a partitioned store to "looks
@@ -109,7 +116,10 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     }
     tmp = f"{table}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    pinned, ckpt_ids = local_checkpoint_tracked(spark.table(table))
+    source = spark.table(table)
+    if transform is not None:
+        source = transform(source)
+    pinned, ckpt_ids = local_checkpoint_tracked(source)
     try:
         n = pinned.count()
         w = pinned.repartition(num, *cols).write

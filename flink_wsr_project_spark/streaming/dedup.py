@@ -507,8 +507,11 @@ def image_dedup_foreach_batch(
     hands the |Δ|-pinned decisions to ``decisions_sink(df, batch_id)``,
     absorbs the kept images with ``exclude_existing=True`` (replay
     appends nothing), and — with ``max_files_per_bucket`` set —
-    compacts the single block table through the generic catalog-driven
-    compactor when the file dial fires. The store being ONE table
+    compacts the single block table through ``compact_dhash_store``
+    (the generic catalog-driven rewrite + physical tombstone
+    reclamation, so in-loop compaction also applies any takedowns
+    recorded since the last one) when the file dial fires. The store
+    being ONE table
     means replay has no partial-absorb window to heal; the compaction
     swap's DROP→RENAME window is healed by
     ``operators.image_dedup.recover_dhash_store`` — run it at loop
@@ -528,6 +531,7 @@ def image_dedup_foreach_batch(
     """
     from flink_wsr_project_spark.operators.image_dedup import (
         absorb_kept_into_dhash_store,
+        compact_dhash_store,
         image_dedup_from_store,
         image_dedup_from_store_pruned,
     )
@@ -535,10 +539,7 @@ def image_dedup_foreach_batch(
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
-    from flink_wsr_project_spark.sources.writers import (
-        compact_bucketed_table,
-        should_compact,
-    )
+    from flink_wsr_project_spark.sources.writers import should_compact
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -560,6 +561,6 @@ def image_dedup_foreach_batch(
         if max_files_per_bucket is not None and should_compact(
             s, f"{table_prefix}_blocks", max_files_per_bucket
         ):
-            compact_bucketed_table(s, f"{table_prefix}_blocks")
+            compact_dhash_store(s, table_prefix)
 
     return body

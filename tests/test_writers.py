@@ -40,6 +40,12 @@ def _store_reshuffle_violations(plan: str, marker: str) -> list[str]:
     depths = [_re.match(r"^[\s:+|-]*", ln).end() for ln in lines]
     bad = []
     for i, ln in enumerate(lines):
+        if "_tombstones" in ln:
+            # the tombstone side-table (deleted ids) is bounded by
+            # deletions, never by the corpus — broadcasting it into the
+            # store's anti-join is the designed shape, not a store
+            # reshuffle (operators/tombstones.py)
+            continue
         if "Scan" in ln and marker in ln:
             d = depths[i]
             agg_seen = False
