@@ -76,28 +76,17 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r12: the image-dedup scale fix (VERDICT r11 #1) rewrote the
-    # perceptual-hash path — 64-bit dHash over height-8 renders,
-    # 16-bit blocks — so BOTH r11-green image queries' SQL and results
-    # changed and MUST re-earn external green on the new scheme:
-    "image_dhash_neardup",
-    "image_dhash_keep_list",
-    # ... and the same key-width lesson applied to SimHash (60-bit
-    # hash over h60 token hashes, 15-bit blocks): all three simhash
-    # queries' results changed and must re-earn green:
-    "dedup_simhash",
-    "simhash_neardup_pairs",
-    "simhash_neardup_blocked",
-    # media_features shares operators/multimodal.py with the rewrite;
-    # its own path (synthesize_media_assets at the UNCHANGED height-4
-    # geometry + extract_features) is byte-identical, but the module
-    # changed again, so it is pinned for the same reason as r11.
-    "media_features",
-    # The NEW image_dhash_neardup_capped and image_block_skew are
-    # tier-0 (never verified) and enter the window automatically.
-    # value_vwap_hourly (oldest green, r7) sits at position ~2 of the
-    # natural rotation — no pin needed (VERDICT r11 item 4 verified
-    # against _ordered()).
+    # r13: empty on purpose. All six r12 canaries re-earned external
+    # green in CORRECTNESS_r12 on their changed results. No r13 change
+    # alters any REGISTERED query's SQL or results: the capped-builder
+    # refactor (`_img_capped_body`/`_img_block_skew_sql` gained a cap
+    # parameter) leaves the image queries' generated SQL byte-identical
+    # at the default; tombstones/identity-gate/KV-rename touch only the
+    # persisted-store operators, which are not registered. The four NEW
+    # queries (audio_fp_neardup_capped, audio_block_skew,
+    # video_fp_neardup_capped, video_block_skew) are tier-0 (never
+    # verified) and enter the external window automatically, ahead of
+    # the natural r8/r10-vintage rotation.
 )
 
 
