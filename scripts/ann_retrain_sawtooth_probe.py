@@ -78,7 +78,12 @@ SELECT query_id, neighbor_id FROM (
 
 
 def main(
-    sf_dir: str, n_batches: int, batch_size: int, dial: float, recall_every: int
+    sf_dir: str,
+    n_batches: int,
+    batch_size: int,
+    dial: float,
+    recall_every: int,
+    moving: bool = False,
 ) -> None:
     spark = get_spark("ann-retrain-sawtooth")
     for t in (f"{PREFIX}_centroids", f"{PREFIX}_lists", f"{PREFIX}_retrain_src"):
@@ -105,8 +110,15 @@ def main(
     ca, cb = cents[big[0]], cents[big[1]]
     d = len(ca)
 
-    def member(i: int) -> list[float]:
+    def member(i: int, batch: int) -> list[float]:
         wa = 0.96 if i % 5 == 0 else 1.04
+        if moving:
+            # the cluster CENTER ITSELF migrates from near-A to near-B
+            # across the run (one Lloyd step per trigger must keep
+            # chasing it — the regime where a stationary cluster's
+            # single tooth is not representative)
+            t = batch / max(n_batches - 1, 1)
+            wa *= 1.5 - t
         v = [wa * a + b for a, b in zip(ca, cb)]
         v[(i * 7) % d] += 0.01 * (i % 11 + 1)
         return v
@@ -118,7 +130,7 @@ def main(
     n_retrains = 0
     for bi in range(n_batches):
         batch = [
-            (base_id + bi * batch_size + j, member(bi * batch_size + j))
+            (base_id + bi * batch_size + j, member(bi * batch_size + j, bi))
             for j in range(batch_size)
         ]
         all_members.extend(batch)
@@ -153,6 +165,7 @@ def main(
         "n_batches": n_batches,
         "batch_size": batch_size,
         "dial": dial,
+        "moving": moving,
         "n_retrains": n_retrains,
         "ticks": ticks,
         "peak_mismatch": round(peak, 4),
@@ -170,4 +183,5 @@ if __name__ == "__main__":
         int(sys.argv[3]) if len(sys.argv) > 3 else 20,
         float(sys.argv[4]) if len(sys.argv) > 4 else 0.03,
         int(sys.argv[5]) if len(sys.argv) > 5 else 4,
+        len(sys.argv) > 6 and sys.argv[6] == "moving",
     )

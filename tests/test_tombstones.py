@@ -288,6 +288,76 @@ def test_ann_index_delete_lifecycle(spark):
     )
 
 
+def test_image_loop_takedown_mid_stream(spark, tmp_path):
+    """Takedown in the DEPLOYMENT shape: a delete lands BETWEEN
+    micro-batches of the continuous image-dedup loop. The next batch's
+    clone of the deleted keeper comes back 'keep' (and is absorbed as
+    the new keeper); the loop's in-loop compaction dial — now
+    compact_dhash_store — physically reclaims the deleted rows while
+    the loop keeps running."""
+    from flink_wsr_project_spark.operators.image_dedup import (
+        delete_from_dhash_store,
+        image_dedup_from_store,
+        write_dhash_store,
+    )
+    from flink_wsr_project_spark.operators.multimodal import synthesize_image_renders
+    from flink_wsr_project_spark.streaming.dedup import image_dedup_foreach_batch
+
+    def render(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        d = tmp_path / f"ltomb_{rows[0][0]}"
+        d.mkdir(exist_ok=True)
+        pdf.to_parquet(d / "documents.parquet", index=False)
+        return synthesize_image_renders(spark, str(d))
+
+    _drop_tables(spark, "ltomb_blocks", "ltomb_tombstones")
+    write_dhash_store(
+        spark, render([(2, A, "en", "s", len(A))]), "ltomb", num_buckets=2
+    )
+
+    seen = []
+    body = image_dedup_foreach_batch(
+        "ltomb",
+        lambda d, i: seen.append({r.asset_id: (r.decision, r.dup_of) for r in d.collect()}),
+        num_buckets=2,
+        max_files_per_bucket=1,  # dial fires on the first absorb append
+    )
+    # batch 1: a clone of the corpus keeper — claimed, nothing absorbed
+    body(render([(6, A, "en", "s", len(A))]), 1)
+    assert seen[-1] == {6: ("dup_of_corpus", 2)}
+
+    # takedown lands between micro-batches
+    delete_from_dhash_store(
+        spark, "ltomb", spark.createDataFrame([(2,)], "asset_id long")
+    )
+
+    # batch 2: the same content is now unclaimed → kept and absorbed;
+    # the absorb append trips the dial, so the in-loop
+    # compact_dhash_store runs and physically drops the deleted rows
+    body(render([(10, A, "en", "s", len(A))]), 2)
+    assert seen[-1] == {10: ("keep", None)}
+    assert {
+        r.asset_id
+        for r in spark.table("ltomb_blocks").select("asset_id").distinct().collect()
+    } == {10}
+    assert spark.table("ltomb_tombstones").count() == 1
+
+    # batch 3: a further clone is claimed by the NEW keeper
+    body(render([(14, A, "en", "s", len(A))]), 3)
+    assert seen[-1] == {14: ("dup_of_corpus", 10)}
+
+    # replay of batch 2 against the compacted store appends nothing
+    dec = image_dedup_from_store(
+        spark, render([(10, A, "en", "s", len(A))]), "ltomb"
+    )
+    assert {r.decision for r in dec.collect()} == {"keep"}  # self-excluded probe
+    before = spark.table("ltomb_blocks").count()
+    body(render([(10, A, "en", "s", len(A))]), 2)  # at-least-once redelivery
+    assert spark.table("ltomb_blocks").count() == before
+
+
 def test_clear_tombstones_readmits(spark):
     """Re-admission is the explicit verb: after clear_tombstones the
     id can be absorbed again as a new corpus member."""
