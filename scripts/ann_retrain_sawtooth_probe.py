@@ -84,6 +84,7 @@ def main(
     dial: float,
     recall_every: int,
     moving: bool = False,
+    settle: int = 0,
 ) -> None:
     spark = get_spark("ann-retrain-sawtooth")
     for t in (f"{PREFIX}_centroids", f"{PREFIX}_lists", f"{PREFIX}_retrain_src"):
@@ -128,9 +129,15 @@ def main(
     source = emb.select("vec_id", "embedding")  # the growing float corpus
     ticks = []
     n_retrains = 0
-    for bi in range(n_batches):
+    # ``settle`` extra batches run AFTER the trajectory with the
+    # cluster center FROZEN at its final position — the frames that
+    # show whether consecutive dial-triggered steps converge after a
+    # sharp shift (the cadence-coupled iteration the one-step-per-
+    # trigger design relies on)
+    for bi in range(n_batches + settle):
+        traj = min(bi, n_batches - 1)
         batch = [
-            (base_id + bi * batch_size + j, member(bi * batch_size + j, bi))
+            (base_id + bi * batch_size + j, member(bi * batch_size + j, traj))
             for j in range(batch_size)
         ]
         all_members.extend(batch)
@@ -149,7 +156,11 @@ def main(
             n_retrains += 1
             tick["retrained"] = True
             tick["mismatch_after"] = round(post["fresh_centroid_mismatch"], 4)
-        if tick["retrained"] or (bi + 1) % recall_every == 0 or bi == n_batches - 1:
+        if (
+            tick["retrained"]
+            or (bi + 1) % recall_every == 0
+            or bi >= n_batches - 1
+        ):
             queries = spark.createDataFrame(
                 all_members, "vec_id long, embedding array<float>"
             ).selectExpr("vec_id AS query_id", "embedding AS qv")
@@ -184,4 +195,5 @@ if __name__ == "__main__":
         float(sys.argv[4]) if len(sys.argv) > 4 else 0.03,
         int(sys.argv[5]) if len(sys.argv) > 5 else 4,
         len(sys.argv) > 6 and sys.argv[6] == "moving",
+        int(sys.argv[7]) if len(sys.argv) > 7 else 0,
     )
