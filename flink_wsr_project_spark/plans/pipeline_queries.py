@@ -1299,15 +1299,18 @@ SELECT doc_a, doc_b, hamming FROM (
 """
 
 
-def _image_dhash_oracle_ctes() -> str:
+def _image_dhash_oracle_ctes(p: str = "") -> str:
     """Shared DuckDB WITH-body reconstructing each document's render
-    dHash arithmetically: ``h`` ends as (doc_id, dhash). 72 gray
+    dHash arithmetically: ``{p}h`` ends as (doc_id, dhash). 72 gray
     samples (9 cols × 8 rows; the render height IS the grid height, so
     row sampling is the identity), 64 comparison bits. Bit 63 is the
     int64 SIGN bit: bits 0–62 sum as powers of two, bit 63 adds the
     minimum-int64 constant — reproducing the Spark closure's
     two's-complement wraparound exactly. See ``_image_dhash_oracle``
-    for the derivation."""
+    for the derivation. ``p`` prefixes every CTE name so several
+    modalities' reconstructions can share one WITH clause (the
+    consensus oracle); the default "" keeps the single-modality
+    oracles byte-identical."""
     base = "3 * ((i // 9) * w + least((i % 9) * w // 9, w - 1))"
     gray = " + ".join(
         f"ascii(substring(body, CAST({base} + {o} AS INT), 1))" for o in (1, 2, 3)
@@ -1321,21 +1324,21 @@ def _image_dhash_oracle_ctes() -> str:
         "CASE WHEN s[72] > s[71] THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
         "ELSE CAST(0 AS BIGINT) END"
     )
-    return f"""img AS (
+    return f"""{p}img AS (
   SELECT doc_id, 4 * (doc_id % 4 + 1) AS w,
          rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1,
                         CAST(24 * 4 * (doc_id % 4 + 1) AS INT)),
               CAST(24 * 4 * (doc_id % 4 + 1) AS INT), '0') AS body
   FROM documents
 ),
-samp AS (
-  SELECT doc_id, list_transform(range(72), i -> {gray}) AS s FROM img
+{p}samp AS (
+  SELECT doc_id, list_transform(range(72), i -> {gray}) AS s FROM {p}img
 ),
-h AS (
+{p}h AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
            + {sign} AS dhash
-  FROM samp
+  FROM {p}samp
 )"""
 
 
@@ -1639,7 +1642,7 @@ def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audio_fp_oracle_ctes() -> str:
+def _audio_fp_oracle_ctes(p: str = "") -> str:
     """DuckDB WITH-body reconstructing each audio render's 64-bit
     windowed-energy fingerprint arithmetically: the WAV PCM is the
     document's printable-ASCII text truncated/zero-padded to the
@@ -1647,7 +1650,8 @@ def _audio_fp_oracle_ctes() -> str:
     gated to clips whose signal fills ≥ half the canvas), so window
     energies are ``ascii()`` sums over 8-char substrings and the bit
     rule is pure integer comparison. Bit 63 is the int64 sign bit,
-    handled as in the image oracle. ``h`` ends as (doc_id, afp)."""
+    handled as in the image oracle. ``{p}h`` ends as (doc_id, afp);
+    ``p`` prefixes the CTE names for multi-modality composition."""
     from flink_wsr_project_spark.operators.multimodal import (
         AUDIO_FP_MIN_CHARS,
         AUDIO_FP_WINDOWS,
@@ -1664,22 +1668,22 @@ def _audio_fp_oracle_ctes() -> str:
         f"CASE WHEN s[{AUDIO_FP_WINDOWS}] > s[{AUDIO_FP_WINDOWS - 1}] "
         "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"
     )
-    return f"""pcm0 AS (
+    return f"""{p}pcm0 AS (
   SELECT doc_id,
          rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1,
                         {AUDIO_RENDER_FRAMES}),
               {AUDIO_RENDER_FRAMES}, '0') AS pcm
   FROM documents WHERE n_chars >= {AUDIO_FP_MIN_CHARS}
 ),
-samp AS (
+{p}samp AS (
   SELECT doc_id, list_transform(range({AUDIO_FP_WINDOWS}), w -> {gray}) AS s
-  FROM pcm0
+  FROM {p}pcm0
 ),
-h AS (
+{p}h AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
            + {sign} AS afp
-  FROM samp
+  FROM {p}samp
 )"""
 
 
@@ -1742,13 +1746,14 @@ SELECT doc_a, doc_b, hamming FROM (
     )
 
 
-def _video_fp_oracle_ctes() -> str:
+def _video_fp_oracle_ctes(p: str = "") -> str:
     """DuckDB WITH-body reconstructing the Y4M temporal fingerprint
     arithmetically: frame f's 6 payload bytes are chars [6f+1, 6f+6]
     of the 390-char canvas (operators/multimodal.py::
     synthesize_video_renders), so frame energies are ``ascii()`` sums
-    and the bit rule is integer comparison. ``h`` ends as
-    (doc_id, vfp) over the gated clips."""
+    and the bit rule is integer comparison. ``{p}h`` ends as
+    (doc_id, vfp) over the gated clips; ``p`` prefixes the CTE names
+    for multi-modality composition."""
     from flink_wsr_project_spark.operators.multimodal import (
         VIDEO_FP_MIN_CHARS,
         VIDEO_FRAME_BYTES,
@@ -1768,21 +1773,21 @@ def _video_fp_oracle_ctes() -> str:
         f"CASE WHEN s[{VIDEO_RENDER_FRAMES}] > s[{VIDEO_RENDER_FRAMES - 1}] "
         "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"
     )
-    return f"""pcm0 AS (
+    return f"""{p}pcm0 AS (
   SELECT doc_id,
          rpad(substring(regexp_replace(text, '[^ -~]', '0', 'g'), 1, {canvas}),
               {canvas}, '0') AS pcm
   FROM documents WHERE n_chars >= {VIDEO_FP_MIN_CHARS}
 ),
-samp AS (
+{p}samp AS (
   SELECT doc_id, list_transform(range({VIDEO_RENDER_FRAMES}), w -> {gray}) AS s
-  FROM pcm0
+  FROM {p}pcm0
 ),
-h AS (
+{p}h AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(63), i -> {bit})) AS BIGINT)
            + {sign} AS vfp
-  FROM samp
+  FROM {p}samp
 )"""
 
 
@@ -2028,6 +2033,133 @@ def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\nWITH "
         + _img_block_skew_sql("spark", "_video_fp_skew", cap=_VIDEO_BUCKET_CAP)
         + "\n"
+    )
+
+
+def _modal_consensus_sql(
+    engine: str, img_src: str, aud_src: str, vid_src: str
+) -> str:
+    """Four-modality dedup CONSENSUS, one row per document: the text
+    keep-list verdict (MinHash-LSH + Jaccard, cap-aware), the image
+    dHash claim, the audio fingerprint claim, and the video fingerprint
+    claim side by side — audio/video NULL where the document is below
+    that modality's duration gate ("not measurable" and "not a dup"
+    are different facts). ``n_flag`` counts the modalities that flag
+    the doc (NULLs count zero), and ``consensus`` is the curation
+    policy row a multimodal rollout actually wants: 'drop' on ≥ 2
+    agreeing modalities, 'review' on exactly 1 (a single perceptual
+    channel alone is the false-positive surface), 'keep' otherwise.
+    Identical SQL in both engines over (doc_id, h) hash relations; the
+    blocked candidate joins are pigeonhole-lossless, so the oracle
+    needs no exhaustive variant."""
+    from flink_wsr_project_spark.operators.multimodal import (
+        AUDIO_FP_MIN_CHARS,
+        VIDEO_FP_MIN_CHARS,
+    )
+
+    text_kl = _dedup_keep_list_sql(engine)
+    ham = hamming_expr("h_a", "h_b", engine)
+
+    def claimed(src: str) -> str:
+        blocks = "\n      UNION\n".join(
+            f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            f" a.h AS h_a, b.h AS h_b"
+            f" FROM {src} a JOIN {src} b"
+            f" ON {_img_block_expr('a.h', b_, engine)} = {_img_block_expr('b.h', b_, engine)}"
+            f" AND a.doc_id < b.doc_id"
+            for b_ in range(4)
+        )
+        return f"""SELECT DISTINCT doc_b AS doc_id FROM (
+    SELECT doc_a, doc_b, {ham} AS hamming FROM (
+{blocks}
+    )
+  ) WHERE hamming <= 3"""
+
+    # flags are INTs (1/0/NULL), not booleans: a nullable boolean
+    # canonicalizes differently across the engines' pandas bridges
+    # (Spark None vs DuckDB NaN — same value, different string, so the
+    # harness's row sort misaligns); nullable INTs land as float64/NaN
+    # on BOTH sides, the repo's standard nullable-column discipline
+    nf = "tdrop + idrop + coalesce(adrop, 0) + coalesce(vdrop, 0)"
+    return f"""tkl AS (
+  SELECT doc_id, CAST(action = 'drop' AS INT) AS tdrop FROM ({text_kl})
+),
+iclaim AS (
+  {claimed(img_src)}
+),
+aclaim AS (
+  {claimed(aud_src)}
+),
+vclaim AS (
+  {claimed(vid_src)}
+),
+flags AS (
+  SELECT d.doc_id,
+         t.tdrop,
+         CAST(ic.doc_id IS NOT NULL AS INT) AS idrop,
+         CASE WHEN d.n_chars >= {AUDIO_FP_MIN_CHARS}
+              THEN CAST(ac.doc_id IS NOT NULL AS INT) END AS adrop,
+         CASE WHEN d.n_chars >= {VIDEO_FP_MIN_CHARS}
+              THEN CAST(vc.doc_id IS NOT NULL AS INT) END AS vdrop
+  FROM documents d
+  JOIN tkl t ON t.doc_id = d.doc_id
+  LEFT JOIN iclaim ic ON ic.doc_id = d.doc_id
+  LEFT JOIN aclaim ac ON ac.doc_id = d.doc_id
+  LEFT JOIN vclaim vc ON vc.doc_id = d.doc_id
+)
+SELECT doc_id, tdrop, idrop, adrop, vdrop,
+       CAST({nf} AS INT) AS n_flag,
+       CASE WHEN {nf} >= 2 THEN 'drop'
+            WHEN {nf} = 1 THEN 'review'
+            ELSE 'keep' END AS consensus
+FROM flags"""
+
+
+def _modal_consensus_oracle() -> str:
+    return (
+        "\nWITH "
+        + _image_dhash_oracle_ctes(p="ci_")
+        + ",\n"
+        + _audio_fp_oracle_ctes(p="ca_")
+        + ",\n"
+        + _video_fp_oracle_ctes(p="cv_")
+        + ",\n"
+        + "cih AS (SELECT doc_id, dhash AS h FROM ci_h),\n"
+        + "cah AS (SELECT doc_id, afp AS h FROM ca_h),\n"
+        + "cvh AS (SELECT doc_id, vfp AS h FROM cv_h),\n"
+        + _modal_consensus_sql("duckdb", "cih", "cah", "cvh")
+        + "\n"
+    )
+
+
+@register(
+    "modal_dedup_consensus",
+    oracle=_modal_consensus_oracle(),
+    doc=_modal_consensus_sql.__doc__,
+    tags=("pipeline", "multimodal", "dedup", "similarity"),
+)
+def modal_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        extract_image_dhash,
+        extract_video_fingerprint,
+        synthesize_audio_renders,
+        synthesize_image_renders,
+        synthesize_video_renders,
+    )
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    extract_image_dhash(synthesize_image_renders(spark, sf_dir)).select(
+        F.col("asset_id").alias("doc_id"), F.col("dhash").alias("h")
+    ).createOrReplaceTempView("_mc_img")
+    extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)).select(
+        F.col("asset_id").alias("doc_id"), F.col("afp").alias("h")
+    ).createOrReplaceTempView("_mc_aud")
+    extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)).select(
+        F.col("asset_id").alias("doc_id"), F.col("vfp").alias("h")
+    ).createOrReplaceTempView("_mc_vid")
+    return spark.sql(
+        "\nWITH " + _modal_consensus_sql("spark", "_mc_img", "_mc_aud", "_mc_vid") + "\n"
     )
 
 
