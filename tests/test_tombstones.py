@@ -358,6 +358,92 @@ def test_image_loop_takedown_mid_stream(spark, tmp_path):
     assert spark.table("ltomb_blocks").count() == before
 
 
+def test_text_loop_takedown_mid_stream(spark):
+    """The text twin of the image loop takedown: a delete lands
+    between micro-batches of dedup_absorb_foreach_batch — the next
+    clone of the deleted keeper is kept (and absorbed as the new
+    keeper), and the loop's in-loop compaction (signature compactor)
+    physically reclaims the deleted docs' rows mid-stream."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        delete_from_signature_store,
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.streaming.dedup import dedup_absorb_foreach_batch
+
+    _drop_tables(spark, "stomb_longsigs", "stomb_hashed", "stomb_tombstones")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    write_signature_store(spark, docs([(2, A)]), "stomb", num_buckets=2)
+
+    seen = []
+    body = dedup_absorb_foreach_batch(
+        "stomb",
+        lambda d, i: seen.append({r.doc_id: (r.decision, r.dup_of) for r in d.collect()}),
+        num_buckets=2,
+        max_files_per_bucket=1,
+    )
+    body(docs([(6, A)]), 1)
+    assert seen[-1] == {6: ("dup_of_corpus", 2)}
+
+    delete_from_signature_store(spark, "stomb", docs([(2, A)]))
+
+    # the clone is now unclaimed → kept + absorbed; the absorb append
+    # trips the dial, so the in-loop compact_signature_store runs and
+    # physically drops the deleted doc's rows
+    body(docs([(10, A)]), 2)
+    assert seen[-1] == {10: ("keep", None)}
+    assert {
+        r.doc_id for r in spark.table("stomb_hashed").select("doc_id").collect()
+    } == {10}
+    assert spark.table("stomb_tombstones").count() == 1
+
+    body(docs([(14, A)]), 3)
+    assert seen[-1] == {14: ("dup_of_corpus", 10)}
+
+    # at-least-once redelivery of batch 2 against the compacted store
+    before = spark.table("stomb_hashed").count()
+    body(docs([(10, A)]), 2)
+    assert spark.table("stomb_hashed").count() == before
+
+
+def test_ann_probe_loop_sees_takedown_between_batches(spark):
+    """The similarity loop's takedown visibility: each micro-batch of
+    ann_probe_foreach_batch runs as a batch plan against the index AS
+    OF ITS OWN execution, so a delete landing between batches drops
+    out of the NEXT batch's results with no restart — unlike a
+    stream-static join, which snapshots at query start."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        delete_from_ann_index,
+        write_ann_index,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+    from flink_wsr_project_spark.streaming.similarity import ann_probe_foreach_batch
+
+    _drop_tables(spark, "ptomb_centroids", "ptomb_lists", "ptomb_tombstones")
+    emb = load_table(spark, "embeddings", SF_DIR)
+    write_ann_index(
+        spark, emb, "ptomb", num_buckets=4, partition_lists=True, reassign=False
+    )
+
+    results = []
+    body = ann_probe_foreach_batch(
+        "ptomb", lambda df, i: results.append(df.collect()), k=5
+    )
+    q = emb.where("vec_id = 0").selectExpr("999999 AS vec_id", "embedding")
+    body(q, 1)
+    target = sorted(results[-1], key=lambda r: r.rank)[0].neighbor_id
+
+    delete_from_ann_index(
+        spark, "ptomb", spark.createDataFrame([(int(target),)], "vec_id long")
+    )
+    body(q, 2)
+    after = sorted(results[-1], key=lambda r: r.rank)
+    assert all(r.neighbor_id != target for r in after)
+    assert len(after) == 5  # the list still yields a full top-k
+
+
 def test_clear_tombstones_readmits(spark):
     """Re-admission is the explicit verb: after clear_tombstones the
     id can be absorbed again as a new corpus member."""
