@@ -110,6 +110,77 @@ JOIN shingled s ON d.doc_id = s.doc_id
     )
 
 
+def delete_from_ingest_state(
+    spark: SparkSession, state_path: str, doc_ids: DataFrame
+) -> int:
+    """Takedown for the DIRECTORY-state ingest pipeline — the fourth
+    persisted-state surface, same contract as the catalog stores
+    (operators/tombstones.py): one O(|ids|) parquet append under
+    ``<state_path>/_tombstones/`` (the underscore prefix makes the dir
+    INVISIBLE to the state read's partition discovery — Spark skips
+    underscore-prefixed paths — so no read-path change can ever leak
+    tombstone rows as state rows). Deleted docs stop claiming incoming
+    duplicates on the next ``ingest_batch``; a replayed batch_id stays
+    the committed no-op it always was; ``compact_ingest_state``
+    physically reclaims their state rows. Returns the number of ids
+    recorded."""
+    import os
+    import uuid
+
+    d = os.path.join(state_path, "_tombstones")
+    os.makedirs(d, exist_ok=True)
+    rows = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    n = rows.count()
+    if n:
+        rows.coalesce(1).write.mode("append").parquet(
+            os.path.join(d, f"del_{uuid.uuid4().hex[:8]}")
+        )
+    return n
+
+
+def _ingest_tombstones(spark: SparkSession, state_path: str) -> DataFrame | None:
+    import os
+
+    d = os.path.join(state_path, "_tombstones")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return None
+    return spark.read.parquet(f"{d}/*").select("doc_id").distinct()
+
+
+def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
+    """Physically reclaim tombstoned docs' state rows: rewrite each
+    ``batch=`` directory minus the deleted ids through the rename-aside
+    swap (``sources.writers.atomic_swap_dir`` — every crash point
+    leaves a recoverable copy), then rewrite the tombstone dir
+    deduplicated but KEEP it (deleted ids must keep masking; the
+    shared-store rule). Returns surviving state-row count."""
+    import os
+
+    from flink_wsr_project_spark.sources.writers import atomic_swap_dir
+
+    tombs = _ingest_tombstones(spark, state_path)
+    total = 0
+    for entry in sorted(os.listdir(state_path)):
+        if not entry.startswith("batch="):
+            continue
+        bdir = os.path.join(state_path, entry)
+        live = spark.read.parquet(bdir)
+        if tombs is not None:
+            live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
+        pinned = live.localCheckpoint()
+        total += pinned.count()
+        tmp = f"{bdir}__rewrite"
+        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+        atomic_swap_dir(bdir, tmp)
+    if tombs is not None:
+        d = os.path.join(state_path, "_tombstones")
+        pinned = tombs.localCheckpoint()
+        tmp = f"{d}__rewrite"
+        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+        atomic_swap_dir(d, tmp)
+    return total
+
+
 def ingest_batch(
     spark: SparkSession,
     state_path: str,
@@ -141,6 +212,12 @@ def ingest_batch(
     per admitted document; the candidate space is Σ|bucket|², never
     |state| × |batch|.
 
+    Deletion: ids recorded by :func:`delete_from_ingest_state` are
+    masked from BOTH sides — deleted state docs stop claiming incoming
+    duplicates, and a deleted id arriving in ``new_docs`` is refused
+    admission (returned under ``dropped_deleted``);
+    :func:`compact_ingest_state` reclaims the physical rows.
+
     Relation to ``streaming.dedup.dedup_absorb_foreach_batch``: this
     function owns its OWN directory state and gives exactly-once
     admission per batch_id (re-running a committed id is a no-op) —
@@ -167,12 +244,22 @@ def ingest_batch(
             "replayed": True,
         }
 
-    new_state = _doc_state_frame(spark, new_docs).cache()
+    # tombstone mask (delete_from_ingest_state): deleted STATE docs no
+    # longer claim incoming duplicates, and deleted ids in the NEW
+    # batch are refused admission (reported under ``dropped_deleted``)
+    # — the catalog stores' exact deletion contract, on directory state
+    tombs = _ingest_tombstones(spark, state_path)
+    masked_new = new_docs
+    if tombs is not None:
+        masked_new = new_docs.join(F.broadcast(tombs), "doc_id", "left_anti")
+    new_state = _doc_state_frame(spark, masked_new).cache()
     state = (
         new_docs.sparkSession.read.parquet(state_path).select(*_STATE_COLS)
         if have_state
         else None
     )
+    if state is not None and tombs is not None:
+        state = state.join(F.broadcast(tombs), "doc_id", "left_anti")
 
     # 1. exact dedup
     w = W.partitionBy("text_hash").orderBy("doc_id")
@@ -234,5 +321,10 @@ def ingest_batch(
         "admitted": survivors.select("doc_id"),
         "dropped_exact": dropped_exact,
         "dropped_neardup": dropped_neardup,
+        "dropped_deleted": (
+            new_docs.select("doc_id").join(F.broadcast(tombs), "doc_id")
+            if tombs is not None
+            else None
+        ),
         "replayed": False,
     }

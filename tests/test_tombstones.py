@@ -444,6 +444,53 @@ def test_ann_probe_loop_sees_takedown_between_batches(spark):
     assert len(after) == 5  # the list still yields a full top-k
 
 
+def test_ingest_state_delete_lifecycle(spark, tmp_path):
+    """The directory-state ingest pipeline (pipeline.ingest_batch)
+    gets the same deletion contract as the catalog stores: a deleted
+    state doc stops claiming incoming duplicates, a deleted id in a
+    NEW batch is refused admission (dropped_deleted), compaction
+    physically reclaims the rows while the tombstones survive, and
+    committed batch_ids stay replay-no-ops."""
+    from flink_wsr_project_spark.pipeline import (
+        compact_ingest_state,
+        delete_from_ingest_state,
+        ingest_batch,
+    )
+
+    state = str(tmp_path / "ingest_state")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    r1 = ingest_batch(spark, state, docs([(2, A), (3, B)]), "b1")
+    assert {r.doc_id for r in r1["admitted"].collect()} == {2, 3}
+
+    # clone of 2 is blocked by state
+    r2 = ingest_batch(spark, state, docs([(11, A)]), "b2")
+    assert r2["admitted"].count() == 0
+
+    # takedown of 2: the next clone is admitted (claim released)
+    assert delete_from_ingest_state(spark, state, docs([(2, A)]).select("doc_id")) == 1
+    r3 = ingest_batch(spark, state, docs([(21, A)]), "b3")
+    assert {r.doc_id for r in r3["admitted"].collect()} == {21}
+
+    # the deleted id itself is refused re-admission
+    r4 = ingest_batch(spark, state, docs([(2, A + " tail")]), "b4")
+    assert r4["admitted"].count() == 0
+    assert {r.doc_id for r in r4["dropped_deleted"].collect()} == {2}
+
+    # compaction reclaims 2's state rows; 21 (the new keeper) survives
+    # and keeps blocking clones; tombstones persist
+    compact_ingest_state(spark, state)
+    remaining = spark.read.parquet(state).select("doc_id").collect()
+    assert {r.doc_id for r in remaining} == {3, 21}
+    r5 = ingest_batch(spark, state, docs([(31, A)]), "b5")
+    assert r5["admitted"].count() == 0
+
+    # committed batch ids stay replay-no-ops after all of the above
+    assert ingest_batch(spark, state, docs([(21, A)]), "b3")["replayed"] is True
+
+
 def test_clear_tombstones_readmits(spark):
     """Re-admission is the explicit verb: after clear_tombstones the
     id can be absorbed again as a new corpus member."""
