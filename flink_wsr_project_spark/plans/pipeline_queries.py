@@ -2049,31 +2049,29 @@ def _modal_consensus_sql(
     policy row a multimodal rollout actually wants: 'drop' on ≥ 2
     agreeing modalities, 'review' on exactly 1 (a single perceptual
     channel alone is the false-positive surface), 'keep' otherwise.
-    Identical SQL in both engines over (doc_id, h) hash relations; the
-    blocked candidate joins are pigeonhole-lossless, so the oracle
-    needs no exhaustive variant."""
+    Every perceptual claim set comes from the CAPPED candidate shape
+    (``_img_capped_body`` with that modality's cap dial, embedded as a
+    nested-WITH subquery so the CTE names scope per modality) — the
+    consensus query must not reintroduce the uncapped degenerate-bucket
+    self-join its member queries eliminated. Identical SQL in both
+    engines over (doc_id, h) hash relations, cap semantics inside the
+    oracle."""
     from flink_wsr_project_spark.operators.multimodal import (
         AUDIO_FP_MIN_CHARS,
         VIDEO_FP_MIN_CHARS,
     )
 
     text_kl = _dedup_keep_list_sql(engine)
-    ham = hamming_expr("h_a", "h_b", engine)
 
-    def claimed(src: str) -> str:
-        blocks = "\n      UNION\n".join(
-            f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
-            f" a.h AS h_a, b.h AS h_b"
-            f" FROM {src} a JOIN {src} b"
-            f" ON {_img_block_expr('a.h', b_, engine)} = {_img_block_expr('b.h', b_, engine)}"
-            f" AND a.doc_id < b.doc_id"
-            for b_ in range(4)
-        )
+    def claimed(src: str, cap: int) -> str:
+        # the capped body selects (doc_a, doc_b, hamming) FROM a
+        # (doc_id, dhash) relation; a leading CTE of the NESTED with
+        # (scoped — no cross-modality collisions) normalizes the hash
+        # column name
         return f"""SELECT DISTINCT doc_b AS doc_id FROM (
-    SELECT doc_a, doc_b, {ham} AS hamming FROM (
-{blocks}
-    )
-  ) WHERE hamming <= 3"""
+    WITH hsrc AS (SELECT doc_id, h AS dhash FROM {src}),
+    {_img_capped_body(engine, "hsrc", cap=cap)}
+  )"""
 
     # flags are INTs (1/0/NULL), not booleans: a nullable boolean
     # canonicalizes differently across the engines' pandas bridges
@@ -2085,13 +2083,13 @@ def _modal_consensus_sql(
   SELECT doc_id, CAST(action = 'drop' AS INT) AS tdrop FROM ({text_kl})
 ),
 iclaim AS (
-  {claimed(img_src)}
+  {claimed(img_src, _IMG_BUCKET_CAP)}
 ),
 aclaim AS (
-  {claimed(aud_src)}
+  {claimed(aud_src, _AUDIO_BUCKET_CAP)}
 ),
 vclaim AS (
-  {claimed(vid_src)}
+  {claimed(vid_src, _VIDEO_BUCKET_CAP)}
 ),
 flags AS (
   SELECT d.doc_id,

@@ -236,10 +236,11 @@ def test_dimension_join_broadcasts(spark, name):
         ("image_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
         # text keep-list member (5) + image pair-dedup + 1-row agg
         ("modal_dedup_agreement", 7),
-        # text keep-list member (5) + one pair-dedup per perceptual
-        # modality (image/audio/video); claim sets broadcast into the
-        # final per-doc join
-        ("modal_dedup_consensus", 8),
+        # text keep-list member (5) + the CAPPED candidate shape per
+        # perceptual modality (3 each: (blk,bv) window shuffle +
+        # pair-dedup UNION + star-arm dedup — never the uncapped block
+        # self-join); claim sets broadcast into the final per-doc join
+        ("modal_dedup_consensus", 14),
         ("audio_fp_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
         ("video_fp_neardup", 1),  # same shape over the Y4M fingerprint
         # the image capped shape instantiated per modality (r13): one
