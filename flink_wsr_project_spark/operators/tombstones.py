@@ -125,6 +125,31 @@ def recover_tombstones(spark: SparkSession, table_prefix: str) -> bool:
     return finish_table_swap(spark, t)
 
 
+def tombstone_count(spark: SparkSession, table_prefix: str) -> int:
+    """Distinct deleted ids a store currently masks (0 when none)."""
+    if not has_tombstones(spark, table_prefix):
+        return 0
+    return spark.table(tombstones_table(table_prefix)).distinct().count()
+
+
+def should_compact_tombstones(
+    spark: SparkSession, table_prefix: str, max_tombstones: int = 100_000
+) -> bool:
+    """The deletion-volume compaction dial: the probe-side anti-join
+    FORCES a broadcast of the deleted-id set (anything else would
+    re-shuffle the store — the exact exchange the store contract
+    forbids), which is only sound while that set stays bounded.
+    Compaction is what keeps it bounded — it folds the deletions into
+    the data files and rewrites the tombstone list deduplicated — so a
+    pipeline taking heavy deletion traffic should schedule compaction
+    by THIS dial (ids masked), not only by the file-count dial.
+    100k longs ≈ 800 KB broadcast — far below any broadcast limit; the
+    default fires long before the mask is a memory concern."""
+    if max_tombstones < 1:
+        raise ValueError(f"max_tombstones must be >= 1, got {max_tombstones}")
+    return tombstone_count(spark, table_prefix) > max_tombstones
+
+
 def clear_tombstones(
     spark: SparkSession, table_prefix: str, ids: DataFrame | None = None, id_col: str = "id"
 ) -> None:

@@ -491,6 +491,41 @@ def test_ingest_state_delete_lifecycle(spark, tmp_path):
     assert ingest_batch(spark, state, docs([(21, A)]), "b3")["replayed"] is True
 
 
+def test_tombstone_volume_dial(spark):
+    """should_compact_tombstones: the deletion-volume compaction dial —
+    fires once the masked-id count crosses the threshold, resets after
+    the compaction folds the deletions in (the rewrite keeps the
+    deduped ids, so the count itself is unchanged by dedup alone; the
+    dial is against unbounded GROWTH, rechecked here across a
+    re-delete)."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        delete_from_signature_store,
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.operators.tombstones import (
+        should_compact_tombstones,
+        tombstone_count,
+    )
+
+    _drop_tables(spark, "tdial_longsigs", "tdial_hashed", "tdial_tombstones")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    write_signature_store(spark, docs([(3, B)]), "tdial", num_buckets=2)
+    assert tombstone_count(spark, "tdial") == 0
+    assert should_compact_tombstones(spark, "tdial", max_tombstones=2) is False
+
+    ids = spark.range(100, 104).selectExpr("id AS doc_id", "'x' AS text")
+    delete_from_signature_store(spark, "tdial", ids)
+    assert tombstone_count(spark, "tdial") == 4
+    assert should_compact_tombstones(spark, "tdial", max_tombstones=2) is True
+    assert should_compact_tombstones(spark, "tdial", max_tombstones=10) is False
+    # re-deleting the same ids does not inflate the dial (distinct)
+    delete_from_signature_store(spark, "tdial", ids)
+    assert tombstone_count(spark, "tdial") == 4
+
+
 def test_clear_tombstones_readmits(spark):
     """Re-admission is the explicit verb: after clear_tombstones the
     id can be absorbed again as a new corpus member."""
