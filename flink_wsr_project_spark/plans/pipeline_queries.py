@@ -3529,13 +3529,13 @@ _KM_K = 8
 _KM_ASSIGNS = 5  # assignment passes; centroids update between passes
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB oracle: the SAME Lloyd iterations fully unrolled as
-    chained CTEs with identical integer arithmetic — embeddings
-    quantized to milli-units (floor(x*1000+0.5), float64), distances
-    are exact int64 sums of squares, centroid updates floor the mean
-    back to milli-units, ties in assignment break to the smallest
-    centroid id. Bit-exact across engines, like the pagerank oracle."""
+def _kmeans_assign_ctes() -> tuple[str, str]:
+    """The kmeans oracle's CTE chain, reusable by downstream oracles
+    (SemDeDup blocks on the learned clusters): returns the
+    comma-joined CTE list and the name of the final assignment
+    relation (columns ``vec_id, cid``). ``_kmeans_oracle`` composes
+    the exact original string from these, so the registered
+    ``embedding_kmeans`` oracle is byte-identical to pre-refactor."""
     k, n_assign = _KM_K, _KM_ASSIGNS
     parts = [
         """q AS (
@@ -3575,9 +3575,18 @@ def _kmeans_oracle() -> str:
   GROUP BY a.cid, q.dim
 )"""
             )
-    return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid AS cluster_id FROM a{n_assign}"
-    )
+    return ",\n".join(parts), f"a{n_assign}"
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB oracle: the SAME Lloyd iterations fully unrolled as
+    chained CTEs with identical integer arithmetic — embeddings
+    quantized to milli-units (floor(x*1000+0.5), float64), distances
+    are exact int64 sums of squares, centroid updates floor the mean
+    back to milli-units, ties in assignment break to the smallest
+    centroid id. Bit-exact across engines, like the pagerank oracle."""
+    ctes, final = _kmeans_assign_ctes()
+    return "WITH " + ctes + f"\nSELECT vec_id, cid AS cluster_id FROM {final}"
 
 
 @register("embedding_kmeans", oracle=_kmeans_oracle(), tags=("pipeline", "embedding", "iterative"))
@@ -3658,6 +3667,151 @@ embedding_kmeans.__doc__ = embedding_kmeans.__doc__.format(
     k=_KM_K, n=_KM_ASSIGNS
 )
 _set_doc("embedding_kmeans", embedding_kmeans.__doc__)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup blocked by learned k-means clusters
+# ---------------------------------------------------------------------------
+
+# Cosine bar for "semantic duplicate" — same τ as the label-blocked
+# embedding_cosine_neardup, so the two paths are directly comparable.
+_SEMDEDUP_TAU = "0.35"
+
+# Per-cluster pair-enumeration cap. Clusters are the blocking key here,
+# and unlike hash buckets they are GUARANTEED to exist at every size up
+# to n/k — a skewed corpus (one dense semantic mode) concentrates in
+# one cluster and its all-pairs join is that cluster's n², the exact
+# degenerate-bucket disease the image/audio/video caps kill. Over-cap
+# clusters fall back to exemplar evidence: each member is compared to
+# the cluster's min-vec_id exemplar only (O(n) per cluster — the
+# published SemDeDup efficiency argument applied as a valve, with the
+# cosine verify kept). Default 60 makes BOTH branches execute against
+# the 500-vector gate corpora (sf0.001 sizes 52–70, sf0.01 52–74 —
+# dead-branch audit discipline); production would run O(1000).
+_SEMDEDUP_CLUSTER_CAP = _parse_bucket_cap(
+    os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP", "60")
+)
+
+
+def _semdedup_tail(engine: str, assign_rel: str) -> str:
+    """Engine-shared CTE tail: cluster-blocked cosine evidence → keep
+    list. ``assign_rel`` is a relation with (vec_id, cluster_id) —
+    the Spark side binds the driver-iterated ``embedding_kmeans``
+    output as a temp view; the oracle chains the unrolled Lloyd CTEs.
+
+    Within-cap clusters enumerate pairs (a.vec_id < b.vec_id, cosine
+    ≥ τ ⇒ b dropped); over-cap clusters compare members to the
+    exemplar (min vec_id) only. The cap is STRUCTURAL, not a
+    post-filter: the pair join's left side keeps only within-cap
+    members plus over-cap exemplars (``lhs``), so an over-cap cluster
+    enumerates n_c candidates, never n_c² — the valve prunes BEFORE
+    the join. Cosine is the bit-exact left-fold of
+    operators.similarity, so both engines agree to the last ulp."""
+    cos = cosine_expr("a.embedding", "b.embedding", engine)
+    cap, tau = _SEMDEDUP_CLUSTER_CAP, _SEMDEDUP_TAU
+    return f"""sizes AS (
+  SELECT cluster_id, count(*) AS n, min(vec_id) AS exemplar
+  FROM {assign_rel} GROUP BY cluster_id
+),
+j AS (
+  SELECT e.vec_id, s.cluster_id, e.embedding, z.n, z.exemplar
+  FROM embeddings e
+  JOIN {assign_rel} s ON e.vec_id = s.vec_id
+  JOIN sizes z ON z.cluster_id = s.cluster_id
+),
+lhs AS (SELECT * FROM j WHERE n <= {cap} OR vec_id = exemplar),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM lhs a
+  JOIN j b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {tau}
+)
+SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM {assign_rel} s LEFT JOIN drops d ON d.vec_id = s.vec_id"""
+
+
+def _semdedup_oracle() -> str:
+    ctes, final = _kmeans_assign_ctes()
+    return (
+        "WITH " + ctes + ",\n"
+        f"assign AS (SELECT vec_id, cid AS cluster_id FROM {final}),\n"
+        + _semdedup_tail("duckdb", "assign")
+    )
+
+
+@register(
+    "semdedup_keep_list",
+    oracle=_semdedup_oracle(),
+    tags=("pipeline", "dedup", "embedding", "similarity"),
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    where the blocking key is a LEARNED k-means cluster instead of a
+    given label — the scale path when no label exists. A vector is
+    dropped iff a lower-vec_id vector in the SAME cluster has cosine
+    ≥ {tau}; clusters over {cap} members use exemplar evidence only
+    (see ``_semdedup_tail``).
+
+    100 TB shape: assignment is the ``embedding_kmeans`` loop
+    (scan-only passes, centroids as literals, k·d driver scalars);
+    the evidence join is cluster-blocked — Σ n_c² within-cap, O(n_c)
+    over-cap — never O(n²). k scales ∝ corpus so expected cluster
+    size is a dial, and the cap is the valve for the skewed tail.
+    The oracle unrolls the identical Lloyd iterations as CTEs
+    (exact ints) and the identical cosine fold (bit-exact doubles).
+    """
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    return spark.sql("WITH " + _semdedup_tail("spark", "semdedup_assign"))
+
+
+semdedup_keep_list.__doc__ = semdedup_keep_list.__doc__.format(
+    tau=_SEMDEDUP_TAU, cap=_SEMDEDUP_CLUSTER_CAP
+)
+_set_doc("semdedup_keep_list", semdedup_keep_list.__doc__)
+
+
+def _semdedup_skew_sql(engine: str, assign_rel: str) -> str:
+    """Per-cluster skew report for the SemDeDup valve — the no-silent-
+    cap discipline (every capped query ships its skew observatory):
+    cluster size, which evidence branch it routes through, candidates
+    actually enumerated, and the pairs the exemplar fallback saved.
+    Exact integer arithmetic; n(n-1)/2 via integer division in BOTH
+    engines (ADVICE r12: a float divide here would drift from the
+    store-side report on very large clusters)."""
+    cap = _SEMDEDUP_CLUSTER_CAP
+    half = "(n * (n - 1)) // 2" if engine == "duckdb" else "(n * (n - 1)) div 2"
+    return f"""sizes AS (
+  SELECT cluster_id, count(*) AS n FROM {assign_rel} GROUP BY cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n AS BIGINT) AS n_vectors,
+       CASE WHEN n <= {cap} THEN 'pairs' ELSE 'exemplar' END AS mode,
+       CAST(CASE WHEN n <= {cap} THEN {half} ELSE n - 1 END AS BIGINT) AS candidates,
+       CAST(CASE WHEN n <= {cap} THEN 0 ELSE {half} - (n - 1) END AS BIGINT) AS pairs_saved
+FROM sizes"""
+
+
+def _semdedup_skew_oracle() -> str:
+    ctes, final = _kmeans_assign_ctes()
+    return (
+        "WITH " + ctes + ",\n"
+        f"assign AS (SELECT vec_id, cid AS cluster_id FROM {final}),\n"
+        + _semdedup_skew_sql("duckdb", "assign")
+    )
+
+
+@register(
+    "semdedup_cluster_skew",
+    oracle=_semdedup_skew_oracle(),
+    doc=_semdedup_skew_sql.__doc__,
+    tags=("pipeline", "dedup", "embedding"),
+)
+def semdedup_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    return spark.sql("WITH " + _semdedup_skew_sql("spark", "semdedup_assign"))
 
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,35 @@ def test_ann_recall_monotone_in_nprobe(spark):
     assert set(r1) == set(r2) and len(r1) > 0
     for q in r1:
         assert 0 <= r1[q] <= r2[q] <= 5
+
+
+def test_semdedup_exemplar_always_kept_and_skew_arithmetic(spark):
+    """Oracle-independent SemDeDup invariants: (1) every cluster's
+    exemplar (min vec_id) is 'keep' — nothing can claim it since all
+    evidence edges point from a lower vec_id; (2) both cap branches
+    are ALIVE at the gate corpus (dead-branch audit); (3) the skew
+    report's integer arithmetic: pairs mode enumerates n(n-1)/2 and
+    saves nothing, exemplar mode enumerates n-1 and saves the rest."""
+    keep = _Q["semdedup_keep_list"](spark, SF_DIR).cache()
+    try:
+        exemplars = keep.groupBy("cluster_id").agg(F.min("vec_id").alias("vec_id"))
+        claimed = keep.join(exemplars, ["cluster_id", "vec_id"]).where(
+            F.col("action") == "drop"
+        )
+        assert claimed.count() == 0, "a cluster exemplar was dropped"
+        actions = {r.action for r in keep.select("action").distinct().collect()}
+        assert actions == {"keep", "drop"}
+    finally:
+        keep.unpersist()
+
+    skew = _Q["semdedup_cluster_skew"](spark, SF_DIR)
+    rows = skew.collect()
+    modes = {r.mode for r in rows}
+    assert modes == {"pairs", "exemplar"}, f"dead cap branch at gate: {modes}"
+    for r in rows:
+        n = r.n_vectors
+        if r.mode == "pairs":
+            assert r.candidates == n * (n - 1) // 2 and r.pairs_saved == 0
+        else:
+            assert r.candidates == n - 1
+            assert r.pairs_saved == n * (n - 1) // 2 - (n - 1)

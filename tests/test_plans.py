@@ -250,6 +250,10 @@ def test_dimension_join_broadcasts(spark, name):
         ("video_fp_neardup_capped", 3),
         ("audio_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
         ("video_block_skew", 2),
+        # kmeans assignment is scan-only (0); sizes agg + vec_id join +
+        # cluster pair join + drops distinct + final vec_id join
+        ("semdedup_keep_list", 6),
+        ("semdedup_cluster_skew", 1),  # one k-group agg over the assignment
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
@@ -287,4 +291,31 @@ def test_two_stage_sliding_rollup_shape(spark, name):
     expand_lines = [i for i, l in enumerate(lines) if "Generate explode" in l]
     assert expand_lines and all(i < bucket_exchange for i in expand_lines), (
         f"{name}: window expand is on the raw-row side of the bucket exchange"
+    )
+
+
+def test_semdedup_cap_prunes_before_pair_join(spark):
+    """The SemDeDup cluster cap must be STRUCTURAL: the
+    ``n <= cap OR vec_id = exemplar`` prune has to execute below the
+    cluster-keyed pair join, so an over-cap cluster contributes one
+    left-side row (its exemplar) to the join, never n_c rows — the
+    n_c² enumeration the cap exists to kill. A post-join WHERE would
+    pass every correctness test and still be quadratic."""
+    plan = _plan(spark, "semdedup_keep_list")
+    lines = plan.splitlines()
+    # The pair join is the only join whose condition carries the cosine
+    # fold (zip_with); the tree prints top-down, children below.
+    pair_join = [
+        i for i, l in enumerate(lines) if "Join [cluster_id" in l and "zip_with" in l
+    ]
+    assert pair_join, "pair join with inline cosine condition not found"
+    prune = [
+        i
+        for i, l in enumerate(lines)
+        if "exemplar" in l and "OR (vec_id" in l
+    ]
+    assert prune, "exemplar-or-within-cap prune not in plan"
+    assert min(prune) > max(pair_join), (
+        "cap prune executes above the pair join — over-cap clusters "
+        "would enumerate n_c² candidates"
     )
