@@ -24,6 +24,7 @@ from flink_wsr_project_spark.operators.dedup import (
     longsigs_select,
     minhash_from_hashed_expr,
     shingled_cte,
+    shingles_from_toks,
     signature_sql,
     simhash_sql,
 )
@@ -3002,6 +3003,114 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Chunk→document containment via an inverted shingle index
+# ---------------------------------------------------------------------------
+
+# Posting-list document-frequency cap: shingles appearing in more than
+# this many documents are STOP-SHINGLES and leave the index (the
+# prefix-filtering idea of PPJoin/AllPairs applied as a valve). At
+# 100 TB a boilerplate 3-gram's posting list is millions of docs — the
+# inverted-index join's shuffle key skew is exactly that list, so the
+# cap bounds the worst key's fan-out. Containment becomes a
+# conservative UNDER-estimate (matches can only be missed, never
+# invented) — the safe direction for a drop decision. Default 5 keeps
+# the branch alive on the gate corpora (max DF 7 at sf0.01, 9 at
+# sf0.001).
+_CONT_DF_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_CONT_DF_CAP", "5"))
+# A chunk must retain at least this many distinct non-stop shingle
+# hashes to be judged at all (a mostly-boilerplate chunk's denominator
+# would otherwise be tiny and its containment pure noise) — the
+# min-duration-gate lesson from the audio path, made structural.
+_CONT_MIN_SHINGLES = 5
+_CONT_THRESHOLD_MILLI = 700
+
+
+def _chunk_containment_sql(engine: str) -> str:
+    """Which chunks of which documents are CONTAINED in some other
+    document — the asymmetric question (quotes, boilerplate inclusion,
+    doc-inside-doc) that symmetric Jaccard near-dup misses. Containment
+    of chunk c in doc d = |H(c) ∩ H(d)| / |H(c)| over 28-bit hashed
+    3-gram shingle sets (hash-space containment: collisions overcount
+    identically in both engines).
+
+    Plan: chunk (row-local explode) → shingle+hash (row-local) →
+    inverted-index join on the shingle hash (ONE equi-shuffle whose
+    key skew is bounded by the DF cap) → (chunk, doc) match count →
+    containment vs the chunk's non-stop denominator. Never any
+    all-pairs term: cost is Σ posting-list² per shingle hash, and the
+    DF cap bounds every list at {cap}. Integer milli-units end to end.
+    """
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    cap, min_sh, thr = _CONT_DF_CAP, _CONT_MIN_SHINGLES, _CONT_THRESHOLD_MILLI
+    h = h28("s", engine)
+    if engine == "spark":
+        doc_expl = "SELECT doc_id, explode(array_distinct(sh)) AS s FROM shingled"
+        n_chunks = (
+            f"CASE WHEN length(text) <= {size} THEN 1 "
+            f"ELSE CAST(ceil((length(text) - {size}) / {stride}.0) AS BIGINT) + 1 END"
+        )
+        chunk_rows = (
+            f"SELECT doc_id AS src_doc, explode(sequence(0, {n_chunks} - 1)) AS chunk_id, text "
+            "FROM documents"
+        )
+        ct = f"substring(text, CAST(chunk_id * {stride} + 1 AS INT), {size})"
+        ch_expl = "SELECT src_doc, chunk_id, explode(array_distinct(sh)) AS s FROM cshing"
+        idiv = "div"
+    else:
+        doc_expl = "SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shingled"
+        n_chunks = (
+            f"CASE WHEN length(text) <= {size} THEN 1 "
+            f"ELSE CAST(ceil((length(text) - {size}) / {stride}.0) AS BIGINT) + 1 END"
+        )
+        chunk_rows = (
+            f"SELECT doc_id AS src_doc, unnest(range(0, {n_chunks})) AS chunk_id, text "
+            "FROM documents"
+        )
+        ct = f"substr(text, CAST(chunk_id * {stride} + 1 AS BIGINT), {size})"
+        ch_expl = "SELECT src_doc, chunk_id, unnest(list_distinct(sh)) AS s FROM cshing"
+        idiv = "//"
+    cont = (
+        f"(m.m * 1000) div s.n_sh" if engine == "spark" else f"(m.m * 1000) // s.n_sh"
+    )
+    return f"""
+WITH {shingled_cte(engine)},
+hdoc AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, {h} AS h FROM ({doc_expl}))),
+df AS (SELECT h, count(*) AS df FROM hdoc GROUP BY h),
+post AS (SELECT hdoc.doc_id, hdoc.h FROM hdoc JOIN df ON df.h = hdoc.h AND df.df <= {cap}),
+chunks AS (SELECT src_doc, chunk_id, {ct} AS ct FROM ({chunk_rows})),
+ctok AS (SELECT src_doc, chunk_id, ct, {toks_expr("ct", engine)} AS t FROM chunks),
+cshing AS (SELECT src_doc, chunk_id, {shingles_from_toks("t", "ct", engine)} AS sh FROM ctok),
+chsh AS (SELECT DISTINCT src_doc, chunk_id, h
+         FROM (SELECT src_doc, chunk_id, {h} AS h FROM ({ch_expl}))),
+cpost AS (SELECT c.src_doc, c.chunk_id, c.h
+          FROM chsh c JOIN df ON df.h = c.h AND df.df <= {cap}),
+csize AS (SELECT src_doc, chunk_id, count(*) AS n_sh
+          FROM cpost GROUP BY src_doc, chunk_id HAVING count(*) >= {min_sh}),
+matches AS (
+  SELECT c.src_doc, c.chunk_id, p.doc_id AS match_doc, count(*) AS m
+  FROM cpost c JOIN post p ON p.h = c.h AND p.doc_id <> c.src_doc
+  GROUP BY c.src_doc, c.chunk_id, p.doc_id
+)
+SELECT m.src_doc, m.chunk_id, m.match_doc,
+       CAST({cont} AS BIGINT) AS cont_milli
+FROM matches m
+JOIN csize s ON s.src_doc = m.src_doc AND s.chunk_id = m.chunk_id
+WHERE m.m * 1000 >= {thr} * s.n_sh
+"""
+
+
+@register(
+    "chunk_containment",
+    oracle=_chunk_containment_sql("duckdb"),
+    doc=_chunk_containment_sql.__doc__,
+    tags=("pipeline", "dedup", "chunking"),
+)
+def chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_chunk_containment_sql("spark"))
 
 
 

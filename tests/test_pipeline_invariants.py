@@ -347,3 +347,42 @@ def test_semdedup_exemplar_always_kept_and_skew_arithmetic(spark):
         else:
             assert r.candidates == n - 1
             assert r.pairs_saved == n * (n - 1) // 2 - (n - 1)
+
+
+def test_chunk_containment_gates_alive_and_bounded(spark):
+    """Oracle-independent containment invariants: (1) every emitted
+    row clears the threshold and never exceeds 1000 milli (containment
+    is a fraction of the chunk's own shingle set); (2) the stop-shingle
+    valve is ALIVE at the gate corpus (some shingle hash exceeds the DF
+    cap — otherwise the 100 TB skew story is untested); (3) the
+    min-shingle denominator gate actually excludes some chunks."""
+    from flink_wsr_project_spark.operators.dedup import h28, shingled_cte
+    from flink_wsr_project_spark.plans.pipeline_queries import (
+        _CONT_DF_CAP,
+        _CONT_MIN_SHINGLES,
+        _CONT_THRESHOLD_MILLI,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    out = _Q["chunk_containment"](spark, SF_DIR)
+    bad = out.where(
+        (F.col("cont_milli") < _CONT_THRESHOLD_MILLI) | (F.col("cont_milli") > 1000)
+    )
+    assert bad.count() == 0
+    assert out.count() > 0
+
+    load_table(spark, "documents", SF_DIR).createOrReplaceTempView("documents")
+    h = h28("s", "spark")
+    df_max = spark.sql(
+        f"""WITH {shingled_cte("spark")},
+        hdoc AS (SELECT DISTINCT doc_id, {h} AS h
+                 FROM (SELECT doc_id, explode(array_distinct(sh)) AS s FROM shingled))
+        SELECT max(df) AS m, sum(CASE WHEN df > {_CONT_DF_CAP} THEN 1 ELSE 0 END) AS n_stop
+        FROM (SELECT h, count(*) AS df FROM hdoc GROUP BY h)"""
+    ).collect()[0]
+    assert df_max.m > _CONT_DF_CAP and df_max.n_stop > 0, "stop-shingle branch dead"
+
+    # chunks excluded by the min-shingle gate: tiny tail chunks exist
+    n_total_chunks = _Q["doc_chunks"](spark, SF_DIR).count()
+    n_judged = out.select("src_doc", "chunk_id").distinct().count()
+    assert n_judged < n_total_chunks

@@ -254,6 +254,11 @@ def test_dimension_join_broadcasts(spark, name):
         # cluster pair join + drops distinct + final vec_id join
         ("semdedup_keep_list", 6),
         ("semdedup_cluster_skew", 1),  # one k-group agg over the assignment
+        # Static plan duplicates the hdoc/df subtrees (CTE inlining);
+        # AQE reuses them at runtime (verified: 3 ReusedExchange in the
+        # final adaptive plan). True cost: doc+chunk shingle scans, one
+        # h-keyed inverted-index shuffle, match agg, denominator join.
+        ("chunk_containment", 11),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
