@@ -3113,6 +3113,66 @@ def chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_chunk_containment_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality filter: linear classifier over hashed tokens
+# ---------------------------------------------------------------------------
+
+_QCLS_DIMS = 256
+# Deterministic stand-in weights (LCG over the hashed dimension) for
+# the pretrained coefficient vector a real deployment broadcasts — the
+# PLUMBING is the operator under test: per-token hash → dimension →
+# weight lookup → in-row fold, the exact shape of a fasttext-style
+# quality classifier (CCNet / LLaMA-pipeline filters), with the weight
+# table entering the plan as literal arithmetic instead of a learned
+# array. Swapping in learned weights changes one expression, not the
+# plan.
+_QCLS_A, _QCLS_C, _QCLS_M = 1_103_515_245, 12_345, 65_536
+
+
+def _qcls_sql(engine: str) -> str:
+    """Linear quality-classifier score: each whitespace token hashes to
+    one of {d} dimensions (h28 % {d}); the document's raw score is the
+    exact int64 sum of per-dimension weights w(dim) = LCG(dim) − M/2
+    (symmetric around zero); score_milli is the per-token integer mean
+    (×1000, floor division in BOTH engines) so length cancels; label
+    thresholds at zero. ZERO shuffles — tokenize, hash, fold and
+    threshold are all in-row; at 100 TB this is a pure scan, the
+    cheapest possible model-based filter."""
+    d, a, c, m = _QCLS_DIMS, _QCLS_A, _QCLS_C, _QCLS_M
+    h = h28("tok", engine)
+    w = f"(({a} * ({h} % {d}) + {c}) % {m}) - {m // 2}"
+    if engine == "spark":
+        fold = f"aggregate(transform(t, tok -> {w}), cast(0 as bigint), (s, x) -> s + x)"
+        n_tok = "size(t)"
+        milli = "(score_raw * 1000) div n_tok"
+    else:
+        fold = f"list_reduce(list_transform(t, tok -> {w}), (s, x) -> s + x)"
+        n_tok = "len(t)"
+        milli = "(score_raw * 1000) // n_tok"
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks_expr("text", engine)} AS t FROM documents),
+scored AS (
+  SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tok, CAST({fold} AS BIGINT) AS score_raw
+  FROM tokd
+)
+SELECT doc_id, n_tok,
+       CAST({milli} AS BIGINT) AS score_milli,
+       CASE WHEN {milli} >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+"""
+
+
+@register(
+    "quality_classifier_score",
+    oracle=_qcls_sql("duckdb"),
+    doc=_qcls_sql.__doc__,
+    tags=("pipeline", "text", "quality"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_qcls_sql("spark"))
+
+
 
 # ---------------------------------------------------------------------------
 # Tokenizer fertility (corpus compression statistics per source)

@@ -259,6 +259,7 @@ def test_dimension_join_broadcasts(spark, name):
         # final adaptive plan). True cost: doc+chunk shingle scans, one
         # h-keyed inverted-index shuffle, match agg, denominator join.
         ("chunk_containment", 11),
+        ("quality_classifier_score", 0),  # pure in-row hash/fold/threshold scan
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
