@@ -251,9 +251,9 @@ def _live_lists(spark: SparkSession, table_prefix: str) -> DataFrame:
     path (probes, drift, retrain, compaction) must use. The anti-join
     broadcasts the bounded deleted-id set; the lists side keeps its
     bucketed/partitioned layout and stays exchange-free."""
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
-    return apply_tombstones(
+    return live_rows(
         spark, spark.table(f"{table_prefix}_lists"), table_prefix, "vec_id"
     )
 
@@ -411,11 +411,11 @@ SELECT query_id, qv, probe_label FROM (
             F.expr(quantized_expr("qv")).alias("qv"),
             "probe_label",
         )
-    # tombstone mask AFTER the partition filter — pruning still reads
-    # only the probed list directories
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    # tombstone/retention mask AFTER the partition filter — pruning
+    # still reads only the probed list directories
+    from flink_wsr_project_spark.operators.retention import live_rows
 
-    lists = apply_tombstones(
+    lists = live_rows(
         spark,
         spark.table(f"{table_prefix}_lists").where(F.col("label").isin(labels)),
         table_prefix,
@@ -533,14 +533,15 @@ def absorb_vectors_into_index(
         release_persistent_rdds,
     )
 
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     lists_table = f"{table_prefix}_lists"
     partitioned, quantized = _lists_props(spark, table_prefix)
 
-    # unconditional tombstone mask — a deleted vector never re-enters,
-    # replays included, even after compaction/retrain dropped its rows
-    vecs = apply_tombstones(
+    # unconditional tombstone/retention mask — a deleted or expired
+    # vector never re-enters, replays included, even after
+    # compaction/retrain dropped its rows
+    vecs = live_rows(
         spark, vectors.select("vec_id", "embedding"), table_prefix, "vec_id"
     )
     if exclude_existing:
@@ -676,11 +677,16 @@ def recover_index_compaction(spark: SparkSession, table_prefix: str) -> bool:
     """Complete an interrupted ``compact_ann_index`` swap (the
     DROP→RENAME crash window) and any interrupted tombstone rewrite —
     idempotent, run at index startup."""
+    from flink_wsr_project_spark.operators.retention import recover_retention
     from flink_wsr_project_spark.operators.tombstones import recover_tombstones
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
     recovered = finish_table_swap(spark, f"{table_prefix}_lists")
-    return recover_tombstones(spark, table_prefix) or recovered
+    return (
+        recover_tombstones(spark, table_prefix)
+        or recover_retention(spark, table_prefix)
+        or recovered
+    )
 
 
 def maintain_ann_index(

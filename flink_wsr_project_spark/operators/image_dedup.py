@@ -296,7 +296,7 @@ def image_dedup_from_store(
     cap, the per-bucket stats aggregate groups BY THE BUCKET KEYS
     (partial+final both ride the bucketed scan) and the over-cap
     bucket list broadcasts — the store still never shuffles."""
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
@@ -308,7 +308,7 @@ def image_dedup_from_store(
     # Tombstoned assets anti-join away HERE, before both the candidate
     # join and the bucket-cap stats — deleted keepers stop claiming and
     # deleted star representatives stop representing, in one mask.
-    store = apply_tombstones(
+    store = live_rows(
         spark,
         spark.table(f"{table_prefix}_blocks").select("asset_id", "blk", "bv", "dhash"),
         table_prefix,
@@ -423,7 +423,7 @@ def image_dedup_from_store_pruned(
     bulk batches that touch most prefixes anyway."""
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     p = _store_block_partitions(spark, table_prefix)
     if p <= 0:
@@ -441,7 +441,7 @@ def image_dedup_from_store_pruned(
     # only Δ's directories, the anti-join just drops deleted rows from
     # the pruned stream (bucket-cap stats stay exact over the LIVE
     # pruned slice)
-    store = apply_tombstones(
+    store = live_rows(
         spark,
         spark.table(f"{table_prefix}_blocks")
         .where(F.col("bp").isin(bps))
@@ -548,7 +548,7 @@ def absorb_kept_into_dhash_store(
         release_persistent_rdds,
     )
 
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     _check_extractor(spark, table_prefix, extractor)
     kept_plan = batch_assets.join(
@@ -557,7 +557,7 @@ def absorb_kept_into_dhash_store(
     # unconditional tombstone mask — a deleted asset never re-enters,
     # replays included, even after compaction dropped its rows (see
     # operators/tombstones.py)
-    kept_plan = apply_tombstones(spark, kept_plan, table_prefix, "asset_id")
+    kept_plan = live_rows(spark, kept_plan, table_prefix, "asset_id")
     if exclude_existing:
         kept_plan = kept_plan.join(
             spark.table(f"{table_prefix}_blocks").select("asset_id").distinct(),
@@ -593,12 +593,12 @@ def dhash_block_skew(
     candidate pairs that saves (Σ n·(n−1)/2 − (n−1) over over-cap
     buckets). One grouping pass on the store's own bucket keys (no
     exchange) + one 4-row rollup."""
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     if bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     sizes = (
-        apply_tombstones(
+        live_rows(
             spark, spark.table(f"{table_prefix}_blocks"), table_prefix, "asset_id"
         )
         .groupBy("blk", "bv")
@@ -638,8 +638,8 @@ def compact_dhash_store(spark: SparkSession, table_prefix: str) -> int:
     ``compact_bucketed_table`` for block stores — the generic one
     defragments but cannot know about deletions. Returns the surviving
     row count."""
+    from flink_wsr_project_spark.operators.retention import live_rows
     from flink_wsr_project_spark.operators.tombstones import (
-        apply_tombstones,
         rewrite_tombstones_deduped,
     )
     from flink_wsr_project_spark.sources.writers import compact_bucketed_table
@@ -647,7 +647,7 @@ def compact_dhash_store(spark: SparkSession, table_prefix: str) -> int:
     n = compact_bucketed_table(
         spark,
         f"{table_prefix}_blocks",
-        transform=lambda df: apply_tombstones(spark, df, table_prefix, "asset_id"),
+        transform=lambda df: live_rows(spark, df, table_prefix, "asset_id"),
     )
     rewrite_tombstones_deduped(spark, table_prefix)
     return n
@@ -658,8 +658,13 @@ def recover_dhash_store(spark: SparkSession, table_prefix: str) -> bool:
     generic compactor's DROP→RENAME crash window) and any interrupted
     tombstone rewrite — idempotent, run at loop startup like its
     text/ANN siblings. Returns True when a recovery ran."""
+    from flink_wsr_project_spark.operators.retention import recover_retention
     from flink_wsr_project_spark.operators.tombstones import recover_tombstones
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
     recovered = finish_table_swap(spark, f"{table_prefix}_blocks")
-    return recover_tombstones(spark, table_prefix) or recovered
+    return (
+        recover_tombstones(spark, table_prefix)
+        or recover_retention(spark, table_prefix)
+        or recovered
+    )

@@ -215,16 +215,17 @@ def absorb_kept_into_store(
     # append, leaving the store with band rows but no hash array for
     # it (every later verify against it fails). localCheckpoint pins
     # the pre-append answer (sized by |Δ|, executor-distributed).
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     kept_plan = batch_docs.join(
         decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )
-    # tombstones mask UNCONDITIONALLY (not just exclude_existing): a
-    # deleted doc must not re-enter via any absorb — including a
-    # replayed batch arriving AFTER compaction physically dropped the
-    # rows the exclude_existing anti-join would have matched
-    kept_plan = apply_tombstones(spark, kept_plan, table_prefix, "doc_id")
+    # tombstones AND the retention watermark mask UNCONDITIONALLY (not
+    # just exclude_existing): a deleted or expired doc must not
+    # re-enter via any absorb — including a replayed batch arriving
+    # AFTER compaction physically dropped the rows the
+    # exclude_existing anti-join would have matched
+    kept_plan = live_rows(spark, kept_plan, table_prefix, "doc_id")
     if exclude_existing:
         kept_plan = kept_plan.join(
             spark.table(f"{table_prefix}_hashed").select("doc_id"),
@@ -309,8 +310,8 @@ def compact_signature_store(
         local_checkpoint_tracked,
         release_persistent_rdds,
     )
+    from flink_wsr_project_spark.operators.retention import live_rows
     from flink_wsr_project_spark.operators.tombstones import (
-        apply_tombstones,
         rewrite_tombstones_deduped,
     )
     from flink_wsr_project_spark.sources.writers import table_bucket_spec
@@ -341,7 +342,7 @@ def compact_signature_store(
                 "or compacting"
             )
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        source = apply_tombstones(spark, spark.table(table), table_prefix, "doc_id")
+        source = live_rows(spark, spark.table(table), table_prefix, "doc_id")
         if suffix == "longsigs":
             source = source.dropDuplicates()
         pinned, ckpt_ids = local_checkpoint_tracked(source)
@@ -401,7 +402,7 @@ def dedup_incremental_from_store(
     times); the within-batch arm is a self-join of Δ's own band rows —
     all candidate work is linear in |Δ| for a fixed corpus bucket-size
     distribution."""
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
     bls = _longsigs_df(spark, batch_docs)
     batch_longsigs = bls.alias("bl")
@@ -412,7 +413,7 @@ def dedup_incremental_from_store(
     # deleted-id set — the store side stays exchange-free), so a
     # deleted doc neither matches nor claims; the hashed table needs no
     # mask — it is only ever joined BY surviving candidates' ids.
-    store_longsigs = apply_tombstones(
+    store_longsigs = live_rows(
         spark,
         spark.table(f"{table_prefix}_longsigs").select("doc_id", "b", "h"),
         table_prefix,
@@ -547,9 +548,9 @@ def dedup_incremental_from_store_pruned(
         r.hp for r in bls.select(F.pmod(F.xxhash64("h"), F.lit(p)).alias("hp")).distinct().collect()
     ]  # ≤ P values — bounded by the layout constant, not by |Δ|
 
-    from flink_wsr_project_spark.operators.tombstones import apply_tombstones
+    from flink_wsr_project_spark.operators.retention import live_rows
 
-    store_ls = apply_tombstones(
+    store_ls = live_rows(
         spark,
         spark.table(f"{table_prefix}_longsigs")
         .where(F.col("hp").isin(hps))
@@ -622,6 +623,7 @@ def recover_store_compaction(spark: SparkSession, table_prefix: str) -> list[str
     names."""
     from flink_wsr_project_spark.sources.writers import finish_table_swap
 
+    from flink_wsr_project_spark.operators.retention import recover_retention
     from flink_wsr_project_spark.operators.tombstones import recover_tombstones
 
     recovered = []
@@ -631,4 +633,6 @@ def recover_store_compaction(spark: SparkSession, table_prefix: str) -> list[str
             recovered.append(table)
     if recover_tombstones(spark, table_prefix):
         recovered.append(f"{table_prefix}_tombstones")
+    if recover_retention(spark, table_prefix):
+        recovered.append(f"{table_prefix}_retention")
     return recovered
