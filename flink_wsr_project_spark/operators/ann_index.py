@@ -502,6 +502,97 @@ SELECT query_id, qv, probe_label FROM (
     )
 
 
+def semdedup_from_index(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    table_prefix: str,
+    tau: float = 0.35,
+) -> DataFrame:
+    """Semantic-dedup decisions for a batch of (vec_id, embedding)
+    rows against the persisted IVF index — the store-backed twin of
+    the registered ``semdedup_keep_list`` (plans/pipeline_queries.py)
+    and the embedding sibling of ``dedup_incremental_from_store`` /
+    ``image_dedup_from_store``: the corpus never re-scans itself, only
+    the increment probes it. Returns one row per batch vector:
+    (vec_id, decision ∈ dup_of_corpus | dup_within_batch | keep,
+    dup_of), corpus claims outranking batch claims and ``dup_of`` the
+    smallest claiming partner on the winning side — the exact decision
+    contract of the text and image stores.
+
+    Shape: the batch assigns to its nearest centroid (broadcast
+    centroid table, min-label tie-break — identical to
+    ``ann_topk_from_index``); the corpus arm searches ONLY the
+    assigned live list for cosine ≥ τ (tombstoned/expired corpus
+    vectors release their claims via ``_live_lists``); the
+    within-batch arm is a self-join of the batch's assignments. Like
+    its nprobe=1 probe sibling, a near-dup sitting in an ADJACENT
+    list is missed — the recall dial the externally-measured
+    ``ann_ivf_recall``/nprobe trade-off quantifies; raise the bar by
+    absorbing with a finer centroid grid, not by widening this probe.
+    Self-exclusion (``e.vec_id <> a.vec_id``) keeps a replayed
+    micro-batch from claiming itself. Against a QUANTIZED index the
+    corpus cosine runs over the int8 arrays (the externally-verified
+    ``ann_quantized_recall`` scoring); the within-batch arm is float
+    either way."""
+    _, quantized = _lists_props(spark, table_prefix)
+    batch_vecs.select("vec_id", "embedding").createOrReplaceTempView(
+        "_semdedup_batch"
+    )
+    spark.table(f"{table_prefix}_centroids").createOrReplaceTempView(
+        "_ann_centroids"
+    )
+    _live_lists(spark, table_prefix).createOrReplaceTempView("_ann_lists")
+    cos_qc = cosine_expr("q.embedding", "c.cv", "spark")
+    if quantized:
+        probe_cols = (
+            f"q.vec_id, q.embedding, {quantized_expr('q.embedding')} AS qv8"
+        )
+        carry = ", qv8"
+        cos_ce = cosine_expr("a.qv8", "e.eq", "spark")
+    else:
+        probe_cols = "q.vec_id, q.embedding"
+        carry = ""
+        cos_ce = cosine_expr("a.embedding", "e.embedding", "spark")
+    cos_bb = cosine_expr("a.embedding", "b.embedding", "spark")
+    return spark.sql(
+        f"""
+WITH probes AS (
+  SELECT vec_id, embedding{carry}, probe_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, probe_label
+    ) AS rn FROM (
+      SELECT /*+ BROADCAST(c) */ {probe_cols}, c.label AS probe_label,
+             {cos_qc} AS cos_c
+      FROM _semdedup_batch q CROSS JOIN _ann_centroids c
+    )
+  ) WHERE rn = 1
+),
+edges AS (
+  SELECT a.vec_id AS vec_a, e.vec_id AS vec_b, 'corpus' AS side
+  FROM probes a JOIN _ann_lists e
+    ON e.label = a.probe_label AND e.vec_id <> a.vec_id
+  WHERE {cos_ce} >= {tau}
+  UNION ALL
+  SELECT b.vec_id AS vec_a, a.vec_id AS vec_b, 'batch' AS side
+  FROM probes a JOIN probes b
+    ON a.probe_label = b.probe_label AND a.vec_id < b.vec_id
+  WHERE {cos_bb} >= {tau}
+)
+SELECT q.vec_id,
+       CASE WHEN d.corpus_dup IS NOT NULL THEN 'dup_of_corpus'
+            WHEN d.batch_dup IS NOT NULL THEN 'dup_within_batch'
+            ELSE 'keep' END AS decision,
+       COALESCE(d.corpus_dup, d.batch_dup) AS dup_of
+FROM _semdedup_batch q LEFT JOIN (
+  SELECT vec_a AS vec_id,
+         MIN(CASE WHEN side = 'corpus' THEN vec_b END) AS corpus_dup,
+         MIN(CASE WHEN side = 'batch' THEN vec_b END) AS batch_dup
+  FROM edges GROUP BY vec_a
+) d ON d.vec_id = q.vec_id
+"""
+    )
+
+
 def absorb_vectors_into_index(
     spark: SparkSession,
     vectors: DataFrame,

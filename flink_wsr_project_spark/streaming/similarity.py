@@ -343,3 +343,76 @@ def ann_ingest_foreach_batch(
             )
 
     return body
+
+
+def semdedup_foreach_batch(
+    table_prefix: str,
+    decisions_sink,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    max_files_per_bucket: int | None = None,
+):
+    """foreachBatch body for INCREMENTAL SEMANTIC DEDUP — the embedding
+    sibling of ``dedup_absorb_foreach_batch`` / ``image_dedup_foreach_
+    batch``, completing the pattern: every dedup modality in this repo
+    (text signatures, image/audio/video fingerprints, and now
+    embeddings) has both a registered batch query and a store-backed
+    incremental loop. Each micro-batch:
+
+        decide against the persisted IVF index
+        (``operators.ann_index.semdedup_from_index`` — corpus claims
+        from the probed live list, within-batch claims from the
+        batch's own assignments) → pin the |Δ|-sized decision frame
+        and hand it to ``decisions_sink(decisions_df, batch_id)`` →
+        absorb ONLY the keepers with ``exclude_existing=True``.
+
+    Same failure contract as the text loop (at-least-once foreachBatch):
+    a replayed batch re-emits decisions and re-runs the absorb, which
+    the anti-joins make a no-op; a keeper absorbed by the crashed
+    attempt self-excludes from claiming itself, and a batch-mate's
+    claim label may shift dup_within_batch → dup_of_corpus with the
+    SAME partner — partner identity is the replay-stable part.
+    Tombstoned/expired corpus vectors release their claims between
+    batches because each micro-batch plans against the store as of its
+    own execution. ``max_files_per_bucket`` arms the in-loop
+    compaction dial exactly as in ``ann_ingest_foreach_batch``."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        absorb_vectors_into_index,
+        compact_ann_index,
+        semdedup_from_index,
+    )
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+    from flink_wsr_project_spark.sources.writers import should_compact
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        vecs = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        # pin BEFORE the sink and the absorb: the decision plan reads
+        # the store the absorb below mutates
+        decisions, ids = local_checkpoint_tracked(
+            semdedup_from_index(s, vecs, table_prefix, tau=tau)
+        )
+        try:
+            decisions_sink(decisions, batch_id)
+            keepers = vecs.join(
+                decisions.where(F.col("decision") == "keep").select("vec_id"),
+                "vec_id",
+            )
+            absorb_vectors_into_index(
+                s, keepers, table_prefix, num_buckets, exclude_existing=True
+            )
+        finally:
+            release_persistent_rdds(s, ids)
+        if max_files_per_bucket is not None and should_compact(
+            s, f"{table_prefix}_lists", max_files_per_bucket
+        ):
+            compact_ann_index(s, table_prefix)
+
+    return body
