@@ -147,6 +147,51 @@ def _ingest_tombstones(spark: SparkSession, state_path: str) -> DataFrame | None
     return spark.read.parquet(f"{d}/*").select("doc_id").distinct()
 
 
+def set_ingest_retention(
+    spark: SparkSession, state_path: str, min_live_id: int
+) -> None:
+    """Retention for the DIRECTORY-state ingest pipeline — the bulk
+    age-out twin of :func:`delete_from_ingest_state`, same watermark
+    contract as the catalog stores (operators/retention.py): docs with
+    ``doc_id < min_live_id`` are expired — they stop claiming incoming
+    duplicates on the next ``ingest_batch``, expired ids arriving in
+    ``new_docs`` are refused admission, and ``compact_ingest_state``
+    physically reclaims their state rows. One single-row parquet under
+    ``<state_path>/_retention/`` (underscore prefix: invisible to the
+    state read's partition discovery); MONOTONIC — lowering is refused
+    for the same compaction-timing reason as the catalog watermark."""
+    import os
+
+    current = _ingest_retention(spark, state_path)
+    if current is not None and min_live_id < current:
+        raise ValueError(
+            f"ingest-state retention watermark is {current}; lowering it "
+            f"to {min_live_id} is refused — expired rows may already be "
+            "compacted away. Re-admit old data under new ids."
+        )
+    from flink_wsr_project_spark.sources.writers import atomic_swap_dir
+
+    d = os.path.join(state_path, "_retention")
+    row = spark.createDataFrame([(int(min_live_id),)], "min_live_id BIGINT")
+    if current is None:
+        os.makedirs(state_path, exist_ok=True)
+        row.coalesce(1).write.mode("overwrite").parquet(d)
+        return
+    tmp = f"{d}__rewrite"
+    row.coalesce(1).write.mode("overwrite").parquet(tmp)
+    atomic_swap_dir(d, tmp)
+
+
+def _ingest_retention(spark: SparkSession, state_path: str) -> int | None:
+    import os
+
+    d = os.path.join(state_path, "_retention")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return None
+    rows = spark.read.parquet(d).collect()
+    return rows[0].min_live_id if rows else None
+
+
 def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
     """Physically reclaim tombstoned docs' state rows: rewrite each
     ``batch=`` directory minus the deleted ids through the rename-aside
@@ -159,6 +204,7 @@ def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
     from flink_wsr_project_spark.sources.writers import atomic_swap_dir
 
     tombs = _ingest_tombstones(spark, state_path)
+    wm = _ingest_retention(spark, state_path)
     total = 0
     for entry in sorted(os.listdir(state_path)):
         if not entry.startswith("batch="):
@@ -167,6 +213,10 @@ def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
         live = spark.read.parquet(bdir)
         if tombs is not None:
             live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
+        if wm is not None:
+            # the watermark applies physically here, like tombstones;
+            # the _retention dir itself is kept — it must keep masking
+            live = live.where(F.col("doc_id") >= F.lit(int(wm)))
         pinned = live.localCheckpoint()
         total += pinned.count()
         tmp = f"{bdir}__rewrite"
@@ -249,9 +299,14 @@ def ingest_batch(
     # batch are refused admission (reported under ``dropped_deleted``)
     # — the catalog stores' exact deletion contract, on directory state
     tombs = _ingest_tombstones(spark, state_path)
+    wm = _ingest_retention(spark, state_path)
     masked_new = new_docs
     if tombs is not None:
-        masked_new = new_docs.join(F.broadcast(tombs), "doc_id", "left_anti")
+        masked_new = masked_new.join(F.broadcast(tombs), "doc_id", "left_anti")
+    if wm is not None:
+        # expired ids are refused admission — a replayed pre-expiry
+        # batch cannot resurrect them (the catalog stores' contract)
+        masked_new = masked_new.where(F.col("doc_id") >= F.lit(int(wm)))
     new_state = _doc_state_frame(spark, masked_new).cache()
     state = (
         new_docs.sparkSession.read.parquet(state_path).select(*_STATE_COLS)
@@ -260,6 +315,9 @@ def ingest_batch(
     )
     if state is not None and tombs is not None:
         state = state.join(F.broadcast(tombs), "doc_id", "left_anti")
+    if state is not None and wm is not None:
+        # expired state docs stop claiming incoming duplicates
+        state = state.where(F.col("doc_id") >= F.lit(int(wm)))
 
     # 1. exact dedup
     w = W.partitionBy("text_hash").orderBy("doc_id")

@@ -292,3 +292,54 @@ def test_retention_composes_with_tombstones(spark):
     for old_id, text in ((2, A), (5, B)):
         d = dedup_incremental_from_store(spark, docs([(old_id, text)]), "rcmb")
         assert absorb_kept_into_store(spark, docs([(old_id, text)]), d, "rcmb", 4) == 0
+
+
+def test_ingest_state_retention_lifecycle(spark, tmp_path):
+    """The directory-state ingest pipeline gets the same retention
+    contract as the catalog stores: an expired state doc stops
+    claiming incoming duplicates, an expired id in a NEW batch is
+    refused admission, compaction physically reclaims expired rows
+    while the watermark survives, lowering is refused, and committed
+    batch_ids stay replay-no-ops."""
+    from flink_wsr_project_spark.pipeline import (
+        compact_ingest_state,
+        ingest_batch,
+        set_ingest_retention,
+    )
+
+    state = str(tmp_path / "ingest_ret_state")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    r1 = ingest_batch(spark, state, docs([(2, A), (3, B)]), "b1")
+    assert {r.doc_id for r in r1["admitted"].collect()} == {2, 3}
+    assert ingest_batch(spark, state, docs([(11, A)]), "b2")["admitted"].count() == 0
+
+    # expire ids < 3: doc 2's claim releases, the next clone is admitted
+    set_ingest_retention(spark, state, 3)
+    r3 = ingest_batch(spark, state, docs([(21, A)]), "b3")
+    assert {r.doc_id for r in r3["admitted"].collect()} == {21}
+    # B is still claimed by the live doc 3
+    assert ingest_batch(spark, state, docs([(22, B)]), "b4")["admitted"].count() == 0
+
+    # an expired id arriving fresh is refused admission
+    r5 = ingest_batch(spark, state, docs([(1, B + " tail")]), "b5")
+    assert r5["admitted"].count() == 0
+
+    # compaction reclaims expired rows; watermark keeps masking
+    compact_ingest_state(spark, state)
+    assert {r.doc_id for r in spark.read.parquet(state).collect()} == {3, 21}
+    assert ingest_batch(spark, state, docs([(31, A)]), "b6")["admitted"].count() == 0
+
+    # monotonic: lowering refused; raising expires 3 as well
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refused"):
+        set_ingest_retention(spark, state, 2)
+    set_ingest_retention(spark, state, 4)
+    r7 = ingest_batch(spark, state, docs([(41, B)]), "b7")
+    assert {r.doc_id for r in r7["admitted"].collect()} == {41}
+
+    # committed batch ids stay replay-no-ops
+    assert ingest_batch(spark, state, docs([(21, A)]), "b3")["replayed"] is True
