@@ -3876,6 +3876,18 @@ def _semdedup_tail(engine: str, assign_rel: str) -> str:
     enumerates n_c candidates, never n_c² — the valve prunes BEFORE
     the join. Cosine is the bit-exact left-fold of
     operators.similarity, so both engines agree to the last ulp."""
+    return f"""{_semdedup_pairs_ctes(engine, assign_rel)},
+drops AS (SELECT DISTINCT hi AS vec_id FROM sem_pairs)
+SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM {assign_rel} s LEFT JOIN drops d ON d.vec_id = s.vec_id"""
+
+
+def _semdedup_pairs_ctes(engine: str, assign_rel: str) -> str:
+    """The cap-aware SemDeDup evidence-pair CTE chain (sizes → j →
+    lhs → sem_pairs of (lo, hi), lo claiming hi) — shared by the
+    keep-list tail and the label-agreement diagnostic so the two
+    cannot drift."""
     cos = cosine_expr("a.embedding", "b.embedding", engine)
     cap, tau = _SEMDEDUP_CLUSTER_CAP, _SEMDEDUP_TAU
     return f"""sizes AS (
@@ -3889,15 +3901,12 @@ j AS (
   JOIN sizes z ON z.cluster_id = s.cluster_id
 ),
 lhs AS (SELECT * FROM j WHERE n <= {cap} OR vec_id = exemplar),
-drops AS (
-  SELECT DISTINCT b.vec_id
+sem_pairs AS (
+  SELECT a.vec_id AS lo, b.vec_id AS hi
   FROM lhs a
   JOIN j b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE {cos} >= {tau}
-)
-SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
-       CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS action
-FROM {assign_rel} s LEFT JOIN drops d ON d.vec_id = s.vec_id"""
+)"""
 
 
 def _semdedup_oracle() -> str:
@@ -3981,6 +3990,56 @@ def semdedup_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
     embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
     return spark.sql("WITH " + _semdedup_skew_sql("spark", "semdedup_assign"))
+
+
+def _semdedup_agreement_tail(engine: str, assign_rel: str) -> str:
+    """Blocking-key A/B for embedding dedup, one row: the pair
+    evidence found under the GIVEN label blocking
+    (``embedding_cosine_neardup``, cosine ≥ 0.35 within a label)
+    vs under the LEARNED k-means cluster blocking (the cap-aware
+    ``sem_pairs`` chain — shared CTEs with the keep-list, so this
+    diagnostic measures exactly what the decision path uses). Same τ
+    on both sides, so the delta is PURELY what each blocking key lets
+    the join see — the measurement that justifies (or indicts) a
+    blocking choice before a 100 TB run: pairs found only under
+    labels are what the learned clusters MISS (cluster-split false
+    negatives + over-cap exemplar fallback), pairs found only under
+    clusters are what labels miss (cross-label semantic dups).
+    Cost: the two member pipelines + one pair-key full-outer join —
+    no new all-pairs work."""
+    lab = _embedding_neardup_sql(engine)
+    return f"""{_semdedup_pairs_ctes(engine, assign_rel)},
+lab_pairs AS (SELECT vec_a AS lo, vec_b AS hi FROM ({lab})),
+joined AS (
+  SELECT CASE WHEN s.lo IS NOT NULL THEN 1 ELSE 0 END AS in_cluster,
+         CASE WHEN l.lo IS NOT NULL THEN 1 ELSE 0 END AS in_label
+  FROM sem_pairs s FULL OUTER JOIN lab_pairs l ON s.lo = l.lo AND s.hi = l.hi
+)
+SELECT CAST(sum(in_cluster) AS BIGINT) AS n_cluster_pairs,
+       CAST(sum(in_label) AS BIGINT) AS n_label_pairs,
+       CAST(sum(in_cluster * in_label) AS BIGINT) AS n_both
+FROM joined"""
+
+
+def _semdedup_agreement_oracle() -> str:
+    ctes, final = _kmeans_assign_ctes()
+    return (
+        "WITH " + ctes + ",\n"
+        f"assign AS (SELECT vec_id, cid AS cluster_id FROM {final}),\n"
+        + _semdedup_agreement_tail("duckdb", "assign")
+    )
+
+
+@register(
+    "semdedup_label_agreement",
+    oracle=_semdedup_agreement_oracle(),
+    doc=_semdedup_agreement_tail.__doc__,
+    tags=("pipeline", "dedup", "embedding", "similarity"),
+)
+def semdedup_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    return spark.sql("WITH " + _semdedup_agreement_tail("spark", "semdedup_assign"))
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,8 @@ def test_dimension_join_broadcasts(spark, name):
         # h-keyed inverted-index shuffle, match agg, denominator join.
         ("chunk_containment", 11),
         ("quality_classifier_score", 0),  # pure in-row hash/fold/threshold scan
+        # the two member pair pipelines + the pair-key full-outer join
+        ("semdedup_label_agreement", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
