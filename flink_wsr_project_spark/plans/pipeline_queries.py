@@ -3043,8 +3043,27 @@ def _chunk_containment_sql(engine: str) -> str:
     all-pairs term: cost is Σ posting-list² per shingle hash, and the
     DF cap bounds every list at {cap}. Integer milli-units end to end.
     """
+    thr = _CONT_THRESHOLD_MILLI
+    cont = (
+        f"(m.m * 1000) div s.n_sh" if engine == "spark" else f"(m.m * 1000) // s.n_sh"
+    )
+    return f"""
+WITH {_containment_ctes(engine)}
+SELECT m.src_doc, m.chunk_id, m.match_doc,
+       CAST({cont} AS BIGINT) AS cont_milli
+FROM matches m
+JOIN csize s ON s.src_doc = m.src_doc AND s.chunk_id = m.chunk_id
+WHERE m.m * 1000 >= {thr} * s.n_sh
+"""
+
+
+def _containment_ctes(engine: str) -> str:
+    """The inverted-index containment CTE chain (shingle postings with
+    the DF cap → chunk shingle sets → match counts → judged-chunk
+    denominators) — shared by the pair query and the keep-list so the
+    two cannot drift."""
     size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
-    cap, min_sh, thr = _CONT_DF_CAP, _CONT_MIN_SHINGLES, _CONT_THRESHOLD_MILLI
+    cap, min_sh = _CONT_DF_CAP, _CONT_MIN_SHINGLES
     h = h28("s", engine)
     if engine == "spark":
         doc_expl = "SELECT doc_id, explode(array_distinct(sh)) AS s FROM shingled"
@@ -3058,7 +3077,6 @@ def _chunk_containment_sql(engine: str) -> str:
         )
         ct = f"substring(text, CAST(chunk_id * {stride} + 1 AS INT), {size})"
         ch_expl = "SELECT src_doc, chunk_id, explode(array_distinct(sh)) AS s FROM cshing"
-        idiv = "div"
     else:
         doc_expl = "SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shingled"
         n_chunks = (
@@ -3071,12 +3089,7 @@ def _chunk_containment_sql(engine: str) -> str:
         )
         ct = f"substr(text, CAST(chunk_id * {stride} + 1 AS BIGINT), {size})"
         ch_expl = "SELECT src_doc, chunk_id, unnest(list_distinct(sh)) AS s FROM cshing"
-        idiv = "//"
-    cont = (
-        f"(m.m * 1000) div s.n_sh" if engine == "spark" else f"(m.m * 1000) // s.n_sh"
-    )
-    return f"""
-WITH {shingled_cte(engine)},
+    return f"""{shingled_cte(engine)},
 hdoc AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, {h} AS h FROM ({doc_expl}))),
 df AS (SELECT h, count(*) AS df FROM hdoc GROUP BY h),
 post AS (SELECT hdoc.doc_id, hdoc.h FROM hdoc JOIN df ON df.h = hdoc.h AND df.df <= {cap}),
@@ -3093,13 +3106,7 @@ matches AS (
   SELECT c.src_doc, c.chunk_id, p.doc_id AS match_doc, count(*) AS m
   FROM cpost c JOIN post p ON p.h = c.h AND p.doc_id <> c.src_doc
   GROUP BY c.src_doc, c.chunk_id, p.doc_id
-)
-SELECT m.src_doc, m.chunk_id, m.match_doc,
-       CAST({cont} AS BIGINT) AS cont_milli
-FROM matches m
-JOIN csize s ON s.src_doc = m.src_doc AND s.chunk_id = m.chunk_id
-WHERE m.m * 1000 >= {thr} * s.n_sh
-"""
+)"""
 
 
 @register(
@@ -3111,6 +3118,68 @@ WHERE m.m * 1000 >= {thr} * s.n_sh
 def chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_chunk_containment_sql("spark"))
+
+
+# A document is a containment-drop when at least this fraction (milli)
+# of its JUDGED chunks are contained (≥ threshold) in a single
+# lower-id document candidate pool — 500 = "half my measurable content
+# appears in earlier documents".
+_CONT_DOC_FRAC_MILLI = 500
+
+
+def _containment_keep_sql(engine: str) -> str:
+    """Per-document decision layer over the containment evidence: a
+    doc DROPS when ≥ {frac}‰ of its judged chunks are contained
+    (cont ≥ {thr}‰) in some LOWER-id document — the min-keeper
+    convention every dedup path here follows, so two mutual clones
+    never both drop (the lower id keeps). Docs with NO judged chunks
+    (all below the min-shingle gate) are 'keep' — "not measurable"
+    never means "drop", the same honest-null stance as the A/V
+    duration gates. Shares the full CTE chain with
+    ``chunk_containment``; the decision adds one judged-chunk rollup
+    and one per-doc rollup on top."""
+    thr, frac = _CONT_THRESHOLD_MILLI, _CONT_DOC_FRAC_MILLI
+    return f"""
+WITH {_containment_ctes(engine)},
+scored AS (
+  SELECT s.src_doc, s.chunk_id,
+         max(CASE WHEN m.m * 1000 >= {thr} * s.n_sh
+                   AND m.match_doc < s.src_doc THEN 1 ELSE 0 END) AS contained
+  FROM csize s
+  LEFT JOIN matches m ON m.src_doc = s.src_doc AND m.chunk_id = s.chunk_id
+  GROUP BY s.src_doc, s.chunk_id
+),
+per_doc AS (
+  SELECT src_doc, count(*) AS n_judged,
+         CAST(sum(contained) AS BIGINT) AS n_contained
+  FROM scored GROUP BY src_doc
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_judged, 0) AS BIGINT) AS n_chunks_judged,
+       CAST(COALESCE(p.n_contained, 0) AS BIGINT) AS n_chunks_contained,
+       CASE WHEN p.src_doc IS NOT NULL
+                 AND p.n_contained * 1000 >= {frac} * p.n_judged
+            THEN 'drop' ELSE 'keep' END AS action
+FROM documents d LEFT JOIN per_doc p ON p.src_doc = d.doc_id
+"""
+
+
+@register(
+    "containment_keep_list",
+    oracle=_containment_keep_sql("duckdb"),
+    tags=("pipeline", "dedup", "chunking"),
+)
+def containment_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_containment_keep_sql("spark"))
+
+
+_set_doc(
+    "containment_keep_list",
+    _containment_keep_sql.__doc__.format(
+        frac=_CONT_DOC_FRAC_MILLI, thr=_CONT_THRESHOLD_MILLI
+    ),
+)
 
 
 # ---------------------------------------------------------------------------

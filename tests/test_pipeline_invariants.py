@@ -386,3 +386,23 @@ def test_chunk_containment_gates_alive_and_bounded(spark):
     n_total_chunks = _Q["doc_chunks"](spark, SF_DIR).count()
     n_judged = out.select("src_doc", "chunk_id").distinct().count()
     assert n_judged < n_total_chunks
+
+
+def test_containment_keep_list_min_keeper_and_gates(spark):
+    """Oracle-independent decision invariants: (1) a drop requires a
+    LOWER-id container, so the globally minimal doc_id can never drop
+    (two mutual clones never both drop — the min-keeper convention);
+    (2) both actions are alive at the gate; (3) non-measurable docs
+    (zero judged chunks) are always 'keep'."""
+    out = _Q["containment_keep_list"](spark, SF_DIR).cache()
+    try:
+        actions = {r.action for r in out.select("action").distinct().collect()}
+        assert actions == {"keep", "drop"}
+        min_doc = out.agg(F.min("doc_id").alias("m")).collect()[0].m
+        assert (
+            out.where(F.col("doc_id") == min_doc).collect()[0].action == "keep"
+        )
+        unmeasurable = out.where(F.col("n_chunks_judged") == 0)
+        assert unmeasurable.where(F.col("action") == "drop").count() == 0
+    finally:
+        out.unpersist()

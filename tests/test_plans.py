@@ -262,6 +262,10 @@ def test_dimension_join_broadcasts(spark, name):
         ("quality_classifier_score", 0),  # pure in-row hash/fold/threshold scan
         # the two member pair pipelines + the pair-key full-outer join
         ("semdedup_label_agreement", 7),
+        # containment CTE chain + judged-chunk rollup + per-doc rollup +
+        # final doc join; 3 ReusedExchange at runtime (AQE dedups the
+        # inlined hdoc/df subtrees, same as chunk_containment)
+        ("containment_keep_list", 14),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
