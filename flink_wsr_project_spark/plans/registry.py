@@ -87,6 +87,16 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # video_fp_neardup_capped, video_block_skew) are tier-0 (never
     # verified) and enter the external window automatically, ahead of
     # the natural r8/r10-vintage rotation.
+    #
+    # r13 session 2: still empty. The kmeans-oracle CTE extraction
+    # (`_kmeans_assign_ctes`) reproduces the registered
+    # embedding_kmeans oracle byte-for-byte and leaves its Spark body
+    # untouched; retention (operators/retention.py) chains only into
+    # the unregistered store operators. The six new queries
+    # (semdedup_keep_list, semdedup_cluster_skew,
+    # semdedup_label_agreement, chunk_containment,
+    # containment_keep_list, quality_classifier_score) are tier-0 and
+    # lead the window automatically.
 )
 
 

@@ -670,3 +670,65 @@ def test_minhash_hashed_path_equals_per_permutation_md5(docs):
 
     for row in rows:
         assert row[:P] == row[P:]
+
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab çé☃ xyz"),  # multi-byte + spaces
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_quality_classifier_matches_python_model(spark, texts):
+    """quality_classifier_score vs a pure-Python reference: identical
+    tokenization (whitespace split of the trimmed text), identical
+    28-bit md5-prefix hash, identical LCG weights and integer
+    truncating division — an oracle INDEPENDENT of both SQL engines,
+    on hypothesis-generated unicode (multi-byte chars exercise the
+    md5-of-UTF8 path; empty/whitespace-only texts the single-empty-
+    token edge)."""
+    import hashlib
+    import re
+
+    from flink_wsr_project_spark.plans.pipeline_queries import (
+        _QCLS_A,
+        _QCLS_C,
+        _QCLS_DIMS,
+        _QCLS_M,
+        quality_classifier_score,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def model(text):
+        toks = re.split(r"\s+", text.strip())  # split('') -> [''] like both engines
+        score = 0
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:7], 16)
+            dim = h % _QCLS_DIMS
+            score += ((_QCLS_A * dim + _QCLS_C) % _QCLS_M) - _QCLS_M // 2
+        n = len(toks)
+        # truncation toward zero, exactly as Spark `div` / DuckDB `//`
+        q = abs(score * 1000) // n
+        milli = q if score >= 0 else -q
+        return n, milli, "keep" if milli >= 0 else "drop"
+
+    import pandas as pd
+
+    d = pd.DataFrame(rows, columns=["doc_id", "text"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.to_parquet(f"{td}/documents.parquet", index=False)
+        out = {
+            r.doc_id: (r.n_tok, r.score_milli, r.label)
+            for r in quality_classifier_score(spark, td).collect()
+        }
+    for i, t in rows:
+        assert out[i] == model(t), f"doc {i}: {out[i]} != {model(t)} for {t!r}"
