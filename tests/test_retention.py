@@ -343,3 +343,57 @@ def test_ingest_state_retention_lifecycle(spark, tmp_path):
 
     # committed batch ids stay replay-no-ops
     assert ingest_batch(spark, state, docs([(21, A)]), "b3")["replayed"] is True
+
+
+def test_store_health_reports_all_three_stores(spark):
+    """The observability surface (operators/store_health.py): one
+    metadata-only call per store reporting fragmentation vs the
+    compaction dial, deletion mass vs the tombstone dial, the
+    retention watermark, and the spark_graft.* layout properties —
+    asserted against stores whose state this suite just manipulated."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        delete_from_signature_store,
+        write_signature_store,
+    )
+    from flink_wsr_project_spark.operators.retention import set_retention_watermark
+    from flink_wsr_project_spark.operators.store_health import (
+        ann_index_health,
+        dhash_store_health,
+        signature_store_health,
+    )
+
+    _drop_tables(spark, "rhl_longsigs", "rhl_hashed", "rhl_tombstones", "rhl_retention")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    write_signature_store(
+        spark, docs([(2, A), (3, B)]), "rhl", num_buckets=4, hash_partitions=8
+    )
+    delete_from_signature_store(spark, "rhl", docs([(2, A)]))
+    set_retention_watermark(spark, "rhl", 3)
+
+    h = signature_store_health(spark, "rhl")
+    assert h["prefix"] == "rhl"
+    assert h["tombstones"] == 1
+    assert h["needs_tombstone_compaction"] is False
+    assert h["retention_watermark"] == 3
+    by_table = {t["table"]: t for t in h["tables"]}
+    assert by_table["rhl_longsigs"]["num_buckets"] == 4
+    assert by_table["rhl_longsigs"]["properties"]["spark_graft.hash_partitions"] == "8"
+    assert by_table["rhl_longsigs"]["data_files"] > 0
+    # freshly written single-file-per-slot layout: no compaction needed
+    assert by_table["rhl_longsigs"]["needs_compaction"] is False
+
+    # the other two stores, against state earlier tests in this module
+    # (or this one) built — rblk from the dhash lifecycle, rann from
+    # the ANN lifecycle; guard for isolated runs
+    if spark.catalog.tableExists("rblk_blocks"):
+        hb = dhash_store_health(spark, "rblk")
+        props = {t["table"]: t["properties"] for t in hb["tables"]}
+        assert "spark_graft.hash_extractor" in props["rblk_blocks"]
+        assert hb["retention_watermark"] == 3
+    if spark.catalog.tableExists("rann_lists"):
+        ha = ann_index_health(spark, "rann")
+        assert ha["retention_watermark"] == 100
+        assert {t["table"] for t in ha["tables"]} == {"rann_centroids", "rann_lists"}
