@@ -1,0 +1,315 @@
+"""Cross-document repeated-SPAN detection — the distributed analogue of
+suffix-array training-data dedup (find every maximal token span shared
+verbatim between two documents), expressed as relational algebra so
+Catalyst plans it instead of a driver-side suffix array.
+
+Public-literature basis: span-level (not document-level) duplication is
+the unit that matters for memorization removal — "Deduplicating
+Training Data Makes Language Models Better" (Lee et al., 2022) removes
+repeated substrings of >= 50 tokens found via a suffix array. A suffix
+array is a single-machine index; at 100 TB the equivalent evidence is
+recovered with three relational steps, each a standard shuffle:
+
+1. POSITIONAL GRAMS: one row per token position — the ``w``-token gram
+   starting at that position, hashed once with md5 and split into a
+   60-bit join key ``gh`` (15 hex chars — the SimHash-rewrite width)
+   plus an INDEPENDENT 32-bit verify key ``vh`` (hex chars 16..23).
+   The positional index costs ~12 bytes/token — a constant factor of
+   corpus size, not a blowup (grams are hashed in place, never
+   materialized as strings past the md5 call).
+2. GRAM MATCH: self-equi-join on ``gh`` (one hash shuffle), verified
+   on ``vh`` (92 effective bits for every enumerated pair — the
+   collision-verify analogue of the image path's Hamming verify), with
+   the document-frequency cap valve below bounding the degenerate mass.
+3. DIAGONAL MERGE: a run of consecutive matching positions between two
+   documents lies on one diagonal (``pos_a - pos_b`` constant), so the
+   classic gaps-and-islands window over (doc_a, doc_b, diag) recovers
+   every MAXIMAL shared span with exact positions — count + w - 1
+   tokens long. This is the suffix array's longest-common-extension
+   step, done as one window shuffle.
+
+Degenerate-bucket valve (the discipline every dedup family here
+carries): boilerplate grams — headers, license text, templated
+sentences — appear in THOUSANDS of documents, and the gram self-join
+is quadratic in that document frequency. Grams whose df exceeds
+``cap`` are star-collapsed: every occurrence matches only the gram's
+MIN-id document (at that document's first occurrence position),
+|B|-1 rows instead of |B|(|B|-1)/2. The decision layer survives the
+cap by construction — the min-keeper convention means coverage claims
+BY the minimum document are exactly what the keep-list consumes, and
+those are preserved; what the cap drops is pair evidence among
+non-minimum documents. Star rows match on the 60-bit key alone (the
+keeper's verify hash is not carried through the aggregate); their
+mass is linear in the corpus, so the residual collision exposure is
+|corpus|·2^-60, vs the quadratic enumerated mass which gets the full
+92-bit check.
+
+Spans shorter than ``min_span`` tokens are noise (every ~5-token
+phrase repeats somewhere); the reported unit is maximal spans >=
+``min_span``, with exact (a_start, b_start) token offsets so a
+downstream pass can cut the span out of the kept document — the
+operation document-level dedup cannot express.
+
+Cross-engine determinism: every fragment is emitted for both Spark SQL
+and DuckDB from the same constants (md5 is bit-identical in both;
+window frames are pinned; all island/coverage orderings are over keys
+proven unique per partition, so row_number is deterministic).
+"""
+
+from __future__ import annotations
+
+from flink_wsr_project_spark.operators.dedup import toks_expr
+
+# w: tokens per positional gram. Small enough that any interesting
+# span (>= min_span) contains many grams; large enough that a single
+# gram is already a strong signal (8 tokens ~ 40+ chars).
+SPAN_GRAM_TOKENS = 8
+
+# Minimum maximal-span length to report, in tokens. Lee et al. use 50
+# BPE tokens at web scale; the gate corpus' documents are tens of
+# tokens long, so the shipped default is 16 — long enough that the
+# sf0.01 corpus exercises BOTH branches (24 spans kept, 1 filtered).
+SPAN_MIN_TOKENS = 16
+
+# Coverage threshold for the keep-list, in permille of the document's
+# tokens covered by spans shared with lower-id documents.
+SPAN_DROP_PERMILLE = 500
+
+
+def span_posgram_ctes(engine: str, source: str = "documents") -> str:
+    """CTE chain ending in ``sp_pg(doc_id, pos, gh, vh)`` — one row per
+    token position with the hashed ``w``-gram starting there. ``pos``
+    is 0-based. Documents shorter than ``w`` tokens contribute no rows
+    (they are still visible to the keep-list via ``sp_tok``)."""
+    w = SPAN_GRAM_TOKENS
+    toks = toks_expr("text", engine)
+    if engine == "spark":
+        return f"""sp_tok AS (
+  SELECT doc_id, {toks} AS t FROM {source}
+),
+sp_h AS (
+  -- the CASE makes the expression TOTAL: for a doc shorter than w
+  -- tokens, sequence(0, size-w) would be DESCENDING and slice would
+  -- see start 0 — and Spark may evaluate the pushed-down Generate
+  -- prefilter on the transform before the size(t) >= w conjunct
+  -- short-circuits it (found by the synthetic short-doc test; the
+  -- generated corpora never exercise docs under w tokens)
+  SELECT doc_id,
+         CASE WHEN size(t) >= {w}
+              THEN transform(sequence(0, size(t) - {w}),
+                             i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))
+              ELSE array() END AS harr
+  FROM sp_tok WHERE size(t) >= {w}
+),
+sp_pg AS (
+  SELECT doc_id, pos,
+         cast(conv(substr(h, 1, 15), 16, 10) AS bigint) AS gh,
+         cast(conv(substr(h, 16, 8), 16, 10) AS bigint) AS vh
+  FROM sp_h LATERAL VIEW posexplode(harr) _pe AS pos, h
+)"""
+    return f"""sp_tok AS (
+  SELECT doc_id, {toks} AS t FROM {source}
+),
+sp_h AS (
+  SELECT doc_id, i AS pos,
+         md5(list_aggregate(t[i + 1:i + {w}], 'string_agg', ' ')) AS h
+  FROM sp_tok, unnest(range(len(t) - {w} + 1)) AS u(i)
+  WHERE len(t) >= {w}
+),
+sp_pg AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(h, 1, 15))::BIGINT AS gh,
+         ('0x' || substr(h, 16, 8))::BIGINT AS vh
+  FROM sp_h
+)"""
+
+
+def _span_cand_ctes(engine: str, cap: int | None) -> str:
+    """CTEs ``sp_gd``/``sp_gs``/``sp_ann``/``sp_cand`` — the gram
+    match with the df valve. ``cap=None`` enumerates every df >= 2
+    gram exactly (the uncapped variant whose volume the skew report
+    prices); an integer cap star-collapses over-cap grams onto their
+    min-id document.
+
+    Uniqueness proof for the downstream row_number: a position holds
+    exactly one gram, so (doc_id, pos) determines gh, so every
+    ``sp_cand`` row is unique in (doc_a, doc_b, pos_a, pos_b) — the
+    within-cap branch because both positions are real gram sites, the
+    star branch because (keeper, keeper_pos) determines the gram and
+    branches are df-disjoint (UNION ALL cannot double-count)."""
+    within = "a.df >= 2" if cap is None else f"a.df >= 2 AND a.df <= {cap}"
+    star = (
+        ""
+        if cap is None
+        else f"""
+  UNION ALL
+  SELECT keeper AS doc_a, keeper_pos AS pos_a, doc_id AS doc_b, pos AS pos_b
+  FROM sp_ann WHERE df > {cap} AND doc_id > keeper"""
+    )
+    # Gram stats as a WINDOW STACK on one partitioning, not
+    # groupBy + window + join-back: every layer partitions by gh, so
+    # Catalyst plans ONE gh exchange for all three (df needs a distinct
+    # doc count, which windows can't do directly — dense_rank over
+    # doc_id then max of it is the standard identity; keeper_pos needs
+    # keeper first, hence the second layer on the SAME key). The
+    # self-join's two sides are the identical subtree, so the runtime
+    # reuses that exchange too.
+    return f"""sp_w1 AS (
+  SELECT doc_id, pos, gh, vh,
+         min(doc_id) OVER (PARTITION BY gh) AS keeper,
+         dense_rank() OVER (PARTITION BY gh ORDER BY doc_id) AS dr
+  FROM sp_pg
+),
+sp_ann AS (
+  SELECT doc_id, pos, gh, vh, keeper,
+         max(dr) OVER (PARTITION BY gh) AS df,
+         min(CASE WHEN doc_id = keeper THEN pos END)
+           OVER (PARTITION BY gh) AS keeper_pos
+  FROM sp_w1
+),
+sp_cand AS (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM sp_ann a JOIN sp_ann b
+    ON a.gh = b.gh AND a.doc_id < b.doc_id AND a.vh = b.vh
+  WHERE {within}{star}
+)"""
+
+
+def _span_merge_ctes() -> str:
+    """Engine-identical diagonal merge: gaps-and-islands over each
+    (doc_a, doc_b, diagonal), yielding one row per MAXIMAL shared span
+    with exact 0-based token offsets in both documents."""
+    w = SPAN_GRAM_TOKENS
+    return f"""sp_isl AS (
+  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM sp_cand
+),
+sp_spans AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pos_a) AS BIGINT) AS a_start,
+         CAST(min(pos_a) - diag AS BIGINT) AS b_start,
+         CAST(count(*) + {w - 1} AS BIGINT) AS span_tokens
+  FROM sp_isl GROUP BY doc_a, doc_b, diag, grp
+)"""
+
+
+def span_pairs_sql(
+    engine: str,
+    cap: int | None,
+    min_span: int = SPAN_MIN_TOKENS,
+    source: str = "documents",
+) -> str:
+    """Full query: (doc_a, doc_b, a_start, b_start, span_tokens), one
+    row per maximal shared span of >= ``min_span`` tokens. ``doc_a``
+    is always the smaller id; offsets are 0-based token positions."""
+    return f"""
+WITH {span_posgram_ctes(engine, source)},
+{_span_cand_ctes(engine, cap)},
+{_span_merge_ctes()}
+SELECT doc_a, doc_b, a_start, b_start, span_tokens
+FROM sp_spans WHERE span_tokens >= {min_span}
+"""
+
+
+def span_gram_skew_sql(
+    engine: str, cap: int, source: str = "documents"
+) -> str:
+    """One-row dashboard pricing the df valve — the family's
+    no-silent-cap report: total grams, matchable (df >= 2) grams, the
+    worst df, grams the cap star-collapses, and the exact match rows
+    that saves (for an over-cap gram with per-doc occurrence counts
+    occ_i: enumerated rows sum(occ_i*occ_j) over i<j =
+    (total^2 - sum(occ^2)) / 2 — exactly even, so integer division is
+    exact in both engines — minus the (total - keeper_occ) star rows
+    that still run)."""
+    div = "div" if engine == "spark" else "//"
+    return f"""
+WITH {span_posgram_ctes(engine, source)},
+sp_go AS (
+  SELECT gh, doc_id, count(*) AS occ FROM sp_pg GROUP BY gh, doc_id
+),
+sp_gw AS (
+  SELECT gh, occ,
+         count(*) OVER (PARTITION BY gh) AS df,
+         first_value(occ) OVER (PARTITION BY gh ORDER BY doc_id) AS keeper_occ
+  FROM sp_go
+),
+sp_gagg AS (
+  SELECT gh, max(df) AS df, sum(occ) AS total_occ, sum(occ * occ) AS sq,
+         max(keeper_occ) AS keeper_occ
+  FROM sp_gw GROUP BY gh
+)
+SELECT CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS grams_matchable,
+       CAST(max(df) AS BIGINT) AS max_df,
+       CAST(sum(CASE WHEN df > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS grams_capped,
+       CAST(sum(CASE WHEN df > {cap}
+                THEN (total_occ * total_occ - sq) {div} 2 - (total_occ - keeper_occ)
+                ELSE 0 END) AS BIGINT) AS match_rows_saved
+FROM sp_gagg
+"""
+
+
+def span_keep_list_sql(
+    engine: str,
+    cap: int | None,
+    min_span: int = SPAN_MIN_TOKENS,
+    threshold_permille: int = SPAN_DROP_PERMILLE,
+    source: str = "documents",
+) -> str:
+    """Decision layer: one row per document with its token count, the
+    tokens covered by the UNION of spans shared with lower-id
+    documents (classic interval merge — running max of span ends per
+    document, new island when a span starts past it), coverage in
+    permille, and a drop/keep action at ``threshold_permille``. Only
+    the HIGHER id of a pair accrues coverage (the min-keeper
+    convention every dedup path here follows — the globally minimal
+    document provably never drops). Documents shorter than the gram
+    width have no measurable spans and keep: "not measurable" never
+    means "drop" (the A/V duration-gate stance). The interval-merge
+    running sum is deterministic under ties: two identical intervals
+    (the same region claimed by two lower docs) land in the same
+    island whichever order the window visits them."""
+    div = "div" if engine == "spark" else "//"
+    size_fn = "size" if engine == "spark" else "len"
+    return f"""
+WITH {span_posgram_ctes(engine, source)},
+{_span_cand_ctes(engine, cap)},
+{_span_merge_ctes()},
+sp_f AS (
+  SELECT * FROM sp_spans WHERE span_tokens >= {min_span}
+),
+sp_iv AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e FROM sp_f
+),
+sp_mk AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM sp_iv
+),
+sp_gr AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM sp_mk
+),
+sp_mg AS (
+  SELECT doc_id, grp, max(e) - min(s) + 1 AS len FROM sp_gr GROUP BY doc_id, grp
+),
+sp_cv AS (
+  SELECT doc_id, sum(len) AS covered FROM sp_mg GROUP BY doc_id
+),
+sp_nt AS (
+  SELECT doc_id, {size_fn}(t) AS n_tokens FROM sp_tok
+)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(c.covered, 0) * 1000 {div} n.n_tokens AS BIGINT) AS coverage_permille,
+       CASE WHEN coalesce(c.covered, 0) * 1000 >= {threshold_permille} * n.n_tokens
+            THEN 'drop' ELSE 'keep' END AS action
+FROM sp_nt n LEFT JOIN sp_cv c ON c.doc_id = n.doc_id
+"""

@@ -2037,6 +2037,143 @@ def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for the repeated-span gram match
+# (operators/spans.py) — the span family's degenerate-bucket valve.
+# Boilerplate grams (license headers, templated sentences) appear in
+# thousands of documents at corpus scale and make the gram self-join
+# quadratic in that document frequency; over-cap grams star-collapse
+# onto their min-id document, which is exactly the evidence the
+# keep-list consumes (min-keeper convention), so the decision layer
+# survives the cap by construction. The shipped default of 2 is the
+# sf0.01 gate setting: the corpus' worst df is 3, so 71 grams cap and
+# 945 df=2 grams enumerate — both branches execute (dead-branch
+# discipline). Production: O(1000), via the env var.
+_SPAN_GRAM_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_SPAN_GRAM_CAP", "2"))
+
+
+def _span_pairs_impl(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
+    from flink_wsr_project_spark.operators.spans import span_pairs_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_pairs_sql("spark", cap))
+
+
+def _span_pairs_oracle(cap: int | None) -> str:
+    from flink_wsr_project_spark.operators.spans import span_pairs_sql
+
+    return span_pairs_sql("duckdb", cap)
+
+
+@register(
+    "shared_span_pairs",
+    oracle=_span_pairs_oracle(None),
+    tags=("pipeline", "text", "dedup"),
+)
+def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every MAXIMAL verbatim token span (>= 16 tokens) shared between
+    two documents, with exact 0-based token offsets in both — the
+    distributed analogue of suffix-array training-data dedup (Lee et
+    al. 2022 remove repeated >= 50-token substrings found via a suffix
+    array; a suffix array is a single-machine index, so at 100 TB the
+    same evidence comes from three relational steps, each one shuffle:
+    positional 8-token grams hashed to a 60-bit join key + independent
+    32-bit verify key, a gram-hash self-equi-join, and a
+    gaps-and-islands window over each (doc_a, doc_b, diagonal) that
+    merges consecutive matching positions into maximal spans). Unlike
+    every document-level dedup in this repo, the output names WHERE
+    the duplication lives (a_start/b_start), so a downstream pass can
+    cut the span out of the kept document — the memorization-removal
+    primitive. This uncapped variant enumerates all df >= 2 grams
+    exactly; ``shared_span_pairs_capped`` is the production path and
+    ``span_gram_skew`` prices the difference. Oracle: the identical
+    SQL body in DuckDB (md5 is bit-identical), so the external match
+    pins tokenization, hashing, and the island arithmetic at once."""
+    return _span_pairs_impl(spark, sf_dir, None)
+
+
+@register(
+    "shared_span_pairs_capped",
+    oracle=_span_pairs_oracle(_SPAN_GRAM_CAP),
+    tags=("pipeline", "text", "dedup", "skew"),
+)
+def shared_span_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shared_span_pairs`` with the document-frequency valve — the
+    span family's instance of the capped-bucket discipline every dedup
+    modality here carries: grams appearing in more than
+    ``_SPAN_GRAM_CAP`` documents (boilerplate — the mass that grows
+    with the corpus and makes the gram join quadratic) contribute one
+    star row per occurrence against the gram's min-id document instead
+    of |B|(|B|-1)/2 enumerated pairs. Claims BY the minimum document
+    are preserved exactly (that is what the keep-list consumes — the
+    min-keeper convention), so capping bounds pair evidence among
+    non-minimum documents, never the decision input. Spans assembled
+    from star rows are still genuine shared runs (every candidate row
+    is a real gram match; enumerated rows carry the 92-bit two-hash
+    verify, star rows the 60-bit key with linear — not quadratic —
+    collision exposure). Oracle: identical SQL with identical cap
+    semantics, so the hash match pins the valve itself."""
+    return _span_pairs_impl(spark, sf_dir, _SPAN_GRAM_CAP)
+
+
+def _span_skew_oracle() -> str:
+    from flink_wsr_project_spark.operators.spans import span_gram_skew_sql
+
+    return span_gram_skew_sql("duckdb", _SPAN_GRAM_CAP)
+
+
+@register(
+    "span_gram_skew",
+    oracle=_span_skew_oracle(),
+    tags=("pipeline", "text", "dedup", "skew"),
+)
+def span_gram_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span family's no-silent-cap dashboard row: total positional
+    grams, matchable (df >= 2) grams, the worst document frequency,
+    grams ``_SPAN_GRAM_CAP`` star-collapses, and the exact candidate
+    rows that saves (integer arithmetic — (total² - Σocc²)/2 is
+    exactly even — minus the star rows that still run). The report
+    that says whether the valve is pruning boilerplate or eating
+    genuine span evidence, same role as ``lsh_bucket_skew`` /
+    ``image_block_skew`` in their families."""
+    from flink_wsr_project_spark.operators.spans import span_gram_skew_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_gram_skew_sql("spark", _SPAN_GRAM_CAP))
+
+
+def _span_keep_list_oracle() -> str:
+    from flink_wsr_project_spark.operators.spans import span_keep_list_sql
+
+    return span_keep_list_sql("duckdb", _SPAN_GRAM_CAP)
+
+
+@register(
+    "span_dedup_keep_list",
+    oracle=_span_keep_list_oracle(),
+    tags=("pipeline", "text", "dedup"),
+)
+def span_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision layer over the capped span evidence: one row per
+    document with its token count, the tokens covered by the UNION of
+    spans shared with LOWER-id documents (classic interval merge per
+    document), coverage in permille, and drop/keep at 500 permille —
+    the span twin of ``containment_keep_list`` (that one judges chunk
+    containment at 700 permille per chunk; this one judges exact
+    verbatim coverage at token granularity). Min-keeper convention:
+    only the higher id of a pair accrues coverage, so the globally
+    minimal document provably never drops and mutual clones never both
+    drop. Documents shorter than the 8-token gram width have no
+    measurable spans and keep — "not measurable" never means "drop"
+    (the A/V duration-gate stance). At the sf0.01 gate the corpus'
+    evidence is bimodal (clones cover >= 958 permille, everything else
+    0), so the 500 permille bar separates exactly the clone set: 23
+    drops / 480 keeps."""
+    from flink_wsr_project_spark.operators.spans import span_keep_list_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_keep_list_sql("spark", _SPAN_GRAM_CAP))
+
+
 def _modal_consensus_sql(
     engine: str, img_src: str, aud_src: str, vid_src: str
 ) -> str:

@@ -97,6 +97,12 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # semdedup_label_agreement, chunk_containment,
     # containment_keep_list, quality_classifier_score) are tier-0 and
     # lead the window automatically.
+    #
+    # r13 session 3: still empty. The span family (operators/spans.py)
+    # is entirely new code — no shared operator changed; its four
+    # queries (shared_span_pairs, shared_span_pairs_capped,
+    # span_gram_skew, span_dedup_keep_list) are tier-0 and lead the
+    # window automatically.
 )
 
 

@@ -266,6 +266,16 @@ def test_dimension_join_broadcasts(spark, name):
         # final doc join; 3 ReusedExchange at runtime (AQE dedups the
         # inlined hdoc/df subtrees, same as chunk_containment)
         ("containment_keep_list", 14),
+        # span family (r13): gram stats are a WINDOW STACK on one gh
+        # partitioning (dense_rank distinct-doc identity), not
+        # groupBy+window+join-back — one gh exchange + the
+        # (doc_a,doc_b,diag) islands window + the islands agg
+        ("shared_span_pairs", 3),
+        ("shared_span_pairs_capped", 4),  # + the star-arm's UNION path
+        ("span_gram_skew", 3),  # (gh,doc) occ agg + gh window + 1-row agg
+        # capped pairs (4) + per-doc interval-merge window + coverage agg;
+        # the final doc join broadcasts
+        ("span_dedup_keep_list", 6),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

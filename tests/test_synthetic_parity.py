@@ -957,3 +957,175 @@ def test_image_dhash_sanitizes_non_ascii_text_identically(spark, tmp_path):
     actions = {r.asset_id: r.action for r in kl.spark_fn(spark, sf_dir).collect()}
     assert actions == {0: "keep", 4: "drop", 8: "keep"}
     assert_parity(kl.spark_fn(spark, sf_dir), kl.oracle, sf_dir, "dhash_kl/synth-nonascii")
+
+
+def _span_docs(tmp_path, texts):
+    """Write documents with ids 1..n from a list of texts."""
+    return _write_documents(
+        tmp_path,
+        [(i + 1, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+    )
+
+
+def _toks(prefix, a, b):
+    """Unique filler tokens prefix{a}..prefix{b-1}."""
+    return [f"{prefix}{i}" for i in range(a, b)]
+
+
+def test_shared_span_pairs_exact_offsets(spark, tmp_path):
+    """The span primitive's core claim — maximal spans with EXACT
+    0-based token offsets on both sides — pinned on crafted docs:
+
+      doc1: 5 unique fillers + S[0..19]            (S at a_start=5)
+      doc2: S[0..19] + 3 unique fillers            (S at b_start=0)
+      doc3: 10-token prefix of S + unique fillers  (run < 16 → filtered)
+      doc4: 6 tokens (< gram width → no grams at all)
+
+    Expected output: exactly one row (1, 2, 5, 0, 20). The doc1/doc3
+    and doc2/doc3 shared runs are 10 tokens — above the gram width so
+    they DO form islands (3 grams each) but below SPAN_MIN_TOKENS, so
+    the filter drops them: both branches of the min-span gate execute."""
+    S = _toks("s", 0, 20)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(_toks("u", 0, 5) + S),
+            " ".join(S + _toks("v", 0, 3)),
+            " ".join(S[:10] + _toks("w", 0, 12)),
+            " ".join(_toks("x", 0, 6)),
+        ],
+    )
+    q = get("shared_span_pairs")
+    rows = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert rows == {(1, 2, 5, 0, 20)}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "shared_span_pairs/synth")
+
+
+def test_span_two_diagonals_two_rows(spark, tmp_path):
+    """Two DISJOINT shared runs between the same pair at different
+    relative offsets land on different diagonals and must come back as
+    two separate maximal spans, not one merged blob."""
+    A = _toks("a", 0, 16)
+    B = _toks("b", 0, 18)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(A + _toks("u", 0, 4) + B),
+            " ".join(B + _toks("v", 0, 7) + A),
+        ],
+    )
+    q = get("shared_span_pairs")
+    rows = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert rows == {(1, 2, 0, 25, 16), (1, 2, 20, 0, 18)}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_two_diagonals/synth")
+
+
+def test_span_cap_star_preserves_keeper_claims_exactly(spark, tmp_path):
+    """The valve's load-bearing property: for an over-cap gram, claims
+    BY the min-id document are preserved EXACTLY (star rows match each
+    occurrence against the keeper at the keeper's own gram positions,
+    so the keeper-side spans are identical to the uncapped ones);
+    what the cap drops is pair evidence among non-keeper documents.
+
+    Four docs share the same 20-token run S (df = 4 per gram, over the
+    cap of 2). Uncapped: all 6 pairs carry the span. Capped: exactly
+    the 3 keeper pairs (1,2) (1,3) (1,4) — with the SAME offsets and
+    length — and the keep-list still drops docs 2-4 on doc1's claims."""
+    S = _toks("s", 0, 20)
+    texts = [
+        " ".join(_toks("u", 0, 3) + S),
+        " ".join(S + _toks("v", 0, 5)),
+        " ".join(_toks("w", 0, 7) + S),
+        " ".join(S + _toks("x", 0, 4)),
+    ]
+    sf_dir = _span_docs(tmp_path, texts)
+    qu = get("shared_span_pairs")
+    qc = get("shared_span_pairs_capped")
+    un = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in qu.spark_fn(spark, sf_dir).collect()
+    }
+    cp = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in qc.spark_fn(spark, sf_dir).collect()
+    }
+    assert len(un) == 6 and all(t == 20 for *_, t in un)
+    assert cp == {(a, b, s1, s2, t) for (a, b, s1, s2, t) in un if a == 1}
+    kl = get("span_dedup_keep_list")
+    actions = {r.doc_id: r.action for r in kl.spark_fn(spark, sf_dir).collect()}
+    assert actions == {1: "keep", 2: "drop", 3: "drop", 4: "drop"}
+    assert_parity(qc.spark_fn(spark, sf_dir), qc.oracle, sf_dir, "span_capped/synth")
+    assert_parity(kl.spark_fn(spark, sf_dir), kl.oracle, sf_dir, "span_keep_list/synth")
+
+
+def test_span_coverage_union_and_threshold_boundary(spark, tmp_path):
+    """Interval-union coverage and the exact 500-permille boundary.
+
+    doc3 (highest id, 40 tokens = S[0..39]) is claimed by:
+      doc1 = S[0..19]  → covers doc3 tokens 0..19
+      doc2 = S[10..29] → covers doc3 tokens 10..29
+    The union is 0..29 = 30 tokens (NOT 20+20=40): overlapping claims
+    must not double-count. 30/40 = 750 permille → drop.
+
+    doc4 setup pins the boundary: 40 tokens, exactly 20 covered by a
+    lower doc → 500 permille == threshold → drop (>= semantics); and
+    doc5 with 19 covered... is impossible (spans must be >= 16 and
+    runs longer than intended would merge), so the keep side of the
+    boundary is doc1/doc2 themselves: doc2 accrues coverage from doc1
+    (their 10-token overlap is below min-span, so 0 permille → keep)."""
+    S = _toks("s", 0, 40)
+    T = _toks("t", 0, 40)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(S[0:20]),
+            " ".join(S[10:30]),
+            " ".join(S),
+            " ".join(T),
+            " ".join(T[0:20] + _toks("y", 0, 20)),
+        ],
+    )
+    kl = get("span_dedup_keep_list")
+    out = {r.doc_id: r for r in kl.spark_fn(spark, sf_dir).collect()}
+    assert out[3].covered_tokens == 30 and out[3].coverage_permille == 750
+    assert out[3].action == "drop"
+    # doc5: tokens 0..19 covered by doc4's T-prefix → exactly 500 permille
+    assert out[5].covered_tokens == 20 and out[5].coverage_permille == 500
+    assert out[5].action == "drop"
+    assert out[1].action == "keep" and out[2].action == "keep"
+    assert out[4].action == "keep"
+    assert_parity(kl.spark_fn(spark, sf_dir), kl.oracle, sf_dir, "span_coverage/synth")
+
+
+def test_span_gram_skew_arithmetic(spark, tmp_path):
+    """The skew report's saved-rows arithmetic, pinned by hand: one
+    over-cap gram family (S shared by 3 docs, each gram df=3 > cap=2,
+    occ=1 per doc → enumerated rows (3²-3)/2 = 3, star rows 2, saved 1
+    per gram; 13 grams for a 20-token run) and one within-cap family
+    (U shared by 2 docs — matchable, not capped, saves nothing)."""
+    S = _toks("s", 0, 20)
+    U = _toks("u", 0, 16)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(S),
+            " ".join(_toks("v", 0, 2) + S),
+            " ".join(S + _toks("w", 0, 2)),
+            " ".join(U),
+            " ".join(_toks("x", 0, 3) + U),
+        ],
+    )
+    sk = get("span_gram_skew")
+    row = sk.spark_fn(spark, sf_dir).collect()[0]
+    # S-run: 20-8+1 = 13 grams at df=3; U-run: 16-8+1 = 9 grams at df=2
+    assert row.max_df == 3
+    assert row.grams_capped == 13
+    assert row.grams_matchable == 13 + 9
+    assert row.match_rows_saved == 13  # (3*3-3)//2 - (3-1) = 1 per gram
+    assert_parity(sk.spark_fn(spark, sf_dir), sk.oracle, sf_dir, "span_skew/synth")
