@@ -313,3 +313,91 @@ SELECT n.doc_id,
             THEN 'drop' ELSE 'keep' END AS action
 FROM sp_nt n LEFT JOIN sp_cv c ON c.doc_id = n.doc_id
 """
+
+
+def span_scrub_sql(
+    engine: str,
+    cap: int | None,
+    min_span: int = SPAN_MIN_TOKENS,
+    source: str = "documents",
+) -> str:
+    """The removal operator itself — what the span evidence exists
+    for: cut every token covered by a span shared with a LOWER-id
+    document out of the document, keeping the keeper's copy intact
+    (Lee et al.'s actual operation: each repeated substring survives
+    exactly once in the corpus). One row per document: original and
+    removed token counts plus the scrubbed text, rebuilt from the kept
+    tokens in position order with single spaces (tokenization is \\s+,
+    so original whitespace runs are already canonicalized).
+
+    Shape: the capped span evidence → merged disjoint intervals per
+    document (the keep-list's interval union) → one positional token
+    explode joined doc-equi against those intervals (disjoint, so a
+    token matches at most one — the join cannot duplicate tokens) →
+    order-preserving reassembly. The interval side is bounded by span
+    count, not corpus size, and the explode is the same ~1 row/token
+    scale the gram index already pays."""
+    w = SPAN_GRAM_TOKENS
+    if engine == "spark":
+        tokpos = """sp_tp AS (
+  SELECT doc_id, pos, tok FROM sp_tok LATERAL VIEW posexplode(t) _pe AS pos, tok
+)"""
+        # array_sort on an array of (pos, tok) structs orders by pos
+        # (first field) — deterministic reassembly without relying on
+        # aggregation order
+        reassemble = (
+            "concat_ws(' ', transform(array_sort(collect_list(named_struct("
+            "'pos', pos, 'tok', tok))), s -> s.tok))"
+        )
+        size_fn = "size"
+    else:
+        tokpos = """sp_tp AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS tok FROM sp_tok, unnest(range(len(t))) AS u(i)
+)"""
+        reassemble = "string_agg(tok, ' ' ORDER BY pos)"
+        size_fn = "len"
+    return f"""
+WITH {span_posgram_ctes(engine, source)},
+{_span_cand_ctes(engine, cap)},
+{_span_merge_ctes()},
+sp_f AS (
+  SELECT * FROM sp_spans WHERE span_tokens >= {min_span}
+),
+sp_iv AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e FROM sp_f
+),
+sp_mk AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM sp_iv
+),
+sp_gr AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM sp_mk
+),
+sp_mg AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM sp_gr GROUP BY doc_id, grp
+),
+{tokpos},
+sp_keep AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM sp_tp tp LEFT JOIN sp_mg m
+    ON m.doc_id = tp.doc_id AND tp.pos >= m.s AND tp.pos <= m.e
+  WHERE m.s IS NULL
+),
+sp_out AS (
+  SELECT doc_id, count(*) AS n_kept, {reassemble} AS scrubbed_text
+  FROM sp_keep GROUP BY doc_id
+),
+sp_nt AS (
+  SELECT doc_id, {size_fn}(t) AS n_tokens FROM sp_tok
+)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - coalesce(o.n_kept, 0) AS BIGINT) AS tokens_removed,
+       coalesce(o.scrubbed_text, '') AS scrubbed_text
+FROM sp_nt n LEFT JOIN sp_out o ON o.doc_id = n.doc_id
+"""

@@ -2174,6 +2174,39 @@ def span_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(span_keep_list_sql("spark", _SPAN_GRAM_CAP))
 
 
+def _span_scrub_oracle() -> str:
+    from flink_wsr_project_spark.operators.spans import span_scrub_sql
+
+    return span_scrub_sql("duckdb", _SPAN_GRAM_CAP)
+
+
+@register(
+    "span_scrub",
+    oracle=_span_scrub_oracle(),
+    tags=("pipeline", "text", "dedup"),
+)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal operator the span evidence exists for — Lee et
+    al.'s actual operation, which document-level dedup cannot express:
+    every token covered by a span shared with a LOWER-id document is
+    cut out of the document (the keeper's copy survives untouched, so
+    each repeated passage remains in the corpus exactly once). One row
+    per document: original token count, tokens removed, and the
+    scrubbed text rebuilt from the kept tokens in position order.
+    Plan: capped span evidence → per-document interval union (merged
+    DISJOINT ranges, so the positional token join matches each token
+    at most once and cannot duplicate it) → one doc-equi join of the
+    token explode against the bounded interval set → order-preserving
+    reassembly (array_sort over (pos, tok) structs — no reliance on
+    aggregation order). Oracle: identical SQL; the scrubbed TEXT
+    itself is value-hashed, so the external match pins the whole
+    cut-and-reassemble, not just the counts."""
+    from flink_wsr_project_spark.operators.spans import span_scrub_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_scrub_sql("spark", _SPAN_GRAM_CAP))
+
+
 def _modal_consensus_sql(
     engine: str, img_src: str, aud_src: str, vid_src: str
 ) -> str:

@@ -276,6 +276,9 @@ def test_dimension_join_broadcasts(spark, name):
         # capped pairs (4) + per-doc interval-merge window + coverage agg;
         # the final doc join broadcasts
         ("span_dedup_keep_list", 6),
+        # capped pairs (4) + interval merge + token-explode⋈intervals
+        # doc-equi join + reassembly agg
+        ("span_scrub", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

@@ -1129,3 +1129,30 @@ def test_span_gram_skew_arithmetic(spark, tmp_path):
     assert row.grams_matchable == 13 + 9
     assert row.match_rows_saved == 13  # (3*3-3)//2 - (3-1) = 1 per gram
     assert_parity(sk.spark_fn(spark, sf_dir), sk.oracle, sf_dir, "span_skew/synth")
+
+
+def test_span_scrub_exact_strings(spark, tmp_path):
+    """The cut-and-reassemble pinned on exact strings: the keeper's
+    copy is untouched, a middle span is cut with prefix/suffix
+    reassembled in order, a fully-shared doc scrubs to empty, and an
+    unrelated doc passes through byte-identical."""
+    S = _toks("s", 0, 20)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(_toks("f", 0, 5) + S + _toks("g", 0, 5)),  # keeper
+            " ".join(_toks("h", 0, 3) + S + _toks("k", 0, 4)),  # middle cut
+            " ".join(S),                                        # fully shared
+            " ".join(_toks("z", 0, 9)),                         # untouched
+        ],
+    )
+    q = get("span_scrub")
+    out = {r.doc_id: r for r in q.spark_fn(spark, sf_dir).collect()}
+    assert out[1].tokens_removed == 0
+    assert out[1].scrubbed_text == " ".join(_toks("f", 0, 5) + S + _toks("g", 0, 5))
+    assert out[2].tokens_removed == 20
+    assert out[2].scrubbed_text == " ".join(_toks("h", 0, 3) + _toks("k", 0, 4))
+    assert out[3].tokens_removed == 20 and out[3].scrubbed_text == ""
+    assert out[4].tokens_removed == 0
+    assert out[4].scrubbed_text == " ".join(_toks("z", 0, 9))
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_scrub/synth")
