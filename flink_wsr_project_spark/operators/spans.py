@@ -252,6 +252,32 @@ FROM sp_gagg
 """
 
 
+def interval_union_ctes() -> str:
+    """Engine-identical interval-union CTEs (classic running-max
+    island merge): expects ``sp_iv(doc_id, s, e)`` upstream; ends with
+    ``sp_mg(doc_id, s, e)`` — the merged DISJOINT intervals per
+    document. Deterministic under ties: two identical intervals (the
+    same region claimed by two different partners) land in the same
+    island whichever order the window visits them. Shared by the
+    keep-list (coverage sum), the scrub (token cut), and the span
+    store's probe (corpus/batch coverage split)."""
+    return """sp_mk AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM sp_iv
+),
+sp_gr AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM sp_mk
+),
+sp_mg AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM sp_gr GROUP BY doc_id, grp
+)"""
+
+
 def span_keep_list_sql(
     engine: str,
     cap: int | None,
@@ -284,23 +310,9 @@ sp_f AS (
 sp_iv AS (
   SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e FROM sp_f
 ),
-sp_mk AS (
-  SELECT doc_id, s, e,
-         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
-  FROM sp_iv
-),
-sp_gr AS (
-  SELECT doc_id, s, e,
-         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-  FROM sp_mk
-),
-sp_mg AS (
-  SELECT doc_id, grp, max(e) - min(s) + 1 AS len FROM sp_gr GROUP BY doc_id, grp
-),
+{interval_union_ctes()},
 sp_cv AS (
-  SELECT doc_id, sum(len) AS covered FROM sp_mg GROUP BY doc_id
+  SELECT doc_id, sum(e - s + 1) AS covered FROM sp_mg GROUP BY doc_id
 ),
 sp_nt AS (
   SELECT doc_id, {size_fn}(t) AS n_tokens FROM sp_tok
@@ -366,21 +378,7 @@ sp_f AS (
 sp_iv AS (
   SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e FROM sp_f
 ),
-sp_mk AS (
-  SELECT doc_id, s, e,
-         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
-  FROM sp_iv
-),
-sp_gr AS (
-  SELECT doc_id, s, e,
-         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-  FROM sp_mk
-),
-sp_mg AS (
-  SELECT doc_id, min(s) AS s, max(e) AS e FROM sp_gr GROUP BY doc_id, grp
-),
+{interval_union_ctes()},
 {tokpos},
 sp_keep AS (
   SELECT tp.doc_id, tp.pos, tp.tok

@@ -564,3 +564,76 @@ def image_dedup_foreach_batch(
             compact_dhash_store(s, table_prefix)
 
     return body
+
+
+def span_dedup_foreach_batch(
+    table_prefix: str,
+    decisions_sink,
+    num_buckets: int = 8,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int | None = None,
+    min_span: int | None = None,
+    threshold_permille: int | None = None,
+    max_files_per_bucket: int | None = None,
+):
+    """foreachBatch body for CONTINUOUS span-level dedup with corpus
+    growth — the span family's loop over the persisted positional-gram
+    store (operators/span_store.py), same lifecycle contract as its
+    text/image/embedding siblings: each micro-batch probes the store
+    as a batch plan (one broadcast of Δ's grams, the corpus never
+    re-shuffles), hands the |Δ|-pinned coverage decisions to
+    ``decisions_sink(df, batch_id)``, absorbs kept docs with
+    ``exclude_existing=True`` (replay appends nothing), and — with
+    ``max_files_per_bucket`` set — runs ``compact_span_store`` when
+    the file dial fires (which also applies recorded takedowns and
+    retention physically). Run ``recover_span_store`` at loop startup.
+    Replay label nuance (shared with the text loop): a doc
+    kept-and-absorbed by a crashed attempt re-probes as corpus — its
+    batch-mates' evidence shifts from within-batch to corpus spans,
+    with the covered REGIONS stable; coverage, not label, is the
+    replay-stable part of the coverage contract. ``cap`` is the
+    store-df star valve a long-running loop over a real corpus should
+    set (boilerplate gram df grows with the absorbed corpus;
+    ``span_gram_skew`` is the dashboard)."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+    from flink_wsr_project_spark.operators.span_store import (
+        absorb_spans_into_store,
+        compact_span_store,
+        span_dedup_from_store,
+    )
+    from flink_wsr_project_spark.operators.spans import (
+        SPAN_DROP_PERMILLE,
+        SPAN_MIN_TOKENS,
+    )
+    from flink_wsr_project_spark.sources.writers import should_compact
+
+    ms = SPAN_MIN_TOKENS if min_span is None else min_span
+    thr = SPAN_DROP_PERMILLE if threshold_permille is None else threshold_permille
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
+        )
+        decisions, ids = local_checkpoint_tracked(
+            span_dedup_from_store(
+                s, docs, table_prefix, cap=cap, min_span=ms, threshold_permille=thr
+            )
+        )
+        try:
+            decisions_sink(decisions, batch_id)
+            absorb_spans_into_store(
+                s, docs, decisions, table_prefix, num_buckets, exclude_existing=True
+            )
+        finally:
+            release_persistent_rdds(s, ids)
+        if max_files_per_bucket is not None and should_compact(
+            s, f"{table_prefix}_posgrams", max_files_per_bucket
+        ):
+            compact_span_store(s, table_prefix)
+
+    return body
