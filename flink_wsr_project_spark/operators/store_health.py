@@ -99,3 +99,9 @@ def ann_index_health(spark: SparkSession, table_prefix: str, **kw) -> dict:
     """The IVF index's report (centroids + lists; quantization and
     partitioned-lists layout appear under spark_graft.* properties)."""
     return store_health(spark, table_prefix, ["centroids", "lists"], **kw)
+
+
+def span_store_health(spark: SparkSession, table_prefix: str, **kw) -> dict:
+    """The span store's report (posgrams + docs tables — the
+    positional gram index and the absorb roster)."""
+    return store_health(spark, table_prefix, ["posgrams", "docs"], **kw)

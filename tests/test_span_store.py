@@ -408,3 +408,32 @@ def test_streaming_span_loop(spark, tmp_path):
     last = sink[max(sink)]
     assert last[201] == "dup_of_corpus"
     assert last[202] == "keep"
+
+
+def test_span_store_health_report(spark):
+    """The observability surface extended to the fourth store: one
+    metadata-only call reporting fragmentation, deletion mass, the
+    retention watermark and layout for the posgrams + docs tables."""
+    from flink_wsr_project_spark.operators.retention import (
+        set_retention_watermark,
+    )
+    from flink_wsr_project_spark.operators.span_store import (
+        delete_from_span_store,
+        write_span_store,
+    )
+    from flink_wsr_project_spark.operators.store_health import span_store_health
+
+    _write_corpus(spark, "spst_hl")
+    delete_from_span_store(
+        spark, "spst_hl", spark.createDataFrame([(1,)], "doc_id long")
+    )
+    set_retention_watermark(spark, "spst_hl", 1)
+
+    h = span_store_health(spark, "spst_hl")
+    assert h["prefix"] == "spst_hl"
+    assert h["tombstones"] == 1
+    assert h["retention_watermark"] == 1
+    by_table = {t["table"]: t for t in h["tables"]}
+    assert set(by_table) == {"spst_hl_posgrams", "spst_hl_docs"}
+    assert by_table["spst_hl_posgrams"]["num_buckets"] == 2
+    assert by_table["spst_hl_posgrams"]["needs_compaction"] is False
