@@ -113,17 +113,49 @@ def write_span_store(
     corpus_docs: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    hash_partitions: int = 0,
 ) -> None:
     """One-time corpus index write: tokenize + hash every corpus doc
     once, store the positional gram rows bucketed on ``gh`` and the
     doc roster bucketed on ``doc_id``. After this, increments never
-    touch the corpus text again."""
-    write_bucketed(
-        _posgrams_df(spark, corpus_docs),
-        f"{table_prefix}_posgrams",
-        ["gh"],
-        num_buckets,
+    touch the corpus text again.
+
+    With ``hash_partitions = P > 0`` the gram table additionally gets
+    a hash-prefix PARTITION column ``gp = pmod(xxhash64(gh), P)``
+    under the bucketing — the signature store's small-Δ layout: a
+    probe whose grams touch only a few of the P prefixes reads only
+    those directories (the probe prunes AUTOMATICALLY when the
+    recorded layout allows — unlike the siblings it needs no separate
+    pruned entry point, because the Δ side is already broadcast
+    either way, so pruning is purely a scan filter). P is recorded as
+    a table property; keep it modest (tens) — files per write =
+    P × num_buckets. The roster stays bucketed-only (it is only ever
+    anti-joined whole)."""
+    if hash_partitions < 0:
+        raise ValueError(
+            f"hash_partitions must be >= 0, got {hash_partitions} "
+            "(0 = bucketed-only layout)"
+        )
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        HASH_PARTITIONS_PROP,
     )
+
+    pg = _posgrams_df(spark, corpus_docs)
+    if hash_partitions:
+        (
+            pg.withColumn("gp", F.pmod(F.xxhash64("gh"), F.lit(hash_partitions)))
+            .write.partitionBy("gp")
+            .bucketBy(num_buckets, "gh")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_posgrams")
+        )
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_posgrams SET TBLPROPERTIES "
+            f"('{HASH_PARTITIONS_PROP}'='{hash_partitions}')"
+        )
+    else:
+        write_bucketed(pg, f"{table_prefix}_posgrams", ["gh"], num_buckets)
     write_bucketed(
         _ntokens_df(spark, corpus_docs),
         f"{table_prefix}_docs",
@@ -230,11 +262,31 @@ def span_dedup_from_store(
     own df identically via the registered capped SQL."""
     bp = _posgrams_df(spark, batch_docs)
     bnt = _ntokens_df(spark, batch_docs)
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+    )
     from flink_wsr_project_spark.operators.retention import live_rows
 
+    scan = spark.table(f"{table_prefix}_posgrams")
+    p = _store_hash_partitions(spark, f"{table_prefix}_posgrams")
+    if p:
+        # small-Δ directory pruning: Δ's distinct hash prefixes are a
+        # driver list bounded by the layout constant P, pushed as a
+        # literal IN filter the scan prunes on (PartitionFilters).
+        # When Δ touches most prefixes this degrades gracefully to the
+        # full scan plus one Δ-bounded collect.
+        gps = [
+            r.gp
+            for r in bp.select(
+                F.pmod(F.xxhash64("gh"), F.lit(p)).alias("gp")
+            )
+            .distinct()
+            .collect()
+        ]
+        scan = scan.where(F.col("gp").isin(gps) if gps else F.lit(False))
     sp = live_rows(
         spark,
-        spark.table(f"{table_prefix}_posgrams").select("doc_id", "pos", "gh", "vh"),
+        scan.select("doc_id", "pos", "gh", "vh"),
         table_prefix,
         "doc_id",
     )
@@ -376,9 +428,19 @@ def absorb_spans_into_store(
     kept, ckpt_ids = local_checkpoint_tracked(kept_plan)
     try:
         n = kept.count()
+        from flink_wsr_project_spark.operators.incremental_dedup import (
+            _store_hash_partitions,
+        )
+
+        p = _store_hash_partitions(spark, f"{table_prefix}_posgrams")
+        pg = _posgrams_df(spark, kept)
+        w = pg.write
+        if p:
+            w = pg.withColumn(
+                "gp", F.pmod(F.xxhash64("gh"), F.lit(p))
+            ).write.partitionBy("gp")
         (
-            _posgrams_df(spark, kept)
-            .write.bucketBy(num_buckets, "gh")
+            w.bucketBy(num_buckets, "gh")
             .mode("append")
             .format("parquet")
             .saveAsTable(f"{table_prefix}_posgrams")

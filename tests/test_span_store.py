@@ -437,3 +437,73 @@ def test_span_store_health_report(spark):
     assert set(by_table) == {"spst_hl_posgrams", "spst_hl_docs"}
     assert by_table["spst_hl_posgrams"]["num_buckets"] == 2
     assert by_table["spst_hl_posgrams"]["needs_compaction"] is False
+
+
+def test_partitioned_layout_prunes_and_matches(spark):
+    """The small-Δ layout: a store written with hash_partitions=P
+    probes with a literal gp IN-list that prunes at the directory
+    level (PartitionFilters in the scan), returns decisions identical
+    to the bucketed-only layout, survives absorb (appends land under
+    their gp directories and the NEXT probe sees them), and keeps its
+    layout + property through compaction."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+    )
+    from flink_wsr_project_spark.operators.span_store import (
+        absorb_spans_into_store,
+        compact_span_store,
+        span_dedup_from_store,
+        write_span_store,
+    )
+
+    corpus = [
+        (1, " ".join(_toks("f", 0, 4) + S)),
+        (2, " ".join(_toks("g", 0, 30))),
+    ]
+    _drop(spark, "spst_pp")
+    write_span_store(
+        spark, _docs(spark, corpus), "spst_pp", num_buckets=2, hash_partitions=4
+    )
+    assert _store_hash_partitions(spark, "spst_pp_posgrams") == 4
+    _drop(spark, "spst_pb")
+    write_span_store(spark, _docs(spark, corpus), "spst_pb", num_buckets=2)
+
+    batch = _docs(
+        spark,
+        [(100, " ".join(S + _toks("u", 0, 2))), (101, " ".join(_toks("n", 0, 25)))],
+    )
+    dp = span_dedup_from_store(spark, batch, "spst_pp")
+    db = span_dedup_from_store(spark, batch, "spst_pb")
+    assert sorted(map(tuple, dp.collect())) == sorted(map(tuple, db.collect()))
+
+    # directory pruning is visible in the scan
+    plan = dp._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "spst_pp_posgrams" in ln and "PartitionFilters: [gp" in ln
+        for ln in plan.splitlines()
+    ), "no gp partition filter reached the posgrams scan"
+
+    # absorb preserves the layout; the next probe sees the new corpus
+    d1 = dp.localCheckpoint()
+    absorb_spans_into_store(
+        spark, batch, d1, "spst_pp", num_buckets=2, exclude_existing=True
+    )
+    d2 = {
+        r.doc_id: r.decision
+        for r in span_dedup_from_store(
+            spark, _docs(spark, [(200, " ".join(_toks("n", 0, 25)))]), "spst_pp"
+        ).collect()
+    }
+    assert d2[200] == "dup_of_corpus"
+
+    # compaction keeps the partition column and the recorded P
+    compact_span_store(spark, "spst_pp")
+    assert _store_hash_partitions(spark, "spst_pp_posgrams") == 4
+    assert "gp" in spark.table("spst_pp_posgrams").columns
+    d3 = {
+        r.doc_id: r.decision
+        for r in span_dedup_from_store(
+            spark, _docs(spark, [(201, " ".join(_toks("n", 0, 25)))]), "spst_pp"
+        ).collect()
+    }
+    assert d3[201] == "dup_of_corpus"
