@@ -213,6 +213,67 @@ FROM sp_spans WHERE span_tokens >= {min_span}
 """
 
 
+# Maximum matched-position gap the GAPPED variant bridges along a
+# diagonal. A single token SUBSTITUTION at position p kills the w
+# grams starting in (p-w+1 .. p) — the surviving neighbors are w+1
+# apart — so gap = w bridges exactly the one-substitution case
+# (insertions/deletions SHIFT the diagonal and are deliberately not
+# bridged: a different diagonal is a different alignment).
+SPAN_GAP_TOKENS = SPAN_GRAM_TOKENS
+
+
+def span_pairs_gapped_sql(
+    engine: str,
+    cap: int | None,
+    min_span: int = SPAN_MIN_TOKENS,
+    gap: int = SPAN_GAP_TOKENS,
+    source: str = "documents",
+) -> str:
+    """Near-verbatim variant of :func:`span_pairs_sql`: maximal spans
+    whose matched gram positions may have interior gaps of up to
+    ``gap`` along the same diagonal — bridging point substitutions
+    that break the exact islands (each bridged gap of w is one edited
+    token inside an otherwise verbatim run; the exact variant reports
+    two spans, this one the full near-verbatim extent). Output adds
+    ``matched_grams`` so consumers can see match density: for a span
+    of t tokens with e substitutions, matched_grams ≈ t - w + 1 - e·w.
+    Same candidate generation (cap valve included); the merge swaps
+    the row_number identity for an explicit lag-gap island break —
+    both engines, deterministic (positions are unique per diagonal)."""
+    return f"""
+WITH {span_posgram_ctes(engine, source)},
+{_span_cand_ctes(engine, cap)},
+sp_brk AS (
+  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+         CASE WHEN lag(pos_a) OVER (
+                PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+              ) IS NULL
+              OR pos_a - lag(pos_a) OVER (
+                PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+              ) > {gap + 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM sp_cand
+),
+sp_gisl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         sum(brk) OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+         ) AS grp
+  FROM sp_brk
+),
+sp_gspans AS (
+  SELECT doc_a, doc_b, diag,
+         CAST(min(pos_a) AS BIGINT) AS a_start,
+         CAST(min(pos_a) - diag AS BIGINT) AS b_start,
+         CAST(max(pos_a) - min(pos_a) + {SPAN_GRAM_TOKENS} AS BIGINT) AS span_tokens,
+         CAST(count(*) AS BIGINT) AS matched_grams
+  FROM sp_gisl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, a_start, b_start, span_tokens, matched_grams
+FROM sp_gspans WHERE span_tokens >= {min_span}
+"""
+
+
 def span_gram_skew_sql(
     engine: str, cap: int, source: str = "documents"
 ) -> str:

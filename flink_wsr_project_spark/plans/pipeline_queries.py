@@ -2174,6 +2174,41 @@ def span_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(span_keep_list_sql("spark", _SPAN_GRAM_CAP))
 
 
+def _span_gapped_oracle() -> str:
+    from flink_wsr_project_spark.operators.spans import span_pairs_gapped_sql
+
+    return span_pairs_gapped_sql("duckdb", _SPAN_GRAM_CAP)
+
+
+@register(
+    "shared_span_pairs_gapped",
+    oracle=_span_gapped_oracle(),
+    tags=("pipeline", "text", "dedup"),
+)
+def shared_span_pairs_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-verbatim spans: ``shared_span_pairs_capped`` with interior
+    gaps of up to the gram width bridged along each diagonal — a
+    point SUBSTITUTION kills the 8 grams covering it, so the exact
+    variant reports the run as two spans while this one reports the
+    full near-verbatim extent with a ``matched_grams`` density column
+    (insertions/deletions shift the diagonal and are deliberately NOT
+    bridged — a different diagonal is a different alignment). This is
+    the variant memorization-removal actually wants at corpus scale:
+    lightly-edited boilerplate and paraphrase-by-one-word survive
+    exact dedup but not this. Honest gate note: the GENERATED corpus'
+    near-dups are truncations, not substitutions, so at sf0.01 this
+    returns exactly the capped variant's spans (measured — 23/23, no
+    gap bridged); the bridging branch is exercised by the synthetic
+    substitution test, which pins one mid-run edit merging the exact
+    variant's two fragments into one 40-token near-verbatim span.
+    Oracle: identical SQL in DuckDB — the lag-gap island break is
+    pinned bit-for-bit."""
+    from flink_wsr_project_spark.operators.spans import span_pairs_gapped_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_pairs_gapped_sql("spark", _SPAN_GRAM_CAP))
+
+
 def _span_scrub_oracle() -> str:
     from flink_wsr_project_spark.operators.spans import span_scrub_sql
 

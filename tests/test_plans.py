@@ -279,6 +279,9 @@ def test_dimension_join_broadcasts(spark, name):
         # capped pairs (4) + interval merge + token-explode⋈intervals
         # doc-equi join + reassembly agg
         ("span_scrub", 7),
+        # the capped shape with the lag-gap island break — the lag and
+        # running-sum windows stack on the same diagonal partitioning
+        ("shared_span_pairs_gapped", 4),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

@@ -1156,3 +1156,55 @@ def test_span_scrub_exact_strings(spark, tmp_path):
     assert out[4].tokens_removed == 0
     assert out[4].scrubbed_text == " ".join(_toks("z", 0, 9))
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_scrub/synth")
+
+
+def test_span_gapped_bridges_one_substitution(spark, tmp_path):
+    """The gapped variant's reason to exist, pinned: a single token
+    SUBSTITUTION mid-run (doc2's token 20 of a 40-token shared run)
+    kills the 8 grams covering it. Exact islands report TWO spans
+    (tokens 0..19 and 21..39); the gapped merge bridges the w-wide
+    hole into ONE 40-token near-verbatim span with matched_grams = 25
+    (33 gram positions minus the 8 killed). An INSERTION, by contrast,
+    shifts the diagonal and must NOT be bridged."""
+    S = _toks("s", 0, 40)
+    edited = list(S)
+    edited[20] = "EDIT"
+    inserted = S[:20] + ["INS"] + S[20:]
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(S),
+            " ".join(edited),
+            " ".join(inserted),
+        ],
+    )
+    qe = get("shared_span_pairs_capped")
+    qg = get("shared_span_pairs_gapped")
+    exact12 = sorted(
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in qe.spark_fn(spark, sf_dir).collect()
+        if (r.doc_a, r.doc_b) == (1, 2)
+    )
+    assert exact12 == [(0, 0, 20), (21, 21, 19)]  # split by the edit
+    gap12 = [
+        (r.a_start, r.b_start, r.span_tokens, r.matched_grams)
+        for r in qg.spark_fn(spark, sf_dir).collect()
+        if (r.doc_a, r.doc_b) == (1, 2)
+    ]
+    assert gap12 == [(0, 0, 40, 25)]  # one bridged near-verbatim span
+
+    # the insertion pair: two diagonals, bridged into nothing longer —
+    # same spans as exact (alignment changed, not edited)
+    gap13 = sorted(
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in qg.spark_fn(spark, sf_dir).collect()
+        if (r.doc_a, r.doc_b) == (1, 3)
+    )
+    exact13 = sorted(
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in qe.spark_fn(spark, sf_dir).collect()
+        if (r.doc_a, r.doc_b) == (1, 3)
+    )
+    assert gap13 == [(a, b, t) for a, b, t in exact13]
+    assert len(gap13) == 2  # prefix (diag 0) and suffix (diag -1) runs
+    assert_parity(qg.spark_fn(spark, sf_dir), qg.oracle, sf_dir, "span_gapped/synth")
