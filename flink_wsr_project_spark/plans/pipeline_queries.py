@@ -5021,3 +5021,92 @@ GROUP BY d.source, stage
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_curation_funnel_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (full-text search over the corpus)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 constants (the standard defaults) and a fixed query mixing
+# common terms with a rare one (sf0.01 dfs: join 394, filter 393,
+# dup 25 of 503 docs) so idf genuinely reorders documents — a
+# common-terms-only query would rank by length normalization alone.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("join", "filter", "dup")
+_BM25_TOPK = 10
+
+
+def _bm25_sql(engine: str) -> str:
+    """Engine-shared BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    per-term contribution idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+    Cross-engine float discipline, stricter than the tfidf round-6:
+    each term's contribution is quantized to integer MICROS before the
+    per-document sum, so the aggregate is integer arithmetic — immune
+    to summation order, which doubles are not (ln's last ulp is the
+    only residual exposure, the same one doc_tfidf_topk carries)."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    if engine == "spark":
+        toks = (
+            "SELECT doc_id, tok FROM documents "
+            "LATERAL VIEW explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) _t AS tok"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
+            " '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents"
+        )
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY tok),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(round(
+           ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+           * (t.tf * {k1 + 1}) / (t.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS c
+  FROM tf t
+  JOIN dfreq d ON t.tok = d.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros
+FROM contrib GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_bm25_sql("duckdb"),
+    tags=("pipeline", "text", "search"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval — the search primitive the text
+    family lacked: global top-10 documents for a fixed 3-term query
+    (two common terms + one rare, so idf does real work). Plan: one
+    token explode feeds both the per-doc length and the query-term
+    tf (the WHERE prunes the tf aggregate to query terms before its
+    shuffle); df and the corpus stats are broadcast 1-row/3-row
+    aggregates; the global top-10 is ORDER+LIMIT, which Spark plans
+    as TakeOrderedAndProject — never an unpartitioned rank window.
+    Scores are integer micros summed as BIGINT (order-independent;
+    see ``_bm25_sql``), so the external value hash pins the whole
+    scoring function. At 100 TB the same shape holds: the only
+    corpus-sized shuffles are the doc-length agg and the tf agg, both
+    map-side combinable."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_bm25_sql("spark"))

@@ -282,6 +282,9 @@ def test_dimension_join_broadcasts(spark, name):
         # the capped shape with the lag-gap island break — the lag and
         # running-sum windows stack on the same diagonal partitioning
         ("shared_span_pairs_gapped", 4),
+        # dl agg + 1-row stats + tf agg + 3-row df + the dl/df joins +
+        # final doc agg; top-10 is TakeOrderedAndProject (pinned below)
+        ("bm25_search_topk", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

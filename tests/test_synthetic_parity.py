@@ -1208,3 +1208,30 @@ def test_span_gapped_bridges_one_substitution(spark, tmp_path):
     assert gap13 == [(a, b, t) for a, b, t in exact13]
     assert len(gap13) == 2  # prefix (diag 0) and suffix (diag -1) runs
     assert_parity(qg.spark_fn(spark, sf_dir), qg.oracle, sf_dir, "span_gapped/synth")
+
+
+def test_bm25_rare_term_and_length_normalization(spark, tmp_path):
+    """BM25 semantics pinned on crafted docs (query: join, filter,
+    dup): a single RARE-term hit (df=1) outranks a common-term hit
+    (high df → near-zero idf); among equal-tf docs the SHORTER one
+    scores higher (the b·dl/avgdl denominator); a doc with no query
+    terms is absent from the ranking."""
+    filler = _toks("z", 0, 40)
+    texts = (
+        ["dup " + " ".join(_toks("a", 0, 20))]          # doc1: rare hit
+        + ["join filter " + " ".join(_toks("b", 0, 38))]  # doc2: common, long
+        + ["join filter " + " ".join(_toks("c", 0, 8))]   # doc3: common, short
+        + [" ".join(filler)]                             # doc4: no query terms
+        # dilute idf for join/filter: several docs containing both
+        # (6, so every query-term doc stays inside the top-10 cut)
+        + [f"join filter pad{i} " + " ".join(_toks(f"d{i}_", 0, 10)) for i in range(6)]
+    )
+    sf_dir = _span_docs(tmp_path, texts)
+    q = get("bm25_search_topk")
+    rows = q.spark_fn(spark, sf_dir).collect()
+    scores = {r.doc_id: r.score_micros for r in rows}
+    ranked = [r.doc_id for r in sorted(rows, key=lambda r: (-r.score_micros, r.doc_id))]
+    assert ranked[0] == 1, f"rare-term doc should rank first: {scores}"
+    assert 4 not in scores  # no query terms, no row
+    assert scores[3] > scores[2], "shorter doc with same tf must outscore longer"
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "bm25/synth")
