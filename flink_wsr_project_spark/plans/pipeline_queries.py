@@ -2209,6 +2209,51 @@ def shared_span_pairs_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(span_pairs_gapped_sql("spark", _SPAN_GRAM_CAP))
 
 
+def _span_leakage_sql(engine: str) -> str:
+    from flink_wsr_project_spark.operators.spans import (
+        SPAN_MIN_TOKENS,
+        _span_cand_ctes,
+        _span_merge_ctes,
+        span_posgram_ctes,
+    )
+
+    return f"""
+WITH {span_posgram_ctes(engine)},
+{_span_cand_ctes(engine, _SPAN_GRAM_CAP)},
+{_span_merge_ctes()},
+f AS (SELECT * FROM sp_spans WHERE span_tokens >= {SPAN_MIN_TOKENS}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(a.source <> b.source AS BOOLEAN) AS cross_source,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS leaked_tokens
+FROM f JOIN src a ON a.doc_id = f.doc_a JOIN src b ON b.doc_id = f.doc_b
+GROUP BY a.source, b.source
+"""
+
+
+@register(
+    "cross_source_span_leakage",
+    oracle=_span_leakage_sql("duckdb"),
+    tags=("pipeline", "text", "dedup", "provenance"),
+)
+def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance rollup over the capped span evidence: per
+    (source_a, source_b) pair, how many verbatim spans and how many
+    tokens one source shares with another — the WHO-copies-FROM-whom
+    dashboard (mirror-site detection, license-text tracing, and the
+    span-granular counterpart of ``cross_source_contamination``'s
+    near-dup view; ``cross_source`` separates intra-source
+    duplication, which is dedup's business, from cross-source
+    leakage, which is a provenance finding). At sf0.01: 23 span rows
+    roll up to 22 cross-source pairs + 1 within-source (both flag
+    branches execute). Plan: the capped pair chain + two broadcast
+    joins to the (doc, source) roster + one (source_a, source_b)
+    aggregate. Oracle: identical SQL."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_span_leakage_sql("spark"))
+
+
 def _span_scrub_oracle() -> str:
     from flink_wsr_project_spark.operators.spans import span_scrub_sql
 

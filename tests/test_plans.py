@@ -285,6 +285,9 @@ def test_dimension_join_broadcasts(spark, name):
         # dl agg + 1-row stats + tf agg + 3-row df + the dl/df joins +
         # final doc agg; top-10 is TakeOrderedAndProject (pinned below)
         ("bm25_search_topk", 7),
+        # capped span chain (4) + the (source_a, source_b) rollup; the
+        # doc->source roster joins broadcast
+        ("cross_source_span_leakage", 5),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
