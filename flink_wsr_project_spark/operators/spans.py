@@ -274,6 +274,77 @@ FROM sp_gspans WHERE span_tokens >= {min_span}
 """
 
 
+def span_decontaminate_sql(
+    engine: str,
+    cap: int,
+    min_span: int = SPAN_MIN_TOKENS,
+    source: str = "documents",
+) -> str:
+    """Span-level benchmark decontamination: every maximal verbatim
+    span (>= min_span tokens) a TRAIN-split document shares with a
+    TEST-split document, WITH positions on both sides — the upgrade
+    over gram-overlap decontamination (``benchmark_decontaminate``
+    says WHICH train docs leak; this says WHERE, so the remedy can be
+    a span scrub instead of dropping the whole document). The split is
+    ``dataset_splits``' content-independent doc_id hash (80/10/10;
+    val plays no part), recomputable from doc_id alone, so no split
+    column needs carrying through the gram index. Cap semantics differ
+    from the dedup pair queries ON PURPOSE: grams in more than ``cap``
+    documents are EXCLUDED rather than star-collapsed — ubiquitous
+    boilerplate is not contamination evidence (the chunk-containment
+    DF-cap stance: stop-shingles leave the index), and there is no
+    keeper to collapse onto across the split boundary."""
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    from flink_wsr_project_spark.operators.dedup import h28
+
+    h = h28(f"concat('split:', CAST(doc_id AS {str_t}))", engine)
+    w = SPAN_GRAM_TOKENS
+    src = (
+        f"(SELECT doc_id, text FROM {source} "
+        f"WHERE {h} % 100 < 80 OR {h} % 100 >= 90)"
+    )
+    return f"""
+WITH {span_posgram_ctes(engine, src)},
+sp_spl AS (
+  SELECT doc_id, pos, gh, vh,
+         CASE WHEN {h} % 100 < 80 THEN 'train' ELSE 'test' END AS split
+  FROM sp_pg
+),
+sp_w1 AS (
+  SELECT doc_id, pos, gh, vh, split,
+         dense_rank() OVER (PARTITION BY gh ORDER BY doc_id) AS dr
+  FROM sp_spl
+),
+sp_okg AS (
+  SELECT doc_id, pos, gh, vh, split,
+         max(dr) OVER (PARTITION BY gh) AS df
+  FROM sp_w1
+),
+sp_cand AS (
+  SELECT t.doc_id AS test_doc, t.pos AS pos_t,
+         r.doc_id AS train_doc, r.pos AS pos_r
+  FROM sp_okg t JOIN sp_okg r
+    ON t.gh = r.gh AND t.vh = r.vh
+  WHERE t.split = 'test' AND r.split = 'train' AND t.df <= {cap}
+),
+sp_isl AS (
+  SELECT test_doc, train_doc, pos_t - pos_r AS diag, pos_t,
+         pos_t - row_number() OVER (
+           PARTITION BY test_doc, train_doc, pos_t - pos_r ORDER BY pos_t) AS grp
+  FROM sp_cand
+),
+sp_dspans AS (
+  SELECT test_doc, train_doc,
+         CAST(min(pos_t) AS BIGINT) AS test_start,
+         CAST(min(pos_t) - diag AS BIGINT) AS train_start,
+         CAST(count(*) + {w - 1} AS BIGINT) AS span_tokens
+  FROM sp_isl GROUP BY test_doc, train_doc, diag, grp
+)
+SELECT test_doc, train_doc, test_start, train_start, span_tokens
+FROM sp_dspans WHERE span_tokens >= {min_span}
+"""
+
+
 def span_gram_skew_sql(
     engine: str, cap: int, source: str = "documents"
 ) -> str:

@@ -2209,6 +2209,36 @@ def shared_span_pairs_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(span_pairs_gapped_sql("spark", _SPAN_GRAM_CAP))
 
 
+def _span_decon_oracle() -> str:
+    from flink_wsr_project_spark.operators.spans import span_decontaminate_sql
+
+    return span_decontaminate_sql("duckdb", _SPAN_GRAM_CAP)
+
+
+@register(
+    "benchmark_span_decontaminate",
+    oracle=_span_decon_oracle(),
+    tags=("pipeline", "text", "dedup", "decontamination"),
+)
+def benchmark_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — every maximal verbatim
+    span a TRAIN document shares with a TEST document, with exact
+    positions on both sides (``benchmark_decontaminate`` flags WHICH
+    train docs leak via 13-gram overlap; this says WHERE, so the
+    remedy can be a targeted span scrub instead of dropping the
+    document — the way production pipelines actually handle partial
+    contamination). Same content-independent doc_id-hash split as
+    ``dataset_splits``; grams in more than ``_SPAN_GRAM_CAP`` docs
+    are EXCLUDED as evidence (boilerplate is not contamination — the
+    containment DF-cap stance; there is no keeper to star onto across
+    a split boundary). At sf0.01: 4 leaked spans, 36-80 tokens.
+    Oracle: identical SQL."""
+    from flink_wsr_project_spark.operators.spans import span_decontaminate_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(span_decontaminate_sql("spark", _SPAN_GRAM_CAP))
+
+
 def _span_leakage_sql(engine: str) -> str:
     from flink_wsr_project_spark.operators.spans import (
         SPAN_MIN_TOKENS,

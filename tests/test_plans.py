@@ -288,6 +288,8 @@ def test_dimension_join_broadcasts(spark, name):
         # capped span chain (4) + the (source_a, source_b) rollup; the
         # doc->source roster joins broadcast
         ("cross_source_span_leakage", 5),
+        # gh window stack (df filter) + cross-split join + islands agg
+        ("benchmark_span_decontaminate", 3),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):

@@ -1235,3 +1235,53 @@ def test_bm25_rare_term_and_length_normalization(spark, tmp_path):
     assert 4 not in scores  # no query terms, no row
     assert scores[3] > scores[2], "shorter doc with same tf must outscore longer"
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "bm25/synth")
+
+
+def test_span_decontaminate_cross_split_only(spark, tmp_path):
+    """Span decontamination pins: evidence flows ONLY across the
+    train/test boundary (train-train and test-test clones are dedup's
+    business, not contamination), positions are exact, and over-cap
+    boilerplate grams are excluded. Split ids are chosen by probing
+    the same content-independent hash the query uses."""
+    from flink_wsr_project_spark.operators.dedup import h28
+
+    import duckdb
+
+    # find ids per split with the oracle's own hash
+    con = duckdb.connect()
+    h = h28("concat('split:', CAST(doc_id AS VARCHAR))", "duckdb")
+    picks = {"train": [], "test": []}
+    for i in range(1, 400):
+        m = con.sql(f"SELECT {h} % 100 FROM (SELECT {i} AS doc_id)").fetchall()[0][0]
+        split = "train" if m < 80 else ("test" if m >= 90 else "val")
+        if split != "val" and len(picks[split]) < 3:
+            picks[split].append(i)
+        if all(len(v) >= 3 for v in picks.values()):
+            break
+    tr, te = picks["train"], picks["test"]
+
+    S = _toks("s", 0, 30)
+    T = _toks("t", 0, 25)
+    rows = {
+        tr[0]: " ".join(S),                           # train: leaks S to test
+        te[0]: " ".join(_toks("p", 0, 3) + S),        # test: holds S at pos 3
+        tr[1]: " ".join(T),                           # train-train clone pair:
+        tr[2]: " ".join(T),                           #   NOT contamination
+        te[1]: " ".join(_toks("q", 0, 20)),           # test: clean
+    }
+    sf_dir = _span_docs_ids(tmp_path, rows)
+    q = get("benchmark_span_decontaminate")
+    got = {
+        (r.test_doc, r.train_doc): (r.test_start, r.train_start, r.span_tokens)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {(te[0], tr[0]): (3, 0, 30)}
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_decon/synth")
+
+
+def _span_docs_ids(tmp_path, rows):
+    """Write documents with EXPLICIT ids from a {doc_id: text} map."""
+    return _write_documents(
+        tmp_path,
+        [(i, t, "en", "web", len(t)) for i, t in sorted(rows.items())],
+    )
