@@ -98,11 +98,16 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # containment_keep_list, quality_classifier_score) are tier-0 and
     # lead the window automatically.
     #
-    # r13 session 3: still empty. The span family (operators/spans.py)
-    # is entirely new code — no shared operator changed; its four
-    # queries (shared_span_pairs, shared_span_pairs_capped,
-    # span_gram_skew, span_dedup_keep_list) are tier-0 and lead the
-    # window automatically.
+    # r13 session 3: still empty. The span family (operators/spans.py
+    # + operators/span_store.py) and BM25 are entirely new code — no
+    # shared operator used by a previously-green query changed (the
+    # interval_union_ctes extraction rewrote only the two span queries
+    # registered THIS session). The nine new queries
+    # (shared_span_pairs, shared_span_pairs_capped, span_gram_skew,
+    # span_dedup_keep_list, span_scrub, shared_span_pairs_gapped,
+    # bm25_search_topk, cross_source_span_leakage,
+    # benchmark_span_decontaminate) are tier-0 and lead the window
+    # automatically.
 )
 
 

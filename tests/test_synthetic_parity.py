@@ -1285,3 +1285,32 @@ def _span_docs_ids(tmp_path, rows):
         tmp_path,
         [(i, t, "en", "web", len(t)) for i, t in sorted(rows.items())],
     )
+
+
+def test_span_leakage_multi_span_pair(spark, tmp_path):
+    """The provenance rollup pinned off the gate corpus' 1-span-per-
+    pair degeneracy: two disjoint shared runs between a srcA doc and a
+    srcB doc roll up to ONE (srcA, srcB) row with n_spans=2, and a
+    same-source clone pair lands in a cross_source=false row."""
+    A = _toks("a", 0, 16)
+    B = _toks("b", 0, 18)
+    C = _toks("c", 0, 20)
+    sf_dir = _write_documents(
+        tmp_path,
+        [
+            (1, " ".join(A + _toks("u", 0, 4) + B), "en", "srcA", 1),
+            (2, " ".join(B + _toks("v", 0, 7) + A), "en", "srcB", 1),
+            (3, " ".join(C), "en", "srcC", 1),
+            (4, " ".join(C + _toks("w", 0, 2)), "en", "srcC", 1),
+        ],
+    )
+    q = get("cross_source_span_leakage")
+    rows = {
+        (r.source_a, r.source_b): (r.cross_source, r.n_spans, r.leaked_tokens)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        ("srcA", "srcB"): (True, 2, 16 + 18),
+        ("srcC", "srcC"): (False, 1, 20),
+    }
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_leakage/synth")
