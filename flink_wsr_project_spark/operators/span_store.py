@@ -20,8 +20,10 @@ Store layout (two bucketed tables):
 * ``<prefix>_docs`` (doc_id, n_tokens) bucketed by ``doc_id`` — one
   row per absorbed document: the replay-idempotence anti-join target
   (the posgrams table is keyed by gh, so an anti-join against IT would
-  shuffle the store) and the token denominators coverage needs without
-  re-reading text.
+  shuffle the store). The probe computes the BATCH's denominators from
+  the batch text (batch docs are by definition not in the roster);
+  n_tokens is carried as absorbed-doc metadata for corpus-side
+  reporting, not read by any decision path today.
 
 Per-increment cost: one tokenize+hash pass over Δ, one broadcast of
 Δ's distinct grams to semi-join the store (store side exchange-free),
@@ -32,9 +34,11 @@ corpus.
 Degenerate valve, incremental form: the store-side stats (df, keeper,
 keeper_pos) are computed PER PROBE over exactly the grams Δ carries —
 an aggregate over matched store rows (map-side combinable, never a
-join explosion) — and over-cap grams route each Δ occurrence to one
-star row against the store's min-id keeper, so a boilerplate gram with
-a million corpus occurrences costs the probe |Δ| rows, not |Δ|×1M.
+join explosion) — and over-cap grams route Δ occurrences to star rows
+against the store's min-id keeper's OWN occurrences, so a boilerplate
+gram with a million corpus occurrences costs the probe
+|Δ occ|·|keeper occ| rows (keeper occurrence counts are per-document,
+i.e. small), not |Δ|×1M.
 The store-side cap counts CORPUS occurrences only (the batch arm caps
 its own df independently); a replayed batch doc sees itself in the
 store and is self-excluded from matching, but does inflate its grams'
@@ -260,7 +264,12 @@ def span_dedup_from_store(
     keeper — the evidence coverage consumes — are preserved exactly;
     see the batch query's pinned property), and caps the batch arm's
     own df identically via the registered capped SQL."""
-    bp = _posgrams_df(spark, batch_docs)
+    # pin Δ's gram frame: one tokenize+md5 pass total (the subtree is
+    # consumed by the prefix collect, the gram broadcast, the stats
+    # annotation and both candidate arms — unpinned, a large
+    # micro-batch would pay the hash pass 4-6×; the dHash probe's
+    # localCheckpoint discipline, image_dedup.py)
+    bp = _posgrams_df(spark, batch_docs).localCheckpoint()
     bnt = _ntokens_df(spark, batch_docs)
     from flink_wsr_project_spark.operators.incremental_dedup import (
         _store_hash_partitions,
@@ -304,7 +313,6 @@ def span_dedup_from_store(
     stats = g1.groupBy("gh").agg(
         F.count(F.lit(1)).alias("df"),
         F.min("doc_id").alias("keeper"),
-        F.expr("min_by(minpos, doc_id)").alias("keeper_pos"),
     )
 
     # annotate Δ rows with their grams' store stats (inner join: grams
@@ -336,17 +344,45 @@ def span_dedup_from_store(
     if cap is None:
         corpus_cand = within
     else:
-        # star arm is built from the duplicate-immune stats alone
-        star = bpa.where(
-            (F.col("df") > cap) & (F.col("keeper") != F.col("doc_id"))
-        ).select(
-            F.col("keeper").alias("doc_a"),
-            F.col("keeper_pos").alias("pos_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.col("pos").alias("pos_b"),
+        # star arm: over-cap Δ rows join the KEEPER'S OWN occurrence
+        # rows of the gram (not a single precomputed keeper position —
+        # a keeper with a stray extra copy of a gram would pull it
+        # onto the wrong diagonal and fragment the keeper-side span;
+        # r13 review finding, same fix as the batch SQL). hit_k is
+        # deduped like hit_w, and star rows carry the full two-hash
+        # verify. Row count per over-cap gram: |Δ occ|·|keeper occ|.
+        over_keepers = stats.where(F.col("df") > cap).select("gh", "keeper")
+        hit_k = (
+            hit.join(F.broadcast(over_keepers), "gh")
+            .where(F.col("doc_id") == F.col("keeper"))
+            .select("gh", "doc_id", "pos", "vh")
+            .dropDuplicates(["gh", "doc_id", "pos"])
+        )
+        star = (
+            bpa.where((F.col("df") > cap) & (F.col("keeper") != F.col("doc_id")))
+            .select(
+                "gh",
+                F.col("vh").alias("b_vh"),
+                F.col("doc_id").alias("b_doc"),
+                F.col("pos").alias("b_pos"),
+            )
+            .join(hit_k, "gh")
+            .where(F.col("vh") == F.col("b_vh"))
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("pos").alias("pos_a"),
+                F.col("b_doc").alias("doc_b"),
+                F.col("b_pos").alias("pos_b"),
+            )
         )
         corpus_cand = within.unionByName(star)
 
+    # NOT pinned on purpose: the corpus-span subtree executes twice
+    # (corpus-only and total coverage — bounded by matched rows, the
+    # arms' verified joins), which is the price of the returned frame
+    # remaining a LAZY plan that still contains the store scan — the
+    # shuffle-freeness plan-walk tests (and any operator explaining
+    # the probe) inspect exactly that.
     corpus_spans = _merge_cand_to_spans(spark, corpus_cand, min_span)
 
     # within-batch arm: the registered capped pair SQL over Δ only —

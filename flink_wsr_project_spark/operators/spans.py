@@ -34,15 +34,15 @@ sentences — appear in THOUSANDS of documents, and the gram self-join
 is quadratic in that document frequency. Grams whose df exceeds
 ``cap`` are star-collapsed: every occurrence matches only the gram's
 MIN-id document (at that document's first occurrence position),
-|B|-1 rows instead of |B|(|B|-1)/2. The decision layer survives the
-cap by construction — the min-keeper convention means coverage claims
-BY the minimum document are exactly what the keep-list consumes, and
-those are preserved; what the cap drops is pair evidence among
-non-minimum documents. Star rows match on the 60-bit key alone (the
-keeper's verify hash is not carried through the aggregate); their
-mass is linear in the corpus, so the residual collision exposure is
-|corpus|·2^-60, vs the quadratic enumerated mass which gets the full
-92-bit check.
+|B|·occ(keeper) rows instead of |B|(|B|-1)/2. The decision layer
+survives the cap by construction — the min-keeper convention means
+coverage claims BY the minimum document are exactly what the
+keep-list consumes, and those are preserved EXACTLY (star rows pair
+every member occurrence with every KEEPER occurrence of the gram, so
+keeper-side diagonals are identical to the uncapped ones even when
+the keeper holds stray extra copies of a gram; pinned by synthetic
+test). Star rows carry the same 92-bit two-hash verify as the
+enumerated arm.
 
 Spans shorter than ``min_span`` tokens are noise (every ~5-token
 phrase repeats somewhere); the reported unit is maximal spans >=
@@ -125,35 +125,46 @@ sp_pg AS (
 
 
 def _span_cand_ctes(engine: str, cap: int | None) -> str:
-    """CTEs ``sp_gd``/``sp_gs``/``sp_ann``/``sp_cand`` — the gram
-    match with the df valve. ``cap=None`` enumerates every df >= 2
-    gram exactly (the uncapped variant whose volume the skew report
-    prices); an integer cap star-collapses over-cap grams onto their
-    min-id document.
+    """CTEs ``sp_w1``/``sp_ann``/``sp_cand`` — the gram match with
+    the df valve. ``cap=None`` enumerates every df >= 2 gram exactly
+    (the uncapped variant whose volume the skew report prices); an
+    integer cap star-collapses over-cap grams onto their min-id
+    document (every keeper OCCURRENCE, so keeper-side claims are
+    preserved exactly under any cap).
 
     Uniqueness proof for the downstream row_number: a position holds
     exactly one gram, so (doc_id, pos) determines gh, so every
-    ``sp_cand`` row is unique in (doc_a, doc_b, pos_a, pos_b) — the
-    within-cap branch because both positions are real gram sites, the
-    star branch because (keeper, keeper_pos) determines the gram and
-    branches are df-disjoint (UNION ALL cannot double-count)."""
+    ``sp_cand`` row is unique in (doc_a, doc_b, pos_a, pos_b) — both
+    branches pair two real gram sites, and the branches are
+    df-disjoint (UNION ALL cannot double-count)."""
     within = "a.df >= 2" if cap is None else f"a.df >= 2 AND a.df <= {cap}"
+    # Star arm = the SAME self-join restricted to the keeper's own
+    # rows: every member occurrence matches every KEEPER OCCURRENCE of
+    # the gram (not a single precomputed keeper position — a keeper
+    # holding a stray extra copy of a gram outside the shared run
+    # would otherwise pull that gram onto the wrong diagonal and
+    # fragment the keeper-side span, breaking the "keeper claims
+    # preserved exactly" guarantee; r13 review finding). Row count per
+    # over-cap gram: |members|·|keeper occurrences| — still linear in
+    # the bucket, and star rows now carry the full 92-bit two-hash
+    # verify like the enumerated arm.
     star = (
         ""
         if cap is None
         else f"""
   UNION ALL
-  SELECT keeper AS doc_a, keeper_pos AS pos_a, doc_id AS doc_b, pos AS pos_b
-  FROM sp_ann WHERE df > {cap} AND doc_id > keeper"""
+  SELECT k.doc_id AS doc_a, k.pos AS pos_a, m.doc_id AS doc_b, m.pos AS pos_b
+  FROM sp_ann m JOIN sp_ann k
+    ON m.gh = k.gh AND k.doc_id = m.keeper AND m.vh = k.vh
+  WHERE m.df > {cap} AND m.doc_id > m.keeper"""
     )
     # Gram stats as a WINDOW STACK on one partitioning, not
     # groupBy + window + join-back: every layer partitions by gh, so
-    # Catalyst plans ONE gh exchange for all three (df needs a distinct
+    # Catalyst plans ONE gh exchange for both (df needs a distinct
     # doc count, which windows can't do directly — dense_rank over
-    # doc_id then max of it is the standard identity; keeper_pos needs
-    # keeper first, hence the second layer on the SAME key). The
-    # self-join's two sides are the identical subtree, so the runtime
-    # reuses that exchange too.
+    # doc_id then max of it is the standard identity). The self-joins'
+    # sides are the identical subtree, so the runtime reuses that
+    # exchange too.
     return f"""sp_w1 AS (
   SELECT doc_id, pos, gh, vh,
          min(doc_id) OVER (PARTITION BY gh) AS keeper,
@@ -162,9 +173,7 @@ def _span_cand_ctes(engine: str, cap: int | None) -> str:
 ),
 sp_ann AS (
   SELECT doc_id, pos, gh, vh, keeper,
-         max(dr) OVER (PARTITION BY gh) AS df,
-         min(CASE WHEN doc_id = keeper THEN pos END)
-           OVER (PARTITION BY gh) AS keeper_pos
+         max(dr) OVER (PARTITION BY gh) AS df
   FROM sp_w1
 ),
 sp_cand AS (

@@ -193,29 +193,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster" analogue) are capped, the twenty 2-doc buckets pass.
 # Since r8 star edges are Jaccard-verified, so a small cap costs plan
 # routing, never correctness.
-def _parse_bucket_cap(raw: str) -> int:
+def _parse_bucket_cap(raw: str, name: str = "SPARK_GRAFT_LSH_BUCKET_CAP") -> int:
     """Validate the env override at import (the SQL interpolates the
     value, so a bad cap would otherwise surface as a confusing parse
     or — worse, for cap < 1 — silently route EVERY bucket through
-    star-collapse, since ``n <= 0`` never holds)."""
+    star-collapse, since ``n <= 0`` never holds). ``name`` is the env
+    var being parsed, so the error points at the variable the operator
+    actually set (r13 ADVICE-class fix: the helper now has several cap
+    call sites)."""
     try:
         cap = int(raw)
     except ValueError:
         raise ValueError(
-            f"SPARK_GRAFT_LSH_BUCKET_CAP={raw!r} is not an integer; "
+            f"{name}={raw!r} is not an integer; "
             "expected a plain int >= 1 (e.g. 2 for the test gate, 1000 "
             "for a production deployment)"
         ) from None
     if cap < 1:
         raise ValueError(
-            f"SPARK_GRAFT_LSH_BUCKET_CAP={cap} is degenerate: a cap < 1 "
+            f"{name}={cap} is degenerate: a cap < 1 "
             "makes the within-cap branch unreachable (bucket sizes are "
             ">= 1), silently star-collapsing every bucket. Use >= 1."
         )
     return cap
 
 
-_LSH_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"))
+_LSH_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"), "SPARK_GRAFT_LSH_BUCKET_CAP")
 
 
 def _capped_cands_union() -> str:
@@ -1495,7 +1498,7 @@ FROM _img_dhash_kl d LEFT JOIN claims c ON c.asset_id = d.asset_id
 # is the sf0.01 gate setting: the padding buckets (up to ~126 docs)
 # are capped, the small genuine buckets pass — both branches execute
 # (dead-branch discipline). Production: O(1000), via the env var.
-_IMG_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_IMG_BUCKET_CAP", "8"))
+_IMG_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_IMG_BUCKET_CAP", "8"), "SPARK_GRAFT_IMG_BUCKET_CAP")
 
 
 def _img_capped_body(engine: str, h_src: str, cap: int | None = None) -> str:
@@ -1865,12 +1868,8 @@ SELECT doc_a, doc_b, hamming FROM (
 # default 8 is the sf0.01 gate setting — 3 buckets cap, the small
 # genuine buckets pass, both branches execute (dead-branch
 # discipline). Production: O(1000), via the env vars.
-_AUDIO_BUCKET_CAP = _parse_bucket_cap(
-    os.environ.get("SPARK_GRAFT_AUDIO_BUCKET_CAP", "8")
-)
-_VIDEO_BUCKET_CAP = _parse_bucket_cap(
-    os.environ.get("SPARK_GRAFT_VIDEO_BUCKET_CAP", "8")
-)
+_AUDIO_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_AUDIO_BUCKET_CAP", "8"), "SPARK_GRAFT_AUDIO_BUCKET_CAP")
+_VIDEO_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_VIDEO_BUCKET_CAP", "8"), "SPARK_GRAFT_VIDEO_BUCKET_CAP")
 
 
 def _audio_capped_oracle() -> str:
@@ -2048,7 +2047,7 @@ def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 gate setting: the corpus' worst df is 3, so 71 grams cap and
 # 945 df=2 grams enumerate — both branches execute (dead-branch
 # discipline). Production: O(1000), via the env var.
-_SPAN_GRAM_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_SPAN_GRAM_CAP", "2"))
+_SPAN_GRAM_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_SPAN_GRAM_CAP", "2"), "SPARK_GRAFT_SPAN_GRAM_CAP")
 
 
 def _span_pairs_impl(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
@@ -2108,10 +2107,10 @@ def shared_span_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-keeper convention), so capping bounds pair evidence among
     non-minimum documents, never the decision input. Spans assembled
     from star rows are still genuine shared runs (every candidate row
-    is a real gram match; enumerated rows carry the 92-bit two-hash
-    verify, star rows the 60-bit key with linear — not quadratic —
-    collision exposure). Oracle: identical SQL with identical cap
-    semantics, so the hash match pins the valve itself."""
+    pairs two real gram sites and carries the same 92-bit two-hash
+    verify as the enumerated arm). Oracle: identical SQL with
+    identical cap semantics, so the hash match pins the valve
+    itself."""
     return _span_pairs_impl(spark, sf_dir, _SPAN_GRAM_CAP)
 
 
@@ -3299,7 +3298,7 @@ doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_S
 # invented) — the safe direction for a drop decision. Default 5 keeps
 # the branch alive on the gate corpora (max DF 7 at sf0.01, 9 at
 # sf0.001).
-_CONT_DF_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_CONT_DF_CAP", "5"))
+_CONT_DF_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_CONT_DF_CAP", "5"), "SPARK_GRAFT_CONT_DF_CAP")
 # A chunk must retain at least this many distinct non-stop shingle
 # hashes to be judged at all (a mostly-boilerplate chunk's denominator
 # would otherwise be tiny and its containment pure noise) — the
@@ -4206,9 +4205,7 @@ _SEMDEDUP_TAU = "0.35"
 # cosine verify kept). Default 60 makes BOTH branches execute against
 # the 500-vector gate corpora (sf0.001 sizes 52–70, sf0.01 52–74 —
 # dead-branch audit discipline); production would run O(1000).
-_SEMDEDUP_CLUSTER_CAP = _parse_bucket_cap(
-    os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP", "60")
-)
+_SEMDEDUP_CLUSTER_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP", "60"), "SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP")
 
 
 def _semdedup_tail(engine: str, assign_rel: str) -> str:

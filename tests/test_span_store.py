@@ -507,3 +507,31 @@ def test_partitioned_layout_prunes_and_matches(spark):
         ).collect()
     }
     assert d3[201] == "dup_of_corpus"
+
+
+def test_store_star_survives_stray_keeper_gram_copy(spark):
+    """The store twin of the stray-keeper-copy regression: the corpus
+    keeper holds a stray copy of the run's first gram outside the run;
+    with the run's grams over-cap, the probe's star arm must still
+    recover the FULL 20-token keeper claim (it joins the keeper's own
+    occurrence rows, not one precomputed position)."""
+    from flink_wsr_project_spark.operators.span_store import (
+        span_dedup_from_store,
+        write_span_store,
+    )
+
+    _drop(spark, "spst_stray")
+    corpus = _docs(
+        spark,
+        [
+            (1, " ".join(S[0:8] + _toks("u", 0, 4) + S)),  # stray @0, run @12
+            (2, " ".join(S + _toks("v", 0, 3))),
+            (3, " ".join(_toks("w", 0, 2) + S)),
+        ],
+    )
+    write_span_store(spark, corpus, "spst_stray", num_buckets=2)
+    batch = _docs(spark, [(100, " ".join(S + _toks("y", 0, 4)))])
+    capped = span_dedup_from_store(spark, batch, "spst_stray", cap=2).collect()[0]
+    uncapped = span_dedup_from_store(spark, batch, "spst_stray").collect()[0]
+    assert capped.covered_corpus == uncapped.covered_corpus == 20
+    assert capped.decision == "dup_of_corpus"

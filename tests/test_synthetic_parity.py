@@ -1314,3 +1314,40 @@ def test_span_leakage_multi_span_pair(spark, tmp_path):
         ("srcC", "srcC"): (False, 1, 20),
     }
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "span_leakage/synth")
+
+
+def test_span_cap_star_survives_stray_keeper_gram_copy(spark, tmp_path):
+    """r13 review regression: the star arm must pair member
+    occurrences with EVERY keeper occurrence of the gram, not one
+    precomputed keeper position. Keeper doc1 holds a stray copy of the
+    run's first 8-gram at pos 0 and the full 20-token run S at pos 12;
+    docs 2-4 hold S (gram df = 4 > cap = 2, so the whole run is
+    star-collapsed). A single-position star (the old code) would pull
+    that gram onto the stray diagonal and shorten the keeper-side span
+    to 19; the fix keeps capped == uncapped keeper claims at exactly
+    20 tokens."""
+    S = _toks("s", 0, 20)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(S[0:8] + _toks("u", 0, 4) + S),
+            " ".join(S + _toks("v", 0, 3)),
+            " ".join(_toks("w", 0, 2) + S),
+            " ".join(S + _toks("x", 0, 5)),
+        ],
+    )
+    qu = get("shared_span_pairs")
+    qc = get("shared_span_pairs_capped")
+    un = {
+        (r.doc_a, r.doc_b): (r.a_start, r.b_start, r.span_tokens)
+        for r in qu.spark_fn(spark, sf_dir).collect()
+        if r.doc_a == 1
+    }
+    cp = {
+        (r.doc_a, r.doc_b): (r.a_start, r.b_start, r.span_tokens)
+        for r in qc.spark_fn(spark, sf_dir).collect()
+        if r.doc_a == 1
+    }
+    assert un[(1, 2)] == (12, 0, 20)
+    assert cp == un  # keeper claims preserved EXACTLY under the cap
+    assert_parity(qc.spark_fn(spark, sf_dir), qc.oracle, sf_dir, "span_stray/synth")
