@@ -264,6 +264,12 @@ def span_dedup_from_store(
     keeper — the evidence coverage consumes — are preserved exactly;
     see the batch query's pinned property), and caps the batch arm's
     own df identically via the registered capped SQL."""
+    # refresh before reading: probes may run in a different session
+    # than the loop's foreachBatch clones append from, and the
+    # table-relation cache is per-session (the search index found
+    # this the hard way; metadata-only re-listing)
+    for t in ("posgrams", "docs"):
+        spark.catalog.refreshTable(f"{table_prefix}_{t}")
     # pin Δ's gram frame: one tokenize+md5 pass total (the subtree is
     # consumed by the prefix collect, the gram broadcast, the stats
     # annotation and both candidate arms — unpinned, a large

@@ -105,3 +105,16 @@ def span_store_health(spark: SparkSession, table_prefix: str, **kw) -> dict:
     """The span store's report (posgrams + docs tables — the
     positional gram index and the absorb roster)."""
     return store_health(spark, table_prefix, ["posgrams", "docs"], **kw)
+
+
+def search_index_health(spark: SparkSession, table_prefix: str, **kw) -> dict:
+    """The search index's report (postings + docstats tables), plus
+    the maintained corpus-stats row — the one store whose scoring
+    depends on incrementally-maintained state, so the dashboard shows
+    it next to the fragmentation/tombstone dials."""
+    from flink_wsr_project_spark.operators.search_index import search_stats
+
+    h = store_health(spark, table_prefix, ["postings", "docstats"], **kw)
+    n, tt = search_stats(spark, table_prefix)
+    h["corpus_stats"] = {"n_docs": n, "total_tokens": tt}
+    return h

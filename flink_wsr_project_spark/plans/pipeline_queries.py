@@ -5099,12 +5099,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BM25 ranked retrieval (full-text search over the corpus)
 # ---------------------------------------------------------------------------
 
-# Okapi BM25 constants (the standard defaults) and a fixed query mixing
-# common terms with a rare one (sf0.01 dfs: join 394, filter 393,
-# dup 25 of 503 docs) so idf genuinely reorders documents — a
-# common-terms-only query would rank by length normalization alone.
-_BM25_K1 = 1.2
-_BM25_B = 0.75
+# Fixed query mixing common terms with a rare one (sf0.01 dfs:
+# join 394, filter 393, dup 25 of 503 docs) so idf genuinely reorders
+# documents — a common-terms-only query would rank by length
+# normalization alone. Constants and the contribution formula live in
+# operators/search_index.py, SHARED with the persisted-index probe so
+# index scores are bit-identical to this corpus recompute.
 _BM25_QUERY = ("join", "filter", "dup")
 _BM25_TOPK = 10
 
@@ -5129,7 +5129,9 @@ def _bm25_sql(engine: str) -> str:
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
             " '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents"
         )
-    k1, b = _BM25_K1, _BM25_B
+    from flink_wsr_project_spark.operators.search_index import bm25_contrib_expr
+
+    contrib = bm25_contrib_expr("t.tf", "d.dfq", "l.dl", "s.n_docs", "s.avgdl")
     return f"""
 WITH toks AS ({toks}),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -5144,11 +5146,7 @@ tf AS (
 ),
 dfreq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY tok),
 contrib AS (
-  SELECT t.doc_id,
-         CAST(round(
-           ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
-           * (t.tf * {k1 + 1}) / (t.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl))
-           * 1000000) AS BIGINT) AS c
+  SELECT t.doc_id, {contrib} AS c
   FROM tf t
   JOIN dfreq d ON t.tok = d.tok
   JOIN dl l ON l.doc_id = t.doc_id
