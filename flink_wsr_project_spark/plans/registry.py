@@ -99,15 +99,18 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # lead the window automatically.
     #
     # r13 session 3: still empty. The span family (operators/spans.py
-    # + operators/span_store.py) and BM25 are entirely new code — no
-    # shared operator used by a previously-green query changed (the
-    # interval_union_ctes extraction rewrote only the two span queries
-    # registered THIS session). The nine new queries
-    # (shared_span_pairs, shared_span_pairs_capped, span_gram_skew,
-    # span_dedup_keep_list, span_scrub, shared_span_pairs_gapped,
-    # bm25_search_topk, cross_source_span_leakage,
-    # benchmark_span_decontaminate) are tier-0 and lead the window
-    # automatically.
+    # + operators/span_store.py), BM25, and the search index
+    # (operators/search_index.py) are entirely new code — no shared
+    # operator used by a previously-green query changed (the
+    # interval_union_ctes extraction, the star-arm keeper-occurrence
+    # fix, and the bm25_contrib_expr extraction each rewrote only
+    # queries registered THIS session, all tier-0). The ten new
+    # queries (shared_span_pairs, shared_span_pairs_capped,
+    # span_gram_skew, span_dedup_keep_list, span_scrub,
+    # shared_span_pairs_gapped, bm25_search_topk,
+    # cross_source_span_leakage, benchmark_span_decontaminate — plus
+    # sessions 1-2's ten) are tier-0 and lead the 50-query window
+    # automatically, ahead of the natural r8/r10-vintage rotation.
 )
 
 
