@@ -184,6 +184,7 @@ def bm25_from_index(
     table_prefix: str,
     terms: list[str] | tuple[str, ...],
     k: int = 10,
+    require_all: bool = False,
 ) -> DataFrame:
     """Rank the LIVE corpus for ``terms``, top-``k`` by BM25 — the
     registered ``bm25_search_topk`` answered from the index instead of
@@ -191,7 +192,13 @@ def bm25_from_index(
     fragment, same integer-micros discipline; the parity test runs
     both on the same corpus). Deleted/expired docs neither match nor
     count — tombstones/retention mask the postings, and the stats row
-    was debited when the verb ran."""
+    was debited when the verb ran.
+
+    ``require_all=True`` switches OR semantics to AND: only documents
+    matching EVERY distinct query term rank (scores unchanged for the
+    survivors — the filter is a HAVING on matched-term count over the
+    same contribution rows, df/idf still count every matching doc the
+    way BM25 defines them)."""
     from flink_wsr_project_spark.operators.retention import live_rows
 
     if not terms:
@@ -248,9 +255,14 @@ def bm25_from_index(
             F.expr(bm25_contrib_expr("tf", "dfq", "dl", nd_lit, avgdl_lit)).alias("c"),
         )
     )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_micros"),
+        F.count(F.lit(1)).alias("_n_terms"),
+    )
+    if require_all:
+        scored = scored.where(F.col("_n_terms") >= len(set(terms)))
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+        scored.select("doc_id", "score_micros")
         .orderBy(F.col("score_micros").desc(), "doc_id")
         .limit(k)
     )

@@ -321,3 +321,41 @@ def test_search_index_health(spark):
         "sidx_hl_docstats",
     }
     assert h["corpus_stats"]["n_docs"] == search_stats(spark, "sidx_hl")[0] > 0
+
+
+def test_conjunctive_mode_filters_not_rescores(spark):
+    """require_all=True keeps only docs matching every query term, at
+    UNCHANGED scores (a filter over the same contribution rows, not a
+    different scoring function) — verified against the raw text."""
+    from flink_wsr_project_spark.operators.search_index import (
+        bm25_from_index,
+        write_search_index,
+    )
+
+    _drop(spark, "sidx_and")
+    corpus = _corpus(spark)
+    write_search_index(spark, corpus, "sidx_and", num_buckets=2)
+    disj = {
+        r.doc_id: r.score_micros
+        for r in bm25_from_index(spark, "sidx_and", list(_BM25_QUERY), k=500).collect()
+    }
+    conj = {
+        r.doc_id: r.score_micros
+        for r in bm25_from_index(
+            spark, "sidx_and", list(_BM25_QUERY), k=500, require_all=True
+        ).collect()
+    }
+    assert conj and set(conj) < set(disj)
+    assert all(conj[d] == disj[d] for d in conj)  # filter, not rescore
+    texts = {
+        r.doc_id: r.text.lower()
+        for r in corpus.where(F.col("doc_id").isin(list(conj))).collect()
+    }
+    import re
+
+    for d, txt in texts.items():
+        toks = set(re.split(r"[^a-z0-9]+", txt))
+        assert all(t in toks for t in _BM25_QUERY), d
+    # and at least one disjunctive hit is genuinely missing a term
+    some_partial = next(d for d in disj if d not in conj)
+    assert some_partial is not None
