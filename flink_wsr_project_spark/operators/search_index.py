@@ -160,16 +160,49 @@ def write_search_index(
     corpus_docs: DataFrame,
     table_prefix: str,
     num_buckets: int = 8,
+    hash_partitions: int = 0,
 ) -> None:
     """One-time corpus index write: tokenize every doc once, store the
     posting lists bucketed on ``tok``, the doc lengths bucketed on
-    ``doc_id``, and the exact corpus stats row."""
-    write_bucketed(
-        _postings_df(spark, corpus_docs),
-        f"{table_prefix}_postings",
-        ["tok"],
-        num_buckets,
+    ``doc_id``, and the exact corpus stats row.
+
+    With ``hash_partitions = P > 0`` the postings additionally get a
+    hash-prefix PARTITION column ``pp = pmod(xxhash64(tok), P)`` under
+    the bucketing — the store family's small-probe layout: a query's
+    few terms map to at most |terms| of the P directories, so the scan
+    is directory-pruned on top of the IN-filter's row-group pruning
+    (the probe detects the recorded layout and prunes automatically).
+    P is recorded as a table property; keep it modest (tens)."""
+    if hash_partitions < 0:
+        raise ValueError(
+            f"hash_partitions must be >= 0, got {hash_partitions} "
+            "(0 = bucketed-only layout)"
+        )
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        HASH_PARTITIONS_PROP,
     )
+
+    pg = _postings_df(spark, corpus_docs)
+    if hash_partitions:
+        (
+            pg.withColumn("pp", F.pmod(F.xxhash64("tok"), F.lit(hash_partitions)))
+            .write.partitionBy("pp")
+            .bucketBy(num_buckets, "tok")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_postings")
+        )
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_postings SET TBLPROPERTIES "
+            f"('{HASH_PARTITIONS_PROP}'='{hash_partitions}')"
+        )
+    else:
+        write_bucketed(
+            pg,
+            f"{table_prefix}_postings",
+            ["tok"],
+            num_buckets,
+        )
     write_bucketed(
         _docstats_df(spark, corpus_docs),
         f"{table_prefix}_docstats",
@@ -220,11 +253,31 @@ def bm25_from_index(
         )
     avgdl = total_tokens / n_docs
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    scan = spark.table(f"{table_prefix}_postings").where(
+        F.expr(f"tok IN ({in_list})")
+    )
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+    )
+
+    p = _store_hash_partitions(spark, f"{table_prefix}_postings")
+    if p:
+        # directory pruning on top of the IN filter: the query's few
+        # terms map to at most |terms| of the P prefix directories —
+        # computed driver-side from the literal terms, no data read
+        pps = list(
+            {
+                r.pp
+                for r in spark.sql(
+                    f"SELECT pmod(xxhash64(t), {p}) AS pp "
+                    f"FROM (SELECT explode(array({in_list})) AS t)"
+                ).collect()
+            }
+        )
+        scan = scan.where(F.col("pp").isin(pps))
     matched = live_rows(
         spark,
-        spark.table(f"{table_prefix}_postings").where(
-            F.expr(f"tok IN ({in_list})")
-        ),
+        scan.select("tok", "doc_id", "tf"),
         table_prefix,
         "doc_id",
     ).dropDuplicates(["tok", "doc_id", "tf"])
@@ -303,9 +356,19 @@ def absorb_docs_into_index(
         agg = ds.agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
         ).collect()[0]
+        from flink_wsr_project_spark.operators.incremental_dedup import (
+            _store_hash_partitions,
+        )
+
+        p = _store_hash_partitions(spark, f"{table_prefix}_postings")
+        pg = _postings_df(spark, kept)
+        w = pg.write
+        if p:
+            w = pg.withColumn(
+                "pp", F.pmod(F.xxhash64("tok"), F.lit(p))
+            ).write.partitionBy("pp")
         (
-            _postings_df(spark, kept)
-            .write.bucketBy(num_buckets, "tok")
+            w.bucketBy(num_buckets, "tok")
             .mode("append")
             .format("parquet")
             .saveAsTable(f"{table_prefix}_postings")

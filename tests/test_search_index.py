@@ -359,3 +359,49 @@ def test_conjunctive_mode_filters_not_rescores(spark):
     # and at least one disjunctive hit is genuinely missing a term
     some_partial = next(d for d in disj if d not in conj)
     assert some_partial is not None
+
+
+def test_partitioned_postings_prune_and_match(spark, tmp_path):
+    """The small-probe layout: a store written with hash_partitions=P
+    probes with a pp IN-list that prunes directories (PartitionFilters
+    in the scan), ranks identically to the bucketed-only layout,
+    absorbs under the right directories, and keeps layout + property
+    through compaction."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        _store_hash_partitions,
+    )
+    from flink_wsr_project_spark.operators.search_index import (
+        absorb_docs_into_index,
+        bm25_from_index,
+        compact_search_index,
+        write_search_index,
+    )
+
+    corpus = _corpus(spark)
+    half = corpus.where(F.col("doc_id") % 2 == 0)
+    rest = corpus.where(F.col("doc_id") % 2 == 1)
+    _drop(spark, "sidx_pp")
+    write_search_index(spark, half, "sidx_pp", num_buckets=2, hash_partitions=4)
+    assert _store_hash_partitions(spark, "sidx_pp_postings") == 4
+    _drop(spark, "sidx_pb")
+    write_search_index(spark, half, "sidx_pb", num_buckets=2)
+
+    dp = bm25_from_index(spark, "sidx_pp", list(_BM25_QUERY))
+    db = bm25_from_index(spark, "sidx_pb", list(_BM25_QUERY))
+    assert _ranked(dp) == _ranked(db)
+    plan = dp._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "sidx_pp_postings" in ln and "PartitionFilters: [pp" in ln
+        for ln in plan.splitlines()
+    ), "no pp partition filter reached the postings scan"
+
+    absorb_docs_into_index(
+        spark, rest, "sidx_pp", num_buckets=2, exclude_existing=True
+    )
+    got = _ranked(bm25_from_index(spark, "sidx_pp", list(_BM25_QUERY)))
+    want = _registered_on(spark, corpus, tmp_path, "pp_full")
+    assert got == want
+
+    compact_search_index(spark, "sidx_pp")
+    assert _store_hash_partitions(spark, "sidx_pp_postings") == 4
+    assert _ranked(bm25_from_index(spark, "sidx_pp", list(_BM25_QUERY))) == want
