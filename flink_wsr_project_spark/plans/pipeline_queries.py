@@ -5180,3 +5180,98 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_bm25_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter (corpus bigram model)
+# ---------------------------------------------------------------------------
+
+# Avg-NLL bucket bounds in integer MICRO-nats, set at the sf0.01
+# distribution's rough terciles (p33 ≈ 3,373,639; p66 ≈ 3,397,857) so
+# all three CCNet buckets — head (likely text), middle, tail (noisy) —
+# are populated at the gate (dead-branch discipline). Production: tune
+# per corpus, as CCNet does per language.
+_LM_HEAD_MAX_MICROS = 3_375_000
+_LM_TAIL_MIN_MICROS = 3_400_000
+
+
+def _lm_perplexity_sql(engine: str) -> str:
+    """Engine-shared CCNet-style perplexity scoring: a bigram LM with
+    add-one smoothing is fitted to the CORPUS ITSELF in one pass
+    (unigram + bigram counts + vocabulary size), then every document
+    is scored by its average negative log-likelihood under that model
+    — the standard quality signal (CCNet filters by LM perplexity;
+    here model and data are the same corpus, so the score measures
+    how TYPICAL a document's word transitions are). Float discipline:
+    per-bigram NLL is quantized to integer MICRO-nats before the
+    per-doc sum (order-independent), and the average uses integer
+    division — ln's last ulp is the only cross-engine exposure (the
+    BM25/tfidf precedent). Bigrams come from a lag window per doc —
+    no positional self-join."""
+    if engine == "spark":
+        toks = (
+            "SELECT doc_id, pos, tok FROM documents "
+            "LATERAL VIEW posexplode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) _t AS pos, tok"
+        )
+        div = "div"
+    else:
+        toks = (
+            "SELECT doc_id,"
+            " generate_subscripts(list_filter(regexp_split_to_array(lower(text),"
+            " '[^a-z0-9]+'), x -> x <> ''), 1) AS pos,"
+            " unnest(list_filter(regexp_split_to_array(lower(text),"
+            " '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents"
+        )
+        div = "//"
+    return f"""
+WITH toks AS ({toks}),
+b AS (
+  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         tok AS w2
+  FROM toks
+),
+bg AS (SELECT doc_id, w1, w2 FROM b WHERE w1 IS NOT NULL),
+uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+bic AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+scored AS (
+  SELECT g.doc_id,
+         CAST(round(-ln((bic.c2 + 1.0) / (uni.c1 + v.vocab)) * 1000000) AS BIGINT) AS nll
+  FROM bg g
+  JOIN bic ON bic.w1 = g.w1 AND bic.w2 = g.w2
+  JOIN uni ON uni.w1 = g.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll) AS BIGINT) AS nll_micros,
+       CAST(sum(nll) {div} count(*) AS BIGINT) AS avg_nll_micros,
+       CASE WHEN sum(nll) {div} count(*) < {_LM_HEAD_MAX_MICROS} THEN 'head'
+            WHEN sum(nll) {div} count(*) >= {_LM_TAIL_MIN_MICROS} THEN 'tail'
+            ELSE 'middle' END AS ccnet_bucket
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=_lm_perplexity_sql("duckdb"),
+    tags=("pipeline", "text", "quality"),
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter — the standard LM quality signal
+    the pipeline family lacked: fit a bigram model (add-one smoothing)
+    to the corpus in one pass, score every document by average NLL in
+    integer micro-nats, and bucket head/middle/tail the way CCNet
+    keeps the head/middle of its perplexity distribution. Plan: the
+    bigram stream is a lag window per doc (no positional self-join);
+    unigram/bigram count shuffles are map-side combinable; the
+    vocabulary size is a 1-row broadcast; scoring joins the bigram
+    stream back to its own counts (shuffles keyed on the bigram/
+    unigram), then one per-doc aggregate. All arithmetic
+    order-independent (integer micro-nats; the BM25 discipline), so
+    the external value hash pins model fitting AND scoring. At sf0.01:
+    174 head / 164 middle / 162 tail — all three buckets populated."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_lm_perplexity_sql("spark"))

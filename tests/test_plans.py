@@ -290,6 +290,10 @@ def test_dimension_join_broadcasts(spark, name):
         ("cross_source_span_leakage", 5),
         # gh window stack (df filter) + cross-split join + islands agg
         ("benchmark_span_decontaminate", 3),
+        # doc-window lag pass + unigram/bigram count shuffles + the
+        # score joins keyed on them + per-doc agg; vocab is a 1-row
+        # broadcast
+        ("doc_lm_perplexity", 7),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
