@@ -7,8 +7,6 @@ into the tail bucket."""
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import functions as F
 
 
@@ -18,10 +16,10 @@ def _corpus(spark, sf_dir="/root/testdata/sf0.001"):
     return load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
 
-def _clean(prefix):
-    for suffix in ("_lm_uni", "_lm_bi", "_lm_vocab", "_lm_docs"):
-        shutil.rmtree(f"{prefix}{suffix}", ignore_errors=True)
-        shutil.rmtree(f"{prefix}{suffix}__old", ignore_errors=True)
+def _prefix(tmp_path, name):
+    """LM-state prefixes are PATHS (dir-swapped states, not catalog
+    tables) — keep them under the test tmp dir, never the repo root."""
+    return str(tmp_path / name)
 
 
 def _registered(spark, docs_df, tmp_path, name):
@@ -53,10 +51,10 @@ def test_fit_score_matches_registered_query(spark, tmp_path):
         score_docs_against_lm,
     )
 
-    _clean("lmst")
+    lmst = _prefix(tmp_path, "lmst")
     corpus = _corpus(spark)
-    fit_lm_store(spark, corpus, "lmst")
-    got = _scores(score_docs_against_lm(spark, corpus, "lmst"))
+    fit_lm_store(spark, corpus, lmst)
+    got = _scores(score_docs_against_lm(spark, corpus, lmst))
     want = _registered(spark, corpus, tmp_path, "full")
     assert got == want
 
@@ -68,18 +66,18 @@ def test_absorb_merges_and_replay_is_noop(spark, tmp_path):
         score_docs_against_lm,
     )
 
-    _clean("lmst_ab")
+    lmst_ab = _prefix(tmp_path, "lmst_ab")
     corpus = _corpus(spark)
     half = corpus.where(F.col("doc_id") % 2 == 0)
     rest = corpus.where(F.col("doc_id") % 2 == 1)
-    fit_lm_store(spark, half, "lmst_ab")
-    assert absorb_docs_into_lm(spark, rest, "lmst_ab") == rest.count()
-    got = _scores(score_docs_against_lm(spark, corpus, "lmst_ab"))
+    fit_lm_store(spark, half, lmst_ab)
+    assert absorb_docs_into_lm(spark, rest, lmst_ab) == rest.count()
+    got = _scores(score_docs_against_lm(spark, corpus, lmst_ab))
     want = _registered(spark, corpus, tmp_path, "full_ab")
     assert got == want
     # replay merges nothing — scores stay bit-identical
-    assert absorb_docs_into_lm(spark, rest, "lmst_ab") == 0
-    assert _scores(score_docs_against_lm(spark, corpus, "lmst_ab")) == want
+    assert absorb_docs_into_lm(spark, rest, lmst_ab) == 0
+    assert _scores(score_docs_against_lm(spark, corpus, lmst_ab)) == want
 
 
 def test_takedown_is_exact_inverse_merge(spark, tmp_path):
@@ -93,36 +91,36 @@ def test_takedown_is_exact_inverse_merge(spark, tmp_path):
         score_docs_against_lm,
     )
 
-    _clean("lmst_del")
+    lmst_del = _prefix(tmp_path, "lmst_del")
     corpus = _corpus(spark)
     victims = corpus.where(F.col("doc_id") < 5).localCheckpoint()
-    fit_lm_store(spark, corpus, "lmst_del")
-    assert remove_docs_from_lm(spark, victims, "lmst_del") == victims.count()
+    fit_lm_store(spark, corpus, lmst_del)
+    assert remove_docs_from_lm(spark, victims, lmst_del) == victims.count()
     survivors = corpus.where(F.col("doc_id") >= 5)
-    got = _scores(score_docs_against_lm(spark, survivors, "lmst_del"))
+    got = _scores(score_docs_against_lm(spark, survivors, lmst_del))
     want = _registered(spark, survivors, tmp_path, "survivors")
     assert got == want
     # replayed removal: roster no longer holds them — nothing subtracts
-    assert remove_docs_from_lm(spark, victims, "lmst_del") == 0
-    assert _scores(score_docs_against_lm(spark, survivors, "lmst_del")) == want
+    assert remove_docs_from_lm(spark, victims, lmst_del) == 0
+    assert _scores(score_docs_against_lm(spark, survivors, lmst_del)) == want
 
 
-def test_out_of_corpus_text_floors_into_tail(spark):
+def test_out_of_corpus_text_floors_into_tail(spark, tmp_path):
     from flink_wsr_project_spark.operators.lm_store import (
         fit_lm_store,
         score_docs_against_lm,
     )
 
-    _clean("lmst_ood")
-    fit_lm_store(spark, _corpus(spark), "lmst_ood")
+    lmst_ood = _prefix(tmp_path, "lmst_ood")
+    fit_lm_store(spark, _corpus(spark), lmst_ood)
     alien = spark.createDataFrame(
         [(9001, " ".join(f"zq{i}x" for i in range(30)))], "doc_id long, text string"
     )
-    row = score_docs_against_lm(spark, alien, "lmst_ood").collect()[0]
+    row = score_docs_against_lm(spark, alien, lmst_ood).collect()[0]
     assert row.ccnet_bucket == "tail"
     # every bigram at the unseen floor: -ln(1/V) exactly, V = vocab
     from flink_wsr_project_spark.operators.lm_store import lm_vocab_size
     import math
 
-    v = lm_vocab_size(spark, "lmst_ood")
+    v = lm_vocab_size(spark, lmst_ood)
     assert row.avg_nll_micros == round(-math.log(1.0 / v) * 1_000_000)
