@@ -21,12 +21,20 @@ Modes
   (r5 verdict: the bench could not distinguish engine regression from
   environment; now both numbers are in the same JSON).
 
+Two totals are emitted in the one JSON line (r13 verdict task 2):
+``headline_queries_total`` (the 16-query round-over-round continuity
+metric, unchanged since r1 for comparability) and ``pipeline_total``
+(the heavy LLM-pipeline operators — spans, SemDeDup, BM25,
+containment, LM — whose wall-time was previously invisible to
+round-over-round comparison; plan shapes alone don't catch a perf
+regression in the repo's largest code mass).
+
 The ``context`` object records what the r5 drift analysis needed and
 didn't have: load average before/after, cpu count, registry import
-seconds (measured 0.27–0.51 s this round depending on machine load;
-lazy loading stays rejected because the driver's correctness harness
-calls oracle_sql(), which forces the full import regardless — see
-SCALE.md), and session startup seconds.
+seconds (r13: 1.0 s and growing linearly with query count; fixed in
+r14 not by lazy oracles but by deferring the pandas import the
+multimodal oracle pulled in — registry import is now ~0.05 s on top
+of pyspark itself), and session startup seconds.
 """
 
 from __future__ import annotations
@@ -61,6 +69,20 @@ HEADLINE = [
     "dedup_exact",
     "doc_token_count",
     "doc_quality_score",
+]
+
+# Pipeline-heavy set (r13 verdict task 2): the largest operator
+# families added since r10, one representative each — MinHash-LSH
+# dedup, semantic dedup, span-level dedup, chunk containment, BM25
+# ranked retrieval, LM perplexity scoring. Tracked as a SECOND total
+# next to (never replacing) the 16-query headline.
+PIPELINE = [
+    "dedup_minhash_lsh_capped",
+    "semdedup_keep_list",
+    "shared_span_pairs_capped",
+    "chunk_containment",
+    "bm25_search_topk",
+    "doc_lm_perplexity",
 ]
 
 
@@ -193,6 +215,23 @@ def main() -> None:
 
     steady = {n: round(median(v), 3) for n, v in samples.items()}
 
+    # Pipeline-heavy pass: first-run + the same steady protocol. Runs
+    # AFTER the headline passes so it cannot perturb the continuity
+    # metric's JIT/cache state relative to r1–r13 numbers.
+    pipe_names = [n for n in PIPELINE if n in registry]
+    pipe_timings: dict[str, float] = {}
+    for name in pipe_names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        pipe_timings[name] = round(time.perf_counter() - t0, 3)
+    pipe_samples: dict[str, list[float]] = {n: [] for n in pipe_names}
+    for _ in range(steady_runs):
+        for name in pipe_names:
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pipe_samples[name].append(time.perf_counter() - t0)
+    pipe_steady = {n: round(median(v), 3) for n, v in pipe_samples.items()}
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -201,6 +240,10 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
         "steady_runs": steady_runs,
+        "pipeline_total": round(sum(pipe_timings.values()), 3),
+        "queries_pipeline": pipe_timings,
+        "pipeline_steady_total": round(sum(pipe_steady.values()), 3),
+        "queries_pipeline_steady": pipe_steady,
         "sf": sf,
         "context": {
             "load_avg_start": round(load0, 2),

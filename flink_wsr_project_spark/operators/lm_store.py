@@ -114,10 +114,16 @@ def absorb_docs_into_lm(
     the roster is appended AFTER the merges (a crash between leaves
     the counts double-merge-able — heal by refitting; the roster-last
     order at least guarantees a clean replay never UNDER-counts).
-    Returns docs absorbed."""
+    The input is deduplicated by doc_id first — duplicate rows in one
+    batch would otherwise double-merge a document's counts and write
+    duplicate roster rows. Returns docs absorbed."""
     p = _paths(prefix)
     roster = spark.read.parquet(p["docs"]).select("doc_id")
-    fresh = batch_docs.join(roster, "doc_id", "left_anti").localCheckpoint()
+    fresh = (
+        batch_docs.dropDuplicates(["doc_id"])
+        .join(roster, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
     n = fresh.count()
     if n:
         _merge_counts(spark, prefix, fresh, 1)
@@ -132,10 +138,17 @@ def remove_docs_from_lm(
     (requires the TEXT, which the takedown caller holds — counts have
     no per-doc rows to mask, only contributions to cancel). Only docs
     actually in the roster subtract (a replayed removal is a no-op);
-    the roster rewrite drops them so a later absorb may re-add."""
+    the roster rewrite drops them so a later absorb may re-add. The
+    input is deduplicated by doc_id first — a duplicate row would
+    survive the roster join twice and subtract the document's counts
+    twice, silently corrupting counts shared with surviving docs."""
     p = _paths(prefix)
     roster = spark.read.parquet(p["docs"]).select("doc_id")
-    present = removed_docs.join(roster, "doc_id").localCheckpoint()
+    present = (
+        removed_docs.dropDuplicates(["doc_id"])
+        .join(roster, "doc_id")
+        .localCheckpoint()
+    )
     n = present.count()
     if n:
         _merge_counts(spark, prefix, present, -1)

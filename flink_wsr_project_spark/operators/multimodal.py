@@ -31,9 +31,13 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+if TYPE_CHECKING:  # the batches closures import pandas at execution
+    import pandas as pd  # time; keeping it out of module scope keeps
+    # registry import (driver contract + bench first-run) pandas-free
 
 MEDIA_KINDS = ("image", "audio", "video")
 _MIME = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}

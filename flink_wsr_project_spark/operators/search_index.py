@@ -447,7 +447,13 @@ def compact_search_index(spark: SparkSession, table_prefix: str) -> dict[str, in
     """Rewrite both tables (tombstones + retention applied physically,
     replay-duplicated rows deduplicated) and RECOMPUTE the stats row
     from the surviving docstats — the drift healer for any crash
-    window the incremental maintenance left. Returns
+    window the incremental maintenance left. Docstats compacts FIRST
+    and the postings rewrite is additionally semi-joined against the
+    surviving docstats roster: an absorb that crashed between the
+    postings append and the docstats append (and was never replayed)
+    leaves orphan postings rows that are neither duplicates nor
+    tombstoned — without the roster join they would never reclaim and
+    would permanently inflate df for their terms. Returns
     {table: surviving rows}."""
     from flink_wsr_project_spark.operators.retention import live_rows
     from flink_wsr_project_spark.operators.tombstones import (
@@ -456,15 +462,23 @@ def compact_search_index(spark: SparkSession, table_prefix: str) -> dict[str, in
     from flink_wsr_project_spark.sources.writers import compact_bucketed_table
 
     out: dict[str, int] = {}
-    for suffix in ("postings", "docstats"):
-        table = f"{table_prefix}_{suffix}"
-        out[table] = compact_bucketed_table(
-            spark,
-            table,
-            transform=lambda df: live_rows(
-                spark, df.dropDuplicates(), table_prefix, "doc_id"
-            ),
-        )
+    docstats = f"{table_prefix}_docstats"
+    out[docstats] = compact_bucketed_table(
+        spark,
+        docstats,
+        transform=lambda df: live_rows(
+            spark, df.dropDuplicates(), table_prefix, "doc_id"
+        ),
+    )
+    postings = f"{table_prefix}_postings"
+    roster = spark.table(docstats).select("doc_id")
+    out[postings] = compact_bucketed_table(
+        spark,
+        postings,
+        transform=lambda df: live_rows(
+            spark, df.dropDuplicates(), table_prefix, "doc_id"
+        ).join(roster, "doc_id", "left_semi"),
+    )
     rewrite_tombstones_deduped(spark, table_prefix)
     recompute_search_stats(spark, table_prefix)
     return out

@@ -363,8 +363,9 @@ def span_gram_skew_sql(
     that saves (for an over-cap gram with per-doc occurrence counts
     occ_i: enumerated rows sum(occ_i*occ_j) over i<j =
     (total^2 - sum(occ^2)) / 2 — exactly even, so integer division is
-    exact in both engines — minus the (total - keeper_occ) star rows
-    that still run)."""
+    exact in both engines — minus the (total - keeper_occ) * keeper_occ
+    star rows that still run: every member OCCURRENCE pairs with every
+    keeper occurrence, matching the star arm in ``_span_cand_ctes``)."""
     div = "div" if engine == "spark" else "//"
     return f"""
 WITH {span_posgram_ctes(engine, source)},
@@ -387,7 +388,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_grams,
        CAST(max(df) AS BIGINT) AS max_df,
        CAST(sum(CASE WHEN df > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS grams_capped,
        CAST(sum(CASE WHEN df > {cap}
-                THEN (total_occ * total_occ - sq) {div} 2 - (total_occ - keeper_occ)
+                THEN (total_occ * total_occ - sq) {div} 2
+                     - (total_occ - keeper_occ) * keeper_occ
                 ELSE 0 END) AS BIGINT) AS match_rows_saved
 FROM sp_gagg
 """

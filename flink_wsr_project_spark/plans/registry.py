@@ -76,6 +76,12 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
+    # r14: span_gram_skew's saved-rows arithmetic changed (the star
+    # arm subtracts (total-keeper_occ)*keeper_occ rows now, matching
+    # _span_cand_ctes' keeper-occurrence pairing — ADVICE r13); its
+    # registered RESULTS change wherever a keeper holds multiple
+    # copies of an over-cap gram, so it re-enters the window.
+    "span_gram_skew",
     # r13: empty on purpose. All six r12 canaries re-earned external
     # green in CORRECTNESS_r12 on their changed results. No r13 change
     # alters any REGISTERED query's SQL or results: the capped-builder

@@ -60,7 +60,7 @@ SELECT count(*) AS n_grams,
        sum(CASE WHEN df >= 2 THEN (total_occ*total_occ - sq) // 2 ELSE 0 END) AS uncapped_rows,
        sum(CASE WHEN df >= 2 THEN
              CASE WHEN df <= {cap} THEN (total_occ*total_occ - sq) // 2
-                  ELSE total_occ - keeper_occ END
+                  ELSE (total_occ - keeper_occ) * keeper_occ END
            ELSE 0 END) AS capped_rows,
        sum(CASE WHEN df > {cap} THEN 1 ELSE 0 END) AS grams_capped
 FROM gk

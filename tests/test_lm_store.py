@@ -105,6 +105,39 @@ def test_takedown_is_exact_inverse_merge(spark, tmp_path):
     assert _scores(score_docs_against_lm(spark, survivors, lmst_del)) == want
 
 
+def test_duplicate_input_rows_merge_once(spark, tmp_path):
+    """Duplicate doc_id rows inside ONE absorb/remove input must count
+    once — without the input dedup, an absorb double-merges the doc's
+    counts (and writes duplicate roster rows that make every later
+    removal subtract twice), and a remove subtracts twice, corrupting
+    unigram/bigram counts shared with surviving documents."""
+    from flink_wsr_project_spark.operators.lm_store import (
+        absorb_docs_into_lm,
+        fit_lm_store,
+        remove_docs_from_lm,
+        score_docs_against_lm,
+    )
+
+    lmst_dup = _prefix(tmp_path, "lmst_dup")
+    corpus = _corpus(spark)
+    half = corpus.where(F.col("doc_id") % 2 == 0)
+    rest = corpus.where(F.col("doc_id") % 2 == 1)
+    fit_lm_store(spark, half, lmst_dup)
+    doubled = rest.unionAll(rest)
+    assert absorb_docs_into_lm(spark, doubled, lmst_dup) == rest.count()
+    want_full = _registered(spark, corpus, tmp_path, "dup_full")
+    assert _scores(score_docs_against_lm(spark, corpus, lmst_dup)) == want_full
+    # duplicated removal input subtracts each victim exactly once
+    victims = corpus.where(F.col("doc_id") < 5).localCheckpoint()
+    assert (
+        remove_docs_from_lm(spark, victims.unionAll(victims), lmst_dup)
+        == victims.count()
+    )
+    survivors = corpus.where(F.col("doc_id") >= 5)
+    got = _scores(score_docs_against_lm(spark, survivors, lmst_dup))
+    assert got == _registered(spark, survivors, tmp_path, "dup_survivors")
+
+
 def test_out_of_corpus_text_floors_into_tail(spark, tmp_path):
     from flink_wsr_project_spark.operators.lm_store import (
         fit_lm_store,

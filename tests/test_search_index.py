@@ -200,6 +200,49 @@ def test_probe_duplicate_immune_and_compaction_heals(spark, tmp_path):
     assert _ranked(bm25_from_index(spark, "sidx_dup", list(_BM25_QUERY))) == want
 
 
+def test_compaction_reclaims_orphan_postings(spark, tmp_path):
+    """An absorb that crashes BETWEEN the postings append and the
+    docstats append, and is never replayed, leaves orphan postings —
+    a doc present in postings but absent from docstats. They are
+    neither exact duplicates nor tombstoned, so only the compaction
+    roster semi-join can reclaim them; left behind they permanently
+    inflate df for their terms (the doc itself never ranks — the dl
+    join is inner)."""
+    from flink_wsr_project_spark.operators.search_index import (
+        _postings_df,
+        bm25_from_index,
+        compact_search_index,
+        search_stats,
+        write_search_index,
+    )
+
+    _drop(spark, "sidx_orph")
+    corpus = _corpus(spark)
+    write_search_index(spark, corpus, "sidx_orph", num_buckets=2)
+    clean = spark.table("sidx_orph_postings").count()
+    want = _ranked(bm25_from_index(spark, "sidx_orph", list(_BM25_QUERY)))
+
+    # the crash window: postings landed for a NEW doc, docstats never
+    # did (no stats credit either — absorb credits after both appends)
+    ghost_id = corpus.agg(F.max("doc_id")).collect()[0][0] + 1
+    ghost = spark.createDataFrame(
+        [(ghost_id, " ".join(_BM25_QUERY))], "doc_id bigint, text string"
+    )
+    (
+        _postings_df(spark, ghost)
+        .write.bucketBy(2, "tok").mode("append").format("parquet")
+        .saveAsTable("sidx_orph_postings")
+    )
+    orphaned = spark.table("sidx_orph_postings").count()
+    assert orphaned > clean
+
+    stats = search_stats(spark, "sidx_orph")
+    compact_search_index(spark, "sidx_orph")
+    assert spark.table("sidx_orph_postings").count() == clean
+    assert search_stats(spark, "sidx_orph") == stats
+    assert _ranked(bm25_from_index(spark, "sidx_orph", list(_BM25_QUERY))) == want
+
+
 def test_recover_heals_stats_drift(spark):
     from flink_wsr_project_spark.operators.search_index import (
         _write_stats,

@@ -1127,8 +1127,37 @@ def test_span_gram_skew_arithmetic(spark, tmp_path):
     assert row.max_df == 3
     assert row.grams_capped == 13
     assert row.grams_matchable == 13 + 9
-    assert row.match_rows_saved == 13  # (3*3-3)//2 - (3-1) = 1 per gram
+    assert row.match_rows_saved == 13  # (3*3-3)//2 - (3-1)*1 = 1 per gram
     assert_parity(sk.spark_fn(spark, sf_dir), sk.oracle, sf_dir, "span_skew/synth")
+
+
+def test_span_gram_skew_keeper_multiocc(spark, tmp_path):
+    """Saved-rows arithmetic when the KEEPER holds multiple copies of
+    an over-cap gram — the stray-keeper-copy scenario the star-arm fix
+    constructs. Keeper doc1 carries the shared 20-token run S twice
+    (separated by 8 unique fillers, so no junction gram repeats);
+    docs 2 and 3 carry S once. Per S-gram: occ = (2,1,1), total=4,
+    sq=6, df=3 > cap=2 → enumerated (16-6)/2 = 5; star rows
+    (4-2)*2 = 4 (each member occurrence pairs with BOTH keeper
+    occurrences); saved = 1 per gram × 13 grams. The pre-fix formula
+    subtracted only (4-2) = 2 star rows and would report 39."""
+    S = _toks("s", 0, 20)
+    sf_dir = _span_docs(
+        tmp_path,
+        [
+            " ".join(S + _toks("f", 0, 8) + S),
+            " ".join(_toks("v", 0, 2) + S),
+            " ".join(S + _toks("w", 0, 2)),
+        ],
+    )
+    sk = get("span_gram_skew")
+    row = sk.spark_fn(spark, sf_dir).collect()[0]
+    assert row.max_df == 3
+    assert row.grams_capped == 13
+    assert row.match_rows_saved == 13  # (4*4-6)//2 - (4-2)*2 = 1 per gram
+    assert_parity(
+        sk.spark_fn(spark, sf_dir), sk.oracle, sf_dir, "span_skew/keeper-multiocc"
+    )
 
 
 def test_span_scrub_exact_strings(spark, tmp_path):
