@@ -1,0 +1,199 @@
+"""Distributed BPE merge learning — the tokenizer-LEARNING stage of an
+LLM data pipeline (``tokenizer_fertility`` measures an existing vocab;
+this learns one). Classic Sennrich-style byte-pair encoding over the
+word-frequency table:
+
+    1. one corpus pass: word frequencies (the ONLY corpus-sized
+       shuffle — afterwards everything is vocabulary-bounded);
+    2. each word starts as its character sequence plus an end-of-word
+       marker ``_`` (the tokenizer alphabet is [a-z0-9], so ``_`` is
+       collision-free);
+    3. per round: count adjacent symbol pairs weighted by word
+       frequency (one vocab-bounded shuffle), take the most frequent
+       pair (count DESC, then lexicographic (lhs, rhs) — the
+       deterministic tie-break every later round depends on), merge
+       its occurrences greedily left-to-right in every word, repeat.
+
+Spark-first iteration shape (the ``embedding_kmeans`` pattern): the
+winning pair is ONE driver row per round, re-entering the next round
+as literals inside a codegen'd ``aggregate(...)`` fold — the greedy
+left-to-right merge is a left fold over the symbol array whose
+accumulator ends with the merged symbol, so an overlapping run
+(``aaa`` under pair (a,a)) merges non-overlapping occurrences exactly
+like the reference algorithm. Each round's segmentation is
+``localCheckpoint``-pinned: bounded plans, no growing lineage.
+
+At 100 TB: pair-count state is VOCAB-bounded, not corpus-bounded —
+the corpus is touched once for word counts; every round after that
+shuffles |vocab| rows and collects exactly one. This is the real
+production shape of BPE training (word-level pre-counting), not a
+toy: scaling the corpus 1000x changes the frequencies, not the cost
+per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BPE_MARKER = "_"
+_WTOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the pipeline tokenizer — the one corpus-sized
+    aggregate; its output is vocabulary-bounded."""
+    return (
+        docs.selectExpr(f"explode({_WTOKS}) AS word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _initial_seg(words: DataFrame) -> DataFrame:
+    """Character-level start state: (word, freq, syms) with the
+    end-of-word marker appended (so merges learned at word ends are
+    distinct from word-internal ones — the classic formulation)."""
+    return words.selectExpr(
+        "word",
+        "freq",
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)),"
+        f" array('{BPE_MARKER}')) AS syms",
+    )
+
+
+def _pair_counts(seg: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency. The CASE keeps
+    the transform TOTAL (sequence(1, 0) would be descending — the
+    span-store short-doc lesson); with the marker every word has >= 2
+    symbols, but the guard costs nothing."""
+    return (
+        seg.selectExpr(
+            "freq",
+            "explode(CASE WHEN size(syms) >= 2 THEN"
+            " transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+            " ELSE CAST(array() AS array<struct<l: string, r: string>>) END) AS pr"
+        )
+        .groupBy(F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _merge_pair_expr(lhs: str, rhs: str) -> str:
+    """Greedy left-to-right merge of (lhs, rhs) as a left fold: the
+    accumulator's LAST symbol is lhs and the incoming symbol is rhs →
+    replace the tail with the merged symbol. Non-overlap falls out:
+    after a merge the tail IS the merged symbol, which only matches
+    lhs again if a fresh lhs follows. Symbols are whole-string
+    compared, so a single symbol that happens to spell lhs||rhs never
+    conflates. Symbols are [a-z0-9_] only — safe to embed as
+    literals."""
+    merged = lhs + rhs
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession, docs: DataFrame, rounds: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``rounds`` BPE merges. Returns (merges, final segmentation)
+    where merges rows are (merge_rank, lhs, rhs, merged, pair_count).
+    Driver traffic is one row per round; per-round cluster work is one
+    vocab-bounded pair-count shuffle plus a vocab-sized map."""
+    seg = _initial_seg(word_freqs(docs)).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(seg)
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_count <= 0:
+            break
+        lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        nxt = seg.selectExpr("word", "freq", f"{_merge_pair_expr(lhs, rhs)} AS syms")
+        nxt = nxt.localCheckpoint()
+        seg.unpersist()
+        seg = nxt
+    return merges, seg
+
+
+def bpe_unrolled_sql(engine: str, rounds: int, source: str = "documents") -> str:
+    """The learning loop unrolled as one SQL query (the kmeans-oracle
+    trick): per round, a pair-count CTE, a top-1 CTE with the same
+    (count DESC, lhs, rhs) tie-break, and a re-segmentation CTE whose
+    greedy fold is the engine's list-reduce — DuckDB's ``list_reduce``
+    has no initial-accumulator form, so the element list is lifted to
+    single-element lists with an empty list prepended, making the
+    fold's types line up with Spark's ``aggregate`` exactly. Returns
+    the merge table (merge_rank, lhs, rhs, merged, pair_count)."""
+    m = BPE_MARKER
+    if engine == "spark":
+        tok = f"explode({_WTOKS}) AS word"
+        seg0 = (
+            "SELECT word, freq, concat(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), array('{m}')) AS syms FROM w0"
+        )
+        pairs = (
+            "SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count"
+            " FROM s{prev} LATERAL VIEW explode(CASE WHEN size(syms) >= 2 THEN"
+            " transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i)"
+            " AS l, element_at(syms, i + 1) AS r)) ELSE"
+            " CAST(array() AS array<struct<l: string, r: string>>) END) _p AS pr"
+            " GROUP BY 1, 2"
+        )
+        reseg = (
+            "SELECT word, freq, aggregate(syms, CAST(array() AS array<string>),"
+            " (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.lhs"
+            " AND x = m.rhs THEN concat(slice(acc, 1, size(acc) - 1),"
+            " array(concat(m.lhs, m.rhs))) ELSE concat(acc, array(x)) END) AS syms"
+            " FROM s{prev} CROSS JOIN m{r} m"
+        )
+    else:
+        tok = (
+            "unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) AS word"
+        )
+        seg0 = (
+            "SELECT word, freq, list_append(list_transform(range(1, length(word) + 1),"
+            f" i -> substring(word, i, 1)), '{m}') AS syms FROM w0"
+        )
+        pairs = (
+            "SELECT (pr).l AS lhs, (pr).r AS rhs, CAST(sum(freq) AS BIGINT)"
+            " AS pair_count FROM (SELECT freq,"
+            " unnest(list_transform(range(1, len(syms)),"
+            " i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS pr"
+            " FROM s{prev}) GROUP BY 1, 2"
+        )
+        reseg = (
+            "SELECT word, freq, list_reduce("
+            "list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),"
+            " (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.lhs AND x[1] = m.rhs"
+            " THEN list_append(acc[1:len(acc) - 1], m.lhs || m.rhs)"
+            " ELSE list_concat(acc, x) END) AS syms FROM s{prev}, m{r} m"
+        )
+    top1 = (
+        "SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs,"
+        " lhs || rhs AS merged, pair_count"
+        " FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1"
+    )
+    ctes = [
+        f"w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM"
+        f" (SELECT {tok} FROM {source}) GROUP BY word)",
+        f"s0 AS ({seg0})",
+    ]
+    unions = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"p{r} AS ({pairs.format(prev=r - 1)})")
+        ctes.append(f"m{r} AS ({top1.format(r=r)})")
+        if r < rounds:
+            ctes.append(f"s{r} AS ({reseg.format(prev=r - 1, r=r)})")
+        unions.append(f"SELECT * FROM m{r}")
+    body = "\nUNION ALL\n".join(unions)
+    return "WITH " + ",\n".join(ctes) + "\n" + body

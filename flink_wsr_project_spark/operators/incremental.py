@@ -56,16 +56,75 @@ def update_aggregate_table(
     keys: list[str],
     aggs: Mapping[str, Column],
     merge_fns: Mapping[str, str],
+    op_token: str | None = None,
 ) -> DataFrame:
     """Read state (if any) → merge the delta's partial aggregate →
     replace the state dir via rename-aside (crash-recoverable at every
-    intermediate point). Returns the new state."""
+    intermediate point). Returns the new state.
+
+    ``op_token`` makes the merge EXACTLY-ONCE per state: a token
+    identifying the operation (deterministic across replays — e.g.
+    derived from the delta's key set) is written as an ``_applied_op``
+    marker file INSIDE the new state dir before the swap, so marker
+    and data commit atomically together. A call whose token equals the
+    state's marker is a no-op — a replay after a crash PART-WAY
+    through a multi-state update (bigram counts merged, vocabulary
+    not) re-applies only the states that missed it. The marker holds
+    only the LAST op, so recovery must replay an interrupted op before
+    admitting new ones — exactly what foreachBatch restart semantics
+    guarantee."""
     from flink_wsr_project_spark.sources.writers import atomic_swap_dir
 
+    if op_token is not None and applied_op(state_path) == op_token:
+        return spark.read.parquet(state_path)
     delta_state = aggregate_delta(delta, keys, aggs)
     existing = spark.read.parquet(state_path) if os.path.exists(state_path) else None
     new_state = merge_aggregate_state(existing, delta_state, keys, merge_fns)
     tmp = f"{state_path.rstrip('/')}__merge_{_uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)
+    if op_token is not None:
+        with open(os.path.join(tmp, "_applied_op"), "w") as f:
+            f.write(op_token)
     atomic_swap_dir(state_path, tmp)
     return spark.read.parquet(state_path)
+
+
+def applied_op(state_path: str) -> str | None:
+    """The state's ``_applied_op`` marker (None when the state doesn't
+    exist, predates the marker protocol, or was rewritten without
+    one). Underscore-prefixed files are invisible to parquet reads."""
+    marker = os.path.join(state_path, "_applied_op")
+    try:
+        with open(marker) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def recover_aggregate_state(state_path: str) -> bool:
+    """Finish an interrupted rename-aside swap on a path state —
+    idempotent, run at startup. Always rolls BACK: if the live dir is
+    missing but a ``__old`` copy exists, the old state is restored;
+    every leftover ``__old``/``__merge``/``__new`` sibling is removed.
+    Roll-back is provably consistent with the op-token protocol: the
+    interrupted op replays against the pre-op state and marker, so it
+    re-applies exactly once (rolling FORWARD would need to prove the
+    tmp dir's write completed — roll-back needs no such proof).
+    Returns True when anything was repaired."""
+    import glob
+    import shutil
+
+    base = state_path.rstrip("/")
+    olds = sorted(glob.glob(base + "__old_*"))
+    tmps = sorted(glob.glob(base + "__merge_*")) + (
+        [base + "__new"] if os.path.exists(base + "__new") else []
+    )
+    ran = False
+    if not os.path.exists(base) and olds:
+        os.rename(olds.pop(), base)
+        ran = True
+    for d in olds + tmps:
+        if os.path.exists(d):
+            shutil.rmtree(d)
+            ran = True
+    return ran

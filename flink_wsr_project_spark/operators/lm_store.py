@@ -69,28 +69,51 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+def _op_token(docs: DataFrame, sign: int) -> str:
+    """Deterministic identity of one merge operation: the sign, the
+    doc count, and an order-independent 64-bit fold of the doc_id set
+    (``bit_xor`` — overflow-free under ANSI mode, and the input is
+    already deduplicated by doc_id so no pair cancels). A replay of
+    the same logical operation reproduces the same token; one bounded
+    aggregate, no data-sized collect."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(doc_id))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{sign}:{row.n}:{row.h}"
+
+
 def _merge_counts(
     spark: SparkSession, prefix: str, docs: DataFrame, sign: int
 ) -> None:
     """Merge ``docs``' counts into the three states, multiplied by
-    ``sign`` (+1 absorb, -1 takedown) — the group operation."""
+    ``sign`` (+1 absorb, -1 takedown) — the group operation. Each
+    state merge carries the operation's token (see
+    ``incremental.update_aggregate_table``), so a replay after a
+    crash BETWEEN state merges re-applies only the states that missed
+    it — never a double merge. The r13 design accepted double-merge
+    on that window ("heal by refitting"); the marker closes it."""
     from flink_wsr_project_spark.operators.incremental import (
         update_aggregate_table,
     )
 
     p = _paths(prefix)
+    tok = _op_token(docs, sign)
     bg = _bigrams(docs)
     update_aggregate_table(
         spark, p["uni"], bg, ["w1"],
         {"c1": (F.count(F.lit(1)) * sign).cast("long")}, {"c1": "sum"},
+        op_token=tok,
     )
     update_aggregate_table(
         spark, p["bi"], bg, ["w1", "w2"],
         {"c2": (F.count(F.lit(1)) * sign).cast("long")}, {"c2": "sum"},
+        op_token=tok,
     )
     update_aggregate_table(
         spark, p["vocab"], _toks(docs), ["tok"],
         {"c": (F.count(F.lit(1)) * sign).cast("long")}, {"c": "sum"},
+        op_token=tok,
     )
 
 
@@ -109,13 +132,15 @@ def fit_lm_store(spark: SparkSession, corpus_docs: DataFrame, prefix: str) -> No
 def absorb_docs_into_lm(
     spark: SparkSession, batch_docs: DataFrame, prefix: str
 ) -> int:
-    """Merge a batch's counts into the model. Replay-idempotent: docs
-    already in the roster are excluded before the delta aggregate, and
-    the roster is appended AFTER the merges (a crash between leaves
-    the counts double-merge-able — heal by refitting; the roster-last
-    order at least guarantees a clean replay never UNDER-counts).
-    The input is deduplicated by doc_id first — duplicate rows in one
-    batch would otherwise double-merge a document's counts and write
+    """Merge a batch's counts into the model. Replay-idempotent at
+    BOTH granularities: docs already in the roster are excluded before
+    the delta aggregate (whole-batch replay), and each state merge
+    carries the operation token (crash between the uni/bi/vocab merges
+    or before the roster append — the replay re-applies exactly the
+    states that missed it, because the roster only lands after all
+    three, so the recomputed delta and token are identical). The input
+    is deduplicated by doc_id first — duplicate rows in one batch
+    would otherwise double-merge a document's counts and write
     duplicate roster rows. Returns docs absorbed."""
     p = _paths(prefix)
     roster = spark.read.parquet(p["docs"]).select("doc_id")
@@ -211,3 +236,96 @@ def score_docs_against_lm(
 
 def lm_store_exists(prefix: str) -> bool:
     return all(os.path.exists(path) for path in _paths(prefix).values())
+
+
+def recover_lm_store(spark: SparkSession, prefix: str) -> bool:
+    """Finish interrupted rename-aside swaps on all four states —
+    idempotent, run at loop startup. Always rolls BACK (see
+    ``incremental.recover_aggregate_state``); the interrupted
+    operation then replays exactly-once per state via the op-token
+    markers. Returns True when anything was repaired."""
+    from flink_wsr_project_spark.operators.incremental import (
+        recover_aggregate_state,
+    )
+
+    ran = False
+    for path in _paths(prefix).values():
+        ran = recover_aggregate_state(path) or ran
+    return ran
+
+
+def compact_lm_store(spark: SparkSession, prefix: str) -> dict[str, int]:
+    """Physically drop the zero/negative-count rows inverse merges
+    leave behind (scoring already filters them; this reclaims the
+    bytes). Each state rewrites via rename-aside WITH its current
+    op marker preserved — losing the marker would let a replay of the
+    last operation double-merge. Returns {state: surviving rows}."""
+    import uuid as _uuid
+
+    from flink_wsr_project_spark.operators.incremental import applied_op
+    from flink_wsr_project_spark.sources.writers import atomic_swap_dir
+
+    p = _paths(prefix)
+    out: dict[str, int] = {}
+    for name, cnt in (("uni", "c1"), ("bi", "c2"), ("vocab", "c")):
+        path = p[name]
+        live = spark.read.parquet(path).where(F.col(cnt) > 0)
+        marker = applied_op(path)
+        tmp = f"{path.rstrip('/')}__merge_{_uuid.uuid4().hex[:8]}"
+        live.write.mode("overwrite").parquet(tmp)
+        if marker is not None:
+            with open(os.path.join(tmp, "_applied_op"), "w") as f:
+                f.write(marker)
+        atomic_swap_dir(path, tmp)
+        out[name] = spark.read.parquet(path).count()
+    return out
+
+
+def lm_store_health(spark: SparkSession, prefix: str) -> dict:
+    """Operational report for the LM store — the path-state sibling of
+    ``store_health.store_health`` (this store is directory-swapped
+    parquet, not catalog tables). Reads file metadata, the op markers,
+    and the VOCAB state only — O(V), bounded by vocabulary size, never
+    by the corpus (the bigram state, the one that grows, is not
+    scanned). ``pending_recovery`` flags leftover swap siblings that
+    ``recover_lm_store`` would repair; ``dead_vocab_rows`` counts the
+    zero/negative rows a ``compact_lm_store`` would reclaim."""
+    import glob
+
+    from flink_wsr_project_spark.operators.incremental import applied_op
+
+    report: dict = {"prefix": prefix, "states": []}
+    pending = False
+    for name, path in _paths(prefix).items():
+        exists = os.path.exists(path)
+        files = (
+            [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+            if exists
+            else []
+        )
+        leftovers = (
+            glob.glob(path.rstrip("/") + "__old_*")
+            + glob.glob(path.rstrip("/") + "__merge_*")
+            + glob.glob(path.rstrip("/") + "__new")
+        )
+        pending = pending or (bool(leftovers) or not exists)
+        report["states"].append(
+            {
+                "state": name,
+                "exists": exists,
+                "data_files": len(files),
+                "bytes": sum(os.path.getsize(os.path.join(path, f)) for f in files),
+                "applied_op": applied_op(path),
+                "swap_leftovers": len(leftovers),
+            }
+        )
+    report["pending_recovery"] = pending
+    markers = {s["applied_op"] for s in report["states"] if s["state"] != "docs"}
+    # a partially-applied operation (crash between state merges) shows
+    # as disagreeing markers; the op's replay converges them
+    report["states_in_sync"] = len(markers) == 1
+    if os.path.exists(_paths(prefix)["vocab"]):
+        vocab = spark.read.parquet(_paths(prefix)["vocab"])
+        report["vocab_rows"] = vocab.count()
+        report["dead_vocab_rows"] = vocab.where(F.col("c") <= 0).count()
+    return report

@@ -86,8 +86,16 @@ def _posgrams_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .where(F.expr(f"size(t) >= {w}"))
         .selectExpr(
             "doc_id",
-            f"transform(sequence(0, size(t) - {w}),"
-            f" i -> md5(concat_ws(' ', slice(t, i + 1, {w})))) AS harr",
+            # the CASE makes the expression TOTAL, exactly as in
+            # span_posgram_ctes: Spark may evaluate the transform
+            # inside the SAME filter stage before the size conjunct
+            # short-circuits it, and for a doc under w tokens
+            # sequence(0, size-w) is DESCENDING so slice sees start 0
+            # (found by the curation loop's short-doc batch)
+            f"CASE WHEN size(t) >= {w}"
+            f" THEN transform(sequence(0, size(t) - {w}),"
+            f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
+            f" ELSE array() END AS harr",
         )
         .select("doc_id", F.posexplode("harr").alias("pos", "h"))
         .selectExpr(

@@ -5275,3 +5275,53 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     174 head / 164 middle / 162 tail — all three buckets populated."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_lm_perplexity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer LEARNING — tokenizer_fertility measures
+# an existing vocab; this learns one)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle() -> str:
+    from flink_wsr_project_spark.operators.bpe import bpe_unrolled_sql
+
+    return bpe_unrolled_sql("duckdb", _BPE_ROUNDS)
+
+
+@register(
+    "bpe_merges_topk",
+    oracle=_bpe_oracle(),
+    tags=("pipeline", "text", "iterative"),
+)
+def bpe_merges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.py), first
+    {r} merges over the corpus: per round, count adjacent symbol
+    pairs weighted by word frequency, take the most frequent
+    (count DESC then lexicographic — the deterministic tie-break
+    all later rounds inherit), merge greedily left-to-right, repeat.
+
+    Spark-first iteration shape (the embedding_kmeans pattern): the
+    winning pair is ONE driver row per round re-entering as literals
+    in a codegen'd aggregate() fold; each round's segmentation is
+    localCheckpoint-pinned (bounded plans). Pair-count state is
+    VOCAB-bounded, not corpus-bounded — the corpus is scanned once
+    for word frequencies; every round after that shuffles |vocab|
+    rows. Oracle: the identical loop unrolled as {r} rounds of CTEs
+    (DuckDB's list_reduce lifted to match Spark's aggregate fold
+    exactly); the driver loop is additionally pinned against the
+    unrolled SPARK SQL in tests."""
+    from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges, seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS)
+    seg.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+bpe_merges_topk.__doc__ = bpe_merges_topk.__doc__.format(r=_BPE_ROUNDS)
+_set_doc("bpe_merges_topk", bpe_merges_topk.__doc__)

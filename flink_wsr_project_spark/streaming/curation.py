@@ -1,0 +1,341 @@
+"""The composed curation loop — every persisted store driven by ONE
+foreachBatch chain, with cross-store crash consistency (r13 verdict
+task 1). A real training-data pipeline does not run its stores in
+separate jobs: each micro-batch is gated (quality → dedup → span →
+LM) and the admitted docs update the signature store, the span store,
+the LM, and the search index together. The hard part is a crash
+BETWEEN store updates inside one batch: the signature store absorbed,
+the span store did not — replay must converge every store with no doc
+double-admitted and no claim lost.
+
+Crash-consistency design — a write-ahead DECISION LOG:
+
+1. **Decide** (read-only): all gates probe the stores as they stood
+   BEFORE this batch. The per-doc decisions are written to
+   ``<decision_log>/batch=<id>`` via write-to-tmp + atomic rename —
+   one commit point. A crash before the rename leaves no store
+   touched (recompute is trivially identical); a crash after it means
+   the decisions are pinned forever.
+2. **Apply** (idempotent per store): absorbs run in a fixed order
+   (signature → span → LM → search), each individually replay-safe
+   (anti-join against the store's own roster, or the LM's op-token
+   markers). A replayed batch loads the logged decisions instead of
+   recomputing — so it does not matter that the stores now already
+   contain some of the batch (the read-your-writes hazard the WAL
+   exists to kill: recomputing after a partial apply would see the
+   batch claiming itself).
+
+Replay ordering contract (same as the LM op-token protocol): a failed
+batch must replay before new batches are admitted — exactly what
+Spark's foreachBatch restart semantics guarantee.
+
+Why decisions, not effects, are logged: every store absorb is already
+idempotent, but the DECISION is a function of store state, and store
+state moves as the batch applies. Pinning the decision makes the
+entire chain a pure replay of deterministic effects.
+
+At 100 TB: the decide phase is the stores' bounded probe plans (Δ-side
+shuffles only; directory-pruned scans); the log write is |Δ| rows of
+a few integers; the apply phase is the stores' bounded absorbs. The
+chain adds NO new shuffle over any store.
+
+Reference anchor: the engine-level analogue of the reference's
+end-to-end jobs (orderpay_detect/OrderPayTxMatch_2Flow_Co.scala:48-57
+— one pipeline, several stateful outcomes per element), recast as a
+multi-store curation chain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# chaos-injection points, in apply order (test surface for the
+# kill-point matrix: raise after the named step completes)
+KILL_POINTS = ("decide", "sig", "span", "lm", "search")
+
+_DECISION_SCHEMA = (
+    "doc_id bigint, stage string, decision string, dup_of bigint, "
+    "coverage_permille bigint, ccnet_bucket string"
+)
+
+
+def _quality_ok() -> F.Column:
+    """The funnel's Gopher-style bounds (pipeline.curate_corpus /
+    curation_funnel's quality stage) — stateless, so it gates first."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return F.size(toks).between(10, 10000) & (
+        F.length("text") / F.size(toks)
+    ).between(3, 15)
+
+
+def _batch_log_dir(decision_log: str, batch_id) -> str:
+    return os.path.join(decision_log, f"batch={batch_id}")
+
+
+def _decide(
+    spark: SparkSession,
+    docs: DataFrame,
+    sig_prefix: str,
+    span_prefix: str,
+    lm_prefix: str | None,
+    span_cap: int | None,
+    span_threshold_permille: int,
+    lm_gate: bool,
+) -> DataFrame:
+    """Compute one decision row per batch doc against the CURRENT
+    store states (read-only). Stage attribution is first-drop-wins in
+    the funnel's order: quality → dup → span → lm → kept."""
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        dedup_incremental_from_store,
+    )
+    from flink_wsr_project_spark.operators.span_store import (
+        span_dedup_from_store,
+    )
+
+    quality = docs.select(
+        "doc_id", _quality_ok().alias("q_ok")
+    ).localCheckpoint()
+    q_pass = docs.join(quality.where("q_ok").select("doc_id"), "doc_id")
+
+    dup = dedup_incremental_from_store(spark, q_pass, sig_prefix).localCheckpoint()
+    d_pass = q_pass.join(
+        dup.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
+    )
+
+    span = span_dedup_from_store(
+        spark,
+        d_pass,
+        span_prefix,
+        cap=span_cap,
+        threshold_permille=span_threshold_permille,
+    ).localCheckpoint()
+    s_pass = d_pass.join(
+        span.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
+    )
+
+    lm_scores = None
+    if lm_prefix is not None:
+        from flink_wsr_project_spark.operators.lm_store import (
+            lm_store_exists,
+            score_docs_against_lm,
+        )
+
+        if lm_store_exists(lm_prefix):
+            lm_scores = score_docs_against_lm(spark, s_pass, lm_prefix).select(
+                "doc_id", "ccnet_bucket"
+            ).localCheckpoint()
+
+    out = (
+        docs.select("doc_id")
+        .join(quality, "doc_id", "left")
+        .join(
+            dup.select(
+                "doc_id",
+                F.col("decision").alias("dup_decision"),
+                "dup_of",
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            span.select(
+                "doc_id",
+                F.col("decision").alias("span_decision"),
+                "coverage_permille",
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    if lm_scores is not None:
+        out = out.join(lm_scores, "doc_id", "left")
+    else:
+        out = out.withColumn("ccnet_bucket", F.lit(None).cast("string"))
+    lm_drops = (
+        (F.col("ccnet_bucket") == "tail") if lm_gate else F.lit(False)
+    )
+    return out.select(
+        "doc_id",
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(F.col("dup_decision") != "keep", F.lit("dup"))
+        .when(F.col("span_decision") != "keep", F.lit("span"))
+        .when(lm_drops, F.lit("lm"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+        F.when(~F.col("q_ok"), F.lit("drop"))
+        .when(F.col("dup_decision") != "keep", F.lit("drop"))
+        .when(F.col("span_decision") != "keep", F.lit("drop"))
+        .when(lm_drops, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+        "dup_of",
+        F.col("coverage_permille").cast("bigint").alias("coverage_permille"),
+        "ccnet_bucket",
+    )
+
+
+def curate_foreach_batch(
+    decision_log: str,
+    sig_prefix: str,
+    span_prefix: str,
+    lm_prefix: str | None = None,
+    search_prefix: str | None = None,
+    num_buckets: int = 8,
+    span_cap: int | None = None,
+    span_threshold_permille: int = 500,
+    lm_gate: bool = False,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    on_batch=None,
+    fail_after: str | None = None,
+):
+    """foreachBatch body for the composed curation chain. Gates each
+    micro-batch (quality → signature-store dedup → span coverage →
+    optional LM tail gate), commits the per-doc decisions to the
+    write-ahead decision log, then absorbs the ADMITTED docs into
+    every store: signature, span, LM (record-only unless ``lm_gate``),
+    and — when ``search_prefix`` is given — the BM25 index, so the
+    curated corpus is immediately searchable.
+
+    Only the final admitted set absorbs anywhere: every store's
+    contents ARE the curated corpus, the invariant that makes the
+    stores agree with each other and with the batch funnel.
+
+    ``on_batch(decisions_df, batch_id, replayed)`` receives the logged
+    decision frame. ``fail_after`` (one of ``KILL_POINTS``) raises
+    RuntimeError after the named step completes — the chaos hook the
+    kill-point test matrix drives; never set it in production."""
+
+    def body(batch_df: DataFrame, batch_id) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
+        ).dropDuplicates(["doc_id"]).localCheckpoint()
+
+        log_dir = _batch_log_dir(decision_log, batch_id)
+        replayed = os.path.isdir(log_dir)
+        if replayed:
+            decisions = spark.read.parquet(log_dir)
+        else:
+            decisions = _decide(
+                spark, docs, sig_prefix, span_prefix, lm_prefix,
+                span_cap, span_threshold_permille, lm_gate,
+            )
+            # one atomic commit point: a crash mid-write leaves only
+            # the tmp dir (cleaned by recover_curation_stores), never
+            # a half-readable log
+            tmp = log_dir + "__tmp"
+            decisions.write.mode("overwrite").parquet(tmp)
+            os.makedirs(decision_log, exist_ok=True)
+            os.rename(tmp, log_dir)
+            decisions = spark.read.parquet(log_dir)
+        if fail_after == "decide":
+            raise RuntimeError("chaos: crash after decide")
+
+        # ---- apply phase: idempotent absorbs in fixed order --------
+        from flink_wsr_project_spark.operators.incremental_dedup import (
+            absorb_kept_into_store,
+        )
+        from flink_wsr_project_spark.operators.span_store import (
+            absorb_spans_into_store,
+        )
+
+        admitted = decisions.where(F.col("decision") == "keep").select("doc_id")
+        # the absorb helpers filter on decision == 'keep'
+        keeps = admitted.withColumn("decision", F.lit("keep"))
+
+        absorb_kept_into_store(
+            spark, docs, keeps, sig_prefix, num_buckets, exclude_existing=True
+        )
+        if fail_after == "sig":
+            raise RuntimeError("chaos: crash after sig absorb")
+
+        absorb_spans_into_store(
+            spark, docs, keeps, span_prefix, num_buckets, exclude_existing=True
+        )
+        if fail_after == "span":
+            raise RuntimeError("chaos: crash after span absorb")
+
+        if lm_prefix is not None:
+            from flink_wsr_project_spark.operators.lm_store import (
+                absorb_docs_into_lm,
+                fit_lm_store,
+                lm_store_exists,
+            )
+
+            admitted_docs = docs.join(admitted, "doc_id")
+            if lm_store_exists(lm_prefix):
+                absorb_docs_into_lm(spark, admitted_docs, lm_prefix)
+            else:
+                # bootstrap: the first batch's admitted set IS the
+                # corpus fit (full overwrite — replay refits the same)
+                fit_lm_store(spark, admitted_docs.localCheckpoint(), lm_prefix)
+        if fail_after == "lm":
+            raise RuntimeError("chaos: crash after lm absorb")
+
+        if search_prefix is not None:
+            from flink_wsr_project_spark.operators.search_index import (
+                absorb_docs_into_index,
+            )
+
+            absorb_docs_into_index(
+                spark,
+                docs.join(admitted, "doc_id"),
+                search_prefix,
+                num_buckets,
+                exclude_existing=True,
+            )
+        if fail_after == "search":
+            raise RuntimeError("chaos: crash after search absorb")
+
+        if on_batch is not None:
+            on_batch(decisions, batch_id, replayed)
+
+    return body
+
+
+def recover_curation_stores(
+    spark: SparkSession,
+    decision_log: str,
+    sig_prefix: str,
+    span_prefix: str,
+    lm_prefix: str | None = None,
+    search_prefix: str | None = None,
+) -> dict[str, bool]:
+    """Run every member store's recovery verb and sweep half-written
+    decision-log tmp dirs — idempotent, run once at loop startup
+    before any batch. Committed decision logs are never touched: they
+    are the replay's source of truth."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        recover_store_compaction,
+    )
+    from flink_wsr_project_spark.operators.span_store import recover_span_store
+    from flink_wsr_project_spark.operators.tombstones import recover_tombstones
+
+    out: dict[str, bool] = {}
+    swept = False
+    if os.path.isdir(decision_log):
+        for entry in os.listdir(decision_log):
+            if entry.endswith("__tmp"):
+                shutil.rmtree(os.path.join(decision_log, entry))
+                swept = True
+    out["decision_log"] = swept
+    out["sig"] = bool(recover_store_compaction(spark, sig_prefix)) or bool(
+        recover_tombstones(spark, sig_prefix)
+    )
+    out["span"] = recover_span_store(spark, span_prefix)
+    if lm_prefix is not None:
+        from flink_wsr_project_spark.operators.lm_store import recover_lm_store
+
+        out["lm"] = recover_lm_store(spark, lm_prefix)
+    if search_prefix is not None:
+        from flink_wsr_project_spark.operators.search_index import (
+            recover_search_index,
+        )
+
+        out["search"] = recover_search_index(spark, search_prefix)
+    return out

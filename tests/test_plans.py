@@ -294,6 +294,10 @@ def test_dimension_join_broadcasts(spark, name):
         # score joins keyed on them + per-doc agg; vocab is a 1-row
         # broadcast
         ("doc_lm_perplexity", 7),
+        # the returned relation is the driver-assembled merge table
+        # (one row per round); the per-round cluster plans are pinned
+        # separately in test_bpe_round_plans
+        ("bpe_merges_topk", 0),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
@@ -359,3 +363,36 @@ def test_semdedup_cap_prunes_before_pair_join(spark):
         "cap prune executes above the pair join — over-cap clusters "
         "would enumerate n_c² candidates"
     )
+
+
+def test_bpe_round_plans(spark):
+    """The BPE loop's per-round cluster work, pinned: the pair count is
+    ONE vocab-bounded shuffle (the groupBy — with a map-side partial
+    aggregate so the exchange carries combined counts, not raw pair
+    rows), and the re-segmentation is a pure map over the checkpointed
+    vocab (ZERO exchanges). The word-frequency build is the single
+    corpus-sized aggregate the whole loop ever runs."""
+    from flink_wsr_project_spark.operators.bpe import (
+        _initial_seg,
+        _merge_pair_expr,
+        _pair_counts,
+        word_freqs,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    seg = _initial_seg(word_freqs(docs)).localCheckpoint()
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan, sum(1 for ln in plan.splitlines() if "Exchange " in ln)
+
+    plan, n = shuffles(_pair_counts(seg))
+    assert n == 1, f"pair count: {n} shuffles\n{plan}"
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), (
+        "pair count lost its map-side combine"
+    )
+
+    _, n = shuffles(seg.selectExpr("word", "freq", f"{_merge_pair_expr('e', 'r')} AS syms"))
+    assert n == 0, f"re-segmentation shuffles: {n}"
+    seg.unpersist()

@@ -1380,3 +1380,49 @@ def test_span_cap_star_survives_stray_keeper_gram_copy(spark, tmp_path):
     assert un[(1, 2)] == (12, 0, 20)
     assert cp == un  # keeper claims preserved EXACTLY under the cap
     assert_parity(qc.spark_fn(spark, sf_dir), qc.oracle, sf_dir, "span_stray/synth")
+
+
+def test_bpe_greedy_overlap_and_tiebreak(spark, tmp_path):
+    """BPE learning pinned by hand on overlap-heavy words:
+
+    * raw-bigram counting (Sennrich): 'aaaa_' contributes (a,a) THREE
+      times per occurrence even though greedy merging only applies it
+      twice — round 1's count is 2*3 + 1*2 = 8;
+    * greedy left-to-right non-overlap: 'aaaa' merges to [aa, aa, _],
+      never [aa, a, a, _] or an overlapped [aa, aa] at positions 0/1;
+    * the lexicographic tie-break: round 2 has (aa, _) and (aa, aa)
+      both at count 2 — '_' < 'a', so (aa, _) wins, and every later
+      round inherits that choice."""
+    from flink_wsr_project_spark.operators.bpe import (
+        bpe_unrolled_sql,
+        learn_bpe_merges,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    sf_dir = _write_documents(
+        tmp_path, [(1, "aaaa aaaa aaa", "en", "web", 13)]
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges, seg = learn_bpe_merges(spark, docs, 3)
+    assert merges == [
+        (1, "a", "a", "aa", 8),
+        (2, "aa", "_", "aa_", 2),
+        (3, "aa", "aa_", "aaaa_", 2),
+    ]
+    segs = {r.word: list(r.syms) for r in seg.collect()}
+    assert segs == {"aaaa": ["aaaa_"], "aaa": ["aa", "a", "_"]}
+    seg.unpersist()
+
+    # driver loop == unrolled Spark SQL == DuckDB oracle, all 8 rounds
+    # (the loop dries up after round 5 on this corpus: [aa, a, _] gives
+    # (a,_) then (aa,a_) and then nothing — both sides must agree on
+    # WHERE it dries up, not just on the early rounds)
+    q = get("bpe_merges_topk")
+    got = [tuple(r) for r in q.spark_fn(spark, sf_dir).orderBy("merge_rank").collect()]
+    docs.createOrReplaceTempView("documents")
+    unrolled = [
+        tuple(r)
+        for r in spark.sql(bpe_unrolled_sql("spark", 8)).orderBy("merge_rank").collect()
+    ]
+    assert got == unrolled and len(got) == 5
+    assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "bpe/synth")
