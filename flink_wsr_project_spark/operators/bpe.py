@@ -124,15 +124,9 @@ def learn_bpe_merges(
     return merges, seg
 
 
-def bpe_unrolled_sql(engine: str, rounds: int, source: str = "documents") -> str:
-    """The learning loop unrolled as one SQL query (the kmeans-oracle
-    trick): per round, a pair-count CTE, a top-1 CTE with the same
-    (count DESC, lhs, rhs) tie-break, and a re-segmentation CTE whose
-    greedy fold is the engine's list-reduce — DuckDB's ``list_reduce``
-    has no initial-accumulator form, so the element list is lifted to
-    single-element lists with an empty list prepended, making the
-    fold's types line up with Spark's ``aggregate`` exactly. Returns
-    the merge table (merge_rank, lhs, rhs, merged, pair_count)."""
+def _bpe_cte_fragments(engine: str, source: str) -> dict[str, str]:
+    """Engine-specific CTE templates shared by the unrolled merge
+    query and the fertility rollup."""
     m = BPE_MARKER
     if engine == "spark":
         tok = f"explode({_WTOKS}) AS word"
@@ -183,17 +177,73 @@ def bpe_unrolled_sql(engine: str, rounds: int, source: str = "documents") -> str
         " lhs || rhs AS merged, pair_count"
         " FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1"
     )
-    ctes = [
-        f"w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM"
-        f" (SELECT {tok} FROM {source}) GROUP BY word)",
-        f"s0 AS ({seg0})",
-    ]
-    unions = []
+    return {
+        "w0": (
+            f"w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM"
+            f" (SELECT {tok} FROM {source}) GROUP BY word)"
+        ),
+        "s0": f"s0 AS ({seg0})",
+        "pairs": pairs,
+        "top1": top1,
+        "reseg": reseg,
+    }
+
+
+def _bpe_ctes(
+    engine: str, rounds: int, source: str, final_seg: bool
+) -> tuple[list[str], list[str]]:
+    """The unrolled round CTEs: per round a pair-count CTE, a top-1
+    CTE with the (count DESC, lhs, rhs) tie-break, and a
+    re-segmentation CTE. ``final_seg=True`` additionally materializes
+    s{rounds} (the segmentation AFTER the last merge — what the
+    fertility rollup consumes)."""
+    f = _bpe_cte_fragments(engine, source)
+    ctes = [f["w0"], f["s0"]]
+    merge_selects = []
     for r in range(1, rounds + 1):
-        ctes.append(f"p{r} AS ({pairs.format(prev=r - 1)})")
-        ctes.append(f"m{r} AS ({top1.format(r=r)})")
-        if r < rounds:
-            ctes.append(f"s{r} AS ({reseg.format(prev=r - 1, r=r)})")
-        unions.append(f"SELECT * FROM m{r}")
-    body = "\nUNION ALL\n".join(unions)
-    return "WITH " + ",\n".join(ctes) + "\n" + body
+        ctes.append(f"p{r} AS ({f['pairs'].format(prev=r - 1)})")
+        ctes.append(f"m{r} AS ({f['top1'].format(r=r)})")
+        if r < rounds or final_seg:
+            ctes.append(f"s{r} AS ({f['reseg'].format(prev=r - 1, r=r)})")
+        merge_selects.append(f"SELECT * FROM m{r}")
+    return ctes, merge_selects
+
+
+def bpe_unrolled_sql(engine: str, rounds: int, source: str = "documents") -> str:
+    """The learning loop unrolled as one SQL query (the kmeans-oracle
+    trick): per round, a pair-count CTE, a top-1 CTE with the same
+    (count DESC, lhs, rhs) tie-break, and a re-segmentation CTE whose
+    greedy fold is the engine's list-reduce — DuckDB's ``list_reduce``
+    has no initial-accumulator form, so the element list is lifted to
+    single-element lists with an empty list prepended, making the
+    fold's types line up with Spark's ``aggregate`` exactly. Returns
+    the merge table (merge_rank, lhs, rhs, merged, pair_count)."""
+    ctes, merge_selects = _bpe_ctes(engine, rounds, source, final_seg=False)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(merge_selects)
+
+
+def bpe_fertility_sql(engine: str, rounds: int, source: str = "documents") -> str:
+    """Corpus compression under the LEARNED vocabulary — the downstream
+    consumer of the merges: one row of exact-integer stats over the
+    segmentation after ``rounds`` merges. ``char_symbols`` is the
+    character-level baseline (length + marker per occurrence),
+    ``bpe_symbols`` the symbols actually left, ``compression_permille``
+    their exact integer ratio. An empty-vocabulary corpus yields
+    (0, 0, 0, 0, 0) rather than a division error."""
+    ln = "size" if engine == "spark" else "len"
+    div = "div" if engine == "spark" else "//"
+    ctes, _ = _bpe_ctes(engine, rounds, source, final_seg=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+       CAST(coalesce(sum(freq), 0) AS BIGINT) AS word_occurrences,
+       CAST(coalesce(sum(freq * (length(word) + 1)), 0) AS BIGINT) AS char_symbols,
+       CAST(coalesce(sum(freq * {ln}(syms)), 0) AS BIGINT) AS bpe_symbols,
+       CAST(CASE WHEN coalesce(sum(freq * (length(word) + 1)), 0) = 0 THEN 0
+            ELSE (1000 * sum(freq * {ln}(syms))) {div} sum(freq * (length(word) + 1))
+            END AS BIGINT) AS compression_permille
+FROM s{rounds}
+"""
+    )

@@ -5325,3 +5325,54 @@ def bpe_merges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 bpe_merges_topk.__doc__ = bpe_merges_topk.__doc__.format(r=_BPE_ROUNDS)
 _set_doc("bpe_merges_topk", bpe_merges_topk.__doc__)
+
+
+def _bpe_fertility_oracle() -> str:
+    from flink_wsr_project_spark.operators.bpe import bpe_fertility_sql
+
+    return bpe_fertility_sql("duckdb", _BPE_ROUNDS)
+
+
+@register(
+    "bpe_vocab_fertility",
+    oracle=_bpe_fertility_oracle(),
+    tags=("pipeline", "text", "iterative"),
+)
+def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression under the LEARNED vocabulary — the merges'
+    downstream consumer (tokenizer_fertility measures a FIXED regex
+    vocab; this measures the one bpe_merges_topk just learned): one
+    exact-integer row over the post-merge segmentation —
+    (vocab_words, word_occurrences, char_symbols, bpe_symbols,
+    compression_permille), where char_symbols is the character-level
+    baseline (length + end marker per occurrence) and the permille is
+    an exact integer division. Spark side: the driver-iterated loop's
+    final segmentation, one vocab-bounded aggregate; oracle: the same
+    {r} rounds unrolled as CTEs with the re-segmentation carried
+    through the last merge."""
+    from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    _, seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS)
+    row = seg.selectExpr(
+        "freq",
+        "CAST(freq * (length(word) + 1) AS BIGINT) AS cs",
+        "CAST(freq * size(syms) AS BIGINT) AS bs",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_words"),
+        F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("word_occurrences"),
+        F.coalesce(F.sum("cs"), F.lit(0)).cast("long").alias("char_symbols"),
+        F.coalesce(F.sum("bs"), F.lit(0)).cast("long").alias("bpe_symbols"),
+    ).collect()[0]
+    seg.unpersist()
+    perm = (1000 * row.bpe_symbols) // row.char_symbols if row.char_symbols else 0
+    return spark.createDataFrame(
+        [(row.vocab_words, row.word_occurrences, row.char_symbols,
+          row.bpe_symbols, perm)],
+        "vocab_words bigint, word_occurrences bigint, char_symbols bigint,"
+        " bpe_symbols bigint, compression_permille bigint",
+    )
+
+
+bpe_vocab_fertility.__doc__ = bpe_vocab_fertility.__doc__.format(r=_BPE_ROUNDS)
+_set_doc("bpe_vocab_fertility", bpe_vocab_fertility.__doc__)

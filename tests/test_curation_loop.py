@@ -73,9 +73,14 @@ def _store_state(spark, prefix, lm_prefix, probe_docs):
     )
     from flink_wsr_project_spark.operators.search_index import search_stats
 
-    ids = lambda t, c: frozenset(  # noqa: E731
-        r[0] for r in spark.table(f"{prefix}_{t}").select(c).distinct().collect()
-    )
+    def ids(t, c):
+        # a real stream's foreachBatch appends from a CLONED session;
+        # the table-relation cache is per-session (the search index's
+        # probe refreshes for the same reason) — metadata-only
+        spark.catalog.refreshTable(f"{prefix}_{t}")
+        return frozenset(
+            r[0] for r in spark.table(f"{prefix}_{t}").select(c).distinct().collect()
+        )
     lm_scores = None
     if lm_store_exists(lm_prefix):
         lm_scores = frozenset(
@@ -84,6 +89,7 @@ def _store_state(spark, prefix, lm_prefix, probe_docs):
                 spark, probe_docs, lm_prefix
             ).collect()
         )
+    spark.catalog.refreshTable(f"{prefix}_sstats")
     return {
         "sig": ids("hashed", "doc_id"),
         "span": ids("docs", "doc_id"),
@@ -307,4 +313,61 @@ def test_kill_point_matrix(spark, tmp_path, kill):
     # resumes from the logged decisions, never a recompute
     assert seen[-1][2] is True
     probe = b2k.where("doc_id = 100005").localCheckpoint()
+    assert _store_state(spark, prefix, lm_prefix, probe) == ctl["state"]
+
+
+def test_curation_loop_through_real_stream(spark, tmp_path):
+    """The chain in its deployment shape: a readStream over a growing
+    parquet dir, availableNow restarts sharing one checkpoint, the
+    foreachBatch body from curate_foreach_batch. Final decisions and
+    store contents must equal the direct-body run over the same
+    batches (the matrix tests exercise crash windows; this pins that
+    the REAL streaming harness drives the same code path)."""
+    from flink_wsr_project_spark.streaming.curation import (
+        curate_foreach_batch,
+        recover_curation_stores,
+    )
+
+    prefix = "cur_stream"
+    lm_prefix = str(tmp_path / "lm_stream")
+    log = str(tmp_path / "log_stream")
+    seed, b1, b2 = _batches(spark, tmp_path)
+    _init_stores(spark, prefix, seed)
+    recover_curation_stores(spark, log, prefix, prefix, lm_prefix, prefix)
+
+    seen = []
+    body = curate_foreach_batch(
+        log, prefix, prefix, lm_prefix, prefix,
+        num_buckets=2, lm_gate=True,
+        on_batch=lambda d, b, rep: seen.append((b, _decision_set(d))),
+    )
+    src = tmp_path / "cur_src"
+    src.mkdir()
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long, text string").parquet(str(src))
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+            .foreachBatch(body)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    b1.toPandas().to_parquet(src / "b1.parquet", index=False)
+    run()
+    b2.toPandas().to_parquet(src / "b2.parquet", index=False)
+    run()
+
+    assert len(seen) == 2
+    d2 = {doc: (stage, dec) for doc, stage, dec, _ in seen[1][1]}
+    assert d2[100001] == ("dup", "drop")
+    assert d2[100003] == ("quality", "drop")
+    assert d2[100004] == ("span", "drop")
+    assert d2[100005] == ("lm", "drop")
+    ctl = _control(spark, tmp_path)
+    # streaming batch ids are 0-based; decisions themselves must match
+    # the direct-body control run exactly
+    assert seen[1][1] == ctl["dec"]
+    probe = b2.where("doc_id = 100005").localCheckpoint()
     assert _store_state(spark, prefix, lm_prefix, probe) == ctl["state"]

@@ -298,6 +298,7 @@ def test_dimension_join_broadcasts(spark, name):
         # (one row per round); the per-round cluster plans are pinned
         # separately in test_bpe_round_plans
         ("bpe_merges_topk", 0),
+        ("bpe_vocab_fertility", 0),  # driver-assembled 1-row stats table
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
