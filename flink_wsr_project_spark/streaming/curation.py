@@ -176,6 +176,9 @@ def _decide(
     )
 
 
+_UNSET = object()
+
+
 def curate_foreach_batch(
     decision_log: str,
     sig_prefix: str,
@@ -183,7 +186,7 @@ def curate_foreach_batch(
     lm_prefix: str | None = None,
     search_prefix: str | None = None,
     num_buckets: int = 8,
-    span_cap: int | None = None,
+    span_cap: int | None = _UNSET,  # type: ignore[assignment]
     span_threshold_permille: int = 500,
     lm_gate: bool = False,
     content_col: str = "text",
@@ -206,7 +209,18 @@ def curate_foreach_batch(
     ``on_batch(decisions_df, batch_id, replayed)`` receives the logged
     decision frame. ``fail_after`` (one of ``KILL_POINTS``) raises
     RuntimeError after the named step completes — the chaos hook the
-    kill-point test matrix drives; never set it in production."""
+    kill-point test matrix drives; never set it in production.
+
+    ``span_cap`` defaults to the registered queries' env-dialed gram
+    cap — the 100 TB posture: an UNCAPPED span probe (``None``) would
+    enumerate every occurrence pair of a degenerate boilerplate gram;
+    pass ``None`` only deliberately (exhaustive audit runs)."""
+    if span_cap is _UNSET:
+        from flink_wsr_project_spark.plans.pipeline_queries import (
+            _SPAN_GRAM_CAP,
+        )
+
+        span_cap = _SPAN_GRAM_CAP
 
     def body(batch_df: DataFrame, batch_id) -> None:
         spark = batch_df.sparkSession
