@@ -136,8 +136,25 @@ def _span_cand_ctes(engine: str, cap: int | None) -> str:
     exactly one gram, so (doc_id, pos) determines gh, so every
     ``sp_cand`` row is unique in (doc_a, doc_b, pos_a, pos_b) — both
     branches pair two real gram sites, and the branches are
-    df-disjoint (UNION ALL cannot double-count)."""
-    within = "a.df >= 2" if cap is None else f"a.df >= 2 AND a.df <= {cap}"
+    df-disjoint (UNION ALL cannot double-count).
+
+    BOTH sides of BOTH join arms carry redundant-but-true predicates
+    on df/keeper (df is constant per gh, so b.df equals a.df on a
+    gh-equi join; k IS the per-gh min, so k.doc_id = k.keeper) — NOT
+    decoration: without them Catalyst column-prunes the window stack
+    differently per side, the four join inputs stop being identical
+    subtrees, and the md5 gram hashing (the dominant cost — measured
+    7.8 s of a 16.8 s total at sf0.1) is recomputed per side, with the
+    raw corpus-sized gram relation getting BROADCAST into the join (a
+    100 TB hazard). Identical sides share one gh exchange at runtime:
+    sf0.1 measured 16.8 s → 12.8 s first / 16.1 s → 8.8 s steady, and
+    the broadcast of unshuffled posgrams is gone (r14)."""
+    within = (
+        "a.df >= 2 AND b.df >= 2 AND a.keeper <= a.doc_id AND b.keeper <= b.doc_id"
+        if cap is None
+        else f"a.df >= 2 AND a.df <= {cap} AND b.df >= 2 AND b.df <= {cap}"
+        " AND a.keeper <= a.doc_id AND b.keeper <= b.doc_id"
+    )
     # Star arm = the SAME self-join restricted to the keeper's own
     # rows: every member occurrence matches every KEEPER OCCURRENCE of
     # the gram (not a single precomputed keeper position — a keeper
@@ -156,7 +173,8 @@ def _span_cand_ctes(engine: str, cap: int | None) -> str:
   SELECT k.doc_id AS doc_a, k.pos AS pos_a, m.doc_id AS doc_b, m.pos AS pos_b
   FROM sp_ann m JOIN sp_ann k
     ON m.gh = k.gh AND k.doc_id = m.keeper AND m.vh = k.vh
-  WHERE m.df > {cap} AND m.doc_id > m.keeper"""
+  WHERE m.df > {cap} AND m.doc_id > m.keeper
+    AND k.df > {cap} AND k.doc_id = k.keeper"""
     )
     # Gram stats as a WINDOW STACK on one partitioning, not
     # groupBy + window + join-back: every layer partitions by gh, so

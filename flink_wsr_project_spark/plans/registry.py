@@ -82,6 +82,18 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     # registered RESULTS change wherever a keeper holds multiple
     # copies of an over-cap gram, so it re-enters the window.
     "span_gram_skew",
+    # r14: _span_cand_ctes gained redundant-but-true per-side df/
+    # keeper predicates (identical join subtrees → one shared gh
+    # exchange; sf0.1 steady 16.1 s → 8.6 s). Results are provably
+    # unchanged (df is per-gh constant; k IS the keeper) and locally
+    # parity-green, but the shared SQL of the whole span family
+    # changed, so its registered consumers re-earn external green.
+    "shared_span_pairs",
+    "shared_span_pairs_capped",
+    "shared_span_pairs_gapped",
+    "span_dedup_keep_list",
+    "span_scrub",
+    "cross_source_span_leakage",
     # r13: empty on purpose. All six r12 canaries re-earned external
     # green in CORRECTNESS_r12 on their changed results. No r13 change
     # alters any REGISTERED query's SQL or results: the capped-builder

@@ -266,28 +266,32 @@ def test_dimension_join_broadcasts(spark, name):
         # final doc join; 3 ReusedExchange at runtime (AQE dedups the
         # inlined hdoc/df subtrees, same as chunk_containment)
         ("containment_keep_list", 14),
-        # span family (r13): gram stats are a WINDOW STACK on one gh
-        # partitioning (dense_rank distinct-doc identity), not
-        # groupBy+window+join-back — one gh exchange + the
-        # (doc_a,doc_b,diag) islands window + the islands agg
-        ("shared_span_pairs", 3),
-        ("shared_span_pairs_capped", 4),  # + the star-arm's UNION path
+        # span family (r14 rebudget): both sides of both candidate
+        # arms now carry the FULL window stack (identical subtrees so
+        # the md5 gram hashing shares ONE gh exchange at runtime —
+        # sf0.1 steady 16.1 s → 8.8 s; the broadcast of the raw
+        # corpus-sized gram relation is gone). The STATIC count rises
+        # because each join side plans its own gh exchange; AQE stage
+        # reuse collapses the identical ones at runtime, the
+        # chunk_containment precedent.
+        ("shared_span_pairs", 4),
+        ("shared_span_pairs_capped", 6),  # + the star-arm's two sides
         ("span_gram_skew", 3),  # (gh,doc) occ agg + gh window + 1-row agg
-        # capped pairs (4) + per-doc interval-merge window + coverage agg;
+        # capped pairs (6) + per-doc interval-merge window + coverage agg;
         # the final doc join broadcasts
-        ("span_dedup_keep_list", 6),
-        # capped pairs (4) + interval merge + token-explode⋈intervals
+        ("span_dedup_keep_list", 8),
+        # capped pairs (6) + interval merge + token-explode⋈intervals
         # doc-equi join + reassembly agg
-        ("span_scrub", 7),
+        ("span_scrub", 9),
         # the capped shape with the lag-gap island break — the lag and
         # running-sum windows stack on the same diagonal partitioning
-        ("shared_span_pairs_gapped", 4),
+        ("shared_span_pairs_gapped", 6),
         # dl agg + 1-row stats + tf agg + 3-row df + the dl/df joins +
         # final doc agg; top-10 is TakeOrderedAndProject (pinned below)
         ("bm25_search_topk", 7),
-        # capped span chain (4) + the (source_a, source_b) rollup; the
+        # capped span chain (6) + the (source_a, source_b) rollup; the
         # doc->source roster joins broadcast
-        ("cross_source_span_leakage", 5),
+        ("cross_source_span_leakage", 7),
         # gh window stack (df filter) + cross-split join + islands agg
         ("benchmark_span_decontaminate", 3),
         # doc-window lag pass + unigram/bigram count shuffles + the
