@@ -98,13 +98,27 @@ def _merge_pair_expr(lhs: str, rhs: str) -> str:
 
 
 def learn_bpe_merges(
-    spark: SparkSession, docs: DataFrame, rounds: int
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int,
+    ckpt_ids: set[int] | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``rounds`` BPE merges. Returns (merges, final segmentation)
     where merges rows are (merge_rank, lhs, rhs, merged, pair_count).
     Driver traffic is one row per round; per-round cluster work is one
-    vocab-bounded pair-count shuffle plus a vocab-sized map."""
-    seg = _initial_seg(word_freqs(docs)).localCheckpoint()
+    vocab-bounded pair-count shuffle plus a vocab-sized map.
+
+    Each round's superseded segmentation checkpoint is released as the
+    next lands (``DataFrame.unpersist`` does not release a
+    localCheckpoint's pinned RDD — only explicit id tracking does).
+    The FINAL segmentation's checkpoint ids go into ``ckpt_ids`` when
+    given, so the caller can release them after consuming ``seg``."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    seg, seg_ids = local_checkpoint_tracked(_initial_seg(word_freqs(docs)))
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (
@@ -117,10 +131,13 @@ def learn_bpe_merges(
             break
         lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
         merges.append((r, lhs, rhs, lhs + rhs, cnt))
-        nxt = seg.selectExpr("word", "freq", f"{_merge_pair_expr(lhs, rhs)} AS syms")
-        nxt = nxt.localCheckpoint()
-        seg.unpersist()
-        seg = nxt
+        nxt, nxt_ids = local_checkpoint_tracked(
+            seg.selectExpr("word", "freq", f"{_merge_pair_expr(lhs, rhs)} AS syms")
+        )
+        release_persistent_rdds(spark, seg_ids)
+        seg, seg_ids = nxt, nxt_ids
+    if ckpt_ids is not None:
+        ckpt_ids.update(seg_ids)
     return merges, seg
 
 

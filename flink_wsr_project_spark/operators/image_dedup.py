@@ -254,12 +254,28 @@ def delete_from_dhash_store(
     return add_tombstones(spark, table_prefix, asset_ids, "asset_id")
 
 
+def _pin_dhash(spark, batch_assets, extractor, ckpt_ids):
+    """Checkpoint the batch hash frame; the returned decision plan
+    references it, so loop callers pass ``ckpt_ids`` and release after
+    consuming — otherwise one pinned RDD leaks per micro-batch."""
+    if ckpt_ids is not None:
+        from flink_wsr_project_spark.operators.iterative import (
+            local_checkpoint_tracked,
+        )
+
+        bd, _ids = local_checkpoint_tracked(_dhash_df(spark, batch_assets, extractor))
+        ckpt_ids.update(_ids)
+        return bd
+    return _dhash_df(spark, batch_assets, extractor).localCheckpoint()
+
+
 def image_dedup_from_store(
     spark: SparkSession,
     batch_assets: DataFrame,
     table_prefix: str,
     bucket_cap: int | None = None,
     extractor=None,
+    ckpt_ids: set[int] | None = None,
 ) -> DataFrame:
     """Dedup a batch of images (asset_id, payload) against the
     persisted corpus store + within the batch itself. Returns one row
@@ -301,7 +317,7 @@ def image_dedup_from_store(
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     _check_extractor(spark, table_prefix, extractor)
-    bd = _dhash_df(spark, batch_assets, extractor).localCheckpoint()
+    bd = _pin_dhash(spark, batch_assets, extractor, ckpt_ids)
     blocks = _block_rows(bd)
     # explicit select: a partitioned store carries the bp layout
     # column, which must not leak into candidate/decision frames.
@@ -403,6 +419,7 @@ def image_dedup_from_store_pruned(
     table_prefix: str,
     bucket_cap: int | None = None,
     extractor=None,
+    ckpt_ids: set[int] | None = None,
 ) -> DataFrame:
     """SMALL-Δ fast path over a PARTITIONED block store (written with
     ``hash_partitions = P > 0``): same decision contract as
@@ -432,7 +449,7 @@ def image_dedup_from_store_pruned(
             "hash_partitions > 0 or use image_dedup_from_store"
         )
     _check_extractor(spark, table_prefix, extractor)
-    bd = _dhash_df(spark, batch_assets, extractor).localCheckpoint()
+    bd = _pin_dhash(spark, batch_assets, extractor, ckpt_ids)
     blocks = _block_rows(bd)
     bps = [
         r.bp for r in blocks.select(_bp_expr(p).alias("bp")).distinct().collect()

@@ -142,18 +142,26 @@ def absorb_docs_into_lm(
     is deduplicated by doc_id first — duplicate rows in one batch
     would otherwise double-merge a document's counts and write
     duplicate roster rows. Returns docs absorbed."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
     p = _paths(prefix)
     roster = spark.read.parquet(p["docs"]).select("doc_id")
-    fresh = (
-        batch_docs.dropDuplicates(["doc_id"])
-        .join(roster, "doc_id", "left_anti")
-        .localCheckpoint()
+    fresh, ckpt_ids = local_checkpoint_tracked(
+        batch_docs.dropDuplicates(["doc_id"]).join(roster, "doc_id", "left_anti")
     )
-    n = fresh.count()
-    if n:
-        _merge_counts(spark, prefix, fresh, 1)
-        fresh.select("doc_id").write.mode("append").parquet(p["docs"])
-    return n
+    try:
+        n = fresh.count()
+        if n:
+            _merge_counts(spark, prefix, fresh, 1)
+            fresh.select("doc_id").write.mode("append").parquet(p["docs"])
+        return n
+    finally:
+        # a long-running ingest loop calls this every micro-batch — an
+        # untracked localCheckpoint would pin one RDD per batch forever
+        release_persistent_rdds(spark, ckpt_ids)
 
 
 def remove_docs_from_lm(
@@ -167,24 +175,31 @@ def remove_docs_from_lm(
     input is deduplicated by doc_id first — a duplicate row would
     survive the roster join twice and subtract the document's counts
     twice, silently corrupting counts shared with surviving docs."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
     p = _paths(prefix)
     roster = spark.read.parquet(p["docs"]).select("doc_id")
-    present = (
-        removed_docs.dropDuplicates(["doc_id"])
-        .join(roster, "doc_id")
-        .localCheckpoint()
+    present, ckpt_ids = local_checkpoint_tracked(
+        removed_docs.dropDuplicates(["doc_id"]).join(roster, "doc_id")
     )
-    n = present.count()
-    if n:
-        _merge_counts(spark, prefix, present, -1)
-        survivors = roster.join(
-            present.select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint()
-        survivors.write.mode("overwrite").parquet(p["docs"] + "__new")
-        from flink_wsr_project_spark.sources.writers import atomic_swap_dir
+    try:
+        n = present.count()
+        if n:
+            _merge_counts(spark, prefix, present, -1)
+            survivors, sids = local_checkpoint_tracked(
+                roster.join(present.select("doc_id"), "doc_id", "left_anti")
+            )
+            ckpt_ids |= sids
+            survivors.write.mode("overwrite").parquet(p["docs"] + "__new")
+            from flink_wsr_project_spark.sources.writers import atomic_swap_dir
 
-        atomic_swap_dir(p["docs"], p["docs"] + "__new")
-    return n
+            atomic_swap_dir(p["docs"], p["docs"] + "__new")
+        return n
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
 
 
 def lm_vocab_size(spark: SparkSession, prefix: str) -> int:

@@ -352,7 +352,10 @@ def absorb_docs_into_index(
         )
     kept, ckpt_ids = local_checkpoint_tracked(plan)
     try:
-        ds = _docstats_df(spark, kept).localCheckpoint()
+        # tracked too: ds is fully consumed by the appends below, and
+        # the ingest loop calls this every micro-batch (r14 leak fix)
+        ds, _dsids = local_checkpoint_tracked(_docstats_df(spark, kept))
+        ckpt_ids |= _dsids
         agg = ds.agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
         ).collect()[0]

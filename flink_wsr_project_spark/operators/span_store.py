@@ -254,6 +254,7 @@ def span_dedup_from_store(
     cap: int | None = None,
     min_span: int = SPAN_MIN_TOKENS,
     threshold_permille: int = SPAN_DROP_PERMILLE,
+    ckpt_ids: set[int] | None = None,
 ) -> DataFrame:
     """Span-dedup the increment Δ against the persisted corpus index +
     within Δ itself. One row per batch doc: (doc_id, n_tokens,
@@ -283,7 +284,19 @@ def span_dedup_from_store(
     # annotation and both candidate arms — unpinned, a large
     # micro-batch would pay the hash pass 4-6×; the dHash probe's
     # localCheckpoint discipline, image_dedup.py)
-    bp = _posgrams_df(spark, batch_docs).localCheckpoint()
+    # the returned plan references this checkpoint, so the function
+    # cannot release it itself; a LOOP caller passes ``ckpt_ids`` and
+    # releases after consuming the decisions — without it, one pinned
+    # RDD leaks per micro-batch for the life of the loop (r14)
+    if ckpt_ids is not None:
+        from flink_wsr_project_spark.operators.iterative import (
+            local_checkpoint_tracked,
+        )
+
+        bp, _ids = local_checkpoint_tracked(_posgrams_df(spark, batch_docs))
+        ckpt_ids.update(_ids)
+    else:
+        bp = _posgrams_df(spark, batch_docs).localCheckpoint()
     bnt = _ntokens_df(spark, batch_docs)
     from flink_wsr_project_spark.operators.incremental_dedup import (
         _store_hash_partitions,

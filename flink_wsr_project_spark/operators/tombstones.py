@@ -102,12 +102,20 @@ def rewrite_tombstones_deduped(spark: SparkSession, table_prefix: str) -> int:
         return 0
     tmp = f"{t}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    pinned = spark.table(t).distinct().localCheckpoint()
-    n = pinned.count()
-    pinned.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {t}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
-    return n
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    pinned, _ids = local_checkpoint_tracked(spark.table(t).distinct())
+    try:
+        n = pinned.count()
+        pinned.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        return n
+    finally:
+        release_persistent_rdds(spark, _ids)
 
 
 def recover_tombstones(spark: SparkSession, table_prefix: str) -> bool:
@@ -166,15 +174,22 @@ def clear_tombstones(
     if ids is None:
         spark.sql(f"DROP TABLE {t}")
         return
-    keep = (
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    keep, _kids = local_checkpoint_tracked(
         spark.table(t)
         .toDF(id_col)
         .join(F.broadcast(ids.select(id_col).distinct()), id_col, "left_anti")
         .distinct()
-        .localCheckpoint()
     )
-    tmp = f"{t}__compact"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    keep.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {t}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+    try:
+        tmp = f"{t}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        keep.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+    finally:
+        release_persistent_rdds(spark, _kids)

@@ -201,6 +201,10 @@ def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
     shared-store rule). Returns surviving state-row count."""
     import os
 
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
     from flink_wsr_project_spark.sources.writers import atomic_swap_dir
 
     tombs = _ingest_tombstones(spark, state_path)
@@ -217,17 +221,23 @@ def compact_ingest_state(spark: SparkSession, state_path: str) -> int:
             # the watermark applies physically here, like tombstones;
             # the _retention dir itself is kept — it must keep masking
             live = live.where(F.col("doc_id") >= F.lit(int(wm)))
-        pinned = live.localCheckpoint()
-        total += pinned.count()
-        tmp = f"{bdir}__rewrite"
-        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
-        atomic_swap_dir(bdir, tmp)
+        pinned, _ids = local_checkpoint_tracked(live)
+        try:
+            total += pinned.count()
+            tmp = f"{bdir}__rewrite"
+            pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+            atomic_swap_dir(bdir, tmp)
+        finally:
+            release_persistent_rdds(spark, _ids)
     if tombs is not None:
         d = os.path.join(state_path, "_tombstones")
-        pinned = tombs.localCheckpoint()
-        tmp = f"{d}__rewrite"
-        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
-        atomic_swap_dir(d, tmp)
+        pinned, _ids = local_checkpoint_tracked(tombs)
+        try:
+            tmp = f"{d}__rewrite"
+            pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+            atomic_swap_dir(d, tmp)
+        finally:
+            release_persistent_rdds(spark, _ids)
     return total
 
 

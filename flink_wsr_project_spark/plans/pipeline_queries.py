@@ -5314,10 +5314,12 @@ def bpe_merges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly); the driver loop is additionally pinned against the
     unrolled SPARK SQL in tests."""
     from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+    from flink_wsr_project_spark.operators.iterative import release_persistent_rdds
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    merges, seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS)
-    seg.unpersist()
+    ids: set[int] = set()
+    merges, _seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS, ckpt_ids=ids)
+    release_persistent_rdds(spark, ids)  # the merge list is already on the driver
     return spark.createDataFrame(
         merges, "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint"
     )
@@ -5351,9 +5353,11 @@ def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     {r} rounds unrolled as CTEs with the re-segmentation carried
     through the last merge."""
     from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+    from flink_wsr_project_spark.operators.iterative import release_persistent_rdds
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    _, seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS)
+    ids: set[int] = set()
+    _, seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS, ckpt_ids=ids)
     row = seg.selectExpr(
         "freq",
         "CAST(freq * (length(word) + 1) AS BIGINT) AS cs",
@@ -5364,7 +5368,7 @@ def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cs"), F.lit(0)).cast("long").alias("char_symbols"),
         F.coalesce(F.sum("bs"), F.lit(0)).cast("long").alias("bpe_symbols"),
     ).collect()[0]
-    seg.unpersist()
+    release_persistent_rdds(spark, ids)
     perm = (1000 * row.bpe_symbols) // row.char_symbols if row.char_symbols else 0
     return spark.createDataFrame(
         [(row.vocab_words, row.word_occurrences, row.char_symbols,

@@ -83,34 +83,47 @@ def _decide(
     span_cap: int | None,
     span_threshold_permille: int,
     lm_gate: bool,
+    ckpt_ids: set[int],
 ) -> DataFrame:
     """Compute one decision row per batch doc against the CURRENT
     store states (read-only). Stage attribution is first-drop-wins in
-    the funnel's order: quality → dup → span → lm → kept."""
+    the funnel's order: quality → dup → span → lm → kept. Checkpoint
+    ids are accumulated into ``ckpt_ids``; the caller releases them
+    once the decisions have committed to the log — a long-running
+    loop must not pin one RDD set per batch forever."""
     from flink_wsr_project_spark.operators.incremental_dedup import (
         dedup_incremental_from_store,
+    )
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
     )
     from flink_wsr_project_spark.operators.span_store import (
         span_dedup_from_store,
     )
 
-    quality = docs.select(
-        "doc_id", _quality_ok().alias("q_ok")
-    ).localCheckpoint()
+    def pin(df: DataFrame) -> DataFrame:
+        out, ids = local_checkpoint_tracked(df)
+        ckpt_ids.update(ids)  # .update, not |=: |= would rebind a local
+        return out
+
+    quality = pin(docs.select("doc_id", _quality_ok().alias("q_ok")))
     q_pass = docs.join(quality.where("q_ok").select("doc_id"), "doc_id")
 
-    dup = dedup_incremental_from_store(spark, q_pass, sig_prefix).localCheckpoint()
+    dup = pin(dedup_incremental_from_store(spark, q_pass, sig_prefix))
     d_pass = q_pass.join(
         dup.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )
 
-    span = span_dedup_from_store(
-        spark,
-        d_pass,
-        span_prefix,
-        cap=span_cap,
-        threshold_permille=span_threshold_permille,
-    ).localCheckpoint()
+    span = pin(
+        span_dedup_from_store(
+            spark,
+            d_pass,
+            span_prefix,
+            cap=span_cap,
+            threshold_permille=span_threshold_permille,
+            ckpt_ids=ckpt_ids,  # the probe's own gram pin releases with ours
+        )
+    )
     s_pass = d_pass.join(
         span.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )
@@ -123,9 +136,11 @@ def _decide(
         )
 
         if lm_store_exists(lm_prefix):
-            lm_scores = score_docs_against_lm(spark, s_pass, lm_prefix).select(
-                "doc_id", "ccnet_bucket"
-            ).localCheckpoint()
+            lm_scores = pin(
+                score_docs_against_lm(spark, s_pass, lm_prefix).select(
+                    "doc_id", "ccnet_bucket"
+                )
+            )
 
     out = (
         docs.select("doc_id")
@@ -223,11 +238,31 @@ def curate_foreach_batch(
         span_cap = _SPAN_GRAM_CAP
 
     def body(batch_df: DataFrame, batch_id) -> None:
-        spark = batch_df.sparkSession
-        docs = batch_df.select(
-            F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
-        ).dropDuplicates(["doc_id"]).localCheckpoint()
+        from flink_wsr_project_spark.operators.iterative import (
+            local_checkpoint_tracked,
+            release_persistent_rdds,
+        )
 
+        spark = batch_df.sparkSession
+        ckpt_ids: set[int] = set()
+        docs, dids = local_checkpoint_tracked(
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
+            ).dropDuplicates(["doc_id"])
+        )
+        ckpt_ids |= dids
+        try:
+            _body_inner(spark, docs, batch_id, ckpt_ids)
+        finally:
+            # every checkpoint this batch pinned is superseded the
+            # moment the decisions committed and the absorbs ran (or
+            # the chaos hook fired) — a continuous loop must not grow
+            # one pinned RDD set per micro-batch
+            release_persistent_rdds(spark, ckpt_ids)
+
+    def _body_inner(
+        spark: SparkSession, docs: DataFrame, batch_id, ckpt_ids: set[int]
+    ) -> None:
         log_dir = _batch_log_dir(decision_log, batch_id)
         replayed = os.path.isdir(log_dir)
         if replayed:
@@ -235,7 +270,7 @@ def curate_foreach_batch(
         else:
             decisions = _decide(
                 spark, docs, sig_prefix, span_prefix, lm_prefix,
-                span_cap, span_threshold_permille, lm_gate,
+                span_cap, span_threshold_permille, lm_gate, ckpt_ids,
             )
             # one atomic commit point: a crash mid-write leaves only
             # the tmp dir (cleaned by recover_curation_stores), never
@@ -285,7 +320,13 @@ def curate_foreach_batch(
             else:
                 # bootstrap: the first batch's admitted set IS the
                 # corpus fit (full overwrite — replay refits the same)
-                fit_lm_store(spark, admitted_docs.localCheckpoint(), lm_prefix)
+                from flink_wsr_project_spark.operators.iterative import (
+                    local_checkpoint_tracked,
+                )
+
+                pinned, ids = local_checkpoint_tracked(admitted_docs)
+                ckpt_ids |= ids
+                fit_lm_store(spark, pinned, lm_prefix)
         if fail_after == "lm":
             raise RuntimeError("chaos: crash after lm absorb")
 

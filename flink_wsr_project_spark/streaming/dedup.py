@@ -547,9 +547,14 @@ def image_dedup_foreach_batch(
             F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
         )
         probe = image_dedup_from_store_pruned if pruned else image_dedup_from_store
-        decisions, ids = local_checkpoint_tracked(
-            probe(s, assets, table_prefix, bucket_cap=bucket_cap, extractor=extractor)
+        ids: set[int] = set()
+        decisions, _dids = local_checkpoint_tracked(
+            probe(
+                s, assets, table_prefix, bucket_cap=bucket_cap,
+                extractor=extractor, ckpt_ids=ids,
+            )
         )
+        ids |= _dids
         try:
             decisions_sink(decisions, batch_id)
             absorb_kept_into_dhash_store(
@@ -619,11 +624,14 @@ def span_dedup_foreach_batch(
         docs = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
         )
-        decisions, ids = local_checkpoint_tracked(
+        ids: set[int] = set()
+        decisions, _dids = local_checkpoint_tracked(
             span_dedup_from_store(
-                s, docs, table_prefix, cap=cap, min_span=ms, threshold_permille=thr
+                s, docs, table_prefix, cap=cap, min_span=ms,
+                threshold_permille=thr, ckpt_ids=ids,
             )
         )
+        ids |= _dids
         try:
             decisions_sink(decisions, batch_id)
             absorb_spans_into_store(

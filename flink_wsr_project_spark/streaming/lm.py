@@ -52,9 +52,17 @@ def lm_ingest_foreach_batch(
             # self-bootstrapping: the first batch IS the corpus fit
             # (a replayed first batch refits identically — fit is a
             # full overwrite, so this path is replay-idempotent too)
-            docs = docs.localCheckpoint()
-            fit_lm_store(s, docs, prefix)
-            n = docs.count()
+            from flink_wsr_project_spark.operators.iterative import (
+                local_checkpoint_tracked,
+                release_persistent_rdds,
+            )
+
+            docs, ckpt_ids = local_checkpoint_tracked(docs)
+            try:
+                fit_lm_store(s, docs, prefix)
+                n = docs.count()
+            finally:
+                release_persistent_rdds(s, ckpt_ids)
         else:
             n = absorb_docs_into_lm(s, docs, prefix)
         if on_batch is not None:
