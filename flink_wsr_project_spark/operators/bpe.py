@@ -264,3 +264,38 @@ SELECT CAST(count(*) AS BIGINT) AS vocab_words,
 FROM s{rounds}
 """
     )
+
+
+def bpe_doc_tokens_sql(engine: str, rounds: int, source: str = "documents") -> str:
+    """Per-document token counts under the LEARNED vocabulary — the
+    packing/cost-estimate consumer: each document's words join the
+    post-merge segmentation (vocabulary-bounded — the broadcast side),
+    summing symbols per occurrence. ``char_tokens`` is the
+    character-level baseline for the same words; both exact integers.
+    Documents with no [a-z0-9] words emit no row (no word, no join
+    match) — matching the word-level explode on both engines."""
+    ln = "size" if engine == "spark" else "len"
+    ctes, _ = _bpe_ctes(engine, rounds, source, final_seg=True)
+    if engine == "spark":
+        dw = (
+            f"SELECT doc_id, word FROM {source} "
+            f"LATERAL VIEW explode({_WTOKS}) _w AS word"
+        )
+    else:
+        dw = (
+            "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
+            f" '[^a-z0-9]+'), x -> x <> '')) AS word FROM {source}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+dw AS ({dw})
+SELECT dw.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum({ln}(s.syms)) AS BIGINT) AS bpe_tokens,
+       CAST(sum(length(dw.word) + 1) AS BIGINT) AS char_tokens
+FROM dw JOIN s{rounds} s ON s.word = dw.word
+GROUP BY dw.doc_id
+"""
+    )

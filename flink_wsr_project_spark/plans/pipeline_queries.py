@@ -5380,3 +5380,65 @@ def bpe_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 bpe_vocab_fertility.__doc__ = bpe_vocab_fertility.__doc__.format(r=_BPE_ROUNDS)
 _set_doc("bpe_vocab_fertility", bpe_vocab_fertility.__doc__)
+
+
+def _bpe_doc_tokens_oracle() -> str:
+    from flink_wsr_project_spark.operators.bpe import bpe_doc_tokens_sql
+
+    return bpe_doc_tokens_sql("duckdb", _BPE_ROUNDS)
+
+
+@register(
+    "bpe_doc_tokens",
+    oracle=_bpe_doc_tokens_oracle(),
+    tags=("pipeline", "text", "iterative"),
+)
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the LEARNED vocabulary — the
+    packing/cost-estimate consumer of the BPE family (seq_packing and
+    shard manifests need tokens-per-doc under the tokenizer that will
+    actually run): each doc's words join the post-merge segmentation,
+    summing symbols per occurrence, with the character-level baseline
+    alongside. Plan: the segmentation is VOCAB-bounded, so it
+    BROADCASTS into the word join — per-doc cost is one explode + one
+    broadcast join + one doc aggregate; no corpus-sized shuffle beyond
+    the word count the learning itself needs. Oracle: the same {r}
+    unrolled rounds with the re-segmentation carried through, joined
+    to the exploded words."""
+    from flink_wsr_project_spark.operators.bpe import (
+        _WTOKS,
+        _initial_seg,
+        _merge_pair_expr,
+        learn_bpe_merges,
+        word_freqs,
+    )
+    from flink_wsr_project_spark.operators.iterative import release_persistent_rdds
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ids: set[int] = set()
+    merges, _seg = learn_bpe_merges(spark, docs, _BPE_ROUNDS, ckpt_ids=ids)
+    release_persistent_rdds(spark, ids)  # only the R merge rows are kept
+
+    # REPLAY the learned merges as a lazy projection stack (the kmeans
+    # literal-centroids move): the returned plan must not reference a
+    # checkpoint the query cannot release, and the result is
+    # data-sized so a driver collect is off the table. Catalyst
+    # collapses the stack into one nested fold per word; the
+    # segmentation side stays vocabulary-bounded and broadcasts.
+    seg = _initial_seg(word_freqs(docs)).select("word", "syms")
+    for _, lhs, rhs, _, _ in merges:
+        seg = seg.selectExpr("word", f"{_merge_pair_expr(lhs, rhs)} AS syms")
+    dw = docs.selectExpr("doc_id", f"explode({_WTOKS}) AS word")
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("bpe_tokens"),
+            F.sum(F.length("word") + 1).cast("long").alias("char_tokens"),
+        )
+    )
+
+
+bpe_doc_tokens.__doc__ = bpe_doc_tokens.__doc__.format(r=_BPE_ROUNDS)
+_set_doc("bpe_doc_tokens", bpe_doc_tokens.__doc__)

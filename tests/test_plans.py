@@ -303,6 +303,10 @@ def test_dimension_join_broadcasts(spark, name):
         # separately in test_bpe_round_plans
         ("bpe_merges_topk", 0),
         ("bpe_vocab_fertility", 0),  # driver-assembled 1-row stats table
+        # learned merges replayed as a lazy projection stack; the
+        # vocab-bounded segmentation BROADCASTS into the word join —
+        # word-count agg + seg-side aggs + final doc agg
+        ("bpe_doc_tokens", 4),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
