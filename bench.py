@@ -35,6 +35,20 @@ seconds (r13: 1.0 s and growing linearly with query count; fixed in
 r14 not by lazy oracles but by deferring the pandas import the
 multimodal oracle pulled in — registry import is now ~0.05 s on top
 of pyspark itself), and session startup seconds.
+
+Contention legibility (r14 verdict task 3): two consecutive rounds
+needed out-of-band A/B runs to defend recorded numbers, so the JSON
+now carries enough per-run detail to identify a tainted sample FROM
+THE ARTIFACT ALONE: every steady run's individual time
+(``queries_steady_samples`` / ``queries_pipeline_steady_samples``),
+and a ``taint`` object listing each query whose steady MEDIAN exceeds
+its own first run in the same record (physically impossible from
+code — steady runs reuse the compiled plans the first run paid for —
+so it is diagnostic of load arriving mid-bench) plus a
+``startup_contended`` flag (session startup > 7.5 s ⇒ the JVM start
+itself was contended; the r14 interleaved A/B showed first-run totals
+track startup, not code version). The heuristic is documented in
+BASELINE.md.
 """
 
 from __future__ import annotations
@@ -86,6 +100,11 @@ PIPELINE = [
 ]
 
 
+# session-startup seconds of THIS process (set by _run_one / main) —
+# emitted per subprocess so a contended JVM start is visible per run
+_SESSION_STARTUP = -1.0
+
+
 def _steady_runs() -> int:
     # default 3 (the decision-grade minimum); an explicit override is
     # respected as given — a developer asking for 1 debugging pass gets 1
@@ -98,7 +117,10 @@ def _run_one(name: str, sf_dir: str) -> None:
     from flink_wsr_project_spark.plans.registry import all_queries
     from flink_wsr_project_spark.session import get_spark
 
+    global _SESSION_STARTUP
+    t_sess = time.perf_counter()
     spark = get_spark("bench-iso")
+    _SESSION_STARTUP = time.perf_counter() - t_sess
     reg = all_queries()
     # same warm pass as the shared-session path (pv_hourly, untimed):
     # without it the isolated first-run would fold cold-JVM/codegen/
@@ -114,13 +136,24 @@ def _run_one(name: str, sf_dir: str) -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         steady.append(time.perf_counter() - t0)
-    print(json.dumps({"name": name, "first": first, "steady": median(steady)}))
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "first": first,
+                "steady": median(steady),
+                "steady_samples": [round(s, 3) for s in steady],
+                "session_startup_sec": round(_SESSION_STARTUP, 3),
+            }
+        )
+    )
 
 
-def _isolated_pass(names: list[str], sf_dir: str) -> tuple[dict, dict]:
+def _isolated_pass(names: list[str], sf_dir: str) -> tuple[dict, dict, dict]:
     """Run each query in its own subprocess; collect first/steady."""
     first: dict[str, float] = {}
     steady: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -132,7 +165,11 @@ def _isolated_pass(names: list[str], sf_dir: str) -> tuple[dict, dict]:
         row = json.loads(out.stdout.strip().splitlines()[-1])
         first[name] = round(row["first"], 3)
         steady[name] = round(row["steady"], 3)
-    return first, steady
+        detail[name] = {
+            "steady_samples": row.get("steady_samples", []),
+            "session_startup_sec": row.get("session_startup_sec", -1.0),
+        }
+    return first, steady, detail
 
 
 def _hot_machine(load0: float) -> dict:
@@ -232,6 +269,24 @@ def main() -> None:
             pipe_samples[name].append(time.perf_counter() - t0)
     pipe_steady = {n: round(median(v), 3) for n, v in pipe_samples.items()}
 
+    # Taint heuristic (r14 verdict task 3, documented in BASELINE.md):
+    # a query whose steady MEDIAN exceeds its own first run in the
+    # same record is physically impossible from code (steady passes
+    # reuse the plans/codegen the first run compiled) — it means load
+    # arrived mid-bench, and the whole steady total should be read as
+    # a contaminated sample. Session startup > 7.5 s means the JVM
+    # start itself was contended (the r14 interleaved A/B: first-run
+    # totals track session_startup_sec, not code version).
+    steady_gt_first = sorted(
+        [n for n in names if steady[n] > timings[n]]
+        + [n for n in pipe_names if pipe_steady[n] > pipe_timings[n]]
+    )
+    taint = {
+        "steady_gt_first": steady_gt_first,
+        "startup_contended": session_sec > 7.5,
+        "tainted": bool(steady_gt_first) or session_sec > 7.5,
+    }
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -239,11 +294,18 @@ def main() -> None:
         "queries": timings,
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
+        "queries_steady_samples": {
+            n: [round(s, 3) for s in v] for n, v in samples.items()
+        },
         "steady_runs": steady_runs,
         "pipeline_total": round(sum(pipe_timings.values()), 3),
         "queries_pipeline": pipe_timings,
         "pipeline_steady_total": round(sum(pipe_steady.values()), 3),
         "queries_pipeline_steady": pipe_steady,
+        "queries_pipeline_steady_samples": {
+            n: [round(s, 3) for s in v] for n, v in pipe_samples.items()
+        },
+        "taint": taint,
         "sf": sf,
         "context": {
             "load_avg_start": round(load0, 2),
@@ -256,9 +318,10 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_ISOLATE") == "1":
         spark.stop()  # free the shared JVM before the per-query ones
-        iso_first, iso_steady = _isolated_pass(names, sf_dir)
+        iso_first, iso_steady, iso_detail = _isolated_pass(names, sf_dir)
         result["queries_isolated"] = iso_first
         result["queries_isolated_steady"] = iso_steady
+        result["queries_isolated_detail"] = iso_detail
         result["isolated_total"] = round(sum(iso_first.values()), 3)
         result["isolated_steady_total"] = round(sum(iso_steady.values()), 3)
 

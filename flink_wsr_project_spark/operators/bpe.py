@@ -164,7 +164,16 @@ def _bpe_cte_fragments(engine: str, source: str) -> dict[str, str]:
             " (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.lhs"
             " AND x = m.rhs THEN concat(slice(acc, 1, size(acc) - 1),"
             " array(concat(m.lhs, m.rhs))) ELSE concat(acc, array(x)) END) AS syms"
-            " FROM s{prev} CROSS JOIN m{r} m"
+            # LEFT JOIN ON true, not CROSS JOIN: when pair merges
+            # exhaust before `rounds` (degenerate corpus — every word
+            # already one symbol), m{r} is EMPTY; a cross join would
+            # empty s{r} and every later CTE (zero-row fertility /
+            # doc-token oracles while the driver loop keeps the last
+            # real segmentation). With the left join the merge columns
+            # come back NULL, the fold's CASE condition is NULL ->
+            # ELSE, and s{r} is the identity re-segmentation of
+            # s{prev} — exactly the driver's break-keep-last behavior.
+            " FROM s{prev} LEFT JOIN m{r} m ON true"
         )
     else:
         tok = (
@@ -187,7 +196,8 @@ def _bpe_cte_fragments(engine: str, source: str) -> dict[str, str]:
             "list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),"
             " (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.lhs AND x[1] = m.rhs"
             " THEN list_append(acc[1:len(acc) - 1], m.lhs || m.rhs)"
-            " ELSE list_concat(acc, x) END) AS syms FROM s{prev}, m{r} m"
+            " ELSE list_concat(acc, x) END) AS syms"
+            " FROM s{prev} LEFT JOIN m{r} m ON true"
         )
     top1 = (
         "SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs,"

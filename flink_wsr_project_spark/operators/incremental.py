@@ -112,17 +112,45 @@ def recover_aggregate_state(state_path: str) -> bool:
     tmp dir's write completed — roll-back needs no such proof).
     Returns True when anything was repaired."""
     import glob
+    import logging
     import shutil
 
+    def _old_key(path: str) -> int:
+        # __old_<ns-timestamp>_<uuid> sorts by the embedded monotonic
+        # timestamp; legacy uuid-only suffixes fall back to dir mtime
+        # (rename preserves it — it reflects when the state's files
+        # were written, so newer state -> larger key either way).
+        tag = path.rsplit("__old_", 1)[1].split("_", 1)[0]
+        if tag.isdigit() and len(tag) >= 15:
+            return int(tag)
+        return int(os.path.getmtime(path) * 1e9)
+
     base = state_path.rstrip("/")
-    olds = sorted(glob.glob(base + "__old_*"))
+    olds = sorted(glob.glob(base + "__old_*"), key=_old_key)
     tmps = sorted(glob.glob(base + "__merge_*")) + (
         [base + "__new"] if os.path.exists(base + "__new") else []
     )
     ran = False
     if not os.path.exists(base) and olds:
+        # Restore the NEWEST pre-op copy (the state the interrupted op
+        # will replay against). With more than one __old the situation
+        # is abnormal (two crashes, no recovery between): QUARANTINE
+        # the older copies instead of deleting them — an operator can
+        # inspect and remove __stale_* dirs, the engine never reads
+        # them (underscore-suffixed siblings are invisible to state
+        # reads, which go through the exact live path).
         os.rename(olds.pop(), base)
         ran = True
+        for d in olds:
+            stale = base + "__stale_" + d.rsplit("__old_", 1)[1]
+            os.rename(d, stale)
+            logging.getLogger(__name__).warning(
+                "recover_aggregate_state: multiple __old copies for %s; "
+                "restored the newest, quarantined %s", base, stale,
+            )
+        olds = []
+    # live exists: every __old is the pre-op copy of a COMPLETED swap
+    # (crash after the tmp->live rename, before cleanup) — safe to drop.
     for d in olds + tmps:
         if os.path.exists(d):
             shutil.rmtree(d)

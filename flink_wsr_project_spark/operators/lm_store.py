@@ -120,13 +120,17 @@ def _merge_counts(
 def fit_lm_store(spark: SparkSession, corpus_docs: DataFrame, prefix: str) -> None:
     """First fit — the corpus is batch zero. ``prefix`` is a path
     prefix (the mergeable states are directory-swapped, not catalog
-    tables)."""
+    tables). Input is deduplicated by doc_id like every other entry
+    point: duplicate ids would XOR-cancel in the op token (violating
+    the no-pair-cancels invariant the exactly-once protocol assumes),
+    double-count the fitted states, and write duplicate roster rows."""
     import shutil
 
     for path in _paths(prefix).values():
         shutil.rmtree(path, ignore_errors=True)
-    _merge_counts(spark, prefix, corpus_docs, 1)
-    corpus_docs.select("doc_id").write.mode("overwrite").parquet(_paths(prefix)["docs"])
+    docs = corpus_docs.dropDuplicates(["doc_id"])
+    _merge_counts(spark, prefix, docs, 1)
+    docs.select("doc_id").write.mode("overwrite").parquet(_paths(prefix)["docs"])
 
 
 def absorb_docs_into_lm(

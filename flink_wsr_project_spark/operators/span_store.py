@@ -68,43 +68,73 @@ from flink_wsr_project_spark.sources.writers import write_bucketed
 
 
 def _posgrams_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, gh, vh) positional gram rows — in-row tokenize +
-    hash, no shuffle. Pure DataFrame API on purpose, NOT the shared
-    SQL CTEs: this frame's subtree appears several times inside one
-    composed probe plan (gram set, stats annotation, within-cap arm),
-    and Spark's DeduplicateRelations mis-renews duplicated WithCTE
-    subtrees (the second occurrence's CTE refs end up merging
-    positionally shifted outputs — found as a CANNOT_MERGE
-    ARRAY<STRING>/BIGINT error on the composed plan). The expressions
-    are identical to ``span_posgram_ctes``'s; the store-vs-registered
-    parity test pins that they cannot drift."""
+    """(doc_id, pos, gh, vh) positional gram rows. Pure DataFrame API
+    on purpose, NOT the shared SQL CTEs: this frame's subtree appears
+    several times inside one composed probe plan (gram set, stats
+    annotation, within-cap arm), and Spark's DeduplicateRelations
+    mis-renews duplicated WithCTE subtrees (the second occurrence's
+    CTE refs end up merging positionally shifted outputs — found as a
+    CANNOT_MERGE ARRAY<STRING>/BIGINT error on the composed plan).
+    The expressions are identical to ``span_posgram_ctes``'s (r15
+    scheme: 60-bit md5 token codes, lead-window columns, flat Horner
+    chains — all codegen); the store-vs-registered parity test pins
+    that they cannot drift."""
+    from pyspark.sql import Window
+
     from flink_wsr_project_spark.operators.dedup import toks_expr
+    from flink_wsr_project_spark.operators.spans import (
+        span_gram_hash_exprs,
+        span_token_code_expr,
+    )
 
     w = SPAN_GRAM_TOKENS
-    return (
+    gh, vh = span_gram_hash_exprs(w)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    ct = (
         docs.selectExpr("doc_id", f"{toks_expr('text', 'spark')} AS t")
         .where(F.expr(f"size(t) >= {w}"))
-        .selectExpr(
-            "doc_id",
-            # the CASE makes the expression TOTAL, exactly as in
-            # span_posgram_ctes: Spark may evaluate the transform
-            # inside the SAME filter stage before the size conjunct
-            # short-circuits it, and for a doc under w tokens
-            # sequence(0, size-w) is DESCENDING so slice sees start 0
-            # (found by the curation loop's short-doc batch)
-            f"CASE WHEN size(t) >= {w}"
-            f" THEN transform(sequence(0, size(t) - {w}),"
-            f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
-            f" ELSE array() END AS harr",
-        )
-        .select("doc_id", F.posexplode("harr").alias("pos", "h"))
-        .selectExpr(
-            "doc_id",
-            "pos",
-            "cast(conv(substr(h, 1, 15), 16, 10) AS bigint) AS gh",
-            "cast(conv(substr(h, 16, 8), 16, 10) AS bigint) AS vh",
-        )
+        .select("doc_id", F.posexplode("t").alias("pos", "tok"))
+        .selectExpr("doc_id", "pos", f"{span_token_code_expr('tok', 'spark')} AS c")
     )
+    cw = ct.select(
+        "doc_id",
+        "pos",
+        F.col("c").alias("c0"),
+        *[F.lead("c", j).over(win).alias(f"c{j}") for j in range(1, w)],
+    )
+    return cw.where(F.col(f"c{w - 1}").isNotNull()).selectExpr(
+        "doc_id", "pos", f"{gh} AS gh", f"{vh} AS vh"
+    )
+
+
+# Catalog property carrying the gram-hash scheme identity (the
+# image-block store's HASH_FORMAT discipline): a store hashed under
+# one scheme and probed under another would silently match nothing —
+# every true dup decided 'keep'. Stamped at write time, validated on
+# every probe/absorb; stores written before the stamp (or under the
+# r14 md5-per-gram scheme) fail loudly until rebuilt.
+SPAN_HASH_FORMAT_PROP = "spark_graft.span_hash_format"
+
+
+def _check_span_hash_format(spark: SparkSession, table_prefix: str) -> None:
+    from flink_wsr_project_spark.operators.spans import SPAN_HASH_FORMAT
+
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_posgrams").collect()
+    fmt = {r.key: r.value for r in rows}.get(SPAN_HASH_FORMAT_PROP)
+    if fmt is None:
+        raise ValueError(
+            f"span store '{table_prefix}' carries no recorded gram-hash "
+            f"format ({SPAN_HASH_FORMAT_PROP} missing) — written by an "
+            "older scheme (pre-r15 md5 grams) or an interrupted write; "
+            "rebuild it with write_span_store (probing blind would "
+            "silently match nothing and keep every true dup)"
+        )
+    if fmt != SPAN_HASH_FORMAT:
+        raise ValueError(
+            f"span store '{table_prefix}' was written under gram-hash "
+            f"format '{fmt}' but this code produces '{SPAN_HASH_FORMAT}' "
+            "— rebuild the store"
+        )
 
 
 def _ntokens_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -168,6 +198,12 @@ def write_span_store(
         )
     else:
         write_bucketed(pg, f"{table_prefix}_posgrams", ["gh"], num_buckets)
+    from flink_wsr_project_spark.operators.spans import SPAN_HASH_FORMAT
+
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_posgrams SET TBLPROPERTIES "
+        f"('{SPAN_HASH_FORMAT_PROP}'='{SPAN_HASH_FORMAT}')"
+    )
     write_bucketed(
         _ntokens_df(spark, corpus_docs),
         f"{table_prefix}_docs",
@@ -279,6 +315,7 @@ def span_dedup_from_store(
     # this the hard way; metadata-only re-listing)
     for t in ("posgrams", "docs"):
         spark.catalog.refreshTable(f"{table_prefix}_{t}")
+    _check_span_hash_format(spark, table_prefix)
     # pin Δ's gram frame: one tokenize+md5 pass total (the subtree is
     # consumed by the prefix collect, the gram broadcast, the stats
     # annotation and both candidate arms — unpinned, a large
@@ -478,6 +515,7 @@ def absorb_spans_into_store(
     )
     from flink_wsr_project_spark.operators.retention import live_rows
 
+    _check_span_hash_format(spark, table_prefix)
     kept_plan = batch_docs.join(
         decisions.where(F.col("decision") == "keep").select("doc_id"), "doc_id"
     )

@@ -10,13 +10,23 @@ repeated substrings of >= 50 tokens found via a suffix array. A suffix
 array is a single-machine index; at 100 TB the equivalent evidence is
 recovered with three relational steps, each a standard shuffle:
 
-1. POSITIONAL GRAMS: one row per token position — the ``w``-token gram
-   starting at that position, hashed once with md5 and split into a
-   60-bit join key ``gh`` (15 hex chars — the SimHash-rewrite width)
-   plus an INDEPENDENT 32-bit verify key ``vh`` (hex chars 16..23).
+1. POSITIONAL GRAMS: one row per token position — the ``w``-token
+   gram starting at that position, keyed by a 62-bit join key ``gh``
+   plus an INDEPENDENT 31-bit verify key ``vh``. Each token is coded
+   ONCE (60-bit md5 prefix), then every gram hash is pure integer
+   arithmetic: three independent polynomial (Horner) chains over the
+   w codes in a LEAD window — all whole-stage codegen, no per-gram
+   string building (r14: the md5-per-gram scheme was measured at
+   ~7.8 s of the capped query's 16.8 s at sf0.1; this one is ~6×
+   cheaper and bit-identical across engines). Collision posture: a
+   FALSE span needs either two distinct tokens sharing a 60-bit code
+   (~1e8-token vocab -> ~4e-3 expected colliding pairs) or one fixed
+   base to be a root of the code-difference polynomial mod three
+   independent 31-bit primes (~w^3/(M1*M2*M3) ~ 2e-26 per distinct
+   gram pair) — both strictly bounded, and every reported pair still
+   carries the 93-bit (gh, vh) double check.
    The positional index costs ~12 bytes/token — a constant factor of
-   corpus size, not a blowup (grams are hashed in place, never
-   materialized as strings past the md5 call).
+   corpus size, not a blowup.
 2. GRAM MATCH: self-equi-join on ``gh`` (one hash shuffle), verified
    on ``vh`` (92 effective bits for every enumerated pair — the
    collision-verify analogue of the image path's Hamming verify), with
@@ -51,9 +61,11 @@ downstream pass can cut the span out of the kept document — the
 operation document-level dedup cannot express.
 
 Cross-engine determinism: every fragment is emitted for both Spark SQL
-and DuckDB from the same constants (md5 is bit-identical in both;
-window frames are pinned; all island/coverage orderings are over keys
-proven unique per partition, so row_number is deterministic).
+and DuckDB from the same constants (md5 token codes are bit-identical
+in both, the polynomial chains are plain BIGINT arithmetic on positive
+operands — identical ``%`` semantics; window frames are pinned; all
+island/coverage orderings are over keys proven unique per partition,
+so row_number is deterministic).
 """
 
 from __future__ import annotations
@@ -75,52 +87,107 @@ SPAN_MIN_TOKENS = 16
 # tokens covered by spans shared with lower-id documents.
 SPAN_DROP_PERMILLE = 500
 
+# Polynomial gram-hash chains: three independent (base, modulus)
+# pairs, all primes, modulus < 2^31 so one Horner step on a 60-bit
+# token code stays far below 2^63 (h < M < 2^31, B < 2^21 ->
+# h*B < 2^52; + c < 2^60 -> < 2^61). gh = chain0 * 2^31 + chain1
+# (62 bits — birthday-safe as a join key at 100 TB gram counts);
+# vh = chain2 (the independent 31-bit verify, the md5 scheme's
+# two-hash discipline carried over).
+SPAN_HASH_CHAINS = (
+    (1000003, 2147483647),
+    (999983, 2147483629),
+    (1000033, 2147483587),
+)
+
+# Identity of the gram hashing scheme, recorded on persisted span
+# stores (the image-block store's HASH_FORMAT discipline): a store
+# hashed under one scheme must never be probed under another — the
+# join keys would silently never match.
+SPAN_HASH_FORMAT = "tok60poly31x3v1"
+
+
+def _horner_expr(chain: int, w: int = SPAN_GRAM_TOKENS) -> str:
+    """Unrolled Horner fold of one hash chain over the lead-window
+    code columns c0..c{w-1} — plain positive BIGINT arithmetic, so
+    Spark and DuckDB agree bit-for-bit and the whole expression stays
+    inside whole-stage codegen (a lambda/HOF formulation is both
+    interpreted AND blows up CollapseProject: the codes array gets
+    inlined once per reference, ~35 s of optimizer time per submit —
+    measured r15)."""
+    b, m = SPAN_HASH_CHAINS[chain]
+    h = f"(c0 % {m})"
+    for j in range(1, w):
+        h = f"(({h} * {b} + c{j}) % {m})"
+    return h
+
+
+def span_gram_hash_exprs(w: int = SPAN_GRAM_TOKENS) -> tuple[str, str]:
+    """(gh_expr, vh_expr) over lead-window columns c0..c{w-1}."""
+    gh = f"{_horner_expr(0, w)} * 2147483648 + {_horner_expr(1, w)}"
+    vh = _horner_expr(2, w)
+    return gh, vh
+
+
+def span_token_code_expr(tok: str, engine: str) -> str:
+    """60-bit per-token code: md5 prefix, computed ONCE per token
+    occurrence (the only string hashing the span family pays). 60
+    bits keeps vocabulary-level code collisions negligible (~1e8
+    distinct tokens -> ~4e-3 expected colliding pairs); a colliding
+    TOKEN pair is the only way two different grams can agree on all
+    three chains at once."""
+    if engine == "spark":
+        return f"cast(conv(substr(md5({tok}), 1, 15), 16, 10) AS bigint)"
+    return f"('0x' || substr(md5({tok}), 1, 15))::BIGINT"
+
 
 def span_posgram_ctes(engine: str, source: str = "documents") -> str:
     """CTE chain ending in ``sp_pg(doc_id, pos, gh, vh)`` — one row per
     token position with the hashed ``w``-gram starting there. ``pos``
     is 0-based. Documents shorter than ``w`` tokens contribute no rows
-    (they are still visible to the keep-list via ``sp_tok``)."""
+    (they are still visible to the keep-list via ``sp_tok``).
+
+    Shape: tokens explode to (doc_id, pos, code) rows, the w codes of
+    each gram line up as lead() columns over ONE (doc_id, pos) window,
+    and gh/vh are flat-column Horner arithmetic — fully codegen'd, no
+    per-gram string building. The window costs one doc_id exchange of
+    ~24-byte rows (same order as the gh exchange that follows); in
+    return ALL hashing leaves the interpreted HOF path (~6× measured
+    at sf0.1, and the optimizer-blowup hazard of a codes-array lambda
+    is structurally impossible)."""
     w = SPAN_GRAM_TOKENS
     toks = toks_expr("text", engine)
+    gh, vh = span_gram_hash_exprs(w)
+    leads = ",\n         ".join(
+        f"lead(c, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS c{j}"
+        for j in range(1, w)
+    )
     if engine == "spark":
-        return f"""sp_tok AS (
-  SELECT doc_id, {toks} AS t FROM {source}
-),
-sp_h AS (
-  -- the CASE makes the expression TOTAL: for a doc shorter than w
-  -- tokens, sequence(0, size-w) would be DESCENDING and slice would
-  -- see start 0 — and Spark may evaluate the pushed-down Generate
-  -- prefilter on the transform before the size(t) >= w conjunct
-  -- short-circuits it (found by the synthetic short-doc test; the
-  -- generated corpora never exercise docs under w tokens)
-  SELECT doc_id,
-         CASE WHEN size(t) >= {w}
-              THEN transform(sequence(0, size(t) - {w}),
-                             i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))
-              ELSE array() END AS harr
-  FROM sp_tok WHERE size(t) >= {w}
-),
-sp_pg AS (
-  SELECT doc_id, pos,
-         cast(conv(substr(h, 1, 15), 16, 10) AS bigint) AS gh,
-         cast(conv(substr(h, 16, 8), 16, 10) AS bigint) AS vh
-  FROM sp_h LATERAL VIEW posexplode(harr) _pe AS pos, h
+        explode = f"""sp_ct AS (
+  SELECT doc_id, pos, {span_token_code_expr('tok', engine)} AS c
+  FROM (SELECT doc_id, t FROM sp_tok WHERE size(t) >= {w}) _st
+  LATERAL VIEW posexplode(t) _pe AS pos, tok
+)"""
+    else:
+        explode = f"""sp_ct AS (
+  SELECT doc_id, i AS pos, {span_token_code_expr('t[i + 1]', engine)} AS c
+  FROM sp_tok, unnest(range(len(t))) AS u(i)
+  WHERE len(t) >= {w}
 )"""
     return f"""sp_tok AS (
   SELECT doc_id, {toks} AS t FROM {source}
 ),
-sp_h AS (
-  SELECT doc_id, i AS pos,
-         md5(list_aggregate(t[i + 1:i + {w}], 'string_agg', ' ')) AS h
-  FROM sp_tok, unnest(range(len(t) - {w} + 1)) AS u(i)
-  WHERE len(t) >= {w}
+{explode},
+sp_cw AS (
+  SELECT doc_id, pos, c AS c0,
+         {leads}
+  FROM sp_ct
 ),
 sp_pg AS (
   SELECT doc_id, pos,
-         ('0x' || substr(h, 1, 15))::BIGINT AS gh,
-         ('0x' || substr(h, 16, 8))::BIGINT AS vh
-  FROM sp_h
+         {gh} AS gh,
+         {vh} AS vh
+  FROM sp_cw WHERE c{w - 1} IS NOT NULL
 )"""
 
 
@@ -143,12 +210,14 @@ def _span_cand_ctes(engine: str, cap: int | None) -> str:
     gh-equi join; k IS the per-gh min, so k.doc_id = k.keeper) — NOT
     decoration: without them Catalyst column-prunes the window stack
     differently per side, the four join inputs stop being identical
-    subtrees, and the md5 gram hashing (the dominant cost — measured
-    7.8 s of a 16.8 s total at sf0.1) is recomputed per side, with the
-    raw corpus-sized gram relation getting BROADCAST into the join (a
-    100 TB hazard). Identical sides share one gh exchange at runtime:
-    sf0.1 measured 16.8 s → 12.8 s first / 16.1 s → 8.8 s steady, and
-    the broadcast of unshuffled posgrams is gone (r14)."""
+    subtrees, and the gram hashing (the dominant cost — measured
+    7.8 s of a 16.8 s total at sf0.1 under the r14 md5 scheme, ~6×
+    cheaper under the r15 polynomial scheme but still the bulk) is
+    recomputed per side, with the raw corpus-sized gram relation
+    getting BROADCAST into the join (a 100 TB hazard). Identical
+    sides share one gh exchange at runtime: sf0.1 measured
+    16.8 s → 12.8 s first / 16.1 s → 8.8 s steady, and the broadcast
+    of unshuffled posgrams is gone (r14)."""
     within = (
         "a.df >= 2 AND b.df >= 2 AND a.keeper <= a.doc_id AND b.keeper <= b.doc_id"
         if cap is None

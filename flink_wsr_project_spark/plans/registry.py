@@ -76,24 +76,30 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r14: span_gram_skew's saved-rows arithmetic changed (the star
-    # arm subtracts (total-keeper_occ)*keeper_occ rows now, matching
-    # _span_cand_ctes' keeper-occurrence pairing — ADVICE r13); its
-    # registered RESULTS change wherever a keeper holds multiple
-    # copies of an over-cap gram, so it re-enters the window.
-    "span_gram_skew",
-    # r14: _span_cand_ctes gained redundant-but-true per-side df/
-    # keeper predicates (identical join subtrees → one shared gh
-    # exchange; sf0.1 steady 16.1 s → 8.6 s). Results are provably
-    # unchanged (df is per-gh constant; k IS the keeper) and locally
-    # parity-green, but the shared SQL of the whole span family
-    # changed, so its registered consumers re-earn external green.
+    # r15: span_posgram_ctes swapped the md5-per-gram hashing for the
+    # polynomial scheme (60-bit md5 token codes + three Horner chains
+    # in a lead window — all codegen, ~6× cheaper; sf0.1 posgram build
+    # 6.4 s → 1.0 s). gh/vh VALUES change wholesale, so although the
+    # reported spans are identical (hash collisions aside, bounded in
+    # the module docstring) the whole span family's shared SQL changed
+    # and every registered consumer re-earns external green.
     "shared_span_pairs",
     "shared_span_pairs_capped",
     "shared_span_pairs_gapped",
+    "span_gram_skew",
     "span_dedup_keep_list",
     "span_scrub",
     "cross_source_span_leakage",
+    "benchmark_span_decontaminate",
+    # r15: the BPE unrolled-merge CTE's re-segmentation switched from
+    # CROSS JOIN m{r} to LEFT JOIN ON true (ADVICE r14: an exhausted
+    # merge round must carry the last real segmentation through, not
+    # empty every later CTE). Results are unchanged whenever merges
+    # run the full rounds — which the gate corpus does — but the
+    # shared oracle SQL of all three BPE queries changed.
+    "bpe_merges_topk",
+    "bpe_vocab_fertility",
+    "bpe_doc_tokens",
     # r13: empty on purpose. All six r12 canaries re-earned external
     # green in CORRECTNESS_r12 on their changed results. No r13 change
     # alters any REGISTERED query's SQL or results: the capped-builder

@@ -186,7 +186,14 @@ def atomic_swap_dir(live: str, tmp: str) -> None:
     import shutil
     import uuid as _uuid
 
-    old = f"{live.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    import time as _time
+
+    # Monotonic ns timestamp FIRST in the suffix so recovery can order
+    # multiple leftover __old dirs (two crashes with no recovery
+    # between) and restore the NEWEST — the pre-op state of the most
+    # recent interrupted swap. A bare random uuid made the
+    # lexicographically-last dir win, which could be the oldest state.
+    old = f"{live.rstrip('/')}__old_{_time.time_ns():020d}_{_uuid.uuid4().hex[:8]}"
     if os.path.exists(live):
         os.rename(live, old)
     os.rename(tmp, live)

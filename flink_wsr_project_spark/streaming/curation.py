@@ -351,6 +351,63 @@ def curate_foreach_batch(
     return body
 
 
+def prune_decision_log(
+    decision_log: str,
+    keep_last: int | None = 16,
+    max_age_sec: float | None = None,
+    now: float | None = None,
+) -> list[str]:
+    """Retention verb for committed decision-log dirs — without it a
+    long-running loop grows one parquet directory per micro-batch
+    forever, even though replay only ever needs the batch being
+    restarted (foreachBatch replays AT MOST the last uncommitted
+    batch, never history). Keeps the ``keep_last`` highest batch ids
+    (and, when ``max_age_sec`` is given, everything younger than
+    that), removes the rest, and returns the pruned dir names.
+
+    The pinned-forever default behavior is still available as the
+    audit-retention escape hatch: ``keep_last=None, max_age_sec=None``
+    prunes nothing. Run it from the loop's maintenance cadence (e.g.
+    alongside store compaction), never concurrently with an in-flight
+    batch commit for the ids being pruned — which is guaranteed by
+    keeping ``keep_last >= 1``."""
+    import shutil
+    import time
+
+    if keep_last is None and max_age_sec is None:
+        return []
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the replay batch)")
+    if not os.path.isdir(decision_log):
+        return []
+    batches = []
+    for entry in os.listdir(decision_log):
+        if entry.startswith("batch=") and not entry.endswith("__tmp"):
+            tag = entry.split("=", 1)[1]
+            if tag.lstrip("-").isdigit():
+                batches.append((int(tag), entry))
+    batches.sort()
+    keep_ids = set()
+    if keep_last is not None:
+        keep_ids |= {b for b, _ in batches[-keep_last:]}
+    if max_age_sec is not None:
+        cutoff = (time.time() if now is None else now) - max_age_sec
+        keep_ids |= {
+            b
+            for b, entry in batches
+            if os.path.getmtime(os.path.join(decision_log, entry)) >= cutoff
+        }
+        if keep_last is None and batches:
+            # never prune the newest batch — it is the replay target
+            keep_ids.add(batches[-1][0])
+    pruned = []
+    for b, entry in batches:
+        if b not in keep_ids:
+            shutil.rmtree(os.path.join(decision_log, entry))
+            pruned.append(entry)
+    return pruned
+
+
 def recover_curation_stores(
     spark: SparkSession,
     decision_log: str,

@@ -37,3 +37,18 @@ def test_bench_emits_one_json_line_with_contract_fields():
     assert d["steady_runs"] >= 3
     assert len(d["queries"]) >= 16
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.05 * max(d["value"], 1)
+    # contention legibility (r14 verdict task 3): per-run samples +
+    # the taint object must make a contaminated sample identifiable
+    # from the artifact alone
+    assert set(d["queries_steady_samples"]) == set(d["queries_steady"])
+    for n, runs in d["queries_steady_samples"].items():
+        assert len(runs) == d["steady_runs"]
+    assert set(d["queries_pipeline_steady_samples"]) == set(
+        d["queries_pipeline_steady"]
+    )
+    taint = d["taint"]
+    assert isinstance(taint["steady_gt_first"], list)
+    assert isinstance(taint["startup_contended"], bool)
+    assert taint["tainted"] == (
+        bool(taint["steady_gt_first"]) or taint["startup_contended"]
+    )

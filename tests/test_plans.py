@@ -266,34 +266,39 @@ def test_dimension_join_broadcasts(spark, name):
         # final doc join; 3 ReusedExchange at runtime (AQE dedups the
         # inlined hdoc/df subtrees, same as chunk_containment)
         ("containment_keep_list", 14),
-        # span family (r14 rebudget): both sides of both candidate
-        # arms now carry the FULL window stack (identical subtrees so
-        # the md5 gram hashing shares ONE gh exchange at runtime —
-        # sf0.1 steady 16.1 s → 8.8 s; the broadcast of the raw
-        # corpus-sized gram relation is gone). The STATIC count rises
-        # because each join side plans its own gh exchange; AQE stage
-        # reuse collapses the identical ones at runtime, the
-        # chunk_containment precedent.
-        ("shared_span_pairs", 4),
-        ("shared_span_pairs_capped", 6),  # + the star-arm's two sides
-        ("span_gram_skew", 3),  # (gh,doc) occ agg + gh window + 1-row agg
-        # capped pairs (6) + per-doc interval-merge window + coverage agg;
-        # the final doc join broadcasts
-        ("span_dedup_keep_list", 8),
-        # capped pairs (6) + interval merge + token-explode⋈intervals
+        # span family (r14 rebudget, r15 +1 per sp_pg reference): both
+        # sides of both candidate arms carry the FULL window stack
+        # (identical subtrees so the gram hashing shares ONE gh
+        # exchange at runtime — sf0.1 steady 16.1 s → 8.8 s under md5;
+        # the broadcast of the raw corpus-sized gram relation is
+        # gone). r15's polynomial gram hash adds a doc_id LEAD window
+        # under each side (token codes line up as lead columns — all
+        # hashing whole-stage codegen, ~6× cheaper than md5-per-gram),
+        # so the STATIC count rises by one doc_id exchange per side;
+        # the runtime plan has exactly ONE doc_id + ONE gh exchange
+        # with 3 ReusedExchange (verified in the executed adaptive
+        # plan), the chunk_containment precedent.
+        ("shared_span_pairs", 6),
+        ("shared_span_pairs_capped", 10),  # + the star-arm's two sides
+        ("span_gram_skew", 4),  # + lead window; occ agg + gh window + 1-row agg
+        # capped pairs (10) + per-doc interval-merge window + coverage
+        # agg; the final doc join broadcasts
+        ("span_dedup_keep_list", 12),
+        # capped pairs (10) + interval merge + token-explode⋈intervals
         # doc-equi join + reassembly agg
-        ("span_scrub", 9),
+        ("span_scrub", 13),
         # the capped shape with the lag-gap island break — the lag and
         # running-sum windows stack on the same diagonal partitioning
-        ("shared_span_pairs_gapped", 6),
+        ("shared_span_pairs_gapped", 10),
         # dl agg + 1-row stats + tf agg + 3-row df + the dl/df joins +
         # final doc agg; top-10 is TakeOrderedAndProject (pinned below)
         ("bm25_search_topk", 7),
-        # capped span chain (6) + the (source_a, source_b) rollup; the
+        # capped span chain (10) + the (source_a, source_b) rollup; the
         # doc->source roster joins broadcast
-        ("cross_source_span_leakage", 7),
+        ("cross_source_span_leakage", 11),
         # gh window stack (df filter) + cross-split join + islands agg
-        ("benchmark_span_decontaminate", 3),
+        # + the two sides' lead windows
+        ("benchmark_span_decontaminate", 5),
         # doc-window lag pass + unigram/bigram count shuffles + the
         # score joins keyed on them + per-doc agg; vocab is a 1-row
         # broadcast
@@ -319,6 +324,34 @@ def test_shuffle_budget(spark, name, max_exchanges):
         or "Exchange SinglePartition" in line
     )
     assert n <= max_exchanges, f"{name}: {n} shuffles, budget {max_exchanges}"
+
+
+def test_span_runtime_plan_shares_one_gram_exchange(spark):
+    """The r14 scale fix, pinned at RUNTIME: all four candidate-join
+    sides of the capped span query must canonicalize to ONE gh
+    exchange (plus r15's single upstream doc_id lead-window exchange),
+    with the other sides ReusedExchange — the failure mode was
+    Catalyst BROADCASTING the corpus-sized raw gram relation when the
+    subtrees diverged, a silent 100 TB killer the static budget
+    cannot see."""
+    from flink_wsr_project_spark.plans.registry import get
+
+    df = get("shared_span_pairs_capped").spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    # count exchange NODES only: a ReusedExchange line repeats the
+    # referenced exchange's text, so a bare substring count over-counts
+    nodes = [
+        line.strip().lstrip("+-*: ")
+        for line in final.splitlines()
+    ]
+    gh_ex = sum(n.startswith("Exchange hashpartitioning(gh#") for n in nodes)
+    doc_ex = sum(n.startswith("Exchange hashpartitioning(doc_id#") for n in nodes)
+    reused = sum(n.startswith("ReusedExchange") for n in nodes)
+    assert gh_ex == 1, f"expected ONE gh exchange, got {gh_ex}"
+    assert doc_ex == 1, f"expected ONE doc_id lead-window exchange, got {doc_ex}"
+    assert reused >= 3, f"expected >=3 ReusedExchange, got {reused}"
 
 
 @pytest.mark.parametrize("name", ["market_by_channel", "market_total", "hot_items_topn"])

@@ -397,3 +397,100 @@ def test_store_health_reports_all_three_stores(spark):
         ha = ann_index_health(spark, "rann")
         assert ha["retention_watermark"] == 100
         assert {t["table"] for t in ha["tables"]} == {"rann_centroids", "rann_lists"}
+
+
+def test_recover_aggregate_state_multi_old_restores_newest(tmp_path):
+    """Two crashes with no recovery between leave TWO __old copies.
+    Recovery must restore the NEWEST (the pre-op state of the most
+    recent interrupted swap — ordered by the monotonic ns timestamp
+    atomic_swap_dir now embeds in the suffix) and QUARANTINE the older
+    copy as __stale_* instead of silently deleting it (r14 ADVICE:
+    the old uuid-only suffix made the lexicographically-last dir win,
+    which could be the stale state, destroying the true one)."""
+    import os
+
+    from flink_wsr_project_spark.operators.incremental import (
+        recover_aggregate_state,
+    )
+
+    base = str(tmp_path / "state")
+    old_a = base + "__old_00000000000000000001_aaaaaaaa"  # ancient
+    old_b = base + "__old_00000000000000000002_ffffffff"  # newest
+    for d, payload in ((old_a, "stale"), (old_b, "true")):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write(payload)
+
+    assert recover_aggregate_state(base)
+    with open(os.path.join(base, "part-0.parquet")) as f:
+        assert f.read() == "true"
+    stale = [e for e in os.listdir(tmp_path) if "__stale_" in e]
+    assert stale == ["state__stale_00000000000000000001_aaaaaaaa"]
+    # idempotent: a second run touches nothing (stale is not swept)
+    assert not recover_aggregate_state(base)
+    assert os.path.isdir(base)
+
+
+def test_recover_aggregate_state_legacy_uuid_suffix_uses_mtime(tmp_path):
+    """Pre-r15 __old dirs carry a bare uuid suffix; ordering falls
+    back to directory mtime so mixed legacy/new leftovers still pick
+    the newest state."""
+    import os
+    import time
+
+    from flink_wsr_project_spark.operators.incremental import (
+        recover_aggregate_state,
+    )
+
+    base = str(tmp_path / "state")
+    legacy_old = base + "__old_deadbeef"
+    legacy_new = base + "__old_cafebabe"
+    now = time.time()
+    for d, payload, age in ((legacy_old, "stale", 1000), (legacy_new, "true", 0)):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write(payload)
+        os.utime(d, (now - age, now - age))
+
+    assert recover_aggregate_state(base)
+    with open(os.path.join(base, "part-0.parquet")) as f:
+        assert f.read() == "true"
+
+
+def test_prune_decision_log_keeps_last_and_young(tmp_path):
+    """Committed decision-log dirs accumulate one-per-micro-batch
+    forever without a retention verb (r14 ADVICE). keep_last keeps the
+    N highest batch ids; max_age_sec additionally protects young dirs;
+    keep_last=None, max_age_sec=None is the audit escape hatch (prunes
+    nothing); __tmp dirs and foreign entries are never touched."""
+    import os
+    import time
+
+    from flink_wsr_project_spark.streaming.curation import prune_decision_log
+
+    log = str(tmp_path / "declog")
+    os.makedirs(log)
+    for b in range(5):
+        os.makedirs(os.path.join(log, f"batch={b}"))
+    os.makedirs(os.path.join(log, "batch=9__tmp"))
+    os.makedirs(os.path.join(log, "notes"))
+
+    assert prune_decision_log(log, keep_last=None, max_age_sec=None) == []
+    assert sorted(prune_decision_log(log, keep_last=2)) == [
+        "batch=0", "batch=1", "batch=2",
+    ]
+    left = sorted(os.listdir(log))
+    assert left == ["batch=3", "batch=4", "batch=9__tmp", "notes"]
+
+    # age protection: batch=3 made old, batch=4 young; keep_last=1
+    # would drop 3 but max_age_sec protects nothing older — 3 goes
+    now = time.time()
+    os.utime(os.path.join(log, "batch=3"), (now - 9999, now - 9999))
+    assert prune_decision_log(log, keep_last=1, max_age_sec=3600, now=now) == [
+        "batch=3"
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        prune_decision_log(log, keep_last=0)
+    assert prune_decision_log(str(tmp_path / "absent")) == []

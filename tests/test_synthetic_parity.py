@@ -1426,3 +1426,55 @@ def test_bpe_greedy_overlap_and_tiebreak(spark, tmp_path):
     ]
     assert got == unrolled and len(got) == 5
     assert_parity(q.spark_fn(spark, sf_dir), q.oracle, sf_dir, "bpe/synth")
+
+
+def test_bpe_merge_exhaustion_keeps_segmentation(spark, tmp_path):
+    """When pair merges exhaust BEFORE the requested rounds, the
+    unrolled SQL's re-segmentation CTEs must carry the LAST real
+    segmentation through the empty merge rounds (LEFT JOIN ON true
+    fallback) — a cross join against the empty m{r} would zero out
+    s{r} and every downstream CTE, so the fertility / doc-token
+    oracles would return empty while the Spark-side driver loop keeps
+    the last segmentation (r14 ADVICE finding)."""
+    import duckdb
+
+    from flink_wsr_project_spark.operators.bpe import (
+        bpe_doc_tokens_sql,
+        bpe_fertility_sql,
+        learn_bpe_merges,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    # 'ab ab cd': dries after 4 merges (a+b, ab+_, c+d, cd+_) — every
+    # word is then ONE symbol and no pair remains; ask for 8 rounds.
+    sf_dir = _write_documents(tmp_path, [(1, "ab ab cd", "en", "web", 8)])
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges, seg = learn_bpe_merges(spark, docs, 8)
+    assert len(merges) == 4
+    driver_seg = {r.word: list(r.syms) for r in seg.collect()}
+    assert driver_seg == {"ab": ["ab_"], "cd": ["cd_"]}
+    seg.unpersist()
+
+    docs.createOrReplaceTempView("documents")
+    fert = spark.sql(bpe_fertility_sql("spark", 8)).collect()
+    assert len(fert) == 1 and fert[0].vocab_words == 2
+    assert fert[0].bpe_symbols == 3  # 2*[ab_] + 1*[cd_]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dfert = con.execute(bpe_fertility_sql("duckdb", 8)).fetchall()
+    assert [tuple(r) for r in fert] == dfert
+    dtok = con.execute(
+        bpe_doc_tokens_sql("duckdb", 8) + " ORDER BY doc_id"
+    ).fetchall()
+    stok = [
+        tuple(r)
+        for r in spark.sql(bpe_doc_tokens_sql("spark", 8))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert stok == dtok and len(stok) == 1
+    con.close()
