@@ -97,16 +97,76 @@ def _merge_pair_expr(lhs: str, rhs: str) -> str:
     )
 
 
+def _select_compatible(
+    candidates: list[tuple[str, str, int]], k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy compatible subset of up to ``k`` merges from candidates
+    already ordered by (count DESC, lhs, rhs). Two merges are
+    compatible when their symbol sets {lhs, rhs, merged} are DISJOINT
+    — the merged output is included on purpose: a batch containing
+    (a,b)->ab and (x,ab) would diverge between one-pass and
+    sequential application (the fold consumes the freshly merged 'ab'
+    before (x,ab) can see it — or vice versa, (ab,c) firing on 'ab's
+    that did not exist when its count was taken). With full
+    three-symbol disjointness no accepted rule consumes OR produces a
+    symbol any other accepted rule references, so applying the batch
+    in ONE left fold equals applying its members sequentially in any
+    order."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for lhs, rhs, cnt in candidates:
+        symbols = {lhs, rhs, lhs + rhs}
+        if symbols & used:
+            continue
+        out.append((lhs, rhs, cnt))
+        used |= symbols
+        if len(out) >= k:
+            break
+    return out
+
+
+def _merge_batch_expr(batch: list[tuple[str, str, int]]) -> str:
+    """One greedy left fold applying EVERY merge in ``batch`` — a
+    CASE branch per rule inside a single ``aggregate``. Valid only for
+    a :func:`_select_compatible` batch (symbol-disjoint rules cannot
+    interact, so one pass is exact); expression size is linear in the
+    batch, never nested."""
+    whens = "".join(
+        f"WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lhs + rhs}')) "
+        for lhs, rhs, _ in batch
+    )
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE {whens}ELSE concat(acc, array(x)) END)"
+    )
+
+
 def learn_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
     rounds: int,
     ckpt_ids: set[int] | None = None,
+    batch_k: int = 1,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``rounds`` BPE merges. Returns (merges, final segmentation)
     where merges rows are (merge_rank, lhs, rhs, merged, pair_count).
-    Driver traffic is one row per round; per-round cluster work is one
-    vocab-bounded pair-count shuffle plus a vocab-sized map.
+
+    ``batch_k=1`` (default, the registered queries' path) is exact
+    sequential BPE: one merge per driver round, driver traffic one row
+    per round. ``batch_k > 1`` is the standard BATCHED approximation a
+    production vocabulary needs (r14 verdict: a 32k vocab at one merge
+    per round is 32k sequential Spark jobs): per round, take the top-K
+    PAIRWISE-COMPATIBLE merges (symbol-disjoint including merged
+    outputs — see :func:`_select_compatible`) from the current counts
+    and re-segment ONCE, so a 32k vocab needs ~32k/K rounds. Within a
+    round the batch is applied with one fold, provably equal to
+    applying its members sequentially; across rounds it differs from
+    one-merge BPE only when a pair CREATED by an earlier member would
+    have out-ranked a later member — the classic frequency-dominance
+    condition, exact whenever counts strictly dominate created pairs
+    (pinned by the parity test). Driver traffic per round is
+    ``4*batch_k + 8`` candidate rows.
 
     Each round's superseded segmentation checkpoint is released as the
     next lands (``DataFrame.unpersist`` does not release a
@@ -118,21 +178,28 @@ def learn_bpe_merges(
         release_persistent_rdds,
     )
 
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     seg, seg_ids = local_checkpoint_tracked(_initial_seg(word_freqs(docs)))
     merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(1, rounds + 1):
+    while len(merges) < rounds:
+        k = min(batch_k, rounds - len(merges))
         top = (
             _pair_counts(seg)
             .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
-            .limit(1)
+            .limit(4 * k + 8)
             .collect()
         )
-        if not top or top[0].pair_count <= 0:
+        cands = [
+            (r.lhs, r.rhs, r.pair_count) for r in top if r.pair_count > 0
+        ]
+        batch = _select_compatible(cands, k)
+        if not batch:
             break
-        lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
-        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        for lhs, rhs, cnt in batch:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, cnt))
         nxt, nxt_ids = local_checkpoint_tracked(
-            seg.selectExpr("word", "freq", f"{_merge_pair_expr(lhs, rhs)} AS syms")
+            seg.selectExpr("word", "freq", f"{_merge_batch_expr(batch)} AS syms")
         )
         release_persistent_rdds(spark, seg_ids)
         seg, seg_ids = nxt, nxt_ids

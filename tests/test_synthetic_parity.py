@@ -1478,3 +1478,79 @@ def test_bpe_merge_exhaustion_keeps_segmentation(spark, tmp_path):
     ]
     assert stok == dtok and len(stok) == 1
     con.close()
+
+
+def test_bpe_batched_matches_sequential_when_counts_dominate(spark, tmp_path):
+    """batch_k parity (r14 verdict task 2): on a corpus where the
+    top-K compatible pairs' counts strictly dominate every pair a
+    batch member CREATES, batched learning must equal the one-merge
+    path exactly — same merge table (ranks, counts) and same final
+    segmentation. Frequencies 10 > 8 > 6 with diversified successors
+    keep created pairs (ab,p)=5 etc. below the next candidate."""
+    from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    words = (
+        ["abp"] * 5 + ["abq"] * 5 + ["cdr"] * 4 + ["cds"] * 4
+        + ["eft"] * 3 + ["efu"] * 3
+    )
+    sf_dir = _write_documents(tmp_path, [(1, " ".join(words), "en", "web", 99)])
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    seq_merges, seq_seg = learn_bpe_merges(spark, docs, 3, batch_k=1)
+    bat_merges, bat_seg = learn_bpe_merges(spark, docs, 3, batch_k=3)
+    assert seq_merges == bat_merges == [
+        (1, "a", "b", "ab", 10),
+        (2, "c", "d", "cd", 8),
+        (3, "e", "f", "ef", 6),
+    ]
+    seq = {r.word: list(r.syms) for r in seq_seg.collect()}
+    bat = {r.word: list(r.syms) for r in bat_seg.collect()}
+    assert seq == bat
+    seq_seg.unpersist(), bat_seg.unpersist()
+
+
+def test_bpe_batch_compatibility_rules():
+    """The symbol-disjointness rule, including MERGED outputs: a
+    candidate sharing lhs/rhs with an accepted rule is skipped, and so
+    is one whose lhs equals an accepted rule's merged output (the
+    one-pass fold would otherwise consume/produce symbols another rule
+    references, diverging from sequential application)."""
+    from flink_wsr_project_spark.operators.bpe import _select_compatible
+
+    cands = [
+        ("a", "b", 10),   # accepted
+        ("b", "_", 9),    # shares 'b' -> skipped
+        ("ab", "c", 8),   # lhs equals accepted merged 'ab' -> skipped
+        ("x", "y", 7),    # accepted
+        ("p", "q", 6),    # accepted (k=3 reached)
+        ("r", "s", 5),
+    ]
+    assert _select_compatible(cands, 3) == [
+        ("a", "b", 10), ("x", "y", 7), ("p", "q", 6),
+    ]
+    # a candidate PRODUCING an accepted rule's symbol is also skipped:
+    # accepted (xy, z); candidate (x, y) merged output 'xy' collides
+    assert _select_compatible([("xy", "z", 9), ("x", "y", 8), ("u", "v", 7)], 2) == [
+        ("xy", "z", 9), ("u", "v", 7),
+    ]
+    assert _select_compatible([], 4) == []
+
+
+def test_bpe_batched_skips_incompatible_and_converges(spark, tmp_path):
+    """A batch round must skip an incompatible runner-up (shares a
+    symbol with the leader) yet still make progress, and the learned
+    vocabulary must reach the requested size across rounds."""
+    from flink_wsr_project_spark.operators.bpe import learn_bpe_merges
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    # 'ab'×4, 'bc'×3: round-1 candidates (a,b)=4, (b,c)=3 share 'b' —
+    # the batch takes only (a,b); (b,c) must wait for round 2.
+    sf_dir = _write_documents(
+        tmp_path, [(1, " ".join(["ab"] * 4 + ["bc"] * 3), "en", "web", 20)]
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges, seg = learn_bpe_merges(spark, docs, 2, batch_k=4)
+    assert [(m[1], m[2]) for m in merges][:1] == [("a", "b")]
+    assert len(merges) == 2
+    seg.unpersist()
