@@ -249,7 +249,14 @@ def synthesize_image_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline handles it."""
     from flink_wsr_project_spark.sources.readers import load_table
 
-    docs = load_table(spark, "documents", sf_dir)
+    return synthesize_image_renders_from_docs(load_table(spark, "documents", sf_dir))
+
+
+def synthesize_image_renders_from_docs(docs: DataFrame) -> DataFrame:
+    """:func:`synthesize_image_renders` over an in-hand (doc_id, text)
+    frame instead of a table path — the curation loop's per-batch
+    image path (the batch's admitted docs are a DataFrame, not a
+    directory)."""
     bmp_header = F.element_at(
         F.array(*[F.lit(RENDER_HEADER_HEX[w]) for w in BMP_WIDTHS]),
         (F.col("doc_id") % 4 + 1).cast("int"),

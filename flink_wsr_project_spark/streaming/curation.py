@@ -17,7 +17,8 @@ Crash-consistency design — a write-ahead DECISION LOG:
    touched (recompute is trivially identical); a crash after it means
    the decisions are pinned forever.
 2. **Apply** (idempotent per store): absorbs run in a fixed order
-   (signature → span → LM → search), each individually replay-safe
+   (signature → span → LM → search → image → ANN), each individually
+   replay-safe
    (anti-join against the store's own roster, or the LM's op-token
    markers). A replayed batch loads the logged decisions instead of
    recomputing — so it does not matter that the stores now already
@@ -53,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # chaos-injection points, in apply order (test surface for the
 # kill-point matrix: raise after the named step completes)
-KILL_POINTS = ("decide", "sig", "span", "lm", "search")
+KILL_POINTS = ("decide", "sig", "span", "lm", "search", "image", "ann")
 
 _DECISION_SCHEMA = (
     "doc_id bigint, stage string, decision string, dup_of bigint, "
@@ -208,18 +209,32 @@ def curate_foreach_batch(
     id_col: str = "doc_id",
     on_batch=None,
     fail_after: str | None = None,
+    image_prefix: str | None = None,
+    ann_prefix: str | None = None,
+    embedding_col: str = "embedding",
 ):
     """foreachBatch body for the composed curation chain. Gates each
     micro-batch (quality → signature-store dedup → span coverage →
     optional LM tail gate), commits the per-doc decisions to the
     write-ahead decision log, then absorbs the ADMITTED docs into
     every store: signature, span, LM (record-only unless ``lm_gate``),
-    and — when ``search_prefix`` is given — the BM25 index, so the
-    curated corpus is immediately searchable.
+    the BM25 index when ``search_prefix`` is given (so the curated
+    corpus is immediately searchable), the perceptual image-block
+    store when ``image_prefix`` is given (the admitted docs' renders
+    are hashed and their block rows appended — the multimodal dedup
+    state tracks the curated corpus instead of drifting from it), and
+    the ANN/IVF index when ``ann_prefix`` is given (the batch must
+    then carry ``embedding_col``; admitted docs' vectors are assigned
+    to their nearest existing centroid and appended — the index must
+    already exist with >= 1 centroid, unlike the LM store the loop can
+    bootstrap: centroid training is a corpus fit, not a fold).
 
     Only the final admitted set absorbs anywhere: every store's
     contents ARE the curated corpus, the invariant that makes the
-    stores agree with each other and with the batch funnel.
+    stores agree with each other and with the batch funnel — r15
+    closes it for the last two families (image, ANN), so a
+    ``modal_dedup_consensus``-style probe over the stores sees exactly
+    the corpus the text gates admitted.
 
     ``on_batch(decisions_df, batch_id, replayed)`` receives the logged
     decision frame. ``fail_after`` (one of ``KILL_POINTS``) raises
@@ -245,14 +260,21 @@ def curate_foreach_batch(
 
         spark = batch_df.sparkSession
         ckpt_ids: set[int] = set()
+        cols = [F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")]
+        if ann_prefix is not None:
+            if embedding_col not in batch_df.columns:
+                raise ValueError(
+                    f"ann_prefix set but batch carries no '{embedding_col}' "
+                    "column — the ANN absorb needs each doc's vector"
+                )
+            cols.append(F.col(embedding_col).alias("embedding"))
         docs, dids = local_checkpoint_tracked(
-            batch_df.select(
-                F.col(id_col).alias("doc_id"), F.col(content_col).alias("text")
-            ).dropDuplicates(["doc_id"])
+            batch_df.select(*cols).dropDuplicates(["doc_id"])
         )
         ckpt_ids |= dids
         try:
-            _body_inner(spark, docs, batch_id, ckpt_ids)
+            _body_inner(spark, docs.select("doc_id", "text"), batch_id, ckpt_ids,
+                        docs if ann_prefix is not None else None)
         finally:
             # every checkpoint this batch pinned is superseded the
             # moment the decisions committed and the absorbs ran (or
@@ -261,7 +283,11 @@ def curate_foreach_batch(
             release_persistent_rdds(spark, ckpt_ids)
 
     def _body_inner(
-        spark: SparkSession, docs: DataFrame, batch_id, ckpt_ids: set[int]
+        spark: SparkSession,
+        docs: DataFrame,
+        batch_id,
+        ckpt_ids: set[int],
+        docs_with_vecs: DataFrame | None = None,
     ) -> None:
         log_dir = _batch_log_dir(decision_log, batch_id)
         replayed = os.path.isdir(log_dir)
@@ -345,6 +371,46 @@ def curate_foreach_batch(
         if fail_after == "search":
             raise RuntimeError("chaos: crash after search absorb")
 
+        if image_prefix is not None:
+            from flink_wsr_project_spark.operators.image_dedup import (
+                absorb_kept_into_dhash_store,
+            )
+            from flink_wsr_project_spark.operators.multimodal import (
+                synthesize_image_renders_from_docs,
+            )
+
+            # the admitted docs' RENDERS (deterministic from (doc_id,
+            # text) — the repo's stubbed decode discipline: the Spark
+            # plumbing is real, the pixels are synthetic); the absorb
+            # is replay-idempotent via the store's own asset roster
+            absorb_kept_into_dhash_store(
+                spark,
+                synthesize_image_renders_from_docs(docs.join(admitted, "doc_id")),
+                keeps.withColumnRenamed("doc_id", "asset_id"),
+                image_prefix,
+                num_buckets,
+                exclude_existing=True,
+            )
+        if fail_after == "image":
+            raise RuntimeError("chaos: crash after image absorb")
+
+        if ann_prefix is not None:
+            from flink_wsr_project_spark.operators.ann_index import (
+                absorb_vectors_into_index,
+            )
+
+            absorb_vectors_into_index(
+                spark,
+                docs_with_vecs.join(admitted, "doc_id")
+                .where(F.col("embedding").isNotNull())
+                .selectExpr("doc_id AS vec_id", "embedding"),
+                ann_prefix,
+                num_buckets,
+                exclude_existing=True,
+            )
+        if fail_after == "ann":
+            raise RuntimeError("chaos: crash after ann absorb")
+
         if on_batch is not None:
             on_batch(decisions, batch_id, replayed)
 
@@ -415,6 +481,8 @@ def recover_curation_stores(
     span_prefix: str,
     lm_prefix: str | None = None,
     search_prefix: str | None = None,
+    image_prefix: str | None = None,
+    ann_prefix: str | None = None,
 ) -> dict[str, bool]:
     """Run every member store's recovery verb and sweep half-written
     decision-log tmp dirs — idempotent, run once at loop startup
@@ -450,4 +518,87 @@ def recover_curation_stores(
         )
 
         out["search"] = recover_search_index(spark, search_prefix)
+    if image_prefix is not None:
+        from flink_wsr_project_spark.operators.image_dedup import (
+            recover_dhash_store,
+        )
+
+        out["image"] = recover_dhash_store(spark, image_prefix)
+    if ann_prefix is not None:
+        from flink_wsr_project_spark.operators.ann_index import (
+            recover_index_compaction,
+            recover_index_retrain,
+        )
+
+        out["ann"] = bool(recover_index_compaction(spark, ann_prefix)) or bool(
+            recover_index_retrain(spark, ann_prefix)
+        )
     return out
+
+
+def curation_health(
+    spark: SparkSession,
+    decision_log: str,
+    sig_prefix: str,
+    span_prefix: str,
+    lm_prefix: str | None = None,
+    search_prefix: str | None = None,
+    image_prefix: str | None = None,
+    ann_prefix: str | None = None,
+) -> dict:
+    """One operational report for the COMPOSITION (r14 verdict task 7):
+    each member store's health verb side by side, plus the write-ahead
+    decision log's depth — committed batch count, last committed batch
+    id, and any half-written ``__tmp`` dirs (a nonzero count after a
+    clean startup means ``recover_curation_stores`` has not run).
+    Metadata-only: every member verb reads catalogs/file listings and
+    1-row stats tables, no data-sized scan — safe to call on a
+    maintenance cadence from the live loop."""
+    from flink_wsr_project_spark.operators.store_health import (
+        signature_store_health,
+        span_store_health,
+    )
+
+    report: dict = {
+        "sig": signature_store_health(spark, sig_prefix),
+        "span": span_store_health(spark, span_prefix),
+    }
+    if lm_prefix is not None:
+        from flink_wsr_project_spark.operators.lm_store import lm_store_health
+
+        report["lm"] = lm_store_health(spark, lm_prefix)
+    if search_prefix is not None:
+        from flink_wsr_project_spark.operators.store_health import (
+            search_index_health,
+        )
+
+        report["search"] = search_index_health(spark, search_prefix)
+    if image_prefix is not None:
+        from flink_wsr_project_spark.operators.store_health import (
+            dhash_store_health,
+        )
+
+        report["image"] = dhash_store_health(spark, image_prefix)
+    if ann_prefix is not None:
+        from flink_wsr_project_spark.operators.store_health import (
+            ann_index_health,
+        )
+
+        report["ann"] = ann_index_health(spark, ann_prefix)
+
+    committed: list[int] = []
+    tmp = 0
+    if os.path.isdir(decision_log):
+        for entry in os.listdir(decision_log):
+            if entry.endswith("__tmp"):
+                tmp += 1
+            elif entry.startswith("batch="):
+                tag = entry.split("=", 1)[1]
+                if tag.lstrip("-").isdigit():
+                    committed.append(int(tag))
+    report["decision_log"] = {
+        "committed_batches": len(committed),
+        "last_committed_batch": max(committed) if committed else None,
+        "pending_tmp_dirs": tmp,
+    }
+    return report

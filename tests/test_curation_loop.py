@@ -7,9 +7,14 @@ consistency:
   admitted corpus, and the curated docs are immediately searchable;
 * decision parity against the batch ``curation_funnel`` /
   ``dedup_keep_list`` on the full sf0.001 corpus;
-* the kill-point matrix: for a crash after EVERY step of the chain,
+* the kill-point matrix: for a crash after EVERY step of the chain
+  (seven points from r15 — decide, sig, span, lm, search, image, ann),
   recover-all + replay converges every store and the final decisions
-  are identical to an uncrashed control run.
+  are identical to an uncrashed control run;
+* multimodal closure (r15): the image-block store and ANN index track
+  the same curated corpus as the text stores, the image store is an
+  exact materialization of the consensus query's image arm, and
+  curation_health unifies the members' ops reports.
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ def _drop_tables(spark, prefix):
         "longsigs", "hashed",            # signature store
         "posgrams", "docs",              # span store
         "postings", "docstats", "sstats",  # search index
+        "blocks",                        # image-block store
+        "centroids", "lists",            # ANN index
         "tombstones", "retention",
     ):
         t = f"{prefix}_{suffix}"
@@ -42,7 +49,7 @@ def _corpus(spark):
     return load_table(spark, "documents", SF).select("doc_id", "text")
 
 
-def _init_stores(spark, prefix, seed_docs, with_search=True):
+def _init_stores(spark, prefix, seed_docs, with_search=True, with_media=False):
     from flink_wsr_project_spark.operators.incremental_dedup import (
         write_signature_store,
     )
@@ -54,6 +61,53 @@ def _init_stores(spark, prefix, seed_docs, with_search=True):
     write_span_store(spark, seed_docs, prefix, num_buckets=2)
     if with_search:
         write_search_index(spark, seed_docs, prefix, num_buckets=2)
+    if with_media:
+        from flink_wsr_project_spark.operators.ann_index import write_ann_index
+        from flink_wsr_project_spark.operators.image_dedup import (
+            write_dhash_store,
+        )
+        from flink_wsr_project_spark.operators.multimodal import (
+            synthesize_image_renders_from_docs,
+        )
+        from flink_wsr_project_spark.sources.readers import load_table
+
+        _drop_tables(spark, prefix + "img")
+        _drop_tables(spark, prefix + "ann")
+        write_dhash_store(
+            spark,
+            synthesize_image_renders_from_docs(seed_docs),
+            prefix + "img",
+            num_buckets=2,
+        )
+        seed_vecs = (
+            load_table(spark, "embeddings", SF)
+            .join(
+                seed_docs.selectExpr("doc_id AS vec_id").distinct(), "vec_id"
+            )
+            .select("vec_id", "embedding", "label")
+        )
+        write_ann_index(spark, seed_vecs, prefix + "ann", num_buckets=2)
+
+
+def _with_vecs(spark, docs):
+    """Attach each doc's embedding (the testdata embeddings table is
+    1:1 with documents on id); crafted ids outside the table get a
+    deterministic synthetic vector so the column is total."""
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", SF).selectExpr(
+        "vec_id AS doc_id", "embedding"
+    )
+    return (
+        docs.join(emb, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "coalesce(embedding, transform(sequence(1, 64),"
+            " i -> CAST((doc_id % 97 + i * 13) % 31 AS FLOAT))) AS embedding",
+        )
+        .localCheckpoint()
+    )
 
 
 def _tok_prefix(text, n):
@@ -73,13 +127,14 @@ def _store_state(spark, prefix, lm_prefix, probe_docs):
     )
     from flink_wsr_project_spark.operators.search_index import search_stats
 
-    def ids(t, c):
+    def ids(t, c, table=None):
         # a real stream's foreachBatch appends from a CLONED session;
         # the table-relation cache is per-session (the search index's
         # probe refreshes for the same reason) — metadata-only
-        spark.catalog.refreshTable(f"{prefix}_{t}")
+        table = table or f"{prefix}_{t}"
+        spark.catalog.refreshTable(table)
         return frozenset(
-            r[0] for r in spark.table(f"{prefix}_{t}").select(c).distinct().collect()
+            r[0] for r in spark.table(table).select(c).distinct().collect()
         )
     lm_scores = None
     if lm_store_exists(lm_prefix):
@@ -90,13 +145,18 @@ def _store_state(spark, prefix, lm_prefix, probe_docs):
             ).collect()
         )
     spark.catalog.refreshTable(f"{prefix}_sstats")
-    return {
+    out = {
         "sig": ids("hashed", "doc_id"),
         "span": ids("docs", "doc_id"),
         "search": ids("docstats", "doc_id"),
         "search_stats": search_stats(spark, prefix),
         "lm": lm_scores,
     }
+    if spark.catalog.tableExists(f"{prefix}img_blocks"):
+        out["image"] = ids("", "asset_id", table=f"{prefix}img_blocks")
+    if spark.catalog.tableExists(f"{prefix}ann_lists"):
+        out["ann"] = ids("", "vec_id", table=f"{prefix}ann_lists")
+    return out
 
 
 def _decision_set(decisions_df):
@@ -132,8 +192,11 @@ def _batches(spark, tmp_path):
 
 
 def _run_chain(spark, tmp_path, tag, fail_after_on_b2=None):
-    """Seed stores, run batch 1 clean, run batch 2 (optionally crashing
-    after the given step), and return the loop handles."""
+    """Seed all SEVEN store families, run batch 1 clean, run batch 2
+    (optionally crashing after the given step), and return the loop
+    handles. The batches carry embeddings (the ANN absorb's input);
+    the image/ANN stores live under sibling prefixes so their
+    tombstone tables stay per-key-type."""
     from flink_wsr_project_spark.streaming.curation import (
         curate_foreach_batch,
         recover_curation_stores,
@@ -143,8 +206,12 @@ def _run_chain(spark, tmp_path, tag, fail_after_on_b2=None):
     lm_prefix = str(tmp_path / f"lm_{tag}")
     log = str(tmp_path / f"log_{tag}")
     seed, b1, b2 = _batches(spark, tmp_path)
-    _init_stores(spark, prefix, seed)
-    recover_curation_stores(spark, log, prefix, prefix, lm_prefix, prefix)
+    b1, b2 = _with_vecs(spark, b1), _with_vecs(spark, b2)
+    _init_stores(spark, prefix, seed, with_media=True)
+    recover_curation_stores(
+        spark, log, prefix, prefix, lm_prefix, prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
 
     seen = []
 
@@ -154,6 +221,7 @@ def _run_chain(spark, tmp_path, tag, fail_after_on_b2=None):
             num_buckets=2, lm_gate=True,
             on_batch=lambda d, b, rep: seen.append((b, _decision_set(d), rep)),
             fail_after=fail_after,
+            image_prefix=prefix + "img", ann_prefix=prefix + "ann",
         )
 
     mk()(b1, 1)
@@ -191,6 +259,10 @@ def test_curation_loop_end_to_end(spark, tmp_path):
     assert st["span"] == expect
     assert st["search"] == expect
     assert st["search_stats"][0] == len(expect)
+    # r15: the image-block store and the ANN index track the SAME
+    # curated corpus — the two families the r14 chain left out
+    assert st["image"] == expect
+    assert st["ann"] == expect
     # LM roster: bootstrapped from batch-1 admits, grown by batch 2
     roster = {
         r.doc_id for r in spark.read.parquet(lm_prefix + "_lm_docs").collect()
@@ -289,7 +361,9 @@ def _control(spark, tmp_path):
     return _CONTROL
 
 
-@pytest.mark.parametrize("kill", ["decide", "sig", "span", "lm", "search"])
+@pytest.mark.parametrize(
+    "kill", ["decide", "sig", "span", "lm", "search", "image", "ann"]
+)
 def test_kill_point_matrix(spark, tmp_path, kill):
     """Crash after EVERY step of the chain, then recover-all + replay:
     the final decisions AND every store's contents must equal the
@@ -304,7 +378,10 @@ def test_kill_point_matrix(spark, tmp_path, kill):
     prefix, lm_prefix, log, b2k, seen, mk = _run_chain(
         spark, tmp_path, f"kp{kill[:2]}", fail_after_on_b2=kill
     )
-    recover_curation_stores(spark, log, prefix, prefix, lm_prefix, prefix)
+    recover_curation_stores(
+        spark, log, prefix, prefix, lm_prefix, prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
     mk()(b2k, 2)  # foreachBatch restart: same batch id, same contents
 
     assert seen[-1][0] == 2
@@ -332,21 +409,28 @@ def test_curation_loop_through_real_stream(spark, tmp_path):
     lm_prefix = str(tmp_path / "lm_stream")
     log = str(tmp_path / "log_stream")
     seed, b1, b2 = _batches(spark, tmp_path)
-    _init_stores(spark, prefix, seed)
-    recover_curation_stores(spark, log, prefix, prefix, lm_prefix, prefix)
+    b1, b2 = _with_vecs(spark, b1), _with_vecs(spark, b2)
+    _init_stores(spark, prefix, seed, with_media=True)
+    recover_curation_stores(
+        spark, log, prefix, prefix, lm_prefix, prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
 
     seen = []
     body = curate_foreach_batch(
         log, prefix, prefix, lm_prefix, prefix,
         num_buckets=2, lm_gate=True,
         on_batch=lambda d, b, rep: seen.append((b, _decision_set(d))),
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
     )
     src = tmp_path / "cur_src"
     src.mkdir()
 
     def run():
         q = (
-            spark.readStream.schema("doc_id long, text string").parquet(str(src))
+            spark.readStream.schema(
+                "doc_id long, text string, embedding array<float>"
+            ).parquet(str(src))
             .writeStream.trigger(availableNow=True)
             .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
             .foreachBatch(body)
@@ -371,3 +455,157 @@ def test_curation_loop_through_real_stream(spark, tmp_path):
     assert seen[1][1] == ctl["dec"]
     probe = b2.where("doc_id = 100005").localCheckpoint()
     assert _store_state(spark, prefix, lm_prefix, probe) == ctl["state"]
+
+
+def test_curation_image_store_supports_modal_consensus(spark, tmp_path):
+    """Decision parity extended to the multimodal consensus (r14
+    verdict task 1): after the loop curates the full corpus with the
+    image/ANN absorbs on, the image-block STORE is an exact
+    materialization of the consensus query's image arm over the
+    admitted corpus — the capped near-dup pairs computed from the
+    store's persisted (asset_id, dhash) rows equal the pairs computed
+    from freshly synthesized renders of the admitted docs, so
+    ``modal_dedup_consensus``'s ``idrop`` flags over the curated
+    corpus come out identical whether fed inline hashes or the store.
+    The ANN index is probe-consistent on the same corpus: an admitted
+    doc's own embedding retrieves it at rank 1."""
+    from flink_wsr_project_spark.operators.ann_index import ann_topk_from_index
+    from flink_wsr_project_spark.operators.image_dedup import EXTRACTOR_PROP
+    from flink_wsr_project_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_image_renders_from_docs,
+    )
+    from flink_wsr_project_spark.plans.pipeline_queries import (
+        _IMG_BUCKET_CAP,
+        _img_capped_body,
+    )
+    from flink_wsr_project_spark.streaming.curation import curate_foreach_batch
+
+    from flink_wsr_project_spark.operators.ann_index import write_ann_index
+    from flink_wsr_project_spark.operators.image_dedup import write_dhash_store
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    prefix = "cur_mc"
+    log = str(tmp_path / "log_mc")
+    corpus = _corpus(spark)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _init_stores(spark, prefix, empty, with_search=False)
+    _drop_tables(spark, prefix + "img")
+    _drop_tables(spark, prefix + "ann")
+    # image store starts EMPTY (so its final roster is exactly the
+    # admitted corpus); the ANN index needs >= 1 centroid to assign
+    # absorbs against, so it is seeded with two corpus vectors — both
+    # ids re-enter through batch 0 and the absorb's roster anti-join
+    # keeps them single-copy
+    write_dhash_store(
+        spark,
+        synthesize_image_renders_from_docs(empty),
+        prefix + "img",
+        num_buckets=2,
+    )
+    write_ann_index(
+        spark,
+        load_table(spark, "embeddings", SF)
+        .where("vec_id < 2")
+        .select("vec_id", "embedding", "label"),
+        prefix + "ann",
+        num_buckets=2,
+    )
+
+    kept: set = set()
+    body = curate_foreach_batch(
+        log, prefix, prefix, lm_prefix=None, search_prefix=None,
+        num_buckets=2,
+        span_threshold_permille=1001,  # text-gate shape of the funnel test
+        on_batch=lambda d, b, rep: kept.update(
+            doc for doc, _, dec, _ in _decision_set(d) if dec == "keep"
+        ),
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        body(_with_vecs(spark, corpus.where(f"doc_id >= {lo} AND doc_id < {hi}")), i)
+
+    # the store's identity survived the loop's appends
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}img_blocks").collect()
+    }
+    assert props[EXTRACTOR_PROP] == "extract_image_dhash"
+
+    # image arm: store hashes vs inline hashes of the SAME corpus
+    spark.catalog.refreshTable(f"{prefix}img_blocks")
+    spark.table(f"{prefix}img_blocks").select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    ).distinct().createOrReplaceTempView("_mcp_store_h")
+    admitted = corpus.where(
+        F.col("doc_id").isin([int(d) for d in kept])
+    ).localCheckpoint()
+    extract_image_dhash(synthesize_image_renders_from_docs(admitted)).select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    ).createOrReplaceTempView("_mcp_inline_h")
+
+    def pairs(view):
+        return {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in spark.sql(
+                f"WITH hsrc AS (SELECT doc_id, dhash FROM {view}),\n"
+                + _img_capped_body("spark", "hsrc", cap=_IMG_BUCKET_CAP)
+            ).collect()
+        }
+
+    store_pairs = pairs("_mcp_store_h")
+    assert store_pairs == pairs("_mcp_inline_h")
+    assert store_pairs  # non-vacuous: the corpus has image near-dups
+
+    # ANN arm: an admitted doc's own vector (probed under a fresh
+    # query id — self-matches are excluded by id) retrieves the
+    # absorbed doc at rank 1 with cosine 1 (spot-check a handful)
+    some = sorted(kept)[:3]
+    probes = _with_vecs(
+        spark, admitted.where(F.col("doc_id").isin(some))
+    ).selectExpr("doc_id + 1000000 AS query_id", "embedding AS qv")
+    top1 = {
+        (r.query_id - 1000000, r.neighbor_id)
+        for r in ann_topk_from_index(spark, probes, prefix + "ann", k=1).collect()
+    }
+    assert top1 == {(d, d) for d in some}
+
+
+def test_curation_health_report(spark, tmp_path):
+    """The composition's ops surface (r14 verdict task 7): one
+    metadata-only report unifying every member store's health plus the
+    decision log's depth — committed batch count, last committed id,
+    pending __tmp dirs."""
+    import os
+
+    from flink_wsr_project_spark.streaming.curation import curation_health
+
+    prefix, lm_prefix, log, _, _, _ = _run_chain(spark, tmp_path, "hlth")
+    report = curation_health(
+        spark, log, prefix, prefix, lm_prefix, prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
+    assert set(report) == {
+        "sig", "span", "lm", "search", "image", "ann", "decision_log",
+    }
+    dl = report["decision_log"]
+    assert dl == {
+        "committed_batches": 2,
+        "last_committed_batch": 2,
+        "pending_tmp_dirs": 0,
+    }
+    # member reports carry their identity/layout contracts
+    img_tables = {t["table"]: t for t in report["image"]["tables"]}
+    assert "spark_graft.hash_format" in img_tables[
+        f"{prefix}img_blocks"
+    ]["properties"]
+    span_tables = {t["table"]: t for t in report["span"]["tables"]}
+    assert "spark_graft.span_hash_format" in span_tables[
+        f"{prefix}_posgrams"
+    ]["properties"]
+    assert report["lm"]["pending_recovery"] is False
+    # a half-written log dir surfaces as pending
+    os.makedirs(os.path.join(log, "batch=9__tmp"))
+    assert curation_health(spark, log, prefix, prefix)["decision_log"][
+        "pending_tmp_dirs"
+    ] == 1
