@@ -70,13 +70,11 @@ def gram_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     )
 
 
-def covariance(df: DataFrame, vec_col: str, d: int):
-    """Exact (integer-scaled) covariance matrix + mean as numpy arrays.
-
-    Only O(tasks) rows ever reach the merge and only d x d numbers
-    reach the driver."""
-    import numpy as np
-
+def integer_moments(df: DataFrame, vec_col: str, d: int):
+    """Exact integer moments (colsum[d], gram[d][d], n) as plain
+    Python ints — the deterministic substrate both the float
+    covariance and the power-iteration oracle build on. Only O(tasks)
+    rows ever reach the merge and only d + d*d scalars the driver."""
     parts = gram_partials(df, vec_col, d)
     merged = (
         parts.select(
@@ -89,11 +87,23 @@ def covariance(df: DataFrame, vec_col: str, d: int):
         .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"))
     )
     rows = merged.collect()  # d + d*d scalars — driver-safe at any data size
-    total_n = next(r.n for r in rows if r.pos == 0)
-    flat = np.zeros(d + d * d, dtype=np.int64)
+    total_n = int(next(r.n for r in rows if r.pos == 0))
+    flat = [0] * (d + d * d)
     for r in rows:
-        flat[r.pos] = r.v
-    colsum, gram = flat[:d], flat[d:].reshape(d, d)
+        flat[r.pos] = int(r.v)
+    colsum = flat[:d]
+    gram = [flat[d + i * d : d + (i + 1) * d] for i in range(d)]
+    return colsum, gram, total_n
+
+
+def covariance(df: DataFrame, vec_col: str, d: int):
+    """Exact (integer-scaled) covariance matrix + mean as numpy
+    arrays."""
+    import numpy as np
+
+    colsum_l, gram_l, total_n = integer_moments(df, vec_col, d)
+    colsum = np.array(colsum_l, dtype=np.int64)
+    gram = np.array(gram_l, dtype=np.int64)
     mean = colsum / (total_n * _SCALE)
     cov = gram / (total_n * _SCALE**2) - np.outer(mean, mean)
     return cov, mean, total_n
@@ -140,3 +150,227 @@ def pca_project(
     for i, comp in enumerate(comps, start=1):
         out = out.withColumn(f"{out_prefix}{i}", project_expr(vec_col, comp, mean))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic power-iteration PCA — the ORACLE-able variant (r15).
+#
+# numpy.linalg.eigh is not ANSI-expressible, and its float arithmetic
+# (LAPACK, SIMD summation order) cannot be reproduced bit-for-bit in
+# SQL. This variant restricts EVERY operation to one of two classes
+# that ARE engine-identical: exact int64 arithmetic (order-free sums),
+# and single IEEE-754 double ops (one cast / one divide / one multiply
+# / one add / floor / sqrt — each individually specified by the
+# standard, no re-associated summations). The iteration therefore
+# produces bit-identical components in driver Python and in DuckDB's
+# unrolled-CTE oracle — the kmeans/BPE unrolled-rounds pattern applied
+# to eigenvectors.
+#
+# Shape: C_raw = n·gram − colsum⊗colsum (exact int64; ∝ covariance),
+# pre-scaled to cq = floor(double(C_raw) / D) with D = max(1,
+# (n·n) div 2^18) so |cq| ≤ scale²·2^18 ≈ 2.6e11 for ANY corpus size —
+# every matvec sum then stays exact in int64 (64·2.6e11·2^15 ≈ 5.5e17).
+# Per round: w = cq·v (exact ints); v' = floor(w/max|w|·2^15 + 0.5)
+# (three float ops, re-quantized to ints). The 2nd component iterates
+# jointly, Gram-Schmidt-orthogonalized against the UPDATED v1 each
+# round with the ratio d12/d11 of two exact integer dots. Signs are
+# canonicalized on the final quantized vectors (the max-|v| coordinate
+# — smallest index on ties — made positive), then normalized by the
+# exact-integer L2 norm's sqrt. A fixed ROUND COUNT (not a tolerance)
+# keeps both engines on the same arithmetic path; convergence at 24
+# rounds is (λ2/λ1)^24 — ill-separated spectra give an ill-converged
+# but still bit-identical (and thus still hash-green) answer.
+# ---------------------------------------------------------------------------
+
+PCA_QUANT = 32768  # 2^15 quantization of the iterated vector
+PCA_POWER_ROUNDS = 96
+_CQ_DIV_BASE = 262144  # 2^18: D = max(1, n*n div 2^18)
+
+
+def _quantize(w: list, m) -> list[int]:
+    import math
+
+    # w/m, then *Q, then +0.5, then floor — four deterministic ops,
+    # the exact sequence the oracle SQL spells out
+    return [int(math.floor(x / m * PCA_QUANT + 0.5)) for x in w]
+
+
+def power_iteration_components(
+    colsum: list[int], gram: list[list[int]], n: int, d: int,
+    rounds: int = PCA_POWER_ROUNDS,
+):
+    """Top-2 principal components + mean via the deterministic
+    iteration above, all plain Python (ints exact; floats are IEEE
+    doubles — the same ops the oracle SQL performs). Returns
+    (comps[2][d] floats, mean[d] floats)."""
+    import math
+
+    craw = [
+        [n * gram[i][j] - colsum[i] * colsum[j] for j in range(d)]
+        for i in range(d)
+    ]
+    # float path on purpose, matching the oracle's expression exactly:
+    # /2^18 is an exponent shift (exact in double), and the int→double
+    # cast of n*n is the same IEEE rounding in both engines
+    dd = max(1, int(math.floor(float(n * n) / _CQ_DIV_BASE)))
+    cq = [
+        [int(math.floor(float(craw[i][j]) / float(dd))) for j in range(d)]
+        for i in range(d)
+    ]
+    v1 = [PCA_QUANT] * d
+    v2 = [PCA_QUANT if i % 2 == 0 else -PCA_QUANT for i in range(d)]
+    for _ in range(rounds):
+        w1 = [sum(cq[i][j] * v1[j] for j in range(d)) for i in range(d)]
+        m1 = max(abs(x) for x in w1)
+        v1 = v1 if m1 == 0 else _quantize([float(x) for x in w1], float(m1))
+        w2 = [sum(cq[i][j] * v2[j] for j in range(d)) for i in range(d)]
+        # quantize BEFORE the Gram-Schmidt dot: Σ w2·v1 with raw w2
+        # (~5.5e17) overflows int64 at 64 terms (~1.2e24 — caught at
+        # sf0.1: DuckDB silently promotes to INT128, Python to big
+        # ints, but the arithmetic contract here is int64); with both
+        # vectors ≤ 2^15 the dot is ≤ 64·2^30 ≈ 6.9e10
+        m2a = max(abs(x) for x in w2)
+        t2 = v2 if m2a == 0 else _quantize([float(x) for x in w2], float(m2a))
+        d12 = sum(t2[i] * v1[i] for i in range(d))
+        d11 = sum(v1[i] * v1[i] for i in range(d))
+        r = float(d12) / float(d11)
+        u2 = [float(t2[i]) - r * float(v1[i]) for i in range(d)]
+        m2 = max(abs(x) for x in u2)
+        v2 = t2 if m2 == 0 else _quantize(u2, m2)
+
+    def canon(v: list[int]) -> list[float]:
+        mx = max(abs(x) for x in v)
+        lead = min(i for i in range(d) if abs(v[i]) == mx)
+        s = -1 if v[lead] < 0 else 1
+        nrm = math.sqrt(float(sum((x * s) * (x * s) for x in v)))
+        return [float(x * s) / nrm for x in v]
+
+    mean = [float(colsum[i]) / float(n * _SCALE) for i in range(d)]
+    return [canon(v1), canon(v2)], mean
+
+
+def pca_project_deterministic(
+    df: DataFrame, vec_col: str, d: int, out_prefix: str = "pc"
+) -> DataFrame:
+    """End-to-end oracle-able projection: exact integer moments →
+    deterministic power-iteration components → codegen'd literal-array
+    fold (the same (x−m)·c sequential fold the oracle's list_reduce
+    performs)."""
+    colsum, gram, n = integer_moments(df, vec_col, d)
+    comps, mean = power_iteration_components(colsum, gram, n, d)
+    out = df
+    for i, comp in enumerate(comps, start=1):
+        out = out.withColumn(f"{out_prefix}{i}", project_expr(vec_col, comp, mean))
+    return out
+
+
+def pca_power_oracle_sql(
+    d: int, rounds: int = PCA_POWER_ROUNDS, source: str = "embeddings"
+) -> str:
+    """DuckDB SQL reproducing :func:`power_iteration_components` +
+    the projection bit-for-bit (see the block comment above for why
+    every step is engine-identical). Output: (vec_id, label,
+    pc1_micro, pc2_micro) with pc_micro = floor(pc·1e6 + 0.5) — the
+    house integer-micros hashing discipline."""
+    q = PCA_QUANT
+    # every CTE is AS MATERIALIZED: DuckDB otherwise INLINES the round
+    # chain — each round references the previous, every reference path
+    # re-reaches the parquet scan, and the plan blows up exponentially
+    # (observed as "Too many open files" before any row is produced)
+    ctes = [
+        f"""x AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS qx
+  FROM {source}, unnest(range({d})) AS u(i)
+)""",
+        f"nrow AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM {source})",
+        "cs AS MATERIALIZED (SELECT i, CAST(sum(qx) AS BIGINT) AS s FROM x GROUP BY i)",
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS gij"
+        " FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i)",
+        "craw AS MATERIALIZED (SELECT g.i, g.j,"
+        " (SELECT n FROM nrow) * gij - ca.s * cb.s AS c"
+        " FROM g JOIN cs ca ON ca.i = g.i JOIN cs cb ON cb.i = g.j)",
+        f"dd AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),"
+        f" CAST(floor(CAST(n * n AS DOUBLE) / {_CQ_DIV_BASE}) AS BIGINT)) AS dv"
+        " FROM nrow)",
+        "cq AS MATERIALIZED (SELECT i, j, CAST(floor(CAST(c AS DOUBLE) /"
+        " CAST((SELECT dv FROM dd) AS DOUBLE)) AS BIGINT) AS c FROM craw)",
+        f"v1_0 AS MATERIALIZED (SELECT i, CAST({q} AS BIGINT) AS v FROM range({d}) t(i))",
+        f"v2_0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN {q} ELSE -{q} END"
+        f" AS BIGINT) AS v FROM range({d}) t(i))",
+    ]
+    quant = (
+        "CAST(floor(CAST({w} AS DOUBLE) / CAST({m} AS DOUBLE) * "
+        f"{q} + 0.5) AS BIGINT)"
+    )
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes += [
+            f"w1_{r} AS MATERIALIZED (SELECT cq.i AS i, CAST(sum(cq.c * v.v) AS BIGINT) AS w"
+            f" FROM cq JOIN v1_{p} v ON v.i = cq.j GROUP BY cq.i)",
+            f"m1_{r} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w1_{r})",
+            f"v1_{r} AS MATERIALIZED (SELECT w1.i, CASE WHEN (SELECT m FROM m1_{r}) = 0"
+            f" THEN p.v ELSE {quant.format(w='w1.w', m=f'(SELECT m FROM m1_{r})')}"
+            f" END AS v FROM w1_{r} w1 JOIN v1_{p} p ON p.i = w1.i)",
+            f"w2_{r} AS MATERIALIZED (SELECT cq.i AS i, CAST(sum(cq.c * v.v) AS BIGINT) AS w"
+            f" FROM cq JOIN v2_{p} v ON v.i = cq.j GROUP BY cq.i)",
+            f"m2a_{r} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w2_{r})",
+            # quantize BEFORE the Gram-Schmidt dot (int64 budget — see
+            # power_iteration_components)
+            f"t2_{r} AS MATERIALIZED (SELECT w2.i, CASE WHEN (SELECT m FROM m2a_{r}) = 0"
+            f" THEN p.v ELSE {quant.format(w='w2.w', m=f'(SELECT m FROM m2a_{r})')}"
+            f" END AS v FROM w2_{r} w2 JOIN v2_{p} p ON p.i = w2.i)",
+            f"dot_{r} AS MATERIALIZED (SELECT"
+            f" (SELECT CAST(sum(t2.v * v1.v) AS BIGINT) FROM t2_{r} t2"
+            f"  JOIN v1_{r} v1 ON v1.i = t2.i) AS d12,"
+            f" (SELECT CAST(sum(v * v) AS BIGINT) FROM v1_{r}) AS d11)",
+            f"u2_{r} AS MATERIALIZED (SELECT t2.i, CAST(t2.v AS DOUBLE) -"
+            f" (CAST((SELECT d12 FROM dot_{r}) AS DOUBLE) /"
+            f"  CAST((SELECT d11 FROM dot_{r}) AS DOUBLE)) * CAST(v1.v AS DOUBLE) AS u"
+            f" FROM t2_{r} t2 JOIN v1_{r} v1 ON v1.i = t2.i)",
+            f"m2_{r} AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u2_{r})",
+            f"v2_{r} AS MATERIALIZED (SELECT u2.i, CASE WHEN (SELECT m FROM m2_{r}) = 0"
+            f" THEN t.v ELSE CAST(floor(u2.u / (SELECT m FROM m2_{r}) * {q} + 0.5)"
+            f" AS BIGINT) END AS v FROM u2_{r} u2 JOIN t2_{r} t ON t.i = u2.i)",
+        ]
+    canon = """{c} AS MATERIALIZED (
+  SELECT i, CAST(v * sgn AS DOUBLE) / nrm AS c FROM (
+    SELECT i, v,
+           (SELECT CASE WHEN (SELECT v FROM {v} WHERE i =
+              (SELECT min(i) FROM {v} WHERE abs(v) =
+                (SELECT max(abs(v)) FROM {v}))) < 0 THEN -1 ELSE 1 END) AS sgn,
+           (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) FROM {v}) AS nrm
+    FROM {v}
+  )
+)"""
+    ctes.append(canon.format(c="c1", v=f"v1_{rounds}"))
+    ctes.append(canon.format(c="c2", v=f"v2_{rounds}"))
+    ctes += [
+        f"mn AS MATERIALIZED (SELECT i, CAST(s AS DOUBLE) /"
+        f" CAST((SELECT n FROM nrow) * {_SCALE} AS DOUBLE) AS m FROM cs)",
+        "lc1 AS MATERIALIZED (SELECT list(c ORDER BY i) AS a1 FROM c1)",
+        "lc2 AS MATERIALIZED (SELECT list(c ORDER BY i) AS a2 FROM c2)",
+        "lmn AS MATERIALIZED (SELECT list(m ORDER BY i) AS am FROM mn)",
+    ]
+    # the projection fold: the SAME per-element op sequence as Spark's
+    # aggregate(zip_with(x − m, c, *)) — sub, mul, add-to-acc,
+    # i = 0..d-1. The 1-row list CTEs cross-join in as plain columns:
+    # DuckDB lambdas reject subqueries but accept outer columns.
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, {d} + 1), i ->"
+        " (CAST(embedding[i] AS DOUBLE) - am[i]) * {c}[i])),"
+        " (acc, t) -> acc + t)"
+    )
+    pc1 = fold.format(d=d, c="a1")
+    pc2 = fold.format(d=d, c="a2")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, label,
+       CAST(floor({pc1} * 1000000 + 0.5) AS BIGINT) AS pc1_micro,
+       CAST(floor({pc2} * 1000000 + 0.5) AS BIGINT) AS pc2_micro
+FROM {source}, lc1, lc2, lmn
+"""
+    )

@@ -3776,27 +3776,46 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_project", oracle=None, tags=("pipeline", "embedding", "pca"))
+def _pca_oracle() -> str:
+    # d=64 is the testdata embedding width; a different corpus would
+    # need the oracle re-emitted for its d (the Spark side reads the
+    # width from the data and would diverge loudly, not silently)
+    from flink_wsr_project_spark.operators.pca import pca_power_oracle_sql
+
+    return pca_power_oracle_sql(64)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=_pca_oracle(),
+    tags=("pipeline", "embedding", "pca"),
+)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every embedding projected onto the corpus's top-2 principal
     components — the dimensionality-reduction / visualization /
     whitening primitive of an embedding pipeline. Data never moves:
     per-task integer-scaled Gram partials (one row per task), an
-    O(d^2)-group merge, a driver-side 64x64 eigh, then a codegen'd
-    zip_with projection (operators/pca.py documents the overflow and
-    determinism budget). No SQL oracle — eigendecomposition is not
-    ANSI-expressible (driver records the rows-only check);
-    tests/test_properties.py pins exact covariance parity and
-    projection equality against a single-node numpy recompute."""
-    from flink_wsr_project_spark.operators.pca import pca_project
+    O(d^2)-group merge, a driver-side deterministic POWER ITERATION
+    (r15 — replaced eigh, which no SQL engine can reproduce
+    bit-for-bit), then a codegen'd zip_with projection. Every
+    iteration op is either exact int64 arithmetic or a single IEEE
+    double op, so the DuckDB oracle — the same 24 rounds unrolled as
+    CTEs with Gram-Schmidt deflation and sign canonicalization
+    (largest-|coordinate| positive, smallest index on ties) — lands on
+    bit-identical components (operators/pca.py documents the full
+    argument and the overflow budget). Output is integer micros (the
+    house hashing discipline). tests/test_properties.py additionally
+    pins the components against numpy eigh directionally (|cos| ≈ 1)
+    and the covariance bit-exactly."""
+    from flink_wsr_project_spark.operators.pca import pca_project_deterministic
 
     emb = load_table(spark, "embeddings", sf_dir)
-    out = pca_project(emb, "embedding", d=_embedding_dim(spark, sf_dir), k=2)
+    out = pca_project_deterministic(emb, "embedding", d=_embedding_dim(spark, sf_dir))
     return out.select(
         "vec_id",
         "label",
-        F.round("pc1", 6).alias("pc1"),
-        F.round("pc2", 6).alias("pc2"),
+        F.expr("CAST(floor(pc1 * 1000000 + 0.5) AS BIGINT)").alias("pc1_micro"),
+        F.expr("CAST(floor(pc2 * 1000000 + 0.5) AS BIGINT)").alias("pc2_micro"),
     )
 
 

@@ -100,6 +100,11 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "bpe_merges_topk",
     "bpe_vocab_fertility",
     "bpe_doc_tokens",
+    # r15: embedding_pca_project swapped eigh for the deterministic
+    # power iteration and FINALLY gained a hash oracle (the last
+    # rows-only registered query) — results changed (pc_micro ints),
+    # so it re-enters the window.
+    "embedding_pca_project",
     # r13: empty on purpose. All six r12 canaries re-earned external
     # green in CORRECTNESS_r12 on their changed results. No r13 change
     # alters any REGISTERED query's SQL or results: the capped-builder

@@ -588,6 +588,45 @@ def test_pca_matches_numpy_recompute(spark):
         assert abs(got[vid][0] - p[0]) < 1e-9 and abs(got[vid][1] - p[1]) < 1e-9
 
 
+def test_pca_power_iteration_agrees_with_eigh(spark):
+    """The deterministic power-iteration components (the r15
+    oracle-able path of embedding_pca_project) agree DIRECTIONALLY
+    with numpy eigh's — |cos| ≈ 1 per component — and the iteration is
+    partitioning-invariant (pure function of the exact integer
+    moments). Exact equality is neither expected nor required: the
+    iteration trades LAPACK precision for bit-reproducibility in SQL,
+    and the external gate hashes the iteration against its own DuckDB
+    unrolling."""
+    import numpy as np
+
+    from flink_wsr_project_spark.operators.pca import (
+        covariance,
+        integer_moments,
+        pca_components,
+        power_iteration_components,
+    )
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").repartition(7)
+    colsum, gram, n = integer_moments(emb, "embedding", 64)
+    comps_pi, mean_pi = power_iteration_components(colsum, gram, n, 64)
+
+    cov, mean, _ = covariance(emb, "embedding", 64)
+    comps_eigh, _ = pca_components(cov, 2)
+    for pi, ref in zip(comps_pi, comps_eigh):
+        cos = abs(float(np.dot(np.array(pi), ref)))
+        assert cos > 0.999, f"power-iteration component drifted: |cos|={cos}"
+    assert np.allclose(mean_pi, mean, atol=1e-12)
+    # partitioning invariance: same moments (and thus same components)
+    # from a different task layout
+    colsum2, gram2, n2 = integer_moments(
+        load_table(spark, "embeddings", "/root/testdata/sf0.001").repartition(3),
+        "embedding",
+        64,
+    )
+    assert (colsum2, gram2, n2) == (colsum, gram, n)
+
+
 def test_cumulate_final_step_equals_tumble_and_grows(spark):
     """CUMULATE invariants at sf0.001: within each window_start the
     counts are nondecreasing in window_end (early firings accumulate),
