@@ -46,6 +46,8 @@ def main() -> None:
     from flink_wsr_project_spark.operators.span_store import write_span_store
     from flink_wsr_project_spark.streaming.curation import (
         curate_foreach_batch,
+        curation_health,
+        prune_decision_log,
         recover_curation_stores,
     )
 
@@ -90,8 +92,16 @@ def main() -> None:
         if first is None:
             first = loop_s
         last = loop_s
+        # maintenance cadence: retention on the WAL (replay only ever
+        # needs the batch being restarted; keep a short audit window)
+        pruned = prune_decision_log(log, keep_last=4)
+        if pruned:
+            print(f"      pruned decision-log dirs: {pruned}")
     print(f"loop last/first ratio: {last / first:.2f} "
           f"(corpus grew {n_batches + 1}x)")
+    hl = curation_health(spark, log, prefix, prefix, lm_prefix, prefix)
+    print("health:", {k: (v if k == "decision_log" else "ok")
+                      for k, v in hl.items()})
 
 
 if __name__ == "__main__":
