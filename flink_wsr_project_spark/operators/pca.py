@@ -177,13 +177,33 @@ def pca_project(
 # canonicalized on the final quantized vectors (the max-|v| coordinate
 # — smallest index on ties — made positive), then normalized by the
 # exact-integer L2 norm's sqrt. A fixed ROUND COUNT (not a tolerance)
-# keeps both engines on the same arithmetic path; convergence at 24
-# rounds is (λ2/λ1)^24 — ill-separated spectra give an ill-converged
-# but still bit-identical (and thus still hash-green) answer.
+# keeps both engines on the same arithmetic path; convergence is
+# (λ2/λ1)^R per round.
+#
+# MATRIX SQUARING (r15): the testdata embeddings' spectrum is nearly
+# flat (λ2/λ1 ≈ 0.93), needing ~96 plain rounds for |cos| > 0.999
+# against eigh — and the oracle's CTE-graph cost grows superlinearly
+# in round count (measured 12/24/48/96 rounds → 0.8/1.5/5.5/63 s in
+# DuckDB). Squaring the matrix TWICE before iterating raises the
+# eigenvalue ratios to the 4th power ((0.93)^4 ≈ 0.75), so 24 rounds
+# of C^4 converge like 96 of C at a quarter of the CTE graph. The
+# matrix is first re-quantized to |value| ≤ 2^23 (max-abs scaled, the
+# same floor(x/max·S + 0.5) discipline) so each squaring stays WELL
+# inside int64 — products ≤ 2^46, 64-term sums ≤ 2^52 — and, being
+# ≤ 2^52, every intermediate is also EXACTLY representable in double,
+# making the re-quantization casts exact rather than merely
+# deterministic. C, C², C⁴ share eigenvectors (covariance is PSD, so
+# no even-power sign ambiguity); the 2^-23 matrix quantization
+# perturbs the converged component by ~1e-6/gap — orders below the
+# |cos| pin, and identical in both engines regardless. A still-flatter
+# spectrum would give an ill-converged but bit-identical (and thus
+# still hash-green) answer.
 # ---------------------------------------------------------------------------
 
 PCA_QUANT = 32768  # 2^15 quantization of the iterated vector
-PCA_POWER_ROUNDS = 96
+PCA_POWER_ROUNDS = 24
+PCA_POWER_SQUARINGS = 2  # iterate C^(2^squarings)
+_MAT_QUANT = 8388608  # 2^23 re-quantization scale of C, C², C⁴
 _CQ_DIV_BASE = 262144  # 2^18: D = max(1, n*n div 2^18)
 
 
@@ -195,9 +215,39 @@ def _quantize(w: list, m) -> list[int]:
     return [int(math.floor(x / m * PCA_QUANT + 0.5)) for x in w]
 
 
+def _requantize_matrix(c: list[list[int]], d: int) -> list[list[int]]:
+    """Max-abs re-quantization of an integer matrix to ≤ 2^23 —
+    floor(x/max·S + 0.5), each float op a single IEEE op (and for
+    inputs ≤ 2^52 every cast is exact)."""
+    import math
+
+    m = max(abs(c[i][j]) for i in range(d) for j in range(d))
+    if m == 0:
+        return [[0] * d for _ in range(d)]
+    return [
+        [
+            int(math.floor(float(c[i][j]) / float(m) * _MAT_QUANT + 0.5))
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+
+
+def _square_and_requantize(cq: list[list[int]], d: int) -> list[list[int]]:
+    """One matrix squaring — inputs ≤ 2^23, so products ≤ 2^46 and
+    64-term sums ≤ 2^52, all comfortably int64 — re-quantized back to
+    the 2^23 scale."""
+    c2 = [
+        [sum(cq[i][k] * cq[k][j] for k in range(d)) for j in range(d)]
+        for i in range(d)
+    ]
+    return _requantize_matrix(c2, d)
+
+
 def power_iteration_components(
     colsum: list[int], gram: list[list[int]], n: int, d: int,
     rounds: int = PCA_POWER_ROUNDS,
+    squarings: int = PCA_POWER_SQUARINGS,
 ):
     """Top-2 principal components + mean via the deterministic
     iteration above, all plain Python (ints exact; floats are IEEE
@@ -217,6 +267,11 @@ def power_iteration_components(
         [int(math.floor(float(craw[i][j]) / float(dd))) for j in range(d)]
         for i in range(d)
     ]
+    # down to the 2^23 squaring scale first (int64 headroom), then
+    # square `squarings` times — the iterated matrix is C^(2^squarings)
+    cq = _requantize_matrix(cq, d)
+    for _ in range(squarings):
+        cq = _square_and_requantize(cq, d)
     v1 = [PCA_QUANT] * d
     v2 = [PCA_QUANT if i % 2 == 0 else -PCA_QUANT for i in range(d)]
     for _ in range(rounds):
@@ -265,7 +320,8 @@ def pca_project_deterministic(
 
 
 def pca_power_oracle_sql(
-    d: int, rounds: int = PCA_POWER_ROUNDS, source: str = "embeddings"
+    d: int, rounds: int = PCA_POWER_ROUNDS, source: str = "embeddings",
+    squarings: int = PCA_POWER_SQUARINGS,
 ) -> str:
     """DuckDB SQL reproducing :func:`power_iteration_components` +
     the projection bit-for-bit (see the block comment above for why
@@ -303,17 +359,44 @@ def pca_power_oracle_sql(
         "CAST(floor(CAST({w} AS DOUBLE) / CAST({m} AS DOUBLE) * "
         f"{q} + 0.5) AS BIGINT)"
     )
+    # re-quantize to the 2^23 squaring scale, then square `squarings`
+    # times — the iterated matrix is C^(2^squarings) (same
+    # eigenvectors; ratio^(2^s) convergence per round). All sums stay
+    # <= 2^52: int64-safe AND exactly representable in double.
+    mquant = (
+        "CASE WHEN {m} = 0 THEN CAST(0 AS BIGINT) ELSE"
+        " CAST(floor(CAST({c} AS DOUBLE) / CAST({m} AS DOUBLE) * "
+        f"{_MAT_QUANT} + 0.5) AS BIGINT) END"
+    )
+    ctes += [
+        "mm_0 AS MATERIALIZED (SELECT max(abs(c)) AS m FROM cq)",
+        "cq_0 AS MATERIALIZED (SELECT i, j, "
+        + mquant.format(c="c", m="(SELECT m FROM mm_0)")
+        + " AS c FROM cq)",
+    ]
+    for sq in range(1, squarings + 1):
+        ctes += [
+            f"c2_{sq} AS MATERIALIZED (SELECT a.i AS i, b.j AS j,"
+            f" CAST(sum(a.c * b.c) AS BIGINT) AS c"
+            f" FROM cq_{sq - 1} a JOIN cq_{sq - 1} b ON a.j = b.i"
+            " GROUP BY a.i, b.j)",
+            f"mm_{sq} AS MATERIALIZED (SELECT max(abs(c)) AS m FROM c2_{sq})",
+            f"cq_{sq} AS MATERIALIZED (SELECT i, j, "
+            + mquant.format(c="c", m=f"(SELECT m FROM mm_{sq})")
+            + f" AS c FROM c2_{sq})",
+        ]
+    cm = f"cq_{squarings}"
     for r in range(1, rounds + 1):
         p = r - 1
         ctes += [
             f"w1_{r} AS MATERIALIZED (SELECT cq.i AS i, CAST(sum(cq.c * v.v) AS BIGINT) AS w"
-            f" FROM cq JOIN v1_{p} v ON v.i = cq.j GROUP BY cq.i)",
+            f" FROM {cm} cq JOIN v1_{p} v ON v.i = cq.j GROUP BY cq.i)",
             f"m1_{r} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w1_{r})",
             f"v1_{r} AS MATERIALIZED (SELECT w1.i, CASE WHEN (SELECT m FROM m1_{r}) = 0"
             f" THEN p.v ELSE {quant.format(w='w1.w', m=f'(SELECT m FROM m1_{r})')}"
             f" END AS v FROM w1_{r} w1 JOIN v1_{p} p ON p.i = w1.i)",
             f"w2_{r} AS MATERIALIZED (SELECT cq.i AS i, CAST(sum(cq.c * v.v) AS BIGINT) AS w"
-            f" FROM cq JOIN v2_{p} v ON v.i = cq.j GROUP BY cq.i)",
+            f" FROM {cm} cq JOIN v2_{p} v ON v.i = cq.j GROUP BY cq.i)",
             f"m2a_{r} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w2_{r})",
             # quantize BEFORE the Gram-Schmidt dot (int64 budget — see
             # power_iteration_components)

@@ -316,7 +316,7 @@ def span_dedup_from_store(
     for t in ("posgrams", "docs"):
         spark.catalog.refreshTable(f"{table_prefix}_{t}")
     _check_span_hash_format(spark, table_prefix)
-    # pin Δ's gram frame: one tokenize+md5 pass total (the subtree is
+    # pin Δ's gram frame: one tokenize+hash pass total (the subtree is
     # consumed by the prefix collect, the gram broadcast, the stats
     # annotation and both candidate arms — unpinned, a large
     # micro-batch would pay the hash pass 4-6×; the dHash probe's

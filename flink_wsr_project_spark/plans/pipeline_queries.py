@@ -2085,8 +2085,9 @@ def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive. This uncapped variant enumerates all df >= 2 grams
     exactly; ``shared_span_pairs_capped`` is the production path and
     ``span_gram_skew`` prices the difference. Oracle: the identical
-    SQL body in DuckDB (md5 is bit-identical), so the external match
-    pins tokenization, hashing, and the island arithmetic at once."""
+    SQL body in DuckDB (md5 token codes bit-identical; the polynomial
+    chains plain BIGINT arithmetic), so the external match pins
+    tokenization, hashing, and the island arithmetic at once."""
     return _span_pairs_impl(spark, sf_dir, None)
 
 
