@@ -40,6 +40,13 @@ shuffles only; directory-pruned scans); the log write is |Δ| rows of
 a few integers; the apply phase is the stores' bounded absorbs. The
 chain adds NO new shuffle over any store.
 
+The REMOVAL complement (:func:`curate_takedown`, r15) closes the
+lifecycle: one verb takes a document set out of every store family —
+pinned to the same log (``takedown=<id>``) before any store is
+touched, each member delete replay-safe, with its own 7-point kill
+matrix. Admission and takedown together keep the invariant in both
+directions: store contents ARE the curated corpus.
+
 Reference anchor: the engine-level analogue of the reference's
 end-to-end jobs (orderpay_detect/OrderPayTxMatch_2Flow_Co.scala:48-57
 — one pipeline, several stateful outcomes per element), recast as a
@@ -415,6 +422,140 @@ def curate_foreach_batch(
             on_batch(decisions, batch_id, replayed)
 
     return body
+
+
+# chaos points of the composed takedown, in apply order. SEARCH leads
+# on purpose: its stats debit is computed against the still-live
+# docstats, and in a shared-prefix deployment (sig/span/search on one
+# table prefix — the loop tests' shape) the sig/span deletes write the
+# SAME tombstone table the search live-mask reads, so running them
+# first would zero the debit and leave the stats row counting dead
+# docs (found by the stats-vs-recompute pin).
+TAKEDOWN_KILL_POINTS = ("log", "search", "sig", "span", "lm", "image", "ann")
+
+
+def curate_takedown(
+    spark: SparkSession,
+    docs: DataFrame,
+    takedown_id,
+    decision_log: str,
+    sig_prefix: str,
+    span_prefix: str,
+    lm_prefix: str | None = None,
+    search_prefix: str | None = None,
+    image_prefix: str | None = None,
+    ann_prefix: str | None = None,
+    fail_after: str | None = None,
+) -> dict[str, int]:
+    """The REMOVAL complement of :func:`curate_foreach_batch`: take a
+    set of documents out of EVERY store family in one verb — a
+    takedown that misses one store silently breaks the loop's "store
+    contents ARE the curated corpus" invariant in reverse (the doc is
+    gone from search but still claims dedup victims, or vice versa).
+
+    ``docs`` must carry (doc_id, text): the LM's inverse count merge
+    needs the text (counts have no per-doc rows to mask, only
+    contributions to cancel); every other member deletes by id.
+
+    Crash consistency mirrors the admit chain: the takedown set is
+    pinned to ``<decision_log>/takedown=<id>`` via write-to-tmp +
+    atomic rename BEFORE any store is touched, and a replay (the dir
+    already exists) reads the PINNED set instead of the caller's frame
+    — so a crash between member deletes re-applies exactly the same
+    removal, and each member verb is individually replay-safe
+    (tombstone adds are distinct-append + read-distinct; the LM's
+    inverse merge subtracts only roster-present docs under its op
+    token; the search stats debit is computed against the still-live
+    docstats, and ``recover_curation_stores``' member recovery
+    recomputes the stats row either way). The search debit LEADS the
+    chain — see ``TAKEDOWN_KILL_POINTS``. Returns {store: ids
+    affected}.
+
+    At 100 TB: every member is O(|takedown|) — tombstone appends and
+    a Δ-sized inverse aggregate; no store rewrite (physical reclaim
+    belongs to each store's compaction)."""
+    from flink_wsr_project_spark.operators.iterative import (
+        local_checkpoint_tracked,
+        release_persistent_rdds,
+    )
+
+    log_dir = os.path.join(decision_log, f"takedown={takedown_id}")
+    ckpt_ids: set[int] = set()
+    try:
+        if os.path.isdir(log_dir):
+            pinned = spark.read.parquet(log_dir)
+        else:
+            staged, sids = local_checkpoint_tracked(
+                docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+            )
+            ckpt_ids |= sids
+            tmp = log_dir + "__tmp"
+            staged.write.mode("overwrite").parquet(tmp)
+            os.makedirs(decision_log, exist_ok=True)
+            os.rename(tmp, log_dir)
+            pinned = spark.read.parquet(log_dir)
+        if fail_after == "log":
+            raise RuntimeError("chaos: crash after takedown log")
+        ids = pinned.select("doc_id")
+
+        out: dict[str, int] = {}
+        from flink_wsr_project_spark.operators.incremental_dedup import (
+            delete_from_signature_store,
+        )
+        from flink_wsr_project_spark.operators.span_store import (
+            delete_from_span_store,
+        )
+
+        # search FIRST — see TAKEDOWN_KILL_POINTS: its live-docstats
+        # stats debit must run before any member that may write the
+        # same prefix's tombstone table
+        if search_prefix is not None:
+            from flink_wsr_project_spark.operators.search_index import (
+                delete_from_search_index,
+            )
+
+            out["search"] = delete_from_search_index(spark, search_prefix, ids)
+        if fail_after == "search":
+            raise RuntimeError("chaos: crash after search takedown")
+        out["sig"] = delete_from_signature_store(spark, sig_prefix, ids)
+        if fail_after == "sig":
+            raise RuntimeError("chaos: crash after sig takedown")
+        out["span"] = delete_from_span_store(spark, span_prefix, ids)
+        if fail_after == "span":
+            raise RuntimeError("chaos: crash after span takedown")
+        if lm_prefix is not None:
+            from flink_wsr_project_spark.operators.lm_store import (
+                lm_store_exists,
+                remove_docs_from_lm,
+            )
+
+            if lm_store_exists(lm_prefix):
+                out["lm"] = remove_docs_from_lm(spark, pinned, lm_prefix)
+        if fail_after == "lm":
+            raise RuntimeError("chaos: crash after lm takedown")
+        if image_prefix is not None:
+            from flink_wsr_project_spark.operators.image_dedup import (
+                delete_from_dhash_store,
+            )
+
+            out["image"] = delete_from_dhash_store(
+                spark, image_prefix, ids.withColumnRenamed("doc_id", "asset_id")
+            )
+        if fail_after == "image":
+            raise RuntimeError("chaos: crash after image takedown")
+        if ann_prefix is not None:
+            from flink_wsr_project_spark.operators.ann_index import (
+                delete_from_ann_index,
+            )
+
+            out["ann"] = delete_from_ann_index(
+                spark, ann_prefix, ids.withColumnRenamed("doc_id", "vec_id")
+            )
+        if fail_after == "ann":
+            raise RuntimeError("chaos: crash after ann takedown")
+        return out
+    finally:
+        release_persistent_rdds(spark, ckpt_ids)
 
 
 def prune_decision_log(

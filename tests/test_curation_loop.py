@@ -609,3 +609,164 @@ def test_curation_health_report(spark, tmp_path):
     assert curation_health(spark, log, prefix, prefix)["decision_log"][
         "pending_tmp_dirs"
     ] == 1
+
+
+def _takedown_state(spark, prefix, lm_prefix):
+    """What the takedown convergence assertions compare: LIVE id sets
+    (tombstone-masked — deletes are logical until compaction), the
+    search stats row, the LM roster, and an LM score probe."""
+    from flink_wsr_project_spark.operators.lm_store import (
+        lm_store_exists,
+        score_docs_against_lm,
+    )
+    from flink_wsr_project_spark.operators.retention import live_rows
+    from flink_wsr_project_spark.operators.search_index import search_stats
+
+    def live(table, col, tp):
+        spark.catalog.refreshTable(table)
+        return frozenset(
+            r[0]
+            for r in live_rows(spark, spark.table(table), tp, col)
+            .select(col)
+            .distinct()
+            .collect()
+        )
+
+    spark.catalog.refreshTable(f"{prefix}_sstats")
+    probe = spark.createDataFrame(
+        [(424242, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    lm_scores = None
+    if lm_store_exists(lm_prefix):
+        lm_scores = frozenset(
+            (r.doc_id, r.nll_micros, r.ccnet_bucket)
+            for r in score_docs_against_lm(spark, probe, lm_prefix).collect()
+        )
+        lm_roster = frozenset(
+            r.doc_id
+            for r in spark.read.parquet(lm_prefix + "_lm_docs").collect()
+        )
+    else:
+        lm_roster = frozenset()
+    return {
+        "sig": live(f"{prefix}_hashed", "doc_id", prefix),
+        "span": live(f"{prefix}_docs", "doc_id", prefix),
+        "search": live(f"{prefix}_docstats", "doc_id", prefix),
+        "image": live(f"{prefix}img_blocks", "asset_id", prefix + "img"),
+        "ann": live(f"{prefix}ann_lists", "vec_id", prefix + "ann"),
+        "search_stats": search_stats(spark, prefix),
+        "lm_roster": lm_roster,
+        "lm_scores": lm_scores,
+    }
+
+
+_TD_CONTROL: dict = {}
+
+
+def _run_takedown(spark, tmp_path, tag, fail_after=None):
+    """Populate all seven stores via the admit chain, then take down
+    three admitted docs (two seed-era, one batch-2) through the
+    composed verb."""
+    from flink_wsr_project_spark.streaming.curation import curate_takedown
+
+    prefix, lm_prefix, log, b2, seen, _ = _run_chain(spark, tmp_path, tag)
+    # two LM-roster docs (loop-admitted, so EVERY store holds them —
+    # the LM only ever holds loop admits, never the seed) plus seed
+    # doc 5 (absent from the LM roster — exercises the inverse
+    # merge's roster-miss path)
+    roster = sorted(
+        r.doc_id for r in spark.read.parquet(lm_prefix + "_lm_docs").collect()
+    )[:2]
+    victims = _corpus(spark).where(
+        f"doc_id IN (5, {roster[0]}, {roster[1]})"
+    )
+    kw = dict(
+        lm_prefix=lm_prefix, search_prefix=prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
+    if fail_after is None:
+        out = curate_takedown(
+            spark, victims, 1, log, prefix, prefix, **kw
+        )
+        return prefix, lm_prefix, log, victims, out
+    with pytest.raises(RuntimeError, match="chaos"):
+        curate_takedown(
+            spark, victims, 1, log, prefix, prefix, fail_after=fail_after, **kw
+        )
+    return prefix, lm_prefix, log, victims, None
+
+
+def _td_control(spark, tmp_path):
+    if not _TD_CONTROL:
+        prefix, lm_prefix, _, victims, out = _run_takedown(spark, tmp_path, "tdctl")
+        _TD_CONTROL["state"] = _takedown_state(spark, prefix, lm_prefix)
+        _TD_CONTROL["out"] = out
+        _TD_CONTROL["victims"] = frozenset(
+            r.doc_id for r in victims.select("doc_id").collect()
+        )
+    return _TD_CONTROL
+
+
+def test_takedown_removes_from_every_store(spark, tmp_path):
+    """The composed takedown's base contract: the victims leave every
+    store family's LIVE view at once (dedup claims, span claims, BM25
+    ranking + scoring stats, image blocks, ANN lists, LM counts), and
+    re-running the same takedown id is a no-op on every member."""
+    from flink_wsr_project_spark.streaming.curation import curate_takedown
+
+    ctl = _td_control(spark, tmp_path)
+    victims = ctl["victims"]
+    st = ctl["state"]
+    for store in ("sig", "span", "search", "image", "ann"):
+        assert st[store] & victims == frozenset(), store
+        assert st[store], store  # survivors remain
+    assert st["lm_roster"] & victims == frozenset()
+    # all three tombstoned everywhere; only the two roster docs
+    # inverse-merge out of the LM (doc 5 is a roster miss, a no-op)
+    assert ctl["out"]["sig"] == 3 and ctl["out"]["lm"] == 2
+
+
+def test_takedown_search_stats_match_recompute(spark, tmp_path):
+    """The incremental stats debit equals a from-scratch recompute
+    over the live docstats (the drift healer's answer)."""
+    from flink_wsr_project_spark.operators.search_index import (
+        recompute_search_stats,
+        search_stats,
+    )
+
+    ctl = _td_control(spark, tmp_path)
+    prefix = "cur_tdctl"
+    before = search_stats(spark, prefix)
+    assert before == recompute_search_stats(spark, prefix)
+
+
+@pytest.mark.parametrize(
+    "kill", ["log", "search", "sig", "span", "lm", "image", "ann"]
+)
+def test_takedown_kill_matrix(spark, tmp_path, kill):
+    """Crash after EVERY step of the composed takedown, then
+    recover-all + replay of the same takedown id: every store's live
+    state (and the LM's exact inverse-merged counts, via the score
+    probe) must equal the uncrashed control."""
+    from flink_wsr_project_spark.streaming.curation import (
+        curate_takedown,
+        recover_curation_stores,
+    )
+
+    ctl = _td_control(spark, tmp_path)
+    prefix, lm_prefix, log, victims, _ = _run_takedown(
+        spark, tmp_path, f"td{kill[:2]}", fail_after=kill
+    )
+    recover_curation_stores(
+        spark, log, prefix, prefix, lm_prefix, prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
+    out = curate_takedown(
+        spark, victims, 1, log, prefix, prefix,
+        lm_prefix=lm_prefix, search_prefix=prefix,
+        image_prefix=prefix + "img", ann_prefix=prefix + "ann",
+    )
+    got = _takedown_state(spark, prefix, lm_prefix)
+    assert got == ctl["state"]
+    assert out["sig"] == 3  # tombstone append is distinct-projected
