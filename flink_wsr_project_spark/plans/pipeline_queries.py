@@ -2317,6 +2317,93 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(span_scrub_sql("spark", _SPAN_GRAM_CAP))
 
 
+_TAKEDOWN_PERMILLE = 100  # deterministic 10% victim set
+
+
+def _takedown_blast_sql(engine: str) -> str:
+    """Pre-takedown impact analysis — the batch companion of the
+    composed ``curate_takedown`` verb (streaming/curation.py): for a
+    deterministic victim set (content-independent doc_id hash, the
+    ``dataset_splits`` discipline, ~10%), what each store family
+    RELEASES or LOSES when the set is removed. One row of exact
+    integers:
+
+    * ``released_neardup_claims`` — verified near-dup claim edges
+      (the capped LSH chain's ``edges``, lower id claims higher) whose
+      CLAIMER is a victim and whose target survives: those drop
+      verdicts are released and the next dedup pass re-elects keepers
+      (the gate corpus has no md5-exact duplicates, so the near-dup
+      edge set is the live claim structure);
+    * ``released_span_claims`` / ``released_span_tokens`` — capped
+      maximal spans claimed BY a victim (doc_a, the lower id) over a
+      survivor: coverage evidence the span keep-list loses;
+    * ``search_docs_removed`` / ``search_tokens_removed`` — the BM25
+      corpus-stats debit the takedown's search member applies.
+
+    Plan: the capped span chain (shared, one gh exchange at runtime) +
+    the capped LSH edge chain + broadcast-sized victim joins; the
+    victim flag is pure row-local hash arithmetic. Oracle: identical
+    SQL."""
+    from flink_wsr_project_spark.operators.spans import (
+        SPAN_MIN_TOKENS,
+        _span_cand_ctes,
+        _span_merge_ctes,
+        span_posgram_ctes,
+    )
+
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    h = h28(f"concat('takedown:', CAST(doc_id AS {str_t}))", engine)
+    toks = toks_expr("text", engine)
+    ln = "size" if engine == "spark" else "len"
+    return f"""
+WITH {span_posgram_ctes(engine)},
+{_span_cand_ctes(engine, _SPAN_GRAM_CAP)},
+{_span_merge_ctes()},
+f AS (SELECT * FROM sp_spans WHERE span_tokens >= {SPAN_MIN_TOKENS}),
+vict AS (
+  SELECT doc_id, {h} % 1000 < {_TAKEDOWN_PERMILLE} AS victim,
+         CAST({ln}({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+{_neardup_edges_ctes(engine)},
+rel_near AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM edges e
+  JOIN vict va ON va.doc_id = e.doc_a AND va.victim
+  JOIN vict vb ON vb.doc_id = e.doc_b AND NOT vb.victim
+),
+rel_span AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         CAST(coalesce(sum(span_tokens), 0) AS BIGINT) AS t
+  FROM f
+  JOIN vict va ON va.doc_id = f.doc_a AND va.victim
+  JOIN vict vb ON vb.doc_id = f.doc_b AND NOT vb.victim
+),
+srch AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM vict WHERE victim
+)
+SELECT (SELECT c FROM srch) AS n_victims,
+       (SELECT c FROM rel_near) AS released_neardup_claims,
+       (SELECT c FROM rel_span) AS released_span_claims,
+       (SELECT t FROM rel_span) AS released_span_tokens,
+       (SELECT c FROM srch) AS search_docs_removed,
+       (SELECT t FROM srch) AS search_tokens_removed
+"""
+
+
+@register(
+    "takedown_blast_radius",
+    oracle=_takedown_blast_sql("duckdb"),
+    doc=_takedown_blast_sql.__doc__,
+    tags=("pipeline", "text", "dedup", "ops"),
+)
+def takedown_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_takedown_blast_sql("spark"))
+
+
 def _modal_consensus_sql(
     engine: str, img_src: str, aud_src: str, vid_src: str
 ) -> str:

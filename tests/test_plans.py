@@ -299,6 +299,11 @@ def test_dimension_join_broadcasts(spark, name):
         # gh window stack (df filter) + cross-split join + islands agg
         # + the two sides' lead windows
         ("benchmark_span_decontaminate", 5),
+        # the capped span chain (10) + the capped LSH edge chain (5) +
+        # victim joins + six 1-row scalar-subquery aggregates
+        # (SinglePartition exchanges of one row each); the span
+        # subtrees share exchanges at runtime as in the pair queries
+        ("takedown_blast_radius", 29),
         # doc-window lag pass + unigram/bigram count shuffles + the
         # score joins keyed on them + per-doc agg; vocab is a 1-row
         # broadcast
