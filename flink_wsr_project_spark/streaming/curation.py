@@ -728,6 +728,7 @@ def curation_health(
         report["ann"] = ann_index_health(spark, ann_prefix)
 
     committed: list[int] = []
+    takedowns = 0
     tmp = 0
     if os.path.isdir(decision_log):
         for entry in os.listdir(decision_log):
@@ -737,9 +738,12 @@ def curation_health(
                 tag = entry.split("=", 1)[1]
                 if tag.lstrip("-").isdigit():
                     committed.append(int(tag))
+            elif entry.startswith("takedown="):
+                takedowns += 1
     report["decision_log"] = {
         "committed_batches": len(committed),
         "last_committed_batch": max(committed) if committed else None,
+        "committed_takedowns": takedowns,
         "pending_tmp_dirs": tmp,
     }
     return report

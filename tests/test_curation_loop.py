@@ -592,6 +592,7 @@ def test_curation_health_report(spark, tmp_path):
     assert dl == {
         "committed_batches": 2,
         "last_committed_batch": 2,
+        "committed_takedowns": 0,
         "pending_tmp_dirs": 0,
     }
     # member reports carry their identity/layout contracts
