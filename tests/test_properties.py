@@ -771,3 +771,38 @@ def test_quality_classifier_matches_python_model(spark, texts):
         }
     for i, t in rows:
         assert out[i] == model(t), f"doc {i}: {out[i]} != {model(t)} for {t!r}"
+
+
+def test_bpe_batch_compatibility_properties():
+    """Property pin for the batched-BPE compatibility rule
+    (hypothesis): for ANY candidate list, the selected batch (a) never
+    exceeds k, (b) preserves candidate order, (c) has pairwise
+    DISJOINT {lhs, rhs, merged} symbol sets — the invariant that makes
+    the one-pass fold equal sequential application — and (d) always
+    includes the first candidate (progress guarantee)."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_wsr_project_spark.operators.bpe import _select_compatible
+
+    sym = st.text(alphabet="abcd_", min_size=1, max_size=3)
+    cand = st.tuples(sym, sym, st.integers(min_value=1, max_value=100))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(cand, max_size=30), st.integers(min_value=1, max_value=8))
+    def check(cands, k):
+        out = _select_compatible(cands, k)
+        assert len(out) <= k
+        # order preserved
+        idx = [cands.index(c) for c in out]
+        assert idx == sorted(idx)
+        # pairwise symbol-disjointness incl. merged outputs
+        seen: set[str] = set()
+        for lhs, rhs, _ in out:
+            symbols = {lhs, rhs, lhs + rhs}
+            assert not (symbols & seen)
+            seen |= symbols
+        # progress: the leader is always taken
+        if cands:
+            assert out and out[0] == cands[0]
+
+    check()
