@@ -19,9 +19,17 @@ Store layout (two bucketed tables):
   ``spark.sql.requireAllClusterKeysForCoPartition=true``) — measured
   in tests/test_writers.py's broadcast-disabled plan walk;
 * ``<prefix>_hashed``    (doc_id, hv array<bigint>)  bucketed by
-  ``doc_id`` — the 28-bit shingle-hash arrays the Jaccard verify needs
-  (ints, not shingle strings: the store must not hold a second copy of
-  the corpus text).
+  ``doc_id`` — the polynomial shingle-hash arrays the Jaccard verify
+  needs (ints, not shingle strings: the store must not hold a second
+  copy of the corpus text).
+
+The hashing scheme's identity is stamped on the store at write time
+(``SIG_HASH_FORMAT_PROP`` — the span/image store discipline) and
+validated on every probe/absorb/compact: a store hashed under one
+scheme and probed under another would silently match nothing and
+decide 'keep' for every true dup. Stores written before r16 (the
+md5-per-shingle-string scheme) fail loudly until rebuilt with
+``write_signature_store``.
 
 At 100 TB the cost of an increment is: one signature scan over Δ only,
 one equi-join of Δ's N_BANDS·|Δ| band rows against the bucketed store
@@ -30,12 +38,13 @@ verify join per candidate against the bucketed hash arrays (again only
 the Δ side shuffles). The corpus×corpus work was paid once, when the
 corpus itself was deduped.
 
-Verify parity note: the store verifies Jaccard over the 28-bit hashed
-shingle SETS while the one-statement query verifies over the shingle
-strings themselves — identical unless two distinct shingles of a
-candidate pair collide in 28 bits, which would shift that pair's
-Jaccard by ~1/|union|. The equivalence on real data is asserted
-(store decisions == registered-query decisions) in the writer tests.
+Verify parity note: the store verifies Jaccard over the hashed
+shingle SETS (31-bit polynomial hashes) while the one-statement query
+verifies over the shingle strings themselves — identical unless two
+distinct shingles of a candidate pair collide in 31 bits, which would
+shift that pair's Jaccard by ~1/|union|. The equivalence on real data
+is asserted (store decisions == registered-query decisions) in the
+writer tests.
 """
 
 from __future__ import annotations
@@ -43,11 +52,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_wsr_project_spark.operators.dedup import (
-    hashed_cte,
+    SIG_HASH_FORMAT,
     jaccard_expr,
     longsigs_select,
-    shingled_cte,
+    shingle_hash_array_expr,
     signature_sql,
+    toks_expr,
 )
 from flink_wsr_project_spark.sources.writers import write_bucketed
 
@@ -59,6 +69,33 @@ VERIFY_JACCARD = 0.5
 # probes and absorbs discover the layout from the catalog instead of a
 # parameter that could drift from what was written.
 HASH_PARTITIONS_PROP = "spark_graft.hash_partitions"
+
+# Catalog property carrying the signature hashing scheme's identity
+# (r16 — the span store's SPAN_HASH_FORMAT discipline applied here
+# when the scheme changed from md5-per-shingle-string to the
+# polynomial token-code chain). Stamped on the longsigs table at
+# write time, validated by every probe/absorb/compact.
+SIG_HASH_FORMAT_PROP = "spark_graft.sig_hash_format"
+
+
+def _check_sig_hash_format(spark: SparkSession, table_prefix: str) -> None:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_longsigs").collect()
+    fmt = {r.key: r.value for r in rows}.get(SIG_HASH_FORMAT_PROP)
+    if fmt is None:
+        raise ValueError(
+            f"signature store '{table_prefix}' carries no recorded hash "
+            f"format ({SIG_HASH_FORMAT_PROP} missing) — written by an "
+            "older scheme (pre-r16 md5 shingle strings) or an "
+            "interrupted write; rebuild it with write_signature_store "
+            "(probing blind would silently match nothing and keep "
+            "every true dup)"
+        )
+    if fmt != SIG_HASH_FORMAT:
+        raise ValueError(
+            f"signature store '{table_prefix}' was written under hash "
+            f"format '{fmt}' but this code produces '{SIG_HASH_FORMAT}' "
+            "— rebuild the store with write_signature_store"
+        )
 
 
 def _store_hash_partitions(spark: SparkSession, table: str) -> int:
@@ -82,12 +119,17 @@ def _longsigs_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def _hashed_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """(doc_id, hv) 28-bit shingle-hash arrays for ``docs``."""
-    docs.createOrReplaceTempView("_sig_input")
-    return spark.sql(
-        f"WITH {shingled_cte('spark', '_sig_input')},\n"
-        f"{hashed_cte('spark')}\n"
-        f"SELECT doc_id, hv FROM hashed"
+    """(doc_id, hv) polynomial shingle-hash arrays for ``docs`` — the
+    in-row form (``shingle_hash_array_expr``), value-identical to the
+    batch signature path's exploded shingle hashes. Two selects so the
+    token array binds to a column before the lambda indexes it."""
+    return docs.selectExpr(
+        "doc_id",
+        f"{toks_expr('text', 'spark')} AS _t",
+        "trim(text) AS _txt",
+    ).selectExpr(
+        "doc_id",
+        f"{shingle_hash_array_expr('_t', '_txt', 'spark')} AS hv",
     )
 
 
@@ -139,6 +181,10 @@ def write_signature_store(
     else:
         write_bucketed(ls, f"{table_prefix}_longsigs", ["b", "h"], num_buckets)
         write_bucketed(hd, f"{table_prefix}_hashed", ["doc_id"], num_buckets)
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_longsigs SET TBLPROPERTIES "
+        f"('{SIG_HASH_FORMAT_PROP}'='{SIG_HASH_FORMAT}')"
+    )
 
 
 def _write_partitioned_bucketed(
@@ -207,6 +253,7 @@ def absorb_kept_into_store(
         release_persistent_rdds,
     )
 
+    _check_sig_hash_format(spark, table_prefix)
     # MATERIALIZE the kept set before the first append: ``decisions``
     # is a lazy plan that READS the store tables, so executing it after
     # the store has been appended to would re-evaluate against the
@@ -316,6 +363,7 @@ def compact_signature_store(
     )
     from flink_wsr_project_spark.sources.writers import table_bucket_spec
 
+    _check_sig_hash_format(spark, table_prefix)
     out: dict[str, int] = {}
     for suffix, part_col, bucket_cols in (
         ("longsigs", "hp", ["b", "h"]),
@@ -365,6 +413,15 @@ def compact_signature_store(
                     f"ALTER TABLE {tmp} SET TBLPROPERTIES "
                     f"('{HASH_PARTITIONS_PROP}'='{p}')"
                 )
+            if suffix == "longsigs":
+                # re-stamp the hash-format identity BEFORE the swap so
+                # every crash state (original intact, or tmp-only) still
+                # carries it — recovery must never produce an unstamped
+                # store
+                spark.sql(
+                    f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                    f"('{SIG_HASH_FORMAT_PROP}'='{SIG_HASH_FORMAT}')"
+                )
             spark.sql(f"DROP TABLE {table}")
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
             if p:
@@ -404,6 +461,7 @@ def dedup_incremental_from_store(
     distribution."""
     from flink_wsr_project_spark.operators.retention import live_rows
 
+    _check_sig_hash_format(spark, table_prefix)
     bls = _longsigs_df(spark, batch_docs)
     batch_longsigs = bls.alias("bl")
     batch_hashed = _hashed_df(spark, batch_docs)
@@ -531,6 +589,7 @@ def dedup_incremental_from_store_pruned(
     "is this doc already in the corpus?" lookups, where reading P
     directories to answer one doc is the difference that matters at
     100 TB."""
+    _check_sig_hash_format(spark, table_prefix)
     p = _store_hash_partitions(spark, f"{table_prefix}_longsigs")
     if p <= 0:
         raise ValueError(

@@ -110,6 +110,55 @@ JOIN shingled s ON d.doc_id = s.doc_id
     )
 
 
+def _check_ingest_sig_format(state_path: str, have_state: bool) -> None:
+    """Validate the directory state's recorded signature-hash scheme
+    against the code's (``operators.dedup.SIG_HASH_FORMAT``) — the
+    catalog stores' stamp discipline on the ingest pipeline's
+    directory state. Band values hashed under one scheme never match
+    another's, so probing blind would silently admit every true dup.
+    State written before the marker existed (pre-r16) fails loudly
+    until rebuilt."""
+    import os
+
+    from flink_wsr_project_spark.operators.dedup import SIG_HASH_FORMAT
+
+    marker = os.path.join(state_path, "_sig_format")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            fmt = f.read().strip()
+        if fmt != SIG_HASH_FORMAT:
+            raise ValueError(
+                f"ingest state '{state_path}' was written under signature "
+                f"hash format '{fmt}' but this code produces "
+                f"'{SIG_HASH_FORMAT}' — rebuild the state (re-ingest) "
+                "before admitting batches"
+            )
+    elif have_state:
+        raise ValueError(
+            f"ingest state '{state_path}' carries no recorded signature "
+            "hash format (_sig_format marker missing — written by a "
+            "pre-r16 scheme or an interrupted first commit); rebuild "
+            "the state before admitting batches (probing blind would "
+            "silently admit every true dup)"
+        )
+
+
+def _write_ingest_sig_format(state_path: str) -> None:
+    """Record the signature scheme on first commit (tmp+rename so a
+    crash never leaves a truncated marker)."""
+    import os
+
+    from flink_wsr_project_spark.operators.dedup import SIG_HASH_FORMAT
+
+    marker = os.path.join(state_path, "_sig_format")
+    if os.path.exists(marker):
+        return
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(SIG_HASH_FORMAT + "\n")
+    os.replace(tmp, marker)
+
+
 def delete_from_ingest_state(
     spark: SparkSession, state_path: str, doc_ids: DataFrame
 ) -> int:
@@ -296,6 +345,7 @@ def ingest_batch(
     have_state = os.path.isdir(state_path) and any(
         e.startswith("batch=") for e in os.listdir(state_path)
     )
+    _check_ingest_sig_format(state_path, have_state)
     if os.path.isdir(batch_dir):  # idempotent re-run
         return {
             "admitted": new_docs.sparkSession.read.parquet(batch_dir).select("doc_id"),
@@ -384,6 +434,7 @@ def ingest_batch(
 
     # 3. commit admitted state rows for this batch (append-only dir)
     survivors.select(*_STATE_COLS).write.mode("errorifexists").parquet(batch_dir)
+    _write_ingest_sig_format(state_path)
     new_state.unpersist()
     return {
         "admitted": survivors.select("doc_id"),

@@ -23,6 +23,7 @@ from flink_wsr_project_spark.operators.dedup import (
     jaccard_expr,
     longsigs_select,
     minhash_from_hashed_expr,
+    shingle_hash_array_expr,
     shingled_cte,
     shingles_from_toks,
     signature_sql,
@@ -152,21 +153,31 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh_sql(engine: str) -> str:
-    """MinHash-LSH near-dup pairs: band-equality candidates (equi-join
-    per band, UNION-dedup) → exact 3-gram Jaccard verify ≥ 0.4.
-    The pair space is only within-band — never O(n²)."""
+    """MinHash-LSH near-dup pairs: band-equality candidates → exact
+    3-gram Jaccard verify ≥ 0.4. The pair space is only within-band —
+    never O(n²).
+
+    Plan shape (r16): the four band columns explode to LONG format
+    ``(doc_id, b, h)`` and the candidate join is ONE self-equi-join on
+    ``(b, h)`` with UNION-dedup — both join sides are the identical
+    subtree, so the signature aggregate and the (b, h) exchange each
+    run ONCE and the other side is a ReusedExchange (pinned in
+    test_plans). The per-band wide join this replaced referenced
+    ``sigs`` once per band per side; under the r16 aggregate-shaped
+    signature, column pruning made each reference its own
+    scan+hash+aggregate chain — 8 corpus scans where one suffices."""
     sig = signature_sql(engine)
-    cands = "\n  UNION\n".join(
-        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
-        for b_ in range(4)
-    )
     jac = jaccard_expr("sa.sh", "sb.sh", engine)
     return f"""
 WITH sigs AS ({sig}),
 {shingled_cte(engine)},
+longsigs AS (
+{longsigs_select(engine)}
+),
 cand AS (
-{cands}
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM longsigs a JOIN longsigs b
+    ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT c.doc_a, c.doc_b, {jac} AS jaccard
@@ -221,26 +232,36 @@ def _parse_bucket_cap(raw: str, name: str = "SPARK_GRAFT_LSH_BUCKET_CAP") -> int
 _LSH_BUCKET_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "2"), "SPARK_GRAFT_LSH_BUCKET_CAP")
 
 
-def _capped_cands_union() -> str:
-    """UNION body of within-cap band candidates: per band, a
-    (band, hash) bucket joins against itself ONLY if its size is ≤
-    ``_LSH_BUCKET_CAP`` (a per-band HAVING aggregate joined back).
-    Used by the STANDALONE capped-pairs query only since r9: the
-    composed chain builds its within-cap pairs from the long-format
-    ``marked`` window CTE inside ``_neardup_edges_ctes`` instead (one
-    (b, h) shuffle for all four bands) — the two definitions select
-    the same pair set (pinned by the capped-pairs⊆chain relationship
-    in the synthetic parity tests) but are separate SQL; edit both if
-    the cap semantics change. Engine-independent (plain ANSI joins),
-    hence no engine arg."""
+def _capped_cands_ctes() -> str:
+    """CTEs ``sized`` + ``cand`` for the STANDALONE capped-pairs
+    query: long-format band rows annotated with their bucket size by
+    ONE (b, h) window, then a self-equi-join restricted to buckets ≤
+    ``_LSH_BUCKET_CAP`` — over-cap buckets are EXCLUDED (no star
+    collapse here; that is the composed chain's richer contract in
+    ``_neardup_edges_ctes``, which selects a superset — the
+    capped-pairs⊆chain relationship is pinned in the synthetic parity
+    tests). Expects ``longsigs`` upstream. Engine-independent (plain
+    ANSI), hence no engine arg.
+
+    The size predicate appears on BOTH join sides (redundant-but-true:
+    n is constant per bucket, and the equi-join keeps sides in one
+    bucket) — the span-family discipline: without it Catalyst prunes
+    the window off the unfiltered side, the two join inputs stop being
+    identical subtrees, and the whole signature chain is recomputed
+    (and at small sizes broadcast) per side. With it, one signature
+    aggregate + one (b, h) exchange feed both sides (ReusedExchange,
+    pinned in test_plans)."""
     cap = _LSH_BUCKET_CAP
-    return "\n  UNION\n".join(
-        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b_} = b.band{b_} AND a.doc_id < b.doc_id"
-        f" JOIN (SELECT band{b_} AS h FROM sigs GROUP BY band{b_}"
-        f" HAVING count(*) <= {cap}) ok{b_} ON ok{b_}.h = a.band{b_}"
-        for b_ in range(4)
-    )
+    return f"""sized AS (
+  SELECT doc_id, b, h, count(*) OVER (PARTITION BY b, h) AS n
+  FROM longsigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, m.doc_id AS doc_b
+  FROM sized a JOIN sized m
+    ON a.b = m.b AND a.h = m.h AND a.doc_id < m.doc_id
+  WHERE a.n <= {cap} AND m.n <= {cap}
+)"""
 
 
 # re-exported under the old private name for in-module callers; the
@@ -301,7 +322,19 @@ def _neardup_edges_ctes(engine: str) -> str:
     then union into a SINGLE ``cand`` set verified by ONE shingle
     join per side — one Jaccard filter total. The r7/r8 per-band
     aggregate-join layout cost 8 band exchanges in the funnel plan
-    (caught by ``test_shuffle_budget``); this layout costs 2."""
+    (caught by ``test_shuffle_budget``); this layout costs 2.
+
+    BOTH sides of the within-cap join carry redundant-but-true
+    predicates on n/keeper (r16 — the span family's discipline: n is
+    constant per bucket so m.n ≤ cap is implied by a.n ≤ cap on a
+    (b, h)-equi join; keeper ≤ doc_id always holds). NOT decoration:
+    under the r16 aggregate-shaped signature, a side that references
+    neither window output gets its window stack pruned, stops being
+    the identical subtree, and the whole scan→hash→aggregate signature
+    chain is recomputed (and, at stats-friendly sizes, BROADCAST) for
+    that side — a 100 TB hazard. With them, one signature aggregate +
+    one (b, h) exchange feed every marked reference (ReusedExchange,
+    pinned in test_plans)."""
     sig = signature_sql(engine)
     jac = jaccard_expr("sa.sh", "sb.sh", engine)
     cap = _LSH_BUCKET_CAP
@@ -320,7 +353,8 @@ marked AS (
 cand AS (
   SELECT a.doc_id AS doc_a, m.doc_id AS doc_b
   FROM marked a JOIN marked m ON a.b = m.b AND a.h = m.h AND a.doc_id < m.doc_id
-  WHERE a.n <= {cap}
+  WHERE a.n <= {cap} AND m.n <= {cap}
+    AND a.keeper <= a.doc_id AND m.keeper <= m.doc_id
   UNION
   SELECT keeper AS doc_a, doc_id AS doc_b FROM marked
   WHERE n > {cap} AND doc_id > keeper
@@ -347,11 +381,11 @@ def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
     identically in both engines (a per-band HAVING aggregate joined
     back), so the result stays exactly oracle-checkable.
 
-    100 TB shape: per band, one extra aggregate over sigs (bounded by
-    |buckets|) whose survivors broadcast back into the band equi-join
-    — the pair space drops from Σ|bucket|² to Σ_{|b|≤cap}|b|², making
-    the worst case cap²·|buckets| instead of data-dependent. Measured
-    on the 10×-clone probe dataset: see SCALE.md round-6 notes.
+    100 TB shape: one (b, h) window annotates every band row with its
+    bucket size (the exchange both join sides then reuse), and the
+    pair space drops from Σ|bucket|² to Σ_{|b|≤cap}|b|², making the
+    worst case cap²·|buckets| instead of data-dependent. Measured on
+    the 10×-clone probe dataset: see SCALE.md round-6 notes.
     ``lsh_bucket_skew`` reports what the cap dropped (no silent
     truncation)."""
     sig = signature_sql(engine)
@@ -359,9 +393,10 @@ def _dedup_minhash_lsh_capped_sql(engine: str) -> str:
     return f"""
 WITH sigs AS ({sig}),
 {shingled_cte(engine)},
-cand AS (
-{_capped_cands_union()}
-)
+longsigs AS (
+{longsigs_select(engine)}
+),
+{_capped_cands_ctes()}
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT c.doc_a, c.doc_b, {jac} AS jaccard
   FROM cand c
@@ -387,19 +422,30 @@ def _lsh_bucket_skew_sql(engine: str) -> str:
     many buckets the ``_LSH_BUCKET_CAP`` drops, and the candidate
     pairs saved (Σ n(n-1)/2 over capped buckets). At scale this is the
     dashboard row that tells you whether cap tuning is costing recall
-    or just skipping duplicate clusters."""
+    or just skipping duplicate clusters.
+
+    Plan shape (r16): long-format band rows → ONE (b, h) bucket-size
+    aggregate → a 4-row per-band rollup — the per-band UNION ALL this
+    replaced referenced ``sigs`` once per band, which under the
+    aggregate-shaped signature meant four scan+hash+aggregate chains
+    for what one exchange now carries."""
     sig = signature_sql(engine)
     cap = _LSH_BUCKET_CAP
     div = "div" if engine == "spark" else "//"
-    per_band = "\nUNION ALL\n".join(
-        f"""SELECT {b_} AS band, count(*) AS n_buckets,
+    return f"""
+WITH sigs AS ({sig}),
+longsigs AS (
+{longsigs_select(engine)}
+),
+buckets AS (
+  SELECT b AS band, h, count(*) AS n FROM longsigs GROUP BY b, h
+)
+SELECT band, count(*) AS n_buckets,
        max(n) AS max_bucket,
        CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_capped,
        CAST(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) {div} 2 ELSE 0 END) AS BIGINT) AS pairs_saved
-FROM (SELECT band{b_}, count(*) AS n FROM sigs GROUP BY band{b_})"""
-        for b_ in range(4)
-    )
-    return f"WITH sigs AS ({sig})\n{per_band}"
+FROM buckets GROUP BY band
+"""
 
 
 @register(
@@ -505,8 +551,8 @@ def _minhash_jaccard_error_sql(engine: str) -> str:
     mh_cols = ", ".join(
         f"{minhash_from_hashed_expr(k, engine)} AS mh{k}" for k in range(N_PERMS)
     )
-    xform = "transform" if engine == "spark" else "list_transform"
-    hv = f"{xform}(sh, s -> {h28('s', engine)})"
+    toks = toks_expr("text", engine)
+    hv = shingle_hash_array_expr("t", "trim(text)", engine)
     matches = " + ".join(
         f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(N_PERMS)
     )
@@ -517,8 +563,13 @@ def _minhash_jaccard_error_sql(engine: str) -> str:
         na, nb = "len(list_distinct(a.sh))", "len(list_distinct(b.sh))"
         inter = "len(list_intersect(a.sh, b.sh))"
     return f"""
-WITH {shingled_cte(engine)},
-hashed AS (SELECT doc_id, sh, {hv} AS hv FROM shingled WHERE doc_id < 150),
+WITH mje_tok AS (
+  SELECT doc_id, text, {toks} AS t FROM documents WHERE doc_id < 150
+),
+hashed AS (
+  SELECT doc_id, {shingles_from_toks('t', 'text', engine)} AS sh, {hv} AS hv
+  FROM mje_tok
+),
 sigs AS (SELECT doc_id, sh, {mh_cols} FROM hashed),
 scored AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -76,35 +76,40 @@ def _load_all() -> None:
 # if recently verified, so a regression in changed code is caught by the
 # external harness, not just the local parity suite. Update each round.
 _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
-    # r15: span_posgram_ctes swapped the md5-per-gram hashing for the
-    # polynomial scheme (60-bit md5 token codes + three Horner chains
-    # in a lead window — all codegen, ~6× cheaper; sf0.1 posgram build
-    # 6.4 s → 1.0 s). gh/vh VALUES change wholesale, so although the
-    # reported spans are identical (hash collisions aside, bounded in
-    # the module docstring) the whole span family's shared SQL changed
-    # and every registered consumer re-earns external green.
-    "shared_span_pairs",
-    "shared_span_pairs_capped",
-    "shared_span_pairs_gapped",
-    "span_gram_skew",
-    "span_dedup_keep_list",
-    "span_scrub",
-    "cross_source_span_leakage",
-    "benchmark_span_decontaminate",
-    # r15: the BPE unrolled-merge CTE's re-segmentation switched from
-    # CROSS JOIN m{r} to LEFT JOIN ON true (ADVICE r14: an exhausted
-    # merge round must carry the last real segmentation through, not
-    # empty every later CTE). Results are unchanged whenever merges
-    # run the full rounds — which the gate corpus does — but the
-    # shared oracle SQL of all three BPE queries changed.
-    "bpe_merges_topk",
-    "bpe_vocab_fertility",
-    "bpe_doc_tokens",
-    # r15: embedding_pca_project swapped eigh for the deterministic
-    # power iteration and FINALLY gained a hash oracle (the last
-    # rows-only registered query) — results changed (pc_micro ints),
-    # so it re-enters the window.
-    "embedding_pca_project",
+    # r16: the MinHash signature path swapped the md5-per-shingle-string
+    # scheme for the polynomial token-code chain (operators/dedup.py —
+    # the span family's r15 template: 60-bit md5 token codes + one
+    # Horner chain, batch form explode + map-side-partial min
+    # aggregation, streaming form in-row). Every minhash/band VALUE
+    # changes wholesale, so every registered consumer of
+    # signature_sql / _neardup_edges_ctes / _dedup_keep_list_sql
+    # re-earns external green on its changed SQL. The set below is the
+    # mechanical diff of all_oracles() SQL before/after the rewrite
+    # (19 queries). This crowds the 50-query window in the round the
+    # 48 r12-vintage queries rotate due — the residue rotates in r17,
+    # exactly the stagger VERDICT r15 §Next-round-3 endorsed.
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "lsh_bucket_skew",
+    "neardup_bucket_claims",
+    "minhash_jaccard_error",
+    "dedup_keep_list",
+    "dedup_incremental",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_method_agreement",
+    "modal_dedup_agreement",
+    "modal_dedup_consensus",
+    "curation_funnel",
+    "takedown_blast_radius",
+    "cross_source_contamination",
+    "doc_pagerank",
+    "doc_triangles",
+    "fuzzy_prefix_pairs",
+    # r15 canaries (span polynomial hashing ×8, BPE LEFT-JOIN CTE ×3,
+    # PCA power-iteration oracle ×1) all re-earned external green in
+    # CORRECTNESS_r15 (12/12) and rotate back to natural order.
     # r13: empty on purpose. All six r12 canaries re-earned external
     # green in CORRECTNESS_r12 on their changed results. No r13 change
     # alters any REGISTERED query's SQL or results: the capped-builder

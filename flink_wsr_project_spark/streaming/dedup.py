@@ -118,26 +118,30 @@ def _band_signature_rows(
 ) -> DataFrame:
     """Shared in-row signature prep for the streaming dedup arms: one
     row per (doc, band) with the batch pipeline's EXACT band-hash
-    expressions (operators/dedup.py), every step JVM-side in
-    whole-stage codegen. Each shingle is md5-hashed once; the 16
-    permutation folds are pure arithmetic. ``keep_hv`` additionally
-    carries the 28-bit shingle-hash array through (the incremental
-    arm's verify needs it in-row)."""
+    VALUES (operators/dedup.py — the r16 polynomial token-code
+    scheme), every step JVM-side. A micro-batch cannot run the batch
+    path's explode + aggregate shape, so the shingle hashes compute
+    in-row (``shingle_hash_array_expr``; equality with the batch form
+    is pinned in tests/test_properties.py) and the 16 permutation
+    folds are pure arithmetic over that array. ``keep_hv``
+    additionally carries the shingle-hash array through (the
+    incremental arm's verify needs it in-row)."""
     from flink_wsr_project_spark.operators.dedup import (
         BAND_SIZE,
         N_BANDS,
         N_PERMS,
         band_hash_expr,
-        h28,
         minhash_from_hashed_expr,
-        shingles_from_toks,
+        shingle_hash_array_expr,
         toks_expr,
     )
 
     pre = ensure_event_time(stream, ts_col)
     pre = pre.withColumn("_t", F.expr(toks_expr(content_col, "spark")))
-    pre = pre.withColumn("_sh", F.expr(shingles_from_toks("_t", content_col, "spark")))
-    pre = pre.withColumn("_hv", F.expr(f"transform(_sh, s -> {h28('s', 'spark')})"))
+    pre = pre.withColumn(
+        "_hv",
+        F.expr(shingle_hash_array_expr("_t", f"trim({content_col})", "spark")),
+    )
     # ONE projection for all 16 minhashes (chained withColumn nests a
     # Project per call — needless per-trigger analyzer work)
     pre = pre.withColumns(

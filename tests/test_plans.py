@@ -209,7 +209,11 @@ def test_dimension_join_broadcasts(spark, name):
         ("shard_manifest", 2),  # bucket-partitioned rank + per-shard rollup
         ("user_value_ewma", 1),  # one user_id shuffle; fold is in-row
         ("user_value_ewma_partitioned", 1),  # one user_id shuffle; secondary-sort fold
-        ("dedup_method_agreement", 3),  # LSH pairs + blocked cosine pairs + pair-key join
+        # LSH pairs member (its sig aggregate + (b,h) self-join, sides
+        # ReusedExchange at runtime) + blocked cosine pairs + pair-key
+        # full-outer join (r16: +2 for the aggregate-shaped signature —
+        # the sig doc_id exchange and the (b,h) exchange, each ONCE)
+        ("dedup_method_agreement", 5),
         # Measured member costs: quality 0 (row-local) + exact-dedup md5
         # agg 1 + near-dup chain 5 (one (b,h) window shuffle per self-join
         # side + pair-dedup + drops distinct + doc_id join) + decontam 3
@@ -218,15 +222,23 @@ def test_dimension_join_broadcasts(spark, name):
         # to 17/18 via per-band aggregate-join-back; the r9 long-format
         # window layout is the lean shape at the chain's current
         # semantics).
-        ("curation_funnel", 11),
-        ("dedup_keep_list", 5),  # (b,h) window x2 + pair-dedup + drops + join
+        ("curation_funnel", 15),
+        # sig doc_id aggregate + (b,h) window ×3 static (ONE runs, two
+        # ReusedExchange at runtime — the redundant-predicate identity,
+        # pinned in test_lsh_runtime_plan_shares_one_band_exchange) +
+        # pair-dedup + drops distinct + docs join ×2 (left scan + agg)
+        ("dedup_keep_list", 9),
         ("dedup_incremental", 3),  # one (b,h) self-join + pair-dedup + partner agg
         ("user_value_locf", 2),  # bounds agg + one user_id window pass over obs∪grid
         ("value_ohlc_hourly", 1),  # single-pass mergeable min_by/max_by bar compaction
         ("value_vwap_hourly", 1),  # JSON-extract inside one exact-integer agg
         ("kv_upsert_final_state", 2),  # two-phase distinct agg on the composite key
-        ("dedup_minhash_lsh_capped", 5),  # LSH band joins + 4 bucket-size HAVING aggs
-        ("lsh_bucket_skew", 8),  # 4 bands x (bucket-size agg + per-band rollup), all |buckets|-sized
+        # r16 long-format shape: sig aggregate + (b,h) size window ×2
+        # static (one runs, one ReusedExchange) + pair-dedup (the
+        # pre-r16 per-band HAVING layout re-ran the signature chain 12×
+        # under the aggregate-shaped signature — static was 16)
+        ("dedup_minhash_lsh_capped", 5),
+        ("lsh_bucket_skew", 3),  # sig aggregate + one (b,h) bucket agg + 4-row band rollup
         ("series_pattern_topk", 1),  # one user_id lag pass; top-K is TakeOrderedAndProject
         ("image_dhash_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
         ("image_dhash_keep_list", 2),  # pair-dedup + claim agg; final join broadcasts
@@ -234,13 +246,14 @@ def test_dimension_join_broadcasts(spark, name):
         # reuses its partitioning; + pair-dedup UNION + star-arm dedup
         ("image_dhash_neardup_capped", 3),
         ("image_block_skew", 2),  # (blk,bv) bucket-size agg + 4-row blk rollup
-        # text keep-list member (5) + image pair-dedup + 1-row agg
-        ("modal_dedup_agreement", 7),
-        # text keep-list member (5) + the CAPPED candidate shape per
+        # text keep-list member (9 — the r16 aggregate-shaped
+        # signature, see dedup_keep_list) + image pair-dedup + 1-row agg
+        ("modal_dedup_agreement", 11),
+        # text keep-list member (9) + the CAPPED candidate shape per
         # perceptual modality (3 each: (blk,bv) window shuffle +
         # pair-dedup UNION + star-arm dedup — never the uncapped block
         # self-join); claim sets broadcast into the final per-doc join
-        ("modal_dedup_consensus", 14),
+        ("modal_dedup_consensus", 18),
         ("audio_fp_neardup", 1),  # 4 block self-joins fold into one pair-dedup shuffle
         ("video_fp_neardup", 1),  # same shape over the Y4M fingerprint
         # the image capped shape instantiated per modality (r13): one
@@ -299,11 +312,12 @@ def test_dimension_join_broadcasts(spark, name):
         # gh window stack (df filter) + cross-split join + islands agg
         # + the two sides' lead windows
         ("benchmark_span_decontaminate", 5),
-        # the capped span chain (10) + the capped LSH edge chain (5) +
-        # victim joins + six 1-row scalar-subquery aggregates
-        # (SinglePartition exchanges of one row each); the span
-        # subtrees share exchanges at runtime as in the pair queries
-        ("takedown_blast_radius", 29),
+        # the capped span chain (10) + the capped LSH edge chain (9 —
+        # r16 aggregate-shaped signature) + victim joins + six 1-row
+        # scalar-subquery aggregates (SinglePartition exchanges of one
+        # row each); the span AND signature subtrees share exchanges at
+        # runtime as in the pair queries (15 ReusedExchange measured)
+        ("takedown_blast_radius", 33),
         # doc-window lag pass + unigram/bigram count shuffles + the
         # score joins keyed on them + per-doc agg; vocab is a 1-row
         # broadcast
@@ -357,6 +371,34 @@ def test_span_runtime_plan_shares_one_gram_exchange(spark):
     assert gh_ex == 1, f"expected ONE gh exchange, got {gh_ex}"
     assert doc_ex == 1, f"expected ONE doc_id lead-window exchange, got {doc_ex}"
     assert reused >= 3, f"expected >=3 ReusedExchange, got {reused}"
+
+
+def test_lsh_runtime_plan_shares_one_band_exchange(spark):
+    """The r16 signature-rewrite scale pin, at RUNTIME: the composed
+    LSH chain (dedup_keep_list) must hash the corpus ONCE — exactly
+    one token-explode Generate and one (b, h) exchange in the final
+    adaptive plan, with every other ``marked`` reference a
+    ReusedExchange. The failure mode (observed while building r16,
+    before the redundant-but-true n/keeper predicates were added to
+    both join sides): Catalyst column-prunes the bucket window off the
+    unfiltered side, the subtrees diverge, and the whole
+    scan→hash→aggregate signature chain is recomputed AND broadcast
+    per side — the span family's r14 hazard reborn, invisible to the
+    static budget."""
+    from flink_wsr_project_spark.plans.registry import get
+
+    df = get("dedup_keep_list").spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    nodes = [line.strip().lstrip("+-*: ") for line in final.splitlines()]
+    band_ex = sum(n.startswith("Exchange hashpartitioning(b#") for n in nodes)
+    # Generate prints inside a WholeStageCodegen span (``*(n) Generate``)
+    explodes = sum("Generate explode(sequence(" in n for n in nodes)
+    reused = sum(n.startswith("ReusedExchange") for n in nodes)
+    assert band_ex == 1, f"expected ONE (b,h) exchange, got {band_ex}"
+    assert explodes == 1, f"expected ONE signature token explode, got {explodes}"
+    assert reused >= 2, f"expected >=2 ReusedExchange, got {reused}"
 
 
 @pytest.mark.parametrize("name", ["market_by_channel", "market_total", "hot_items_topn"])

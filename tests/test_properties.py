@@ -723,6 +723,98 @@ _doc_texts = st.lists(
 
 
 @given(texts=_doc_texts)
+@settings(max_examples=40, deadline=None)
+def test_signature_inrow_form_equals_batch_form_and_python_model(texts):
+    """r16 pinned equivalence for the polynomial signature scheme: the
+    STREAMING in-row form (``shingle_hash_array_expr`` + the 16
+    ``minhash_from_hashed_expr`` folds + ``band_hash_expr``) must
+    produce the exact band values of the BATCH form (``signature_sql``
+    — explode + min aggregation), and both must match an independent
+    pure-Python model of the token-code Horner chain — on
+    hypothesis-generated unicode including empty/whitespace-only texts
+    (the whole-text fallback) and sub-3-token docs. DuckDB evaluates
+    both SQL forms; the Spark<->DuckDB parity suite carries the
+    identity to Spark (and the plan tests pin the Spark batch shape)."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from flink_wsr_project_spark.operators.dedup import (
+        BAND_SIZE,
+        N_BANDS,
+        N_PERMS,
+        PERMS,
+        MINHASH_P,
+        SIG_CHAIN_B,
+        SIG_CHAIN_M,
+        band_hash_expr,
+        minhash_from_hashed_expr,
+        shingle_hash_array_expr,
+        signature_sql,
+        toks_expr,
+    )
+
+    def code(tok: str) -> int:
+        return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+
+    def model_bands(text: str) -> tuple[str, ...]:
+        toks = re.split(r"\s+", text.strip())
+        if len(toks) < 3:
+            shs = [code(text.strip()) % SIG_CHAIN_M]
+        else:
+            shs = []
+            for i in range(len(toks) - 2):
+                h = code(toks[i]) % SIG_CHAIN_M
+                for j in (1, 2):
+                    h = (h * SIG_CHAIN_B + code(toks[i + j])) % SIG_CHAIN_M
+                shs.append(h)
+        mh = [min((a * h + b) % MINHASH_P for h in shs) for a, b in PERMS]
+        return tuple(
+            hashlib.md5(
+                "_".join(
+                    str(mh[b * BAND_SIZE + j]) for j in range(BAND_SIZE)
+                ).encode()
+            ).hexdigest()
+            for b in range(N_BANDS)
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        list(texts),
+    )
+    batch = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(signature_sql("duckdb")).fetchall()
+    }
+    mh_cols = ", ".join(
+        f"{minhash_from_hashed_expr(k, 'duckdb')} AS mh{k}" for k in range(N_PERMS)
+    )
+    bands = ", ".join(
+        band_hash_expr([f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "duckdb")
+        + f" AS band{b}"
+        for b in range(N_BANDS)
+    )
+    inrow = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"WITH tk AS (SELECT doc_id, trim(text) AS txt, "
+            f"{toks_expr('text', 'duckdb')} AS t FROM documents),\n"
+            f"h AS (SELECT doc_id, "
+            f"{shingle_hash_array_expr('t', 'txt', 'duckdb')} AS hv FROM tk),\n"
+            f"m AS (SELECT doc_id, {mh_cols} FROM h)\n"
+            f"SELECT doc_id, {bands} FROM m"
+        ).fetchall()
+    }
+    assert batch == inrow
+    for i, t in enumerate(texts):
+        assert batch[i] == model_bands(t), (i, t)
+
+
+@given(texts=_doc_texts)
 @settings(**_SETTINGS)
 def test_quality_classifier_matches_python_model(spark, texts):
     """quality_classifier_score vs a pure-Python reference: identical

@@ -609,10 +609,11 @@ def test_star_edge_verify_rejects_false_positive_member(spark, tmp_path):
     so the reject branch (member fails Jaccard >= 0.5 vs the keeper)
     was dead code. This corpus makes it fire deterministically: docs
     1-3 are verbatim clones; doc 4 extends the clone text with 14 junk
-    tokens chosen (offline search over the repo's fixed md5/perm
-    constants) so its band-3 minhash minima all equal the clones' —
-    a REAL band-hash false positive — while exact 3-gram Jaccard vs
-    the clone is 11/25 = 0.44 < 0.5. Every bucket holding a clone
+    tokens chosen (offline search over the repo's fixed hash/perm
+    constants; re-verified under the r16 polynomial scheme, where the
+    colliding band is band 0 instead of band 3) so one band's minhash
+    minima all equal the clones' — a REAL band-hash false positive —
+    while exact 3-gram Jaccard vs the clone is 11/25 = 0.44 < 0.5. Every bucket holding a clone
     holds all three (size >= 3 > cap), so doc 4 can only reach the
     clones through the star branch, and the verify must reject it:
     doc 4 stays kept, alone in its component, on BOTH engines."""
@@ -828,16 +829,18 @@ def test_star_collapse_residual_quantified_when_keeper_is_false_positive(spark, 
     The r10 verdict asked for a number behind "another band can still
     supply them" — this corpus measures it.
 
-    Corpus: the offline-searched band-3 collision text from
-    test_star_edge_verify_rejects_false_positive_member, but the false
-    positive gets doc_id 0 — SMALLER than the clones — so in band 3 it
-    IS the bucket-min keeper. Per-band star-edge audit (inline SQL over
-    the chain's own signature/verify fragments):
+    Corpus: the searched single-band collision text from
+    test_star_edge_verify_rejects_false_positive_member (band 0 under
+    the r16 polynomial constants; band 3 under the pre-r16 md5
+    scheme), but the false positive gets doc_id 0 — SMALLER than the
+    clones — so in the poisoned band it IS the bucket-min keeper.
+    Per-band star-edge audit (inline SQL over the chain's own
+    signature/verify fragments):
 
-      bands 0-2: bucket {1,2,3}   → 2 star candidates, 2 verified
-      band 3:    bucket {0,1,2,3} → 3 star candidates, 0 verified
+      band 0:    bucket {0,1,2,3} → 3 star candidates, 0 verified
                  (keeper 0 fails Jaccard vs every clone: the poisoned
                   band contributes NOTHING)
+      bands 1-3: bucket {1,2,3}   → 2 star candidates, 2 verified
 
     So the per-band loss is total (3/3 candidates) in the poisoned
     band, and the recovery is total for the SEMANTICS: identical
@@ -903,7 +906,7 @@ JOIN shingled sb ON sb.doc_id = s.doc_b
 GROUP BY s.b
 """)
     got = {r.band: (r.candidates, r.verified) for r in audit.collect()}
-    assert got == {0: (2, 2), 1: (2, 2), 2: (2, 2), 3: (3, 0)}
+    assert got == {0: (3, 0), 1: (2, 2), 2: (2, 2), 3: (2, 2)}
 
     # semantics survive the poisoned band: drop set == the uncapped
     # reference, the false positive stays kept and alone

@@ -1191,9 +1191,22 @@ def test_recover_interrupted_compaction_swaps(spark):
         for r in dedup_incremental_from_store(spark, batch, "rcv").collect()
     }
 
-    # crash window A: temp written, live dropped, rename never ran
+    # crash window A: temp written, live dropped, rename never ran.
+    # The real compact stamps the hash-format identity on the temp
+    # BEFORE the drop (so no crash state is ever unstamped) — the
+    # simulation mirrors that order.
+    from flink_wsr_project_spark.operators.dedup import SIG_HASH_FORMAT
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        SIG_HASH_FORMAT_PROP,
+    )
+
     for t in ("rcv_longsigs", "rcv_hashed"):
         spark.table(t).write.saveAsTable(f"{t}__compact")  # layout-agnostic copy
+        if t == "rcv_longsigs":
+            spark.sql(
+                f"ALTER TABLE {t}__compact SET TBLPROPERTIES "
+                f"('{SIG_HASH_FORMAT_PROP}'='{SIG_HASH_FORMAT}')"
+            )
         spark.sql(f"DROP TABLE {t}")
     assert sorted(recover_store_compaction(spark, "rcv")) == [
         "rcv_hashed",
@@ -1261,8 +1274,73 @@ def test_compaction_refuses_legacy_bucket_columns(spark):
         4, "doc_id"
     ).mode("overwrite").format("parquet").saveAsTable("legacy_hashed")
 
+    # unstamped, the (earlier) hash-format gate fires — that rejection
+    # is exercised on its own in test_store_rejects_wrong_hash_format;
+    # stamp the table so the BUCKET-LAYOUT refusal is what this test
+    # pins
+    from flink_wsr_project_spark.operators.dedup import SIG_HASH_FORMAT
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        SIG_HASH_FORMAT_PROP,
+    )
+
+    spark.sql(
+        "ALTER TABLE legacy_longsigs SET TBLPROPERTIES "
+        f"('{SIG_HASH_FORMAT_PROP}'='{SIG_HASH_FORMAT}')"
+    )
     with pytest.raises(ValueError, match="predates"):
         compact_signature_store(spark, "legacy")
+
+
+def test_store_rejects_wrong_hash_format(spark):
+    """The signature store's r16 identity stamp: a store with no
+    recorded hash format (pre-r16 md5-shingle-string scheme) or a
+    MISMATCHED one is refused by probe, absorb and compact with a
+    rebuild hint — probing blind would silently match nothing and
+    keep every true dup (the span/image store discipline)."""
+    import pytest
+
+    from flink_wsr_project_spark.operators.incremental_dedup import (
+        SIG_HASH_FORMAT_PROP,
+        absorb_kept_into_store,
+        compact_signature_store,
+        dedup_incremental_from_store,
+        dedup_incremental_from_store_pruned,
+        write_signature_store,
+    )
+
+    for t in ("fmtchk_longsigs", "fmtchk_hashed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil_rmtree(f"spark-warehouse/{t}")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    write_signature_store(spark, docs, "fmtchk", num_buckets=2)
+    # a fresh write IS stamped and probes fine
+    assert dedup_incremental_from_store(spark, docs.limit(1), "fmtchk").count() == 1
+
+    # mismatched stamp (a future/past scheme) → every surface refuses
+    spark.sql(
+        "ALTER TABLE fmtchk_longsigs SET TBLPROPERTIES "
+        f"('{SIG_HASH_FORMAT_PROP}'='md5sh28v1')"
+    )
+    decisions = spark.createDataFrame(
+        [(1, "keep", None)], "doc_id long, decision string, dup_of long"
+    )
+    for fn in (
+        lambda: dedup_incremental_from_store(spark, docs, "fmtchk"),
+        lambda: dedup_incremental_from_store_pruned(spark, docs, "fmtchk"),
+        lambda: absorb_kept_into_store(spark, docs, decisions, "fmtchk", 2),
+        lambda: compact_signature_store(spark, "fmtchk"),
+    ):
+        with pytest.raises(ValueError, match="md5sh28v1"):
+            fn()
+
+    # missing stamp (pre-r16 store) → refused with the rebuild hint
+    spark.sql(
+        f"ALTER TABLE fmtchk_longsigs UNSET TBLPROPERTIES ('{SIG_HASH_FORMAT_PROP}')"
+    )
+    with pytest.raises(ValueError, match="no recorded hash format"):
+        dedup_incremental_from_store(spark, docs, "fmtchk")
 
 
 def shutil_rmtree(path):
