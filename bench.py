@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+the primary record as the LAST stdout line, ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Verbose per-run detail
+(every steady sample, isolated-run breakdowns) prints on its own
+earlier ``"metric": "bench_detail"`` line, so the primary record
+stays inside the driver's bounded tail capture no matter how much
+detail accrues (r15 lost its committed totals to exactly that
+truncation).
 
 Queries are fully materialized through the noop sink (no driver-side
 collect; measures scan → shuffle → agg end to end).
@@ -42,9 +48,9 @@ now carries enough per-run detail to identify a tainted sample FROM
 THE ARTIFACT ALONE: every steady run's individual time
 (``queries_steady_samples`` / ``queries_pipeline_steady_samples``),
 and a ``taint`` object listing each query whose steady MEDIAN exceeds
-its own first run in the same record (physically impossible from
-code — steady runs reuse the compiled plans the first run paid for —
-so it is diagnostic of load arriving mid-bench) plus a
+its own first run by more than 5% in the same record (steady runs
+reuse the compiled plans the first run paid for, so beyond scheduler
+jitter this is strongly indicative of load arriving mid-bench) plus a
 ``startup_contended`` flag (session startup > 7.5 s ⇒ the JVM start
 itself was contended; the r14 interleaved A/B showed first-run totals
 track startup, not code version). The heuristic is documented in
@@ -271,15 +277,19 @@ def main() -> None:
 
     # Taint heuristic (r14 verdict task 3, documented in BASELINE.md):
     # a query whose steady MEDIAN exceeds its own first run in the
-    # same record is physically impossible from code (steady passes
-    # reuse the plans/codegen the first run compiled) — it means load
-    # arrived mid-bench, and the whole steady total should be read as
-    # a contaminated sample. Session startup > 7.5 s means the JVM
-    # start itself was contended (the r14 interleaved A/B: first-run
-    # totals track session_startup_sec, not code version).
+    # same record is strongly indicative of load arriving mid-bench
+    # (steady passes reuse the plans/codegen the first run compiled),
+    # and the whole steady total should be read as a contaminated
+    # sample. A 5% relative tolerance absorbs scheduler/GC jitter on
+    # sub-second queries, which can legitimately nudge a steady median
+    # a few ms past a lucky first run on a clean machine (r15 ADVICE —
+    # the flag should mark contention, not round-off). Session startup
+    # > 7.5 s means the JVM start itself was contended (the r14
+    # interleaved A/B: first-run totals track session_startup_sec,
+    # not code version).
     steady_gt_first = sorted(
-        [n for n in names if steady[n] > timings[n]]
-        + [n for n in pipe_names if pipe_steady[n] > pipe_timings[n]]
+        [n for n in names if steady[n] > timings[n] * 1.05]
+        + [n for n in pipe_names if pipe_steady[n] > pipe_timings[n] * 1.05]
     )
     taint = {
         "steady_gt_first": steady_gt_first,
@@ -287,6 +297,24 @@ def main() -> None:
         "tainted": bool(steady_gt_first) or session_sec > 7.5,
     }
 
+    # Two stdout lines (r15 verdict defect 1): the per-run sample
+    # detail added in r15 grew the single JSON line past the driver's
+    # 2000-char tail-capture window, so the committed BENCH_r15
+    # artifact lost its parseable totals ("parsed": null). The detail
+    # now goes on its OWN line FIRST and the compact primary record
+    # prints LAST — the driver parses the last JSON line inside its
+    # tail window, so the totals always survive however verbose the
+    # detail grows. The primary line is kept within the window by
+    # construction (no per-sample lists); test_bench_output pins it.
+    detail = {
+        "metric": "bench_detail",
+        "queries_steady_samples": {
+            n: [round(s, 3) for s in v] for n, v in samples.items()
+        },
+        "queries_pipeline_steady_samples": {
+            n: [round(s, 3) for s in v] for n, v in pipe_samples.items()
+        },
+    }
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -294,17 +322,11 @@ def main() -> None:
         "queries": timings,
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
-        "queries_steady_samples": {
-            n: [round(s, 3) for s in v] for n, v in samples.items()
-        },
         "steady_runs": steady_runs,
         "pipeline_total": round(sum(pipe_timings.values()), 3),
         "queries_pipeline": pipe_timings,
         "pipeline_steady_total": round(sum(pipe_steady.values()), 3),
         "queries_pipeline_steady": pipe_steady,
-        "queries_pipeline_steady_samples": {
-            n: [round(s, 3) for s in v] for n, v in pipe_samples.items()
-        },
         "taint": taint,
         "sf": sf,
         "context": {
@@ -319,9 +341,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ISOLATE") == "1":
         spark.stop()  # free the shared JVM before the per-query ones
         iso_first, iso_steady, iso_detail = _isolated_pass(names, sf_dir)
-        result["queries_isolated"] = iso_first
-        result["queries_isolated_steady"] = iso_steady
-        result["queries_isolated_detail"] = iso_detail
+        # per-query maps + per-run detail ride the detail line; only
+        # the two totals join the size-bounded primary record
+        detail["queries_isolated"] = iso_first
+        detail["queries_isolated_steady"] = iso_steady
+        detail["queries_isolated_detail"] = iso_detail
         result["isolated_total"] = round(sum(iso_first.values()), 3)
         result["isolated_steady_total"] = round(sum(iso_steady.values()), 3)
 
@@ -329,6 +353,7 @@ def main() -> None:
     # machine-state context must include every run it exists to explain
     result["context"]["load_avg_end"] = round(os.getloadavg()[0], 2)
 
+    print(json.dumps(detail))
     print(json.dumps(result))
 
 

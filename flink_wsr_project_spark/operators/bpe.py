@@ -79,6 +79,17 @@ def _pair_counts(seg: DataFrame) -> DataFrame:
     )
 
 
+def _sql_lit(s: str) -> str:
+    """Spark SQL single-quoted literal for a corpus-derived symbol:
+    backslashes and quotes escaped. The registered queries' word
+    pre-tokenizer keeps [a-z0-9] only, but the operator accepts any
+    ``docs`` frame — an apostrophe surviving a caller's tokenization
+    would otherwise break the generated fold expression (r15 ADVICE),
+    and the batched path widens the surface to 4k+8 candidates per
+    round."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _merge_pair_expr(lhs: str, rhs: str) -> str:
     """Greedy left-to-right merge of (lhs, rhs) as a left fold: the
     accumulator's LAST symbol is lhs and the incoming symbol is rhs →
@@ -86,13 +97,13 @@ def _merge_pair_expr(lhs: str, rhs: str) -> str:
     after a merge the tail IS the merged symbol, which only matches
     lhs again if a fresh lhs follows. Symbols are whole-string
     compared, so a single symbol that happens to spell lhs||rhs never
-    conflates. Symbols are [a-z0-9_] only — safe to embed as
-    literals."""
+    conflates. Symbols embed as ESCAPED literals (``_sql_lit``)."""
     merged = lhs + rhs
     return (
         "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
-        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_lit(lhs)} "
+        f"AND x = {_sql_lit(rhs)} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_lit(merged)})) "
         "ELSE concat(acc, array(x)) END)"
     )
 
@@ -132,8 +143,9 @@ def _merge_batch_expr(batch: list[tuple[str, str, int]]) -> str:
     interact, so one pass is exact); expression size is linear in the
     batch, never nested."""
     whens = "".join(
-        f"WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lhs + rhs}')) "
+        f"WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_lit(lhs)} "
+        f"AND x = {_sql_lit(rhs)} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_lit(lhs + rhs)})) "
         for lhs, rhs, _ in batch
     )
     return (

@@ -168,8 +168,14 @@ def pca_project(
 #
 # Shape: C_raw = n·gram − colsum⊗colsum (exact int64; ∝ covariance),
 # pre-scaled to cq = floor(double(C_raw) / D) with D = max(1,
-# (n·n) div 2^18) so |cq| ≤ scale²·2^18 ≈ 2.6e11 for ANY corpus size —
+# (n·n) div 2^18) so |cq| ≤ scale²·2^18 ≈ 2.6e11 after the rescale —
 # every matvec sum then stays exact in int64 (64·2.6e11·2^15 ≈ 5.5e17).
+# Oracle validity bound (r15 ADVICE): the POST-rescale bound holds for
+# any n, but DuckDB computes C_raw itself in BIGINT before the /D —
+# |C_raw| ~ n²·scale² crosses int64 near n ≈ 3e6 vectors, where DuckDB
+# raises Out of Range (loud, not silent). The driver-Python side uses
+# exact bigints and is unaffected. Past that bound, move the oracle's
+# C_raw arithmetic to HUGEINT and cast to DOUBLE only at the cq step.
 # Per round: w = cq·v (exact ints); v' = floor(w/max|w|·2^15 + 0.5)
 # (three float ops, re-quantized to ints). The 2nd component iterates
 # jointly, Gram-Schmidt-orthogonalized against the UPDATED v1 each

@@ -28,7 +28,8 @@ recovered with three relational steps, each a standard shuffle:
    The positional index costs ~12 bytes/token — a constant factor of
    corpus size, not a blowup.
 2. GRAM MATCH: self-equi-join on ``gh`` (one hash shuffle), verified
-   on ``vh`` (92 effective bits for every enumerated pair — the
+   on ``vh`` (93 effective bits — 62-bit ``gh`` + the independent
+   31-bit ``vh`` — for every enumerated pair; the
    collision-verify analogue of the image path's Hamming verify), with
    the document-frequency cap valve below bounding the degenerate mass.
 3. DIAGONAL MERGE: a run of consecutive matching positions between two
@@ -51,7 +52,7 @@ keep-list consumes, and those are preserved EXACTLY (star rows pair
 every member occurrence with every KEEPER occurrence of the gram, so
 keeper-side diagonals are identical to the uncapped ones even when
 the keeper holds stray extra copies of a gram; pinned by synthetic
-test). Star rows carry the same 92-bit two-hash verify as the
+test). Star rows carry the same 93-bit two-hash verify as the
 enumerated arm.
 
 Spans shorter than ``min_span`` tokens are noise (every ~5-token
@@ -232,7 +233,7 @@ def _span_cand_ctes(engine: str, cap: int | None) -> str:
     # fragment the keeper-side span, breaking the "keeper claims
     # preserved exactly" guarantee; r13 review finding). Row count per
     # over-cap gram: |members|·|keeper occurrences| — still linear in
-    # the bucket, and star rows now carry the full 92-bit two-hash
+    # the bucket, and star rows now carry the full 93-bit two-hash
     # verify like the enumerated arm.
     star = (
         ""

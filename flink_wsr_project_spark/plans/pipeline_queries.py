@@ -2159,7 +2159,7 @@ def shared_span_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-keeper convention), so capping bounds pair evidence among
     non-minimum documents, never the decision input. Spans assembled
     from star rows are still genuine shared runs (every candidate row
-    pairs two real gram sites and carries the same 92-bit two-hash
+    pairs two real gram sites and carries the same 93-bit two-hash
     verify as the enumerated arm). Oracle: identical SQL with
     identical cap semantics, so the hash match pins the valve
     itself."""

@@ -563,6 +563,7 @@ def prune_decision_log(
     keep_last: int | None = 16,
     max_age_sec: float | None = None,
     now: float | None = None,
+    takedown_keep_last: int | None = None,
 ) -> list[str]:
     """Retention verb for committed decision-log dirs — without it a
     long-running loop grows one parquet directory per micro-batch
@@ -572,21 +573,50 @@ def prune_decision_log(
     (and, when ``max_age_sec`` is given, everything younger than
     that), removes the rest, and returns the pruned dir names.
 
+    RETENTION ASYMMETRY, deliberate: ``batch=`` dirs are replay
+    plumbing and prune by default; ``takedown=`` dirs are the removal
+    AUDIT TRAIL (who was removed, when, with what pinned victim set)
+    and are permanent by default — a takedown record is usually the
+    artifact a compliance request is answered from. A loop that has
+    offloaded its audit trail elsewhere can opt in with
+    ``takedown_keep_last=N``: keeps the N newest takedown dirs by
+    mtime (minimum 1 — the newest is the crash-recovery replay
+    target; ``recover_curation_stores`` re-applies it from the pinned
+    set, so it must survive any prune).
+
     The pinned-forever default behavior is still available as the
     audit-retention escape hatch: ``keep_last=None, max_age_sec=None``
-    prunes nothing. Run it from the loop's maintenance cadence (e.g.
-    alongside store compaction), never concurrently with an in-flight
-    batch commit for the ids being pruned — which is guaranteed by
-    keeping ``keep_last >= 1``."""
+    prunes nothing on the batch side. Run it from the loop's
+    maintenance cadence (e.g. alongside store compaction), never
+    concurrently with an in-flight batch commit for the ids being
+    pruned — which is guaranteed by keeping ``keep_last >= 1``."""
     import shutil
     import time
 
+    pruned_takedowns: list[str] = []
+    if takedown_keep_last is not None:
+        if takedown_keep_last < 1:
+            raise ValueError(
+                "takedown_keep_last must be >= 1 (the newest takedown is "
+                "the crash-recovery replay target)"
+            )
+        if os.path.isdir(decision_log):
+            tds = sorted(
+                (
+                    (os.path.getmtime(os.path.join(decision_log, e)), e)
+                    for e in os.listdir(decision_log)
+                    if e.startswith("takedown=") and not e.endswith("__tmp")
+                ),
+            )
+            for _, entry in tds[: max(0, len(tds) - takedown_keep_last)]:
+                shutil.rmtree(os.path.join(decision_log, entry))
+                pruned_takedowns.append(entry)
     if keep_last is None and max_age_sec is None:
-        return []
+        return pruned_takedowns
     if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the replay batch)")
     if not os.path.isdir(decision_log):
-        return []
+        return pruned_takedowns
     batches = []
     for entry in os.listdir(decision_log):
         if entry.startswith("batch=") and not entry.endswith("__tmp"):
@@ -612,7 +642,7 @@ def prune_decision_log(
         if b not in keep_ids:
             shutil.rmtree(os.path.join(decision_log, entry))
             pruned.append(entry)
-    return pruned
+    return pruned_takedowns + pruned
 
 
 def recover_curation_stores(

@@ -494,3 +494,51 @@ def test_prune_decision_log_keeps_last_and_young(tmp_path):
     with pytest.raises(ValueError):
         prune_decision_log(log, keep_last=0)
     assert prune_decision_log(str(tmp_path / "absent")) == []
+
+
+def test_prune_decision_log_takedown_retention_opt_in(tmp_path):
+    """takedown= dirs are permanent audit records by DEFAULT (the
+    retention asymmetry is deliberate — they answer compliance
+    requests); takedown_keep_last=N is the opt-in for loops that have
+    offloaded the audit trail: keeps the N newest by mtime, never
+    fewer than 1 (the newest is the crash-recovery replay target),
+    and composes with the batch-side knobs in one call (r15 ADVICE)."""
+    import os
+    import time
+
+    import pytest
+
+    from flink_wsr_project_spark.streaming.curation import prune_decision_log
+
+    log = str(tmp_path / "declog")
+    os.makedirs(log)
+    now = time.time()
+    for i, td in enumerate(["t1", "t2", "t3"]):
+        d = os.path.join(log, f"takedown={td}")
+        os.makedirs(d)
+        os.utime(d, (now - 100 + i, now - 100 + i))  # t1 oldest
+    os.makedirs(os.path.join(log, "takedown=t9__tmp"))
+    for b in range(3):
+        os.makedirs(os.path.join(log, f"batch={b}"))
+
+    # default: takedowns untouched even while batches prune
+    assert prune_decision_log(log, keep_last=1) == ["batch=0", "batch=1"]
+    assert sorted(e for e in os.listdir(log) if e.startswith("takedown=")) == [
+        "takedown=t1", "takedown=t2", "takedown=t3", "takedown=t9__tmp",
+    ]
+
+    # opt-in: oldest pruned, newest kept, __tmp never touched
+    assert prune_decision_log(
+        log, keep_last=None, max_age_sec=None, takedown_keep_last=2
+    ) == ["takedown=t1"]
+    assert sorted(e for e in os.listdir(log) if e.startswith("takedown=")) == [
+        "takedown=t2", "takedown=t3", "takedown=t9__tmp",
+    ]
+
+    # composes with batch pruning in one call; floor of 1 enforced
+    os.makedirs(os.path.join(log, "batch=3"))
+    assert prune_decision_log(log, keep_last=1, takedown_keep_last=1) == [
+        "takedown=t2", "batch=2",
+    ]
+    with pytest.raises(ValueError):
+        prune_decision_log(log, takedown_keep_last=0)

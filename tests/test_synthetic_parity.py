@@ -1557,3 +1557,29 @@ def test_bpe_batched_skips_incompatible_and_converges(spark, tmp_path):
     assert [(m[1], m[2]) for m in merges][:1] == [("a", "b")]
     assert len(merges) == 2
     seg.unpersist()
+
+
+def test_bpe_fold_exprs_escape_quoted_symbols(spark):
+    """The generated merge-fold expressions embed corpus-derived
+    symbols as SQL literals; the registered queries' pre-tokenizer
+    keeps [a-z0-9] only, but the operator accepts any caller frame —
+    a symbol carrying an apostrophe or backslash must be escaped, not
+    break the expression (r15 ADVICE; the batched path widens the
+    surface to 4k+8 candidates per round)."""
+    from flink_wsr_project_spark.operators.bpe import (
+        _merge_batch_expr,
+        _merge_pair_expr,
+    )
+
+    apos = "don't"
+    bsl = "a\\b"  # the two-char symbol a\b
+    df = spark.createDataFrame(
+        [("w", 1, [apos, "x", bsl, "y"])],
+        "word string, freq long, syms array<string>",
+    )
+    pair_expr = _merge_pair_expr(apos, "x") + " AS syms"
+    out = df.selectExpr(pair_expr).first()
+    assert out.syms == [apos + "x", bsl, "y"]
+    batch_expr = _merge_batch_expr([(apos, "x", 1), (bsl, "y", 1)]) + " AS syms"
+    out2 = df.selectExpr(batch_expr).first()
+    assert out2.syms == [apos + "x", bsl + "y"]
