@@ -158,6 +158,60 @@ def _lloyd_consistent_labels(
     return cur
 
 
+def ann_index_exists(spark: SparkSession, table_prefix: str) -> bool:
+    """True iff BOTH index tables exist. A partial state (centroids
+    written, lists missing — the crash window inside a first-batch
+    bootstrap) reports False on purpose: the healing move is a full
+    re-fit (``write_ann_index``/``bootstrap_ann_index`` overwrite both
+    tables), and a replayed bootstrap batch does exactly that."""
+    return spark.catalog.tableExists(
+        f"{table_prefix}_centroids"
+    ) and spark.catalog.tableExists(f"{table_prefix}_lists")
+
+
+def bootstrap_ann_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    table_prefix: str,
+    k: int = 8,
+    num_buckets: int = 8,
+    partition_lists: bool = False,
+    quantize: bool = False,
+    max_reassign_iters: int = 40,
+) -> None:
+    """Cold-start fit from UNLABELED (vec_id, embedding) rows — the
+    verb that makes an ANN-bearing curation loop deployable from zero
+    (r15 verdict #3: every other store family bootstraps from its
+    first batch; centroid training is a corpus fit the absorb path
+    cannot do). Labels are seeded deterministically (``pmod(vec_id,
+    k)`` — replay-stable, no RNG) and ``write_ann_index``'s Lloyd
+    reassignment drives them to the usual fixed point, so a
+    bootstrapped index is indistinguishable from one written with
+    externally trained labels: fresh_centroid_mismatch starts at 0
+    and probes reproduce the inline query bit-for-bit.
+
+    ``k`` caps the list count; fewer than ``k`` distinct vec_ids
+    simply yields fewer lists (empty seed labels vanish at the first
+    means step). Crash posture: both tables are overwritten, so any
+    partial state heals on re-run; ``ann_index_exists`` treats a
+    half-written pair as absent for exactly this reason."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seeded = vectors.select(
+        "vec_id", F.pmod("vec_id", F.lit(k)).alias("label"), "embedding"
+    )
+    write_ann_index(
+        spark,
+        seeded,
+        table_prefix,
+        num_buckets=num_buckets,
+        partition_lists=partition_lists,
+        quantize=quantize,
+        reassign=True,
+        max_reassign_iters=max_reassign_iters,
+    )
+
+
 def write_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,

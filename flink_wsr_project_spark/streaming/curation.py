@@ -219,6 +219,7 @@ def curate_foreach_batch(
     image_prefix: str | None = None,
     ann_prefix: str | None = None,
     embedding_col: str = "embedding",
+    ann_bootstrap_k: int = 8,
 ):
     """foreachBatch body for the composed curation chain. Gates each
     micro-batch (quality → signature-store dedup → span coverage →
@@ -232,9 +233,12 @@ def curate_foreach_batch(
     state tracks the curated corpus instead of drifting from it), and
     the ANN/IVF index when ``ann_prefix`` is given (the batch must
     then carry ``embedding_col``; admitted docs' vectors are assigned
-    to their nearest existing centroid and appended — the index must
-    already exist with >= 1 centroid, unlike the LM store the loop can
-    bootstrap: centroid training is a corpus fit, not a fold).
+    to their nearest existing centroid and appended). An ABSENT index
+    is bootstrapped from the first batch's admitted vectors
+    (``bootstrap_ann_index`` with ``ann_bootstrap_k`` seed lists —
+    r16, closing the last manual step of a from-zero deployment; the
+    LM-store pattern: the fit is a full overwrite, so a replayed or
+    half-written first batch refits the same).
 
     Only the final admitted set absorbs anywhere: every store's
     contents ARE the curated corpus, the invariant that makes the
@@ -404,17 +408,36 @@ def curate_foreach_batch(
         if ann_prefix is not None:
             from flink_wsr_project_spark.operators.ann_index import (
                 absorb_vectors_into_index,
+                ann_index_exists,
+                bootstrap_ann_index,
             )
 
-            absorb_vectors_into_index(
-                spark,
+            admitted_vecs = (
                 docs_with_vecs.join(admitted, "doc_id")
                 .where(F.col("embedding").isNotNull())
-                .selectExpr("doc_id AS vec_id", "embedding"),
-                ann_prefix,
-                num_buckets,
-                exclude_existing=True,
+                .selectExpr("doc_id AS vec_id", "embedding")
             )
+            if ann_index_exists(spark, ann_prefix):
+                absorb_vectors_into_index(
+                    spark, admitted_vecs, ann_prefix, num_buckets,
+                    exclude_existing=True,
+                )
+            else:
+                # cold start (r16): the first batch's admitted vectors
+                # ARE the centroid fit — the LM-store bootstrap pattern
+                # (full overwrite, so a replayed or half-written first
+                # batch refits the same); later batches absorb against
+                # the fitted centroids
+                from flink_wsr_project_spark.operators.iterative import (
+                    local_checkpoint_tracked,
+                )
+
+                pinned, ids = local_checkpoint_tracked(admitted_vecs)
+                ckpt_ids |= ids
+                bootstrap_ann_index(
+                    spark, pinned, ann_prefix,
+                    k=ann_bootstrap_k, num_buckets=num_buckets,
+                )
         if fail_after == "ann":
             raise RuntimeError("chaos: crash after ann absorb")
 
@@ -431,6 +454,21 @@ def curate_foreach_batch(
 # SAME tombstone table the search live-mask reads, so running them
 # first would zero the debit and leave the stats row counting dead
 # docs (found by the stats-vs-recompute pin).
+#
+# CONCURRENCY CONTRACT (r16): takedowns are serialized WITH batch
+# commits by the decision-log WAL — run ``curate_takedown`` between
+# batches (foreachBatch bodies complete before the next fires, so
+# calling it from the same driver thread as the stream's processing
+# gives this for free), never concurrently with an in-flight batch's
+# apply phase: a batch absorbing while a takedown tombstones the same
+# prefix could interleave a member absorb between the takedown's
+# member deletes, leaving the victim present in stores the takedown
+# had already passed. Under that ordering the result is exact: a
+# takedown between batches leaves every store and every later batch's
+# decisions IDENTICAL to a corpus that never contained the victims
+# (tombstone masks, the LM's inverse merge and the search stats debit
+# are all exact logical removals — pinned by
+# test_takedown_between_live_batches_matches_never_present_control).
 TAKEDOWN_KILL_POINTS = ("log", "search", "sig", "span", "lm", "image", "ann")
 
 

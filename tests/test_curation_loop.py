@@ -650,14 +650,21 @@ def _takedown_state(spark, prefix, lm_prefix):
         )
     else:
         lm_roster = frozenset()
-    return {
+    out = {
         "sig": live(f"{prefix}_hashed", "doc_id", prefix),
         "span": live(f"{prefix}_docs", "doc_id", prefix),
         "search": live(f"{prefix}_docstats", "doc_id", prefix),
-        "image": live(f"{prefix}img_blocks", "asset_id", prefix + "img"),
-        "ann": live(f"{prefix}ann_lists", "vec_id", prefix + "ann"),
         "search_stats": search_stats(spark, prefix),
         "lm_roster": lm_roster,
+    }
+    # media stores only when the loop shape configured them (the
+    # interleaved-takedown test runs the text-only shape)
+    if spark.catalog.tableExists(f"{prefix}img_blocks"):
+        out["image"] = live(f"{prefix}img_blocks", "asset_id", prefix + "img")
+    if spark.catalog.tableExists(f"{prefix}ann_lists"):
+        out["ann"] = live(f"{prefix}ann_lists", "vec_id", prefix + "ann")
+    return {
+        **out,
         "lm_scores": lm_scores,
     }
 
@@ -771,3 +778,179 @@ def test_takedown_kill_matrix(spark, tmp_path, kill):
     got = _takedown_state(spark, prefix, lm_prefix)
     assert got == ctl["state"]
     assert out["sig"] == 3  # tombstone append is distinct-projected
+
+
+def test_ann_cold_start_bootstrap_in_loop(spark, tmp_path):
+    """r16 (verdict #4): a loop configured with ``ann_prefix`` but NO
+    pre-fitted index bootstraps the index from batch 1's admitted
+    vectors (deterministic seed labels → Lloyd fixed point) and
+    absorbs from batch 2 on — the from-zero deployment has no manual
+    step left. Pins: (a) batch 1 fits (index exists, contents = b1
+    admitted, fresh_centroid_mismatch == 0 — a bootstrapped index is
+    indistinguishable from an externally trained one); (b) batch 2
+    absorbs without refitting (centroids unchanged); (c) the
+    bootstrap crash windows heal — chaos AFTER the fit replays into
+    the absorb no-op path, and a half-written pair (lists dropped)
+    re-fits on replay — both converging to the uncrashed control;
+    (d) a probe equal to an absorbed vector returns itself top-1."""
+    import shutil
+
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_index_exists,
+        ann_topk_from_index,
+        measure_index_drift,
+    )
+    from flink_wsr_project_spark.streaming.curation import (
+        curate_foreach_batch,
+    )
+
+    seedless_tags = ["annboot", "annbootctl", "annbootcrash"]
+    runs = {}
+    for tag in seedless_tags:
+        prefix = f"cur_{tag}"
+        lm_prefix = str(tmp_path / f"lm_{tag}")
+        log = str(tmp_path / f"log_{tag}")
+        seed, b1, b2 = _batches(spark, tmp_path)
+        b1, b2 = _with_vecs(spark, b1), _with_vecs(spark, b2)
+        _init_stores(spark, prefix, seed)  # text stores only — NO ann
+        _drop_tables(spark, prefix + "ann")
+        assert not ann_index_exists(spark, prefix + "ann")
+
+        def mk(fail_after=None, prefix=prefix, log=log, lm_prefix=lm_prefix):
+            return curate_foreach_batch(
+                log, prefix, prefix, lm_prefix, prefix,
+                num_buckets=2, fail_after=fail_after,
+                ann_prefix=prefix + "ann", ann_bootstrap_k=4,
+            )
+
+        if tag == "annbootcrash":
+            # chaos fires AFTER the bootstrap fit completed
+            with pytest.raises(RuntimeError, match="chaos"):
+                mk("ann")(b1, 1)
+            assert ann_index_exists(spark, prefix + "ann")
+            mk()(b1, 1)  # replay: index exists -> absorb no-op path
+        else:
+            mk()(b1, 1)
+            if tag == "annboot":
+                # half-written pair: lists lost inside the fit window —
+                # exists() reports absent, replay re-fits the same
+                spark.sql(f"DROP TABLE {prefix}ann_lists")
+                shutil.rmtree(f"spark-warehouse/{prefix}ann_lists", ignore_errors=True)
+                assert not ann_index_exists(spark, prefix + "ann")
+                mk()(b1, 1)
+
+        drift1 = measure_index_drift(spark, prefix + "ann")
+        cent1 = sorted(
+            (r.label, tuple(round(x, 9) for x in r.cv))
+            for r in spark.table(f"{prefix}ann_centroids").collect()
+        )
+        mk()(b2, 2)
+        cent2 = sorted(
+            (r.label, tuple(round(x, 9) for x in r.cv))
+            for r in spark.table(f"{prefix}ann_centroids").collect()
+        )
+        runs[tag] = {
+            "drift1": drift1,
+            "cent1": cent1,
+            "cent2": cent2,
+            "lists": sorted(
+                r.vec_id for r in spark.table(f"{prefix}ann_lists").collect()
+            ),
+        }
+
+    ctl = runs["annbootctl"]
+    # (a) fresh bootstrap is Lloyd-consistent
+    assert ctl["drift1"]["fresh_centroid_mismatch"] == 0.0
+    assert 1 <= ctl["drift1"]["n_lists"] <= 4
+    # (b) batch 2 absorbed without refit
+    assert ctl["cent1"] == ctl["cent2"]
+    # (c) both crash paths converge to the control, row-exact
+    for tag in ("annboot", "annbootcrash"):
+        assert runs[tag]["lists"] == ctl["lists"], tag
+        assert runs[tag]["cent2"] == ctl["cent2"], tag
+    # (d) an absorbed vector probes back to itself (rank-1, cosine ~1)
+    some_id = ctl["lists"][0]
+    probe = spark.table("cur_annbootctl" + "ann_lists").where(
+        F.col("vec_id") == some_id
+    ).selectExpr("vec_id AS query_id", "embedding AS qv")
+    # self-matches are excluded, so probe under a DIFFERENT id
+    probe = probe.selectExpr("query_id + 1000000 AS query_id", "qv")
+    top = ann_topk_from_index(spark, probe, "cur_annbootctl" + "ann", k=1).first()
+    assert top.neighbor_id == some_id and top.cosine > 0.999999
+
+
+def test_takedown_between_live_batches_matches_never_present_control(spark, tmp_path):
+    """r16 (verdict #5): a takedown interleaved BETWEEN batches of a
+    live loop must leave the loop indistinguishable from a control
+    whose corpus NEVER contained the victims — provable because every
+    member delete is an exact logical removal (tombstone masks for
+    sig/span/search, the LM's exact inverse merge, the stats debit).
+    The WAL gives the ordering: batch 1 commits, the takedown pins its
+    victim set, batch 2 decides against the post-takedown stores.
+
+    Victims are the seed claimers of batch 2's crafted dups (docs 5,
+    7, 9) — so the assertion has teeth: in BOTH runs the crafted
+    exact-dup/near-dup/span docs flip to 'keep' (their claimers are
+    gone), and the full batch-2 decision sets and live store states
+    match row-exact. This also documents the concurrency contract on
+    TAKEDOWN_KILL_POINTS: takedowns run BETWEEN batch commits (the
+    decision-log WAL serializes them), never concurrently with an
+    in-flight batch's apply phase."""
+    from flink_wsr_project_spark.streaming.curation import (
+        curate_foreach_batch,
+        curate_takedown,
+    )
+
+    victims = (5, 7, 9)
+    corpus = _corpus(spark)
+    victim_docs = corpus.where(F.col("doc_id").isin(*victims)).localCheckpoint()
+    results = {}
+    for tag, interleave in (("tdl", True), ("tdlctl", False)):
+        prefix = f"cur_{tag}"
+        lm_prefix = str(tmp_path / f"lm_{tag}")
+        log = str(tmp_path / f"log_{tag}")
+        seed, b1, b2 = _batches(spark, tmp_path)
+        if not interleave:
+            seed = seed.join(
+                victim_docs.select("doc_id"), "doc_id", "left_anti"
+            ).localCheckpoint()
+        _init_stores(spark, prefix, seed)
+        seen = []
+        # lm_gate OFF: the LM fits on only ~60 batch-1 docs here, and
+        # a gate that aggressive would re-drop the released dups at the
+        # lm stage, hiding the takedown's effect; the LM still fits,
+        # absorbs, and inverse-merges record-only, and its state is
+        # compared below
+        body = curate_foreach_batch(
+            log, prefix, prefix, lm_prefix, prefix,
+            num_buckets=2, lm_gate=False,
+            on_batch=lambda d, b, rep: seen.append((b, _decision_set(d))),
+        )
+        body(b1, 1)
+        if interleave:
+            curate_takedown(
+                spark, victim_docs, "t1", log, prefix, prefix,
+                lm_prefix=lm_prefix, search_prefix=prefix,
+            )
+        body(b2, 2)
+        results[tag] = {
+            "b1": seen[0][1],
+            "b2": seen[1][1],
+            "state": _takedown_state(spark, prefix, lm_prefix),
+        }
+
+    live, ctl = results["tdl"], results["tdlctl"]
+    # premise: batch 1 is unaffected by the victims in this corpus
+    assert live["b1"] == ctl["b1"]
+    # the headline: post-takedown batch-2 decisions == never-present
+    assert live["b2"] == ctl["b2"]
+    d2 = {doc: (stage, dec) for doc, stage, dec, _ in live["b2"]}
+    # the released claims have real effect: the crafted dups now keep
+    assert d2[100001][1] == "keep"
+    assert d2[100002][1] == "keep"
+    assert d2[100004][1] == "keep"
+    # live store state converges too (tombstone-masked vs never-there);
+    # image/ann are not configured in this loop shape
+    for k in ("sig", "span", "search", "search_stats", "lm_roster", "lm_scores"):
+        if k in live["state"] or k in ctl["state"]:
+            assert live["state"].get(k) == ctl["state"].get(k), k

@@ -139,3 +139,45 @@ def test_incremental_ingest_dedups_against_state(spark, tmp_path):
     r2b = ingest_batch(spark, state, b2, "b2")
     assert r2b["replayed"]
     assert {r.doc_id for r in r2b["admitted"].collect()} == admitted2
+
+
+def test_ingest_state_sig_format_marker(spark, tmp_path):
+    """The r16 signature-scheme stamp on DIRECTORY state: the first
+    commit records the scheme in a ``_sig_format`` marker; state with
+    a MISSING marker (pre-r16) or a mismatched one is refused loudly —
+    band values hashed under another scheme never match, so probing
+    blind would silently admit every true dup (the catalog stores'
+    identity discipline)."""
+    import os
+
+    import pytest
+
+    from flink_wsr_project_spark.operators.dedup import SIG_HASH_FORMAT
+    from flink_wsr_project_spark.pipeline import ingest_batch
+    from flink_wsr_project_spark.sources.readers import load_table
+
+    state = str(tmp_path / "stamped_state")
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    ingest_batch(spark, state, docs.filter("doc_id < 20"), "b1")
+    marker = os.path.join(state, "_sig_format")
+    with open(marker) as f:
+        assert f.read().strip() == SIG_HASH_FORMAT
+
+    # mismatched scheme -> refused (even a replayed batch id)
+    with open(marker, "w") as f:
+        f.write("md5sh28v1\n")
+    with pytest.raises(ValueError, match="md5sh28v1"):
+        ingest_batch(spark, state, docs.filter("doc_id < 20"), "b1")
+    with pytest.raises(ValueError, match="md5sh28v1"):
+        ingest_batch(spark, state, docs.filter("doc_id >= 20 AND doc_id < 25"), "b2")
+
+    # missing marker over existing state (pre-r16 dir) -> refused
+    os.remove(marker)
+    with pytest.raises(ValueError, match="no recorded signature"):
+        ingest_batch(spark, state, docs.filter("doc_id >= 20 AND doc_id < 25"), "b2")
+
+    # restored marker -> batches admit again
+    with open(marker, "w") as f:
+        f.write(SIG_HASH_FORMAT + "\n")
+    r = ingest_batch(spark, state, docs.filter("doc_id >= 20 AND doc_id < 25"), "b2")
+    assert not r["replayed"]

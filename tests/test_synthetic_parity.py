@@ -686,9 +686,9 @@ def test_capped_keep_list_matches_uncapped_on_clones(spark, tmp_path):
 def test_within_cap_contract_capped_pairs_equal_chain_edges(spark, tmp_path):
     """Since r9 the standalone capped-pairs query and the composed
     chain derive their within-cap candidates from SEPARATE SQL
-    (``_capped_cands_union``'s per-band HAVING joins vs the chain's
-    long-format ``marked`` window CTE — see the _capped_cands_union
-    docstring). This pins that the two formulations select the same
+    (``_capped_cands_ctes``' size-window self-join — long-format since
+    r16 — vs the chain's ``marked`` window CTE; see the
+    _capped_cands_ctes docstring). This pins that the two formulations select the same
     pair set where they overlap: a corpus of three disjoint near-dup
     pairs (every band bucket size <= 2 = the default cap, all pairs
     Jaccard >= 0.5) plus an unrelated doc. The standalone pairs, the
