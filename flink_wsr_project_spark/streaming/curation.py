@@ -631,13 +631,17 @@ def prune_decision_log(
     import shutil
     import time
 
+    # validate EVERY knob before the first rmtree — a bad batch knob
+    # must not leave a half-applied takedown prune behind
+    if takedown_keep_last is not None and takedown_keep_last < 1:
+        raise ValueError(
+            "takedown_keep_last must be >= 1 (the newest takedown is "
+            "the crash-recovery replay target)"
+        )
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the replay batch)")
     pruned_takedowns: list[str] = []
     if takedown_keep_last is not None:
-        if takedown_keep_last < 1:
-            raise ValueError(
-                "takedown_keep_last must be >= 1 (the newest takedown is "
-                "the crash-recovery replay target)"
-            )
         if os.path.isdir(decision_log):
             tds = sorted(
                 (
@@ -651,8 +655,6 @@ def prune_decision_log(
                 pruned_takedowns.append(entry)
     if keep_last is None and max_age_sec is None:
         return pruned_takedowns
-    if keep_last is not None and keep_last < 1:
-        raise ValueError("keep_last must be >= 1 (the replay batch)")
     if not os.path.isdir(decision_log):
         return pruned_takedowns
     batches = []

@@ -251,6 +251,7 @@ def ann_ingest_foreach_batch(
     on_batch=None,
     max_fresh_mismatch: float | None = None,
     retrain_source_fn=None,
+    bootstrap_k: int = 8,
 ):
     """foreachBatch body for CONTINUOUS index growth — the write twin
     of ``ann_probe_foreach_batch`` and the similarity sibling of
@@ -288,10 +289,22 @@ def ann_ingest_foreach_batch(
 
     ``on_batch(n_absorbed, batch_id)`` is an optional observer hook
     (metrics/backpressure), called after the absorb.
+
+    COLD START (r16): an absent index is bootstrapped from the first
+    batch's vectors (``bootstrap_ann_index`` with ``bootstrap_k`` seed
+    lists — a full overwrite, so a replayed or half-written first
+    batch refits the same) and later batches absorb — the loop is
+    deployable from zero like its text/image/span siblings. The
+    bootstrap writes a FLOAT index; a quantized deployment pre-writes
+    its index with ``write_ann_index(quantize=True)`` instead (the
+    quantization choice belongs to the write, and the int8 arrays
+    cannot seed a fit).
     """
     from flink_wsr_project_spark.operators.ann_index import (
         _lists_props,
         absorb_vectors_into_index,
+        ann_index_exists,
+        bootstrap_ann_index,
         compact_ann_index,
         retrain_ann_index,
         should_retrain,
@@ -306,6 +319,23 @@ def ann_ingest_foreach_batch(
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if not ann_index_exists(s, table_prefix):
+            # cold start: fit from this batch (overwrite — replay
+            # refits the same), BEFORE the quantized-pairing
+            # validation below, which reads the lists table
+            bootstrap_ann_index(
+                s,
+                batch_df.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                ),
+                table_prefix,
+                k=bootstrap_k,
+                num_buckets=num_buckets,
+            )
+            if on_batch is not None:
+                on_batch(batch_df.count(), batch_id)
+            return
         if max_fresh_mismatch is not None and not _validated[0]:
             _, quantized = _lists_props(s, table_prefix)
             if quantized and retrain_source_fn is None:
@@ -345,6 +375,66 @@ def ann_ingest_foreach_batch(
     return body
 
 
+def _semdedup_cold_start_decisions(
+    spark, vecs: DataFrame, tau: float, k: int
+) -> DataFrame:
+    """Batch-1 decisions with NO corpus: fit centroids from the batch
+    (pmod seed → Lloyd fixed point, the ``bootstrap_ann_index``
+    discipline, fit only — no tables written) and run the
+    WITHIN-BATCH arm of ``semdedup_from_index``'s contract on the
+    fitted assignment: a vector is ``dup_within_batch`` of the
+    SMALLEST same-cluster batch mate with cosine ≥ τ, else ``keep``.
+    Same output schema as the store-backed decide, so the sink sees
+    one contract across the loop's lifetime."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        _lloyd_consistent_labels,
+    )
+    from flink_wsr_project_spark.operators.similarity import cosine_expr
+
+    seeded = vecs.select(
+        "vec_id", F.pmod("vec_id", F.lit(k)).alias("label"), "embedding"
+    )
+    rows = _lloyd_consistent_labels(spark, seeded, 40)
+    rows.createOrReplaceTempView("_semdedup_boot")
+    cos = cosine_expr("a.embedding", "b.embedding", "spark")
+    return spark.sql(
+        f"""
+SELECT q.vec_id,
+       CASE WHEN d.batch_dup IS NOT NULL
+            THEN 'dup_within_batch' ELSE 'keep' END AS decision,
+       d.batch_dup AS dup_of
+FROM _semdedup_boot q LEFT JOIN (
+  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS batch_dup
+  FROM _semdedup_boot a JOIN _semdedup_boot b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= {tau}
+  GROUP BY b.vec_id
+) d ON d.vec_id = q.vec_id
+"""
+    )
+
+
+def _write_index_from_keepers(
+    spark,
+    vecs: DataFrame,
+    decisions: DataFrame,
+    table_prefix: str,
+    num_buckets: int,
+    k: int,
+) -> None:
+    """Finish the semdedup cold start: the KEEPERS become the index
+    (full ``bootstrap_ann_index`` overwrite — the store holds exactly
+    the curated corpus, and any replay/crash state refits the same)."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        bootstrap_ann_index,
+    )
+
+    keepers = vecs.join(
+        decisions.where(F.col("decision") == "keep").select("vec_id"), "vec_id"
+    )
+    bootstrap_ann_index(spark, keepers, table_prefix, k=k, num_buckets=num_buckets)
+
+
 def semdedup_foreach_batch(
     table_prefix: str,
     decisions_sink,
@@ -353,6 +443,7 @@ def semdedup_foreach_batch(
     vec_col: str = "embedding",
     tau: float = 0.35,
     max_files_per_bucket: int | None = None,
+    bootstrap_k: int = 8,
 ):
     """foreachBatch body for INCREMENTAL SEMANTIC DEDUP — the embedding
     sibling of ``dedup_absorb_foreach_batch`` / ``image_dedup_foreach_
@@ -377,9 +468,26 @@ def semdedup_foreach_batch(
     Tombstoned/expired corpus vectors release their claims between
     batches because each micro-batch plans against the store as of its
     own execution. ``max_files_per_bucket`` arms the in-loop
-    compaction dial exactly as in ``ann_ingest_foreach_batch``."""
+    compaction dial exactly as in ``ann_ingest_foreach_batch``.
+
+    COLD START (r16): with NO index, the first batch decides
+    WITHIN-BATCH ONLY (the corpus is empty — there are no corpus
+    claims to make) against centroids fitted from the batch itself
+    (``bootstrap_k`` pmod seed labels → the Lloyd fixed point, the
+    ``bootstrap_ann_index`` discipline), and the index is then written
+    from the KEEPERS — so "store contents ARE the curated corpus"
+    holds from batch 1 and batch 2+ takes the normal probe path.
+    Naively bootstrapping the index from ALL batch vectors and then
+    probing would be wrong twice: dropped vectors would pollute the
+    store, and symmetric corpus claims would drop BOTH members of a
+    near-dup pair (corpus claims carry no id ordering — by design,
+    corpus always outranks). Replay after a crash anywhere in the
+    first batch re-runs the deterministic fit/decide and the final
+    index write is a full overwrite, so it converges like the other
+    bootstraps."""
     from flink_wsr_project_spark.operators.ann_index import (
         absorb_vectors_into_index,
+        ann_index_exists,
         compact_ann_index,
         semdedup_from_index,
     )
@@ -394,6 +502,20 @@ def semdedup_foreach_batch(
         vecs = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
+        if not ann_index_exists(s, table_prefix):
+            decisions, ids = local_checkpoint_tracked(
+                _semdedup_cold_start_decisions(
+                    s, vecs, tau=tau, k=bootstrap_k
+                )
+            )
+            try:
+                decisions_sink(decisions, batch_id)
+                _write_index_from_keepers(
+                    s, vecs, decisions, table_prefix, num_buckets, bootstrap_k
+                )
+            finally:
+                release_persistent_rdds(s, ids)
+            return
         # pin BEFORE the sink and the absorb: the decision plan reads
         # the store the absorb below mutates
         decisions, ids = local_checkpoint_tracked(

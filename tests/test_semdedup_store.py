@@ -200,3 +200,103 @@ def test_semdedup_loop_grows_corpus_live_and_replays_idempotent(spark, tmp_path)
         (201, "keep", None),
         (202, "dup_of_corpus", 201),
     }
+
+
+def test_semdedup_loop_cold_start_from_empty(spark):
+    """r16: with NO index, batch 1 decides WITHIN-BATCH ONLY against
+    centroids fitted from the batch itself and the index is written
+    from the KEEPERS (store contents == curated corpus from batch 1);
+    batch 2 takes the normal probe path and claims against batch-1
+    keepers. A crash anywhere in batch 1 replays to the same state
+    (deterministic fit + overwrite), and naive concerns are pinned
+    absent: no dropped vector is in the index, and a near-dup pair
+    loses exactly its HIGHER id (no symmetric corpus self-claim)."""
+    from flink_wsr_project_spark.operators.ann_index import ann_index_exists
+    from flink_wsr_project_spark.streaming.similarity import semdedup_foreach_batch
+
+    _drop(spark, "sdcold")
+    assert not ann_index_exists(spark, "sdcold")
+
+    seen: dict[int, set] = {}
+
+    def sink(decisions, batch_id):
+        seen[batch_id] = {
+            (r.vec_id, r.decision, r.dup_of) for r in decisions.collect()
+        }
+
+    body = semdedup_foreach_batch("sdcold", sink, num_buckets=2)
+    b1 = [(10, _basis(0)), (21, _basis(5)), (22, _basis(5))]
+    body(_vecs(spark, b1), 0)
+    # within-batch-only contract; the near-dup pair loses its higher id
+    assert seen[0] == {
+        (10, "keep", None),
+        (21, "keep", None),
+        (22, "dup_within_batch", 21),
+    }
+    assert ann_index_exists(spark, "sdcold")
+    # the index holds exactly the keepers
+    assert {r.vec_id for r in spark.table("sdcold_lists").collect()} == {10, 21}
+
+    # batch 2 probes normally and claims against a batch-1 keeper
+    body(_vecs(spark, [(30, _basis(5)), (31, _basis(2))]), 1)
+    assert seen[1] == {
+        (30, "dup_of_corpus", 21),
+        (31, "keep", None),
+    }
+    assert {r.vec_id for r in spark.table("sdcold_lists").collect()} == {
+        10, 21, 31,
+    }
+
+    # replay batch 1 on the now-existing index: 22's partner is still
+    # 21 (label shifts to corpus), keepers self-exclude, absorb no-op
+    body(_vecs(spark, b1), 0)
+    assert seen[0] == {
+        (10, "keep", None),
+        (21, "keep", None),
+        (22, "dup_of_corpus", 21),
+    }
+    assert {r.vec_id for r in spark.table("sdcold_lists").collect()} == {
+        10, 21, 31,
+    }
+
+
+def test_ann_ingest_loop_cold_start_from_empty(spark):
+    """r16: the pure ingest loop bootstraps an absent index from its
+    first batch (full overwrite — replay refits the same) and absorbs
+    from batch 2 on; a probe equal to a bootstrapped vector returns
+    it."""
+    from flink_wsr_project_spark.operators.ann_index import (
+        ann_index_exists,
+        ann_topk_from_index,
+        measure_index_drift,
+    )
+    from flink_wsr_project_spark.streaming.similarity import (
+        ann_ingest_foreach_batch,
+    )
+
+    _drop(spark, "ingcold")
+    assert not ann_index_exists(spark, "ingcold")
+    absorbed = []
+    body = ann_ingest_foreach_batch(
+        "ingcold", num_buckets=2, on_batch=lambda n, b: absorbed.append((b, n))
+    )
+    b1 = [(1, _basis(0)), (2, _basis(3)), (3, _basis(6))]
+    body(_vecs(spark, b1), 0)
+    assert ann_index_exists(spark, "ingcold")
+    assert measure_index_drift(spark, "ingcold")["fresh_centroid_mismatch"] == 0.0
+    body(_vecs(spark, [(4, _basis(6))]), 1)
+    assert {r.vec_id for r in spark.table("ingcold_lists").collect()} == {1, 2, 3, 4}
+    assert absorbed == [(0, 3), (1, 1)]
+
+    # replay batch 1: index exists -> exclude_existing absorb no-op
+    body(_vecs(spark, b1), 0)
+    assert spark.table("ingcold_lists").count() == 4
+
+    probe = _vecs(spark, [(99, _basis(6))]).selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+    top = {
+        (r.neighbor_id, r.rank)
+        for r in ann_topk_from_index(spark, probe, "ingcold", k=2).collect()
+    }
+    assert (3, 1) in top or (4, 1) in top
