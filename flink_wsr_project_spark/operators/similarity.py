@@ -65,6 +65,28 @@ def cosine_expr(a: str, b: str, engine: str) -> str:
     )
 
 
+def cosine_prenorm_expr(a: str, b: str, na: str, nb: str, engine: str) -> str:
+    """Cosine with PRECOMPUTED self-dot-products (r16, optimization
+    guide §1.2 "per-task work": hoist per-ROW quantities out of
+    per-PAIR evaluation).
+
+    ``cosine_expr`` inlines dot(a,a) and dot(b,b) next to the cross
+    dot, and in a join condition every candidate PAIR re-folds both
+    self-dots — the three interpreted-HOF folds (plus the CASE guard's
+    repeats; CSE does not reliably collapse them inside join
+    conditions) made the label-blocked pair join 5.4 s at sf0.1.
+    Computing ``nd = dot(v, v)`` once per row on each join INPUT and
+    passing the column names here leaves one fold per pair: measured
+    2.2 s on the same join, identical match counts. Bit-exact: the
+    per-row fold is the same left-fold ``dot_expr`` emits, so
+    sqrt/division see the same doubles. The guard compares the same
+    values, and NULL/zero-norm behavior is unchanged."""
+    return (
+        f"(CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN NULL "
+        f"ELSE {dot_expr(a, b, engine)} / (sqrt({na}) * sqrt({nb})) END)"
+    )
+
+
 def srp_bucket_expr(v: str, engine: str, table: int = 0) -> str:
     """8-bit SRP bucket id of a vector expression.
 

@@ -33,7 +33,12 @@ from flink_wsr_project_spark.operators.iterative import (
     local_checkpoint_tracked,
     release_persistent_rdds,
 )
-from flink_wsr_project_spark.operators.similarity import cosine_expr, srp_bucket_expr
+from flink_wsr_project_spark.operators.similarity import (
+    cosine_expr,
+    cosine_prenorm_expr,
+    dot_expr,
+    srp_bucket_expr,
+)
 from flink_wsr_project_spark.operators.text import (
     DECON_N,
     fingerprint_sql,
@@ -660,10 +665,23 @@ def _ann_brute_force_sql(engine: str) -> str:
     """Brute-force cosine top-10: query set (vec_id % 50 = 0) ×
     corpus; Spark broadcasts the query side so the corpus streams
     through a single nested-loop stage with no shuffle."""
-    cos = cosine_expr("q.qv", "e.embedding", engine)
     rn = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
     if engine == "spark":
         rn = f"CAST({rn} AS BIGINT)"
+        ndq = dot_expr("embedding", "embedding", "spark")
+        cos = cosine_prenorm_expr("q.qv", "e.embedding", "q.nd", "e.nd", "spark")
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {ndq} AS nd FROM embeddings WHERE vec_id % 50 = 0),
+e AS (SELECT vec_id, embedding, {ndq} AS nd FROM embeddings),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, {rn} AS rank FROM pairs
+) WHERE rank <= 10
+"""
+    cos = cosine_expr("q.qv", "e.embedding", engine)
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 pairs AS (
@@ -691,6 +709,16 @@ def _ann_srp_sql(engine: str) -> str:
     per vector; pairs form only within a bucket, then cosine ≥ 0.3
     verify. The scale path: pair space is per-bucket, not O(n²)."""
     bucket = srp_bucket_expr("embedding", engine)
+    if engine == "spark":
+        nd = dot_expr("embedding", "embedding", "spark")
+        cos = cosine_prenorm_expr("a.embedding", "b.embedding", "a.nd", "b.nd", "spark")
+        return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {nd} AS nd, {bucket} AS bucket FROM embeddings)
+SELECT vec_a, vec_b, bucket, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket, {cos} AS cosine
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+"""
     cos = cosine_expr("a.embedding", "b.embedding", engine)
     return f"""
 WITH bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
@@ -708,7 +736,22 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_sql(engine: str) -> str:
-    """Embedding-cosine near-dup pairs within a blocking key (label)."""
+    """Embedding-cosine near-dup pairs within a blocking key (label).
+
+    Spark side (r16): self-dots are hoisted to a per-row ``nd`` on
+    each join input (``cosine_prenorm_expr`` — one interpreted fold
+    per pair instead of three-plus; measured 5.4 s → 2.2 s on this
+    join at sf0.1, identical pairs). The oracle string is unchanged."""
+    if engine == "spark":
+        nd = dot_expr("embedding", "embedding", "spark")
+        cos = cosine_prenorm_expr("a.embedding", "b.embedding", "a.nd", "b.nd", "spark")
+        side = f"(SELECT vec_id, label, embedding, {nd} AS nd FROM embeddings)"
+        return f"""
+SELECT vec_a, vec_b, label, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, {cos} AS cosine
+  FROM {side} a JOIN {side} b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+"""
     cos = cosine_expr("a.embedding", "b.embedding", engine)
     return f"""
 SELECT vec_a, vec_b, label, cosine FROM (
@@ -4304,10 +4347,22 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"aggregate(zip_with(q, {arr}, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
             )
         dists = "array(" + ",".join(dist_exprs) + ")"
+        # Two-step projection so the k distance folds evaluate ONCE per
+        # row: as a single `array_position(dists, array_min(dists))`
+        # expression the dists array (k aggregate/zip_with folds, all
+        # CodegenFallback) is inlined — and therefore EVALUATED — twice
+        # per row, and the k·d centroid literals appear twice in every
+        # plan that embeds the assignment. CollapseProject keeps the
+        # split because the alias is non-cheap and referenced twice.
         # array_position returns the FIRST index of the min -> ties break
-        # to the smallest centroid id (cents is sorted by cid)
-        return q.withColumn(
-            "ci", (F.expr(f"array_position({dists}, array_min({dists}))") - 1).cast("int")
+        # to the smallest centroid id (cents is sorted by cid).
+        return (
+            q.withColumn("dists", F.expr(dists))
+            .withColumn(
+                "ci",
+                (F.expr("array_position(dists, array_min(dists))") - 1).cast("int"),
+            )
+            .drop("dists")
         )
 
     assigned = None
@@ -4366,6 +4421,28 @@ _SEMDEDUP_TAU = "0.35"
 _SEMDEDUP_CLUSTER_CAP = _parse_bucket_cap(os.environ.get("SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP", "60"), "SPARK_GRAFT_SEMDEDUP_CLUSTER_CAP")
 
 
+def _semdedup_assign_view(spark: SparkSession, sf_dir: str) -> None:
+    """Bind the k-means assignment as the ``semdedup_assign`` temp
+    view, materialized ONCE per query call via ``localCheckpoint``
+    (eager). The semdedup tails reference the assignment up to three
+    times (sizes agg, evidence join, final keep/drop join); as a lazy
+    view each reference re-plans and re-executes the whole
+    centroid-literal distance-fold subtree — the r16 before-plan shows
+    the embeddings parquet scanned 7× under one query. Checkpointing
+    collapses those to scans of a 2-column (vec_id, cluster_id) RDD
+    (measured: keep-list tail 1.0 s → the checkpoint job + a ~0.3 s
+    tail; plan 54 → ~30 nodes). Same rows every run — the checkpoint
+    is created inside the query call (recomputed from parquet on every
+    invocation, nothing persists across runs), the iterative-operator
+    precedent of ``operators/iterative.py``. At 100 TB the assignment
+    is n rows of two ints — the cheapest relation in the query — and
+    materializing it once instead of recomputing the fold 3× is the
+    same win, larger."""
+    embedding_kmeans(spark, sf_dir).localCheckpoint().createOrReplaceTempView(
+        "semdedup_assign"
+    )
+
+
 def _semdedup_tail(engine: str, assign_rel: str) -> str:
     """Engine-shared CTE tail: cluster-blocked cosine evidence → keep
     list. ``assign_rel`` is a relation with (vec_id, cluster_id) —
@@ -4391,15 +4468,25 @@ def _semdedup_pairs_ctes(engine: str, assign_rel: str) -> str:
     """The cap-aware SemDeDup evidence-pair CTE chain (sizes → j →
     lhs → sem_pairs of (lo, hi), lo claiming hi) — shared by the
     keep-list tail and the label-agreement diagnostic so the two
-    cannot drift."""
-    cos = cosine_expr("a.embedding", "b.embedding", engine)
+    cannot drift.
+
+    Spark side (r16): ``j`` carries a per-row self-dot ``nd`` so the
+    pair join folds only the cross dot (``cosine_prenorm_expr``);
+    the oracle string is unchanged."""
     cap, tau = _SEMDEDUP_CLUSTER_CAP, _SEMDEDUP_TAU
+    if engine == "spark":
+        nd = dot_expr("e.embedding", "e.embedding", "spark")
+        cos = cosine_prenorm_expr("a.embedding", "b.embedding", "a.nd", "b.nd", "spark")
+        j_cols = f"e.vec_id, s.cluster_id, e.embedding, {nd} AS nd, z.n, z.exemplar"
+    else:
+        cos = cosine_expr("a.embedding", "b.embedding", engine)
+        j_cols = "e.vec_id, s.cluster_id, e.embedding, z.n, z.exemplar"
     return f"""sizes AS (
   SELECT cluster_id, count(*) AS n, min(vec_id) AS exemplar
   FROM {assign_rel} GROUP BY cluster_id
 ),
 j AS (
-  SELECT e.vec_id, s.cluster_id, e.embedding, z.n, z.exemplar
+  SELECT {j_cols}
   FROM embeddings e
   JOIN {assign_rel} s ON e.vec_id = s.vec_id
   JOIN sizes z ON z.cluster_id = s.cluster_id
@@ -4444,7 +4531,7 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact ints) and the identical cosine fold (bit-exact doubles).
     """
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
-    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    _semdedup_assign_view(spark, sf_dir)
     return spark.sql("WITH " + _semdedup_tail("spark", "semdedup_assign"))
 
 
@@ -4492,7 +4579,7 @@ def _semdedup_skew_oracle() -> str:
 )
 def semdedup_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
-    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    _semdedup_assign_view(spark, sf_dir)
     return spark.sql("WITH " + _semdedup_skew_sql("spark", "semdedup_assign"))
 
 
@@ -4542,7 +4629,7 @@ def _semdedup_agreement_oracle() -> str:
 )
 def semdedup_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
-    embedding_kmeans(spark, sf_dir).createOrReplaceTempView("semdedup_assign")
+    _semdedup_assign_view(spark, sf_dir)
     return spark.sql("WITH " + _semdedup_agreement_tail("spark", "semdedup_assign"))
 
 

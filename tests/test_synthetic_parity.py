@@ -1583,3 +1583,52 @@ def test_bpe_fold_exprs_escape_quoted_symbols(spark):
     batch_expr = _merge_batch_expr([(apos, "x", 1), (bsl, "y", 1)]) + " AS syms"
     out2 = df.selectExpr(batch_expr).first()
     assert out2.syms == [apos + "x", bsl + "y"]
+
+
+def test_cosine_prenorm_bit_exact_vs_inline(spark):
+    """The r16 prenorm rewrite (self-dots hoisted to per-row columns
+    so pair joins fold only the cross dot) must be BIT-exact against
+    the inline ``cosine_expr`` — including the zero-norm NULL guard,
+    which now compares precomputed columns instead of re-folding.
+    Covers: ordinary vectors, a zero vector on either side, and
+    negative components (sqrt/division see identical doubles or the
+    comparison is meaningless)."""
+    from flink_wsr_project_spark.operators.similarity import (
+        cosine_expr,
+        cosine_prenorm_expr,
+        dot_expr,
+    )
+
+    rows = [
+        (1, [0.25, -1.5, 3.0]),
+        (2, [2.0, 0.5, -0.125]),
+        (3, [0.0, 0.0, 0.0]),  # zero norm -> NULL cosine
+        (4, [1e-3, 7.25, 0.3]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("cpn_vecs")
+    nd = dot_expr("embedding", "embedding", "spark")
+    inline = spark.sql(
+        f"""SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {cosine_expr("a.embedding", "b.embedding", "spark")} AS c
+            FROM cpn_vecs a JOIN cpn_vecs b ON a.vec_id < b.vec_id"""
+    ).collect()
+    pre = spark.sql(
+        f"""SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {cosine_prenorm_expr("a.embedding", "b.embedding", "a.nd", "b.nd", "spark")} AS c
+            FROM (SELECT *, {nd} AS nd FROM cpn_vecs) a
+            JOIN (SELECT *, {nd} AS nd FROM cpn_vecs) b ON a.vec_id < b.vec_id"""
+    ).collect()
+    il = {(r.va, r.vb): r.c for r in inline}
+    pr = {(r.va, r.vb): r.c for r in pre}
+    assert set(il) == set(pr) and len(il) == 6
+    for k in il:
+        if il[k] is None:
+            assert pr[k] is None, k
+        else:
+            # bit-exact, not approx: identical IEEE op sequence
+            import struct
+
+            assert struct.pack("<d", il[k]) == struct.pack("<d", pr[k]), k
+    assert il[(1, 3)] is None and il[(3, 4)] is None
