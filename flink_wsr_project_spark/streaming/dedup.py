@@ -150,21 +150,47 @@ def _band_signature_rows(
             for k in range(N_PERMS)
         }
     )
-    bands = ", ".join(
-        band_hash_expr([f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark")
+    # Explode a LITERAL band-index array and compute each row's band
+    # hash from the _mh attribute columns AFTER the explode (r16).
+    # The previous shape — posexplode of a computed `_bands` array —
+    # triggered InferFiltersFromGenerate: the optimizer infers
+    # `size(_bands) > 0 AND _bands IS NOT NULL` from the generator and
+    # predicate pushdown inlines the FULL signature chain (tokenize ×
+    # shingle folds × 16 permutations, alias substitution ignores
+    # expression cost) into a per-row Filter at the scan —
+    # neardup_bucket_claims measured 138 s at sf0.1 from a query whose
+    # projections alone cost ~3 s. A literal generator input makes the
+    # inferred filter foldable (constant-folded away); the per-band
+    # CASE touches only already-computed _mh attributes, and Generate
+    # is a CollapseProject barrier so nothing re-inlines. Values are
+    # bit-identical (same band_hash_expr over the same minhashes).
+    band_case = "CASE band " + " ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=band_hash_expr(
+                [f"_mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)], "spark"
+            ),
+        )
         for b in range(N_BANDS)
-    )
+    ) + " END"
     cols = [
         F.col(id_col).alias("doc_id"),
         F.col(ts_col),
         # millisecond epoch: the fold's eviction timer must not be
         # coarser than the watermark granularity
         F.expr(f"unix_millis({ts_col})").alias("t"),
-        F.posexplode("_bands").alias("band", "band_hash"),
     ]
     if keep_hv:
-        cols.insert(3, F.col("_hv"))
-    return pre.withColumn("_bands", F.expr(f"array({bands})")).select(*cols)
+        cols.append(F.col("_hv"))
+    band_lits = ", ".join(str(b) for b in range(N_BANDS))
+    exploded = pre.select(
+        *cols,
+        F.explode(F.expr(f"array({band_lits})")).alias("band"),
+        *[F.col(f"_mh{k}") for k in range(N_PERMS)],
+    )
+    return exploded.withColumn("band_hash", F.expr(band_case)).drop(
+        *[f"_mh{k}" for k in range(N_PERMS)]
+    )
 
 
 def dedup_stream_near(
