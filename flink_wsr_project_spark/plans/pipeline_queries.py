@@ -3835,49 +3835,100 @@ def _decontaminate_sql(engine: str) -> str:
     tk = _passage_tokens(engine)
     str_t = "STRING" if engine == "spark" else "VARCHAR"
     h = h28(f"concat('split:', CAST(doc_id AS {str_t}))", engine)
-    if engine == "spark":
-        grams = (
-            f"CASE WHEN size(tk) < {n} THEN array() "
-            f"ELSE transform(sequence(0, size(tk) - {n}), "
-            f"i -> concat_ws(' ', slice(tk, i + 1, {n}))) END"
-        )
-        gram_src = (
-            "SELECT DISTINCT doc_id, split, gh FROM "
-            "(SELECT doc_id, split, md5(g) AS gh FROM gramd LATERAL VIEW explode(grams) ex AS g)"
-        )
-    else:
-        grams = (
-            f"CASE WHEN len(tk) < {n} THEN [] "
-            f"ELSE list_transform(range(len(tk) - {n} + 1), "
-            f"i -> array_to_string(tk[i + 1 : i + {n}], ' ')) END"
-        )
-        gram_src = (
-            "SELECT DISTINCT doc_id, split, gh FROM "
-            "(SELECT doc_id, split, md5(unnest(grams)) AS gh FROM gramd)"
-        )
-    return f"""
-WITH tokd AS (
+    tokd = f"""tokd AS (
   SELECT doc_id,
          CASE WHEN {h} % 100 < 80 THEN 'train'
               WHEN {h} % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
          {tk} AS tk
   FROM documents
+)"""
+    if engine == "spark":
+        # r16 gram build (the r15 span template, hash UNCHANGED):
+        # tokens posexplode, the n gram members line up as lead()
+        # columns over one (doc_id, pos) window, and md5 hashes the
+        # same space-joined string as before — identical gh values.
+        # The prior in-row form (`transform(sequence, i ->
+        # concat_ws(slice(tk,...)))` + explode) ran the whole gram
+        # build as interpreted HOFs on the scan's single task:
+        # measured 6.6 s of the query's 13.2 s at sf0.1; the window
+        # form is whole-stage codegen and its doc_id exchange spreads
+        # the hashing across every core. posexplode is OUTER so
+        # InferFiltersFromGenerate cannot push an inferred size()
+        # predicate into the scan (the neardup_bucket_claims
+        # pathology); a doc shorter than n tokens yields no row with
+        # l{last} non-null — exactly the old `array()` branch.
+        leads = ",\n         ".join(
+            f"lead(tok, {j}) OVER w AS l{j}" for j in range(1, n)
+        )
+        gram_args = ", ".join(["tok"] + [f"l{j}" for j in range(1, n)])
+        body = f"""gpos AS (
+  SELECT doc_id, split, pos, tok
+  FROM (SELECT doc_id, split, tk FROM tokd WHERE split IN ('train', 'test')) _gd
+  LATERAL VIEW OUTER posexplode(tk) _pe AS pos, tok
 ),
+gled AS (
+  SELECT doc_id, split, tok,
+         {leads}
+  FROM gpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT DISTINCT doc_id, split, md5(concat_ws(' ', {gram_args})) AS gh
+  FROM gled WHERE l{n - 1} IS NOT NULL
+)"""
+        return f"""
+WITH {tokd},
+{body}
+{_decontaminate_tail('grams')}"""
+    grams = (
+        f"CASE WHEN len(tk) < {n} THEN [] "
+        f"ELSE list_transform(range(len(tk) - {n} + 1), "
+        f"i -> array_to_string(tk[i + 1 : i + {n}], ' ')) END"
+    )
+    gram_src = (
+        "SELECT DISTINCT doc_id, split, gh FROM "
+        "(SELECT doc_id, split, md5(unnest(grams)) AS gh FROM gramd)"
+    )
+    return f"""
+WITH {tokd},
 gramd AS (SELECT doc_id, split, {grams} AS grams FROM tokd WHERE split IN ('train', 'test')),
 grams AS ({gram_src})
-SELECT t.doc_id AS doc_id,
+{_decontaminate_tail('grams')}"""
+
+
+def _decontaminate_grams_sql(engine: str) -> str:
+    """Just the (doc_id, split, gh) distinct-gram relation from
+    ``_decontaminate_sql`` — the prefix the Spark path materializes
+    once (see ``benchmark_decontaminate``)."""
+    full = _decontaminate_sql(engine)
+    return full[: full.index("\nSELECT t.doc_id")] + "\nSELECT * FROM grams"
+
+
+def _decontaminate_tail(rel: str) -> str:
+    return f"""SELECT t.doc_id AS doc_id,
        count(DISTINCT t.gh) AS n_contaminated_grams,
        count(DISTINCT e.doc_id) AS n_test_docs
-FROM grams t JOIN grams e ON t.gh = e.gh AND t.split = 'train' AND e.split = 'test'
+FROM {rel} t JOIN {rel} e ON t.gh = e.gh AND t.split = 'train' AND e.split = 'test'
 GROUP BY t.doc_id
 """
 
 
 @register("benchmark_decontaminate", oracle=_decontaminate_sql("duckdb"), tags=("pipeline", "dedup"))
 def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: the self-join references the distinct-gram relation twice
+    # with DISJOINT split filters, so the CTE inlines the whole
+    # tokenize → HOF gram build → md5 → DISTINCT chain once per side
+    # and nothing is exchange-reusable at runtime (different pushed
+    # predicates ⇒ different subtrees). Materialize the grams ONCE per
+    # call (localCheckpoint inside the timed call — the semdedup
+    # pattern; recomputed from parquet every invocation) and self-join
+    # the materialized relation. Oracle string unchanged.
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_decontaminate_sql("spark"))
+    spark.sql(_decontaminate_grams_sql("spark")).localCheckpoint().createOrReplaceTempView(
+        "decon_grams"
+    )
+    return spark.sql(_decontaminate_tail("decon_grams"))
 
 
 _set_doc("benchmark_decontaminate", _decontaminate_sql.__doc__)
@@ -4715,17 +4766,28 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("a").agg(F.count("*").alias("outdeg"))
     edges_deg = edges.join(outdeg, "a").select("a", "b", "outdeg").cache()
     n_docs = docs.count()
-    ranks = docs.select("doc_id").withColumn(
-        "rank_us", F.lit(_PR_INIT_US).cast("long")
-    )
-    ranks_ids: set[int] = set()
-    for _ in range(_PR_ITERS):
-        dangling = (
-            ranks.join(outdeg, ranks.doc_id == outdeg.a, "left_anti")
-            .agg(F.coalesce(F.sum("rank_us"), F.lit(0)))
-            .collect()[0][0]
+    # r16: ONE action per iteration instead of two. The dangling mass
+    # used to be a separate collect per round (left-anti join + agg —
+    # 10 extra driver jobs); the dangling SET is fixed, so it is now a
+    # precomputed boolean carried on the checkpointed frame, and the
+    # per-round scalar enters the update as a 1-row cross-joined
+    # aggregate inside the SAME job that materializes the new ranks.
+    # Arithmetic is identical: coalesce(sum,0) div n on non-negative
+    # longs is the Python `// n_docs` the driver computed (parity-
+    # pinned vs the unchanged oracle).
+    ranks, ranks_ids = local_checkpoint_tracked(
+        docs.select("doc_id")
+        .join(outdeg, F.col("doc_id") == outdeg.a, "left")
+        .select(
+            "doc_id",
+            F.lit(_PR_INIT_US).cast("long").alias("rank_us"),
+            F.col("outdeg").isNull().alias("dang"),
         )
-        share = dangling // n_docs
+    )
+    for _ in range(_PR_ITERS):
+        share_df = ranks.where("dang").agg(
+            F.expr(f"coalesce(sum(rank_us), 0L) div {n_docs}").alias("share")
+        )
         inc = (
             edges_deg.join(ranks, edges_deg.a == ranks.doc_id)
             .select("b", F.expr("rank_us div outdeg").alias("c"))
@@ -4733,13 +4795,15 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         new_ranks, new_ids = local_checkpoint_tracked(
-            docs.select("doc_id")
-            .join(inc, docs.doc_id == inc.b, "left")
+            ranks.select("doc_id", "dang")
+            .join(inc, F.col("doc_id") == inc.b, "left")
+            .crossJoin(share_df)
             .select(
                 "doc_id",
                 F.expr(
-                    f"CAST(150000 + (85 * (COALESCE(s, 0) + {share})) div 100 AS BIGINT)"
+                    "CAST(150000 + (85 * (COALESCE(s, 0) + share)) div 100 AS BIGINT)"
                 ).alias("rank_us"),
+                "dang",
             )
         )
         # Same O(rounds × |frame|) block-release discipline as
@@ -4748,7 +4812,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks, ranks_ids = new_ranks, new_ids
     edges.unpersist()
     edges_deg.unpersist()
-    return ranks
+    return ranks.select("doc_id", "rank_us")
 
 
 # ---------------------------------------------------------------------------
