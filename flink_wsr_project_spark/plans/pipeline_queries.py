@@ -1295,6 +1295,22 @@ def ann_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal (binary payload plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------
 
+
+def _fingerprint_once(df: DataFrame) -> DataFrame:
+    """Materialize a mapInPandas fingerprint relation ONCE per query
+    call (r16). The 4-block pigeonhole self-joins reference the
+    relation 8-12 times per query (36 in modal_dedup_consensus), and
+    as a lazy view every reference re-ran the synthesize + Arrow
+    decode chain - the static plans showed MapInPandas x8-36 where
+    the data needs exactly one pass. localCheckpoint inside the timed
+    call: recomputed from parquet on every invocation (the semdedup /
+    decontaminate pattern), nothing persists across runs. At scale
+    the fingerprint relation is (asset_id, 64-bit hash) - the
+    cheapest relation in the query - while each decode pass is the
+    most expensive; one-pass materialization is the guide Section 8
+    decide-on-small-rows discipline."""
+    return df.localCheckpoint()
+
 def _media_features_oracle() -> str:
     """Models the REAL decode of all three synthetic containers
     (operators/multimodal.py): 172-byte WAV (audio), 24 bpp BMP with
@@ -1481,7 +1497,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
     d.createOrReplaceTempView("_img_dhash")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1550,7 +1566,7 @@ def image_dhash_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
     d.createOrReplaceTempView("_img_dhash_kl")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1674,7 +1690,7 @@ def image_dhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_cap"
     )
@@ -1731,7 +1747,7 @@ def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_skew"
     )
@@ -1821,7 +1837,7 @@ def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
     d.createOrReplaceTempView("_audio_fp")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1927,7 +1943,7 @@ def video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
     d.createOrReplaceTempView("_video_fp")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -2004,7 +2020,7 @@ def audio_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio_renders,
     )
 
-    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
     ).createOrReplaceTempView("_audio_fp_cap")
@@ -2041,7 +2057,7 @@ def audio_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio_renders,
     )
 
-    d = extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
     ).createOrReplaceTempView("_audio_fp_skew")
@@ -2084,7 +2100,7 @@ def video_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_video_renders,
     )
 
-    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
     ).createOrReplaceTempView("_video_fp_cap")
@@ -2119,7 +2135,7 @@ def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_video_renders,
     )
 
-    d = extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
     ).createOrReplaceTempView("_video_fp_skew")
@@ -2499,7 +2515,7 @@ def takedown_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modal_consensus_sql(
-    engine: str, img_src: str, aud_src: str, vid_src: str
+    engine: str, img_src: str, aud_src: str, vid_src: str, tkl_src: str | None = None
 ) -> str:
     """Four-modality dedup CONSENSUS, one row per document: the text
     keep-list verdict (MinHash-LSH + Jaccard, cap-aware), the image
@@ -2523,7 +2539,15 @@ def _modal_consensus_sql(
         VIDEO_FP_MIN_CHARS,
     )
 
-    text_kl = _dedup_keep_list_sql(engine)
+    # tkl_src (Spark path, r16): read the text keep-list from a
+    # pre-materialized (doc_id, action) relation instead of inlining
+    # the 9-exchange MinHash-LSH chain — the caller checkpoints it
+    # concurrently with the three modality decodes. Default (oracle)
+    # composes the member SQL inline, byte-identical to before.
+    if tkl_src is None:
+        tkl_body = f"SELECT doc_id, CAST(action = 'drop' AS INT) AS tdrop FROM ({_dedup_keep_list_sql(engine)})"
+    else:
+        tkl_body = f"SELECT doc_id, CAST(action = 'drop' AS INT) AS tdrop FROM {tkl_src}"
 
     def claimed(src: str, cap: int) -> str:
         # the capped body selects (doc_a, doc_b, hamming) FROM a
@@ -2542,7 +2566,7 @@ def _modal_consensus_sql(
     # on BOTH sides, the repo's standard nullable-column discipline
     nf = "tdrop + idrop + coalesce(adrop, 0) + coalesce(vdrop, 0)"
     return f"""tkl AS (
-  SELECT doc_id, CAST(action = 'drop' AS INT) AS tdrop FROM ({text_kl})
+  {tkl_body}
 ),
 iclaim AS (
   {claimed(img_src, _IMG_BUCKET_CAP)}
@@ -2609,17 +2633,38 @@ def modal_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    extract_image_dhash(synthesize_image_renders(spark, sf_dir)).select(
-        F.col("asset_id").alias("doc_id"), F.col("dhash").alias("h")
-    ).createOrReplaceTempView("_mc_img")
-    extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)).select(
-        F.col("asset_id").alias("doc_id"), F.col("afp").alias("h")
-    ).createOrReplaceTempView("_mc_aud")
-    extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)).select(
-        F.col("asset_id").alias("doc_id"), F.col("vfp").alias("h")
-    ).createOrReplaceTempView("_mc_vid")
+    # The three modality decodes are independent single-pass jobs;
+    # materialize them CONCURRENTLY (guide §2.6 "overlap independent
+    # jobs") so the per-modality checkpoint latencies overlap instead
+    # of serializing — each decode is mostly a one-task stage at gate
+    # SFs, so the overlap is near-total.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "_mc_img": lambda: _fingerprint_once(
+            extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+        ).select(F.col("asset_id").alias("doc_id"), F.col("dhash").alias("h")),
+        "_mc_aud": lambda: _fingerprint_once(
+            extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+        ).select(F.col("asset_id").alias("doc_id"), F.col("afp").alias("h")),
+        "_mc_vid": lambda: _fingerprint_once(
+            extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+        ).select(F.col("asset_id").alias("doc_id"), F.col("vfp").alias("h")),
+        # the text keep-list member is the tail's long pole (the full
+        # MinHash-LSH chain); materialize it in the same overlapped
+        # pass so the final query joins four small relations
+        "_mc_tkl": lambda: spark.sql(
+            _dedup_keep_list_sql("spark")
+        ).localCheckpoint(),
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {name: pool.submit(fn) for name, fn in builders.items()}
+        for name, fut in futures.items():
+            fut.result().createOrReplaceTempView(name)
     return spark.sql(
-        "\nWITH " + _modal_consensus_sql("spark", "_mc_img", "_mc_aud", "_mc_vid") + "\n"
+        "\nWITH "
+        + _modal_consensus_sql("spark", "_mc_img", "_mc_aud", "_mc_vid", "_mc_tkl")
+        + "\n"
     )
 
 
@@ -2690,7 +2735,7 @@ def modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_agree"
     )
@@ -3792,21 +3837,39 @@ def _boilerplate_sql(engine: str) -> str:
 WITH tokd AS (SELECT doc_id, {tk} AS tk FROM documents),
 segd AS (SELECT doc_id, {segs} AS segs FROM tokd),
 segs AS ({seg_src}),
-freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+{_boilerplate_tail('segs', d)}"""
+
+
+def _boilerplate_segs_sql(engine: str) -> str:
+    """Just the (doc_id, seg) exploded-segment relation — the prefix
+    the Spark path materializes once (see ``boilerplate_passages``)."""
+    full = _boilerplate_sql(engine)
+    return full[: full.index(",\nfreq AS")] + "\nSELECT * FROM segs"
+
+
+def _boilerplate_tail(rel: str, d: int) -> str:
+    return f"""freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM {rel} GROUP BY seg)
 SELECT s.doc_id AS doc_id,
        count(*) AS n_segments,
        CAST(sum(CASE WHEN f.nd > {d} THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
        CAST(floor(sum(CASE WHEN f.nd > {d} THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)
          AS boilerplate_ppm
-FROM segs s JOIN freq f ON s.seg = f.seg
+FROM {rel} s JOIN freq f ON s.seg = f.seg
 GROUP BY s.doc_id
 """
 
 
 @register("boilerplate_passages", oracle=_boilerplate_sql("duckdb"), tags=("pipeline", "dedup", "text"))
 def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: the segment relation is referenced twice (frequency count +
+    # per-doc report) and as a CTE each reference re-ran the in-row
+    # HOF segment build + explode on the scan's single task.
+    # Materialize it once per call (the decontaminate pattern).
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_boilerplate_sql("spark"))
+    spark.sql(_boilerplate_segs_sql("spark")).localCheckpoint().createOrReplaceTempView(
+        "_bp_segs"
+    )
+    return spark.sql("WITH " + _boilerplate_tail("_bp_segs", _PASSAGE_DOCS))
 
 
 _set_doc("boilerplate_passages", _boilerplate_sql.__doc__)
