@@ -107,6 +107,31 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "doc_pagerank",
     "doc_triangles",
     "fuzzy_prefix_pairs",
+    # r16 optimization round: queries whose SPARK-side SQL or
+    # construction changed this session (results proven identical by
+    # the local sweep; the external window re-earns green on the new
+    # shapes). Cosine prenorm (self-dots hoisted to per-row columns)
+    # touches the whole similarity family; the semdedup trio gained
+    # the checkpointed assignment; embedding_kmeans restructured its
+    # distance projection; decontaminate swapped the gram build for
+    # the lead-window form; boilerplate/pagerank restructured their
+    # execution (same values). Multimodal fp queries changed only a
+    # materialization boundary and several are already canaries above;
+    # audio/video capped exemplars re-earn green for that family.
+    "embedding_cosine_neardup",
+    "ann_srp_lsh_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_recall",
+    "ann_ivf_recall_nprobe2",
+    "ann_quantized_recall",
+    "embedding_kmeans",
+    "semdedup_keep_list",
+    "semdedup_cluster_skew",
+    "semdedup_label_agreement",
+    "benchmark_decontaminate",
+    "boilerplate_passages",
+    "audio_fp_neardup_capped",
+    "video_fp_neardup",
     # r15 canaries (span polynomial hashing ×8, BPE LEFT-JOIN CTE ×3,
     # PCA power-iteration oracle ×1) all re-earned external green in
     # CORRECTNESS_r15 (12/12) and rotate back to natural order.
