@@ -5567,6 +5567,13 @@ _LM_HEAD_MAX_MICROS = 3_375_000
 _LM_TAIL_MIN_MICROS = 3_400_000
 
 
+_LM_TOKS_SPARK = (
+    "SELECT doc_id, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(filter(split(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')) _t AS pos, tok"
+)
+
+
 def _lm_perplexity_sql(engine: str) -> str:
     """Engine-shared CCNet-style perplexity scoring: a bigram LM with
     add-one smoothing is fitted to the CORPUS ITSELF in one pass
@@ -5581,11 +5588,7 @@ def _lm_perplexity_sql(engine: str) -> str:
     BM25/tfidf precedent). Bigrams come from a lag window per doc —
     no positional self-join."""
     if engine == "spark":
-        toks = (
-            "SELECT doc_id, pos, tok FROM documents "
-            "LATERAL VIEW posexplode(filter(split(lower(text), '[^a-z0-9]+'),"
-            " x -> x <> '')) _t AS pos, tok"
-        )
+        toks = _LM_TOKS_SPARK
         div = "div"
     else:
         toks = (
@@ -5604,13 +5607,25 @@ b AS (
   FROM toks
 ),
 bg AS (SELECT doc_id, w1, w2 FROM b WHERE w1 IS NOT NULL),
-uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-bic AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+{_lm_perplexity_tail('bg', 'toks', div)}"""
+
+
+def _lm_bigrams_sql(engine: str) -> str:
+    """Just the (doc_id, w1, w2) bigram relation from
+    ``_lm_perplexity_sql`` — the prefix the Spark path materializes
+    once (see ``doc_lm_perplexity``)."""
+    full = _lm_perplexity_sql(engine)
+    return full[: full.index(",\nuni AS")] + "\nSELECT * FROM bg"
+
+
+def _lm_perplexity_tail(bg_rel: str, toks_rel: str, div: str) -> str:
+    return f"""uni AS (SELECT w1, count(*) AS c1 FROM {bg_rel} GROUP BY w1),
+bic AS (SELECT w1, w2, count(*) AS c2 FROM {bg_rel} GROUP BY w1, w2),
+v AS (SELECT count(DISTINCT tok) AS vocab FROM {toks_rel}),
 scored AS (
   SELECT g.doc_id,
          CAST(round(-ln((bic.c2 + 1.0) / (uni.c1 + v.vocab)) * 1000000) AS BIGINT) AS nll
-  FROM bg g
+  FROM {bg_rel} g
   JOIN bic ON bic.w1 = g.w1 AND bic.w2 = g.w2
   JOIN uni ON uni.w1 = g.w1
   CROSS JOIN v
@@ -5644,9 +5659,23 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram), then one per-doc aggregate. All arithmetic
     order-independent (integer micro-nats; the BM25 discipline), so
     the external value hash pins model fitting AND scoring. At sf0.01:
-    174 head / 164 middle / 162 tail — all three buckets populated."""
+    174 head / 164 middle / 162 tail — all three buckets populated.
+
+    r16: the bigram relation is referenced three times (unigram
+    counts, bigram counts, scoring join) and as a CTE each reference
+    recomputed the lag window above the reused explode exchange;
+    materialize it once per call (the semdedup pattern — recomputed
+    from parquet every invocation). The vocabulary count keeps its own
+    inline token scan (it needs first-per-doc tokens the bigram
+    relation drops)."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_lm_perplexity_sql("spark"))
+    spark.sql(_lm_bigrams_sql("spark")).localCheckpoint().createOrReplaceTempView(
+        "_lm_bg"
+    )
+    return spark.sql(
+        f"WITH toks AS ({_LM_TOKS_SPARK}),\n"
+        + _lm_perplexity_tail("_lm_bg", "toks", "div")
+    )
 
 
 # ---------------------------------------------------------------------------
