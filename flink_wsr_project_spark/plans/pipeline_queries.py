@@ -3597,15 +3597,23 @@ def _containment_ctes(engine: str) -> str:
         ch_expl = "SELECT src_doc, chunk_id, unnest(list_distinct(sh)) AS s FROM cshing"
     return f"""{shingled_cte(engine)},
 hdoc AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, {h} AS h FROM ({doc_expl}))),
-df AS (SELECT h, count(*) AS df FROM hdoc GROUP BY h),
-post AS (SELECT hdoc.doc_id, hdoc.h FROM hdoc JOIN df ON df.h = hdoc.h AND df.df <= {cap}),
+{_containment_df_post('hdoc', cap)},
 chunks AS (SELECT src_doc, chunk_id, {ct} AS ct FROM ({chunk_rows})),
 ctok AS (SELECT src_doc, chunk_id, ct, {toks_expr("ct", engine)} AS t FROM chunks),
 cshing AS (SELECT src_doc, chunk_id, {shingles_from_toks("t", "ct", engine)} AS sh FROM ctok),
 chsh AS (SELECT DISTINCT src_doc, chunk_id, h
          FROM (SELECT src_doc, chunk_id, {h} AS h FROM ({ch_expl}))),
-cpost AS (SELECT c.src_doc, c.chunk_id, c.h
-          FROM chsh c JOIN df ON df.h = c.h AND df.df <= {cap}),
+{_containment_cpcm('chsh', cap, min_sh)}"""
+
+
+def _containment_df_post(hdoc: str, cap: int) -> str:
+    return f"""df AS (SELECT h, count(*) AS df FROM {hdoc} GROUP BY h),
+post AS (SELECT {hdoc}.doc_id, {hdoc}.h FROM {hdoc} JOIN df ON df.h = {hdoc}.h AND df.df <= {cap})"""
+
+
+def _containment_cpcm(chsh: str, cap: int, min_sh: int) -> str:
+    return f"""cpost AS (SELECT c.src_doc, c.chunk_id, c.h
+          FROM {chsh} c JOIN df ON df.h = c.h AND df.df <= {cap}),
 csize AS (SELECT src_doc, chunk_id, count(*) AS n_sh
           FROM cpost GROUP BY src_doc, chunk_id HAVING count(*) >= {min_sh}),
 matches AS (
@@ -3613,6 +3621,62 @@ matches AS (
   FROM cpost c JOIN post p ON p.h = c.h AND p.doc_id <> c.src_doc
   GROUP BY c.src_doc, c.chunk_id, p.doc_id
 )"""
+
+
+def _containment_hdoc_sql() -> str:
+    """Standalone (doc_id, h) distinct doc-shingle relation (Spark)."""
+    full = _containment_ctes("spark")
+    return "WITH " + full[: full.index(",\ndf AS")] + "\nSELECT * FROM hdoc"
+
+
+def _containment_chsh_sql() -> str:
+    """Standalone (src_doc, chunk_id, h) distinct chunk-shingle
+    relation (Spark)."""
+    full = _containment_ctes("spark")
+    chunk_part = full[full.index("chunks AS") : full.index(",\ncpost AS")]
+    return "WITH " + chunk_part + "\nSELECT * FROM chsh"
+
+
+def _containment_ctes_materialized(hdoc: str, chsh: str) -> str:
+    """The containment tail over PRE-MATERIALIZED shingle relations
+    (r16, Spark only — the oracle composes ``_containment_ctes``
+    unchanged). The lazy chain inlined the doc-side shingle build into
+    every df/post reference and the chunk-side build into cpost —
+    12 parquet scans in the executed plan for two passes of real
+    work; the Spark queries checkpoint ``hdoc`` and ``chsh`` once per
+    call (built concurrently) and this tail reads them."""
+    return f"""{_containment_df_post(hdoc, _CONT_DF_CAP)},
+{_containment_cpcm(chsh, _CONT_DF_CAP, _CONT_MIN_SHINGLES)}"""
+
+
+def _containment_spark_sql(full_builder) -> str:
+    """A containment query's Spark SQL with the lazy shingle chain
+    swapped for the materialized-relation tail (one substring replace,
+    so the two builders cannot drift)."""
+    full = full_builder("spark")
+    return full.replace(
+        _containment_ctes("spark"),
+        _containment_ctes_materialized("_cont_hdoc", "_cont_chsh"),
+        1,
+    )
+
+
+def _containment_views(spark: SparkSession) -> None:
+    """Materialize the two shingle relations concurrently (guide §2.6)
+    and bind them as ``_cont_hdoc`` / ``_cont_chsh``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "_cont_hdoc": _containment_hdoc_sql(),
+        "_cont_chsh": _containment_chsh_sql(),
+    }
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = {
+            name: pool.submit(lambda q=q: spark.sql(q).localCheckpoint())
+            for name, q in builders.items()
+        }
+        for name, fut in futures.items():
+            fut.result().createOrReplaceTempView(name)
 
 
 @register(
@@ -3623,7 +3687,8 @@ matches AS (
 )
 def chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_chunk_containment_sql("spark"))
+    _containment_views(spark)
+    return spark.sql(_containment_spark_sql(_chunk_containment_sql))
 
 
 # A document is a containment-drop when at least this fraction (milli)
@@ -3677,7 +3742,8 @@ FROM documents d LEFT JOIN per_doc p ON p.src_doc = d.doc_id
 )
 def containment_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_containment_keep_sql("spark"))
+    _containment_views(spark)
+    return spark.sql(_containment_spark_sql(_containment_keep_sql))
 
 
 _set_doc(

@@ -133,6 +133,8 @@ _CHANGED_OPERATOR_CANARIES: tuple[str, ...] = (
     "audio_fp_neardup_capped",
     "video_fp_neardup",
     "doc_lm_perplexity",
+    "chunk_containment",
+    "containment_keep_list",
     # r15 canaries (span polynomial hashing ×8, BPE LEFT-JOIN CTE ×3,
     # PCA power-iteration oracle ×1) all re-earned external green in
     # CORRECTNESS_r15 (12/12) and rotate back to natural order.
