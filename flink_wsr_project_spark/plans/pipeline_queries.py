@@ -55,6 +55,81 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
 # ---------------------------------------------------------------------------
+# Materialize-once discipline (r17). The r16 materialize-once sites
+# (fingerprints, containment shingles, semdedup assignment, boilerplate
+# segments, decontaminate grams, LM bigrams) each localCheckpoint a
+# derived relation INSIDE the query call — recomputed from parquet on
+# every invocation, nothing cached across runs — but a bare
+# ``localCheckpoint`` pins its blocks until session end (the returned
+# DataFrame's public unpersist handles cannot reach them; see
+# operators/iterative.py). Over a long-lived session running many
+# queries that accumulates corpus-derived blocks in executor storage
+# (guide §5). Every site now routes through ``_materialize_once``:
+# the checkpoint ids are tracked per (session, site-key) and the
+# PREVIOUS invocation's blocks are released when the same site
+# re-materializes — the caller's action on the previous result is long
+# finished by then (query calls are build-then-act, sequential per
+# session). ``release_materialized_relations`` frees everything
+# explicitly for sessions that want a clean block manager between
+# queries.
+#
+# Thread-safety: sibling relations built concurrently from one query
+# (consensus members, the two containment shingle views) may
+# mis-attribute a checkpoint id to the sibling key when their
+# persistent-RDD diffs interleave; since sibling sites always
+# re-materialize together in the next call and release is idempotent,
+# the release semantics are unchanged — no id is ever released while a
+# returned DataFrame still needs it.
+
+_MATERIALIZED_IDS: dict[tuple[str, str], set[int]] = {}
+
+
+def _materialize_once(df: DataFrame, key: str) -> DataFrame:
+    """Eager tracked ``localCheckpoint`` of a per-call derived relation;
+    releases the blocks the same ``key`` pinned in a previous call."""
+    spark = df.sparkSession
+    map_key = (spark.sparkContext.applicationId, key)
+    prev = _MATERIALIZED_IDS.pop(map_key, None)
+    if prev:
+        release_persistent_rdds(spark, prev)
+    out, ids = local_checkpoint_tracked(df)
+    if ids:
+        _MATERIALIZED_IDS[map_key] = ids
+    return out
+
+
+def release_materialized_relations(spark: SparkSession) -> None:
+    """Release every materialize-once relation pinned by past query
+    calls in this session. Safe whenever no previously returned query
+    DataFrame is still awaiting its first action (the blocks are not
+    recomputable — lineage is truncated)."""
+    app = spark.sparkContext.applicationId
+    for map_key in [k for k in _MATERIALIZED_IDS if k[0] == app]:
+        release_persistent_rdds(spark, _MATERIALIZED_IDS.pop(map_key))
+
+
+def _run_view_builders(spark: SparkSession, builders) -> None:
+    """Build independent relations concurrently (guide §2.6 "overlap
+    independent jobs") and bind each as a temp view named by its key.
+    Completion order, not submission order (r16 ADVICE): the first
+    builder exception surfaces as soon as it lands instead of after
+    blocking on every earlier future. Sibling builders already running
+    drain in the pool's shutdown; views are recreated per invocation,
+    so partial state is benign."""
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = {pool.submit(fn): name for name, fn in builders.items()}
+        try:
+            for fut in as_completed(futures):
+                fut.result().createOrReplaceTempView(futures[fut])
+        except BaseException:
+            for f in futures:
+                f.cancel()
+            raise
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
@@ -1296,7 +1371,7 @@ def ann_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _fingerprint_once(df: DataFrame) -> DataFrame:
+def _fingerprint_once(df: DataFrame, key: str) -> DataFrame:
     """Materialize a mapInPandas fingerprint relation ONCE per query
     call (r16). The 4-block pigeonhole self-joins reference the
     relation 8-12 times per query (36 in modal_dedup_consensus), and
@@ -1308,8 +1383,10 @@ def _fingerprint_once(df: DataFrame) -> DataFrame:
     the fingerprint relation is (asset_id, 64-bit hash) - the
     cheapest relation in the query - while each decode pass is the
     most expensive; one-pass materialization is the guide Section 8
-    decide-on-small-rows discipline."""
-    return df.localCheckpoint()
+    decide-on-small-rows discipline. ``key`` names the call site for
+    the r17 tracked-release discipline (the previous invocation's
+    blocks are freed when the site re-materializes)."""
+    return _materialize_once(df, key)
 
 def _media_features_oracle() -> str:
     """Models the REAL decode of all three synthetic containers
@@ -1497,7 +1574,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
     d.createOrReplaceTempView("_img_dhash")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1566,7 +1643,7 @@ def image_dhash_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
     d.createOrReplaceTempView("_img_dhash_kl")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1690,7 +1767,7 @@ def image_dhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_cap"
     )
@@ -1747,7 +1824,7 @@ def image_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_renders,
     )
 
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_skew"
     )
@@ -1837,7 +1914,7 @@ def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)), "aud_fp")
     d.createOrReplaceTempView("_audio_fp")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -1943,7 +2020,7 @@ def video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)), "vid_fp")
     d.createOrReplaceTempView("_video_fp")
     blocks = "\n  UNION\n".join(
         f"  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,"
@@ -2020,7 +2097,7 @@ def audio_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio_renders,
     )
 
-    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)), "aud_fp")
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
     ).createOrReplaceTempView("_audio_fp_cap")
@@ -2057,7 +2134,7 @@ def audio_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio_renders,
     )
 
-    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)), "aud_fp")
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("afp").alias("dhash")
     ).createOrReplaceTempView("_audio_fp_skew")
@@ -2100,7 +2177,7 @@ def video_fp_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_video_renders,
     )
 
-    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)), "vid_fp")
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
     ).createOrReplaceTempView("_video_fp_cap")
@@ -2135,7 +2212,7 @@ def video_block_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_video_renders,
     )
 
-    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)), "vid_fp")
     d.select(
         F.col("asset_id").alias("doc_id"), F.col("vfp").alias("dhash")
     ).createOrReplaceTempView("_video_fp_skew")
@@ -2638,29 +2715,24 @@ def modal_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs") so the per-modality checkpoint latencies overlap instead
     # of serializing — each decode is mostly a one-task stage at gate
     # SFs, so the overlap is near-total.
-    from concurrent.futures import ThreadPoolExecutor
-
     builders = {
         "_mc_img": lambda: _fingerprint_once(
-            extract_image_dhash(synthesize_image_renders(spark, sf_dir))
+            extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "_mc_img"
         ).select(F.col("asset_id").alias("doc_id"), F.col("dhash").alias("h")),
         "_mc_aud": lambda: _fingerprint_once(
-            extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir))
+            extract_audio_fingerprint(synthesize_audio_renders(spark, sf_dir)), "_mc_aud"
         ).select(F.col("asset_id").alias("doc_id"), F.col("afp").alias("h")),
         "_mc_vid": lambda: _fingerprint_once(
-            extract_video_fingerprint(synthesize_video_renders(spark, sf_dir))
+            extract_video_fingerprint(synthesize_video_renders(spark, sf_dir)), "_mc_vid"
         ).select(F.col("asset_id").alias("doc_id"), F.col("vfp").alias("h")),
         # the text keep-list member is the tail's long pole (the full
         # MinHash-LSH chain); materialize it in the same overlapped
         # pass so the final query joins four small relations
-        "_mc_tkl": lambda: spark.sql(
-            _dedup_keep_list_sql("spark")
-        ).localCheckpoint(),
+        "_mc_tkl": lambda: _materialize_once(
+            spark.sql(_dedup_keep_list_sql("spark")), "_mc_tkl"
+        ),
     }
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = {name: pool.submit(fn) for name, fn in builders.items()}
-        for name, fut in futures.items():
-            fut.result().createOrReplaceTempView(name)
+    _run_view_builders(spark, builders)
     return spark.sql(
         "\nWITH "
         + _modal_consensus_sql("spark", "_mc_img", "_mc_aud", "_mc_vid", "_mc_tkl")
@@ -2735,7 +2807,7 @@ def modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)))
+    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
     d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
         "_img_dhash_agree"
     )
@@ -3652,31 +3724,38 @@ def _containment_ctes_materialized(hdoc: str, chsh: str) -> str:
 def _containment_spark_sql(full_builder) -> str:
     """A containment query's Spark SQL with the lazy shingle chain
     swapped for the materialized-relation tail (one substring replace,
-    so the two builders cannot drift)."""
+    so the two builders cannot drift). Raises if the swap did not
+    occur (r16 ADVICE: a drifted composition would otherwise silently
+    revert to the 12-scan lazy plan while still paying the two
+    checkpoint jobs)."""
     full = full_builder("spark")
-    return full.replace(
+    out = full.replace(
         _containment_ctes("spark"),
         _containment_ctes_materialized("_cont_hdoc", "_cont_chsh"),
         1,
     )
+    if "_cont_hdoc" not in out:
+        raise AssertionError(
+            "containment CTE swap no-opped — _containment_ctes drifted "
+            "from the composed query SQL"
+        )
+    return out
 
 
 def _containment_views(spark: SparkSession) -> None:
     """Materialize the two shingle relations concurrently (guide §2.6)
     and bind them as ``_cont_hdoc`` / ``_cont_chsh``."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    builders = {
-        "_cont_hdoc": _containment_hdoc_sql(),
-        "_cont_chsh": _containment_chsh_sql(),
-    }
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = {
-            name: pool.submit(lambda q=q: spark.sql(q).localCheckpoint())
-            for name, q in builders.items()
-        }
-        for name, fut in futures.items():
-            fut.result().createOrReplaceTempView(name)
+    _run_view_builders(
+        spark,
+        {
+            "_cont_hdoc": lambda: _materialize_once(
+                spark.sql(_containment_hdoc_sql()), "_cont_hdoc"
+            ),
+            "_cont_chsh": lambda: _materialize_once(
+                spark.sql(_containment_chsh_sql()), "_cont_chsh"
+            ),
+        },
+    )
 
 
 @register(
@@ -3932,9 +4011,9 @@ def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOF segment build + explode on the scan's single task.
     # Materialize it once per call (the decontaminate pattern).
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    spark.sql(_boilerplate_segs_sql("spark")).localCheckpoint().createOrReplaceTempView(
-        "_bp_segs"
-    )
+    _materialize_once(
+        spark.sql(_boilerplate_segs_sql("spark")), "_bp_segs"
+    ).createOrReplaceTempView("_bp_segs")
     return spark.sql("WITH " + _boilerplate_tail("_bp_segs", _PASSAGE_DOCS))
 
 
@@ -4054,9 +4133,9 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern; recomputed from parquet every invocation) and self-join
     # the materialized relation. Oracle string unchanged.
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    spark.sql(_decontaminate_grams_sql("spark")).localCheckpoint().createOrReplaceTempView(
-        "decon_grams"
-    )
+    _materialize_once(
+        spark.sql(_decontaminate_grams_sql("spark")), "decon_grams"
+    ).createOrReplaceTempView("decon_grams")
     return spark.sql(_decontaminate_tail("decon_grams"))
 
 
@@ -4618,9 +4697,9 @@ def _semdedup_assign_view(spark: SparkSession, sf_dir: str) -> None:
     is n rows of two ints — the cheapest relation in the query — and
     materializing it once instead of recomputing the fold 3× is the
     same win, larger."""
-    embedding_kmeans(spark, sf_dir).localCheckpoint().createOrReplaceTempView(
-        "semdedup_assign"
-    )
+    _materialize_once(
+        embedding_kmeans(spark, sf_dir), "semdedup_assign"
+    ).createOrReplaceTempView("semdedup_assign")
 
 
 def _semdedup_tail(engine: str, assign_rel: str) -> str:
@@ -5735,9 +5814,9 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline token scan (it needs first-per-doc tokens the bigram
     relation drops)."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    spark.sql(_lm_bigrams_sql("spark")).localCheckpoint().createOrReplaceTempView(
-        "_lm_bg"
-    )
+    _materialize_once(
+        spark.sql(_lm_bigrams_sql("spark")), "_lm_bg"
+    ).createOrReplaceTempView("_lm_bg")
     return spark.sql(
         f"WITH toks AS ({_LM_TOKS_SPARK}),\n"
         + _lm_perplexity_tail("_lm_bg", "toks", "div")
