@@ -180,11 +180,20 @@ def learn_bpe_merges(
     (pinned by the parity test). Driver traffic per round is
     ``4*batch_k + 8`` candidate rows.
 
-    Each round's superseded segmentation checkpoint is released as the
-    next lands (``DataFrame.unpersist`` does not release a
-    localCheckpoint's pinned RDD — only explicit id tracking does).
-    The FINAL segmentation's checkpoint ids go into ``ckpt_ids`` when
-    given, so the caller can release them after consuming ``seg``."""
+    r17: ONE action per round instead of two (guide §5 driver
+    discipline). Each re-segmentation is a LAZY localCheckpoint — its
+    fold materializes inside the NEXT round's pair-count collect (the
+    only job that needs it) rather than in a dedicated eager
+    checkpoint job, and the final segmentation materializes in the
+    caller's consuming action (or never, for callers that only keep
+    the merge list). Because a lazy checkpoint's computation reads the
+    PARENT checkpoint's blocks until it materializes, the superseded
+    round's ids are released one round late — after the collect that
+    materialized its child — so at most two vocab-bounded
+    segmentations are pinned at a time instead of one.
+    The FINAL segmentation's (and its still-backing parent's)
+    checkpoint ids go into ``ckpt_ids`` when given, so the caller can
+    release them after consuming ``seg``."""
     from flink_wsr_project_spark.operators.iterative import (
         local_checkpoint_tracked,
         release_persistent_rdds,
@@ -192,7 +201,13 @@ def learn_bpe_merges(
 
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
-    seg, seg_ids = local_checkpoint_tracked(_initial_seg(word_freqs(docs)))
+    seg, seg_ids = local_checkpoint_tracked(
+        _initial_seg(word_freqs(docs)), eager=False
+    )
+    # ids of the segmentation superseded LAST round: they may still back
+    # the current (lazy, unmaterialized) ``seg``; released right after
+    # the collect that materializes it.
+    backing_ids: set[int] = set()
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < rounds:
         k = min(batch_k, rounds - len(merges))
@@ -202,6 +217,8 @@ def learn_bpe_merges(
             .limit(4 * k + 8)
             .collect()
         )
+        release_persistent_rdds(spark, backing_ids)
+        backing_ids = set()
         cands = [
             (r.lhs, r.rhs, r.pair_count) for r in top if r.pair_count > 0
         ]
@@ -211,12 +228,13 @@ def learn_bpe_merges(
         for lhs, rhs, cnt in batch:
             merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, cnt))
         nxt, nxt_ids = local_checkpoint_tracked(
-            seg.selectExpr("word", "freq", f"{_merge_batch_expr(batch)} AS syms")
+            seg.selectExpr("word", "freq", f"{_merge_batch_expr(batch)} AS syms"),
+            eager=False,
         )
-        release_persistent_rdds(spark, seg_ids)
+        backing_ids = seg_ids
         seg, seg_ids = nxt, nxt_ids
     if ckpt_ids is not None:
-        ckpt_ids.update(seg_ids)
+        ckpt_ids.update(seg_ids | backing_ids)
     return merges, seg
 
 

@@ -33,17 +33,27 @@ def _persistent_ids(sc) -> set[int]:
     return set(sc._jsc.getPersistentRDDs().keySet())
 
 
-def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """Eager ``localCheckpoint`` returning (checkpointed_df, new_rdd_ids).
+def local_checkpoint_tracked(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` returning (checkpointed_df, new_rdd_ids).
 
     ``new_rdd_ids`` are the persistent-RDD ids this CHECKPOINT created
     (ids persisted by the same job for plain caches are excluded via
     the checkpointData marker); pass them to
     :func:`release_persistent_rdds` once the frame is superseded.
+
+    ``eager=False`` defers materialization to the FIRST action that
+    consumes the returned frame (guide §5: one action instead of a
+    dedicated checkpoint job — the r17 BPE-loop shape). The persist
+    registration and checkpoint marker are still set at call time, so
+    id tracking is identical; but the parent frame's blocks back the
+    lazy computation, so a loop must defer releasing the superseded
+    round until the new round has actually materialized.
     """
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     new = _persistent_ids(sc) - before
     if not new:
         return out, new
