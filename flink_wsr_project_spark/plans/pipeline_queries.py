@@ -1053,28 +1053,44 @@ def min_label_propagation(labels: DataFrame, edges: DataFrame, max_rounds: int =
     cost grows superlinearly with iterations (same pattern as the
     ``doc_pagerank`` loop below).
 
+    r17: ONE action per round instead of two (guide §5 driver
+    discipline — the pagerank treatment applied to the convergence
+    read). The label sum is an ``observe()`` metric computed DURING
+    the checkpoint job that materializes the round, not a second
+    aggregate job over the materialized blocks; the checkpointed
+    frame's plan (LogicalRDD) drops the metrics node, so callers see
+    the identical schema and rows.
+
     ``labels``: (doc_id, component_id) initial labels (usually
     component_id = doc_id). ``edges``: directed (a, b) pairs — pass
     both orientations for an undirected graph.
     """
-    labels, labels_ids = local_checkpoint_tracked(labels)
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    labels, labels_ids = local_checkpoint_tracked(
+        labels.observe(obs0, F.sum("component_id").alias("s"))
+    )
     spark = labels.sparkSession
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    prev_sum = obs0.get["s"]
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy("a")
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        obs = Observation()
         new_labels, new_ids = local_checkpoint_tracked(
-            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
+            .select(
                 "doc_id",
                 F.least(
                     F.col("component_id"), F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
+            .observe(obs, F.sum("component_id").alias("s"))
         )
-        new_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
+        new_sum = obs.get["s"]
         # Release the superseded round's checkpointed blocks once the new
         # round is materialized and its convergence sum read — otherwise
         # block-manager memory/disk grows O(rounds × |labels|) on deep
@@ -4973,7 +4989,6 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.sql(_pagerank_edges_sql("spark")).cache()
     outdeg = edges.groupBy("a").agg(F.count("*").alias("outdeg"))
     edges_deg = edges.join(outdeg, "a").select("a", "b", "outdeg").cache()
-    n_docs = docs.count()
     # r16: ONE action per iteration instead of two. The dangling mass
     # used to be a separate collect per round (left-anti join + agg —
     # 10 extra driver jobs); the dangling SET is fixed, so it is now a
@@ -4983,6 +4998,12 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arithmetic is identical: coalesce(sum,0) div n on non-negative
     # longs is the Python `// n_docs` the driver computed (parity-
     # pinned vs the unchanged oracle).
+    # r17: the node count rides the initial checkpoint as an observe()
+    # metric (one row per doc by construction) instead of a separate
+    # docs.count() job — the min_label_propagation treatment.
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     ranks, ranks_ids = local_checkpoint_tracked(
         docs.select("doc_id")
         .join(outdeg, F.col("doc_id") == outdeg.a, "left")
@@ -4991,7 +5012,9 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PR_INIT_US).cast("long").alias("rank_us"),
             F.col("outdeg").isNull().alias("dang"),
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
     )
+    n_docs = obs0.get["n"]
     for _ in range(_PR_ITERS):
         share_df = ranks.where("dang").agg(
             F.expr(f"coalesce(sum(rank_us), 0L) div {n_docs}").alias("share")
