@@ -848,7 +848,9 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _dedup_agreement_sql(engine: str) -> str:
+def _dedup_agreement_sql(
+    engine: str, text_rel: str | None = None, emb_rel: str | None = None
+) -> str:
     """Cross-modal dedup agreement: the text-based near-dup pairs
     (MinHash-LSH, Jaccard >= 0.5) against the embedding-based pairs
     (cosine >= 0.35, label-blocked) — both member pipelines are the
@@ -858,15 +860,31 @@ def _dedup_agreement_sql(engine: str) -> str:
 
     Scale: cost is the two member pipelines + a full-outer join on
     pair keys (each side already bucketed/blocked — no new all-pairs
-    work)."""
-    text = _dedup_minhash_lsh_sql(engine)
-    emb = _embedding_neardup_sql(engine)
+    work).
+
+    ``text_rel``/``emb_rel`` (Spark side, r17): pre-materialized
+    (lo, hi) member relations — the two pipelines are independent, so
+    the query builder materializes them concurrently (guide §2.6).
+    The oracle composes with both None — string unchanged."""
+    if text_rel is not None:
+        text_pairs = f"SELECT lo, hi FROM {text_rel}"
+    else:
+        text_pairs = (
+            "SELECT doc_a AS lo, doc_b AS hi FROM "
+            f"({_dedup_minhash_lsh_sql(engine)}) WHERE jaccard >= 0.5"
+        )
+    if emb_rel is not None:
+        emb_pairs = f"SELECT lo, hi FROM {emb_rel}"
+    else:
+        emb_pairs = (
+            f"SELECT vec_a AS lo, vec_b AS hi FROM ({_embedding_neardup_sql(engine)})"
+        )
     return f"""
 WITH text_pairs AS (
-  SELECT doc_a AS lo, doc_b AS hi FROM ({text}) WHERE jaccard >= 0.5
+  {text_pairs}
 ),
 emb_pairs AS (
-  SELECT vec_a AS lo, vec_b AS hi FROM ({emb})
+  {emb_pairs}
 ),
 joined AS (
   SELECT COALESCE(t.lo, e.lo) AS lo,
@@ -890,7 +908,30 @@ FROM joined
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
-    return spark.sql(_dedup_agreement_sql("spark"))
+    # r17 (guide §2.6): the MinHash chain and the embedding pair join
+    # are independent member pipelines — materialize concurrently.
+    _run_view_builders(
+        spark,
+        {
+            "_dma_text": lambda: _materialize_once(
+                spark.sql(
+                    "SELECT doc_a AS lo, doc_b AS hi FROM ("
+                    + _dedup_minhash_lsh_sql("spark")
+                    + ") WHERE jaccard >= 0.5"
+                ),
+                "_dma_text",
+            ),
+            "_dma_emb": lambda: _materialize_once(
+                spark.sql(
+                    "SELECT vec_a AS lo, vec_b AS hi FROM ("
+                    + _embedding_neardup_sql("spark")
+                    + ")"
+                ),
+                "_dma_emb",
+            ),
+        },
+    )
+    return spark.sql(_dedup_agreement_sql("spark", "_dma_text", "_dma_emb"))
 
 
 def _dedup_keep_list_sql(engine: str) -> str:
@@ -2756,7 +2797,7 @@ def modal_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _modal_agreement_sql(engine: str, h_src: str) -> str:
+def _modal_agreement_sql(engine: str, h_src: str, tkl_rel: str | None = None) -> str:
     """Cross-MODAL dedup agreement: the text keep-list (MinHash-LSH +
     Jaccard-verified, cap-aware — ``dedup_keep_list`` verbatim as a
     subquery) against the image keep-list derived from each document's
@@ -2769,8 +2810,17 @@ def _modal_agreement_sql(engine: str, h_src: str) -> str:
     text, so image dedup is the coarser signal by construction).
     Identical SQL in both engines over ``{h_src}`` = (doc_id, dhash);
     the blocked candidate join is lossless (pigeonhole), so the
-    oracle needs no exhaustive variant."""
-    text_kl = _dedup_keep_list_sql(engine)
+    oracle needs no exhaustive variant.
+
+    ``tkl_rel`` (Spark side, r17): a pre-materialized (doc_id, action)
+    text keep-list; the MinHash chain and the image-render decode are
+    independent member pipelines, materialized concurrently by the
+    query builder (guide §2.6 — the consensus pattern). The oracle
+    composes with ``tkl_rel=None`` — string unchanged."""
+    if tkl_rel is not None:
+        text_kl = f"SELECT doc_id, action FROM {tkl_rel}"
+    else:
+        text_kl = _dedup_keep_list_sql(engine)
     ham = hamming_expr("h_a", "h_b", engine)
     blocks = "\n    UNION\n".join(
         f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
@@ -2823,12 +2873,26 @@ def modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    d = _fingerprint_once(extract_image_dhash(synthesize_image_renders(spark, sf_dir)), "img_fp")
-    d.select(F.col("asset_id").alias("doc_id"), "dhash").createOrReplaceTempView(
-        "_img_dhash_agree"
+    # r17 (guide §2.6): the MinHash text keep-list and the image-render
+    # decode are independent member pipelines — materialize both
+    # concurrently (the consensus pattern, applied to the 2-member
+    # diagnostic).
+    _run_view_builders(
+        spark,
+        {
+            "_img_dhash_agree": lambda: _fingerprint_once(
+                extract_image_dhash(synthesize_image_renders(spark, sf_dir)),
+                "img_fp",
+            ).select(F.col("asset_id").alias("doc_id"), "dhash"),
+            "_ma_tkl": lambda: _materialize_once(
+                spark.sql(_dedup_keep_list_sql("spark")), "_ma_tkl"
+            ),
+        },
     )
     return spark.sql(
-        "\nWITH " + _modal_agreement_sql("spark", "_img_dhash_agree") + "\n"
+        "\nWITH "
+        + _modal_agreement_sql("spark", "_img_dhash_agree", "_ma_tkl")
+        + "\n"
     )
 
 
@@ -4601,7 +4665,6 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k, n_assign = _KM_K, _KM_ASSIGNS
     emb = load_table(spark, "embeddings", sf_dir)
-    d = _embedding_dim(spark, sf_dir)
     q = emb.select(
         "vec_id",
         F.expr(
@@ -4612,6 +4675,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, list(r.q))
         for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
     ]
+    # r17: the embedding width falls out of the seed vectors — the
+    # separate one-row _embedding_dim probe job is gone (guide §5
+    # driver discipline; the dim cache still serves the PCA queries).
+    d = len(seeds[0][1]) if seeds else 0
     cents: list[tuple[int, list[int]]] = seeds  # [(cid, vector)] sorted by cid
 
     def assign(cents):
@@ -4858,7 +4925,9 @@ def semdedup_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH " + _semdedup_skew_sql("spark", "semdedup_assign"))
 
 
-def _semdedup_agreement_tail(engine: str, assign_rel: str) -> str:
+def _semdedup_agreement_tail(
+    engine: str, assign_rel: str, lab_rel: str | None = None
+) -> str:
     """Blocking-key A/B for embedding dedup, one row: the pair
     evidence found under the GIVEN label blocking
     (``embedding_cosine_neardup``, cosine ≥ 0.35 within a label)
@@ -4872,10 +4941,22 @@ def _semdedup_agreement_tail(engine: str, assign_rel: str) -> str:
     negatives + over-cap exemplar fallback), pairs found only under
     clusters are what labels miss (cross-label semantic dups).
     Cost: the two member pipelines + one pair-key full-outer join —
-    no new all-pairs work."""
-    lab = _embedding_neardup_sql(engine)
+    no new all-pairs work.
+
+    ``lab_rel`` (Spark side, r17): a pre-materialized (lo, hi) label
+    pair relation; the label-blocked pair join is INDEPENDENT of the
+    k-means construction's driver-iterated jobs, so the query builder
+    materializes both members concurrently (guide §2.6) instead of
+    serializing ~2 s of pair-fold behind ~1.5 s of k-means jobs. The
+    oracle composes with ``lab_rel=None`` — string unchanged."""
+    if lab_rel is not None:
+        lab_pairs = f"SELECT lo, hi FROM {lab_rel}"
+    else:
+        lab_pairs = (
+            f"SELECT vec_a AS lo, vec_b AS hi FROM ({_embedding_neardup_sql(engine)})"
+        )
     return f"""{_semdedup_pairs_ctes(engine, assign_rel)},
-lab_pairs AS (SELECT vec_a AS lo, vec_b AS hi FROM ({lab})),
+lab_pairs AS ({lab_pairs}),
 joined AS (
   SELECT CASE WHEN s.lo IS NOT NULL THEN 1 ELSE 0 END AS in_cluster,
          CASE WHEN l.lo IS NOT NULL THEN 1 ELSE 0 END AS in_label
@@ -4904,8 +4985,29 @@ def _semdedup_agreement_oracle() -> str:
 )
 def semdedup_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
-    _semdedup_assign_view(spark, sf_dir)
-    return spark.sql("WITH " + _semdedup_agreement_tail("spark", "semdedup_assign"))
+    # r17 (guide §2.6): the label-blocked pair evidence and the k-means
+    # assignment are independent member pipelines — materialize them
+    # concurrently so the pair-join fold fills the idle slots of the
+    # construction's serial driver jobs.
+    _run_view_builders(
+        spark,
+        {
+            "semdedup_assign": lambda: _materialize_once(
+                embedding_kmeans(spark, sf_dir), "semdedup_assign"
+            ),
+            "_sem_lab": lambda: _materialize_once(
+                spark.sql(
+                    "SELECT vec_a AS lo, vec_b AS hi FROM ("
+                    + _embedding_neardup_sql("spark")
+                    + ")"
+                ),
+                "_sem_lab",
+            ),
+        },
+    )
+    return spark.sql(
+        "WITH " + _semdedup_agreement_tail("spark", "semdedup_assign", "_sem_lab")
+    )
 
 
 # ---------------------------------------------------------------------------
