@@ -2564,7 +2564,9 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAKEDOWN_PERMILLE = 100  # deterministic 10% victim set
 
 
-def _takedown_blast_sql(engine: str) -> str:
+def _takedown_blast_sql(
+    engine: str, f_rel: str | None = None, edges_rel: str | None = None
+) -> str:
     """Pre-takedown impact analysis — the batch companion of the
     composed ``curate_takedown`` verb (streaming/curation.py): for a
     deterministic victim set (content-independent doc_id hash, the
@@ -2587,7 +2589,13 @@ def _takedown_blast_sql(engine: str) -> str:
     Plan: the capped span chain (shared, one gh exchange at runtime) +
     the capped LSH edge chain + broadcast-sized victim joins; the
     victim flag is pure row-local hash arithmetic. Oracle: identical
-    SQL."""
+    SQL.
+
+    ``f_rel``/``edges_rel`` (Spark side, r17): pre-materialized span
+    evidence / near-dup edge relations — the two chains are
+    independent, so the query builder materializes them concurrently
+    (guide §2.6). The oracle composes with both None — string
+    unchanged."""
     from flink_wsr_project_spark.operators.spans import (
         SPAN_MIN_TOKENS,
         _span_cand_ctes,
@@ -2599,17 +2607,23 @@ def _takedown_blast_sql(engine: str) -> str:
     h = h28(f"concat('takedown:', CAST(doc_id AS {str_t}))", engine)
     toks = toks_expr("text", engine)
     ln = "size" if engine == "spark" else "len"
-    return f"""
-WITH {span_posgram_ctes(engine)},
+    if f_rel is not None and edges_rel is not None:
+        chains = f"f AS (SELECT * FROM {f_rel}),"
+        edges_ctes = f"edges AS (SELECT * FROM {edges_rel}),"
+    else:
+        chains = f"""{span_posgram_ctes(engine)},
 {_span_cand_ctes(engine, _SPAN_GRAM_CAP)},
 {_span_merge_ctes()},
-f AS (SELECT * FROM sp_spans WHERE span_tokens >= {SPAN_MIN_TOKENS}),
+f AS (SELECT * FROM sp_spans WHERE span_tokens >= {SPAN_MIN_TOKENS}),"""
+        edges_ctes = f"{_neardup_edges_ctes(engine)},"
+    return f"""
+WITH {chains}
 vict AS (
   SELECT doc_id, {h} % 1000 < {_TAKEDOWN_PERMILLE} AS victim,
          CAST({ln}({toks}) AS BIGINT) AS n_tokens
   FROM documents
 ),
-{_neardup_edges_ctes(engine)},
+{edges_ctes}
 rel_near AS (
   SELECT CAST(count(*) AS BIGINT) AS c
   FROM edges e
@@ -2644,8 +2658,34 @@ SELECT (SELECT c FROM srch) AS n_victims,
     tags=("pipeline", "text", "dedup", "ops"),
 )
 def takedown_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_wsr_project_spark.operators.spans import (
+        SPAN_MIN_TOKENS,
+        _span_cand_ctes,
+        _span_merge_ctes,
+        span_posgram_ctes,
+    )
+
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_takedown_blast_sql("spark"))
+    # r17 (guide §2.6): the span evidence chain and the LSH edge chain
+    # are independent member pipelines — materialize both concurrently
+    # instead of leaving them as serial subtrees of one composite plan.
+    f_sql = f"""WITH {span_posgram_ctes("spark")},
+{_span_cand_ctes("spark", _SPAN_GRAM_CAP)},
+{_span_merge_ctes()}
+SELECT * FROM sp_spans WHERE span_tokens >= {SPAN_MIN_TOKENS}"""
+    edges_sql = (
+        f"WITH {_neardup_edges_ctes('spark')} SELECT doc_a, doc_b FROM edges"
+    )
+    _run_view_builders(
+        spark,
+        {
+            "_td_f": lambda: _materialize_once(spark.sql(f_sql), "_td_f"),
+            "_td_edges": lambda: _materialize_once(
+                spark.sql(edges_sql), "_td_edges"
+            ),
+        },
+    )
+    return spark.sql(_takedown_blast_sql("spark", "_td_f", "_td_edges"))
 
 
 def _modal_consensus_sql(
