@@ -148,29 +148,59 @@ def span_posgram_ctes(engine: str, source: str = "documents") -> str:
     is 0-based. Documents shorter than ``w`` tokens contribute no rows
     (they are still visible to the keep-list via ``sp_tok``).
 
-    Shape: tokens explode to (doc_id, pos, code) rows, the w codes of
-    each gram line up as lead() columns over ONE (doc_id, pos) window,
-    and gh/vh are flat-column Horner arithmetic — fully codegen'd, no
-    per-gram string building. The window costs one doc_id exchange of
-    ~24-byte rows (same order as the gh exchange that follows); in
-    return ALL hashing leaves the interpreted HOF path (~6× measured
-    at sf0.1, and the optimizer-blowup hazard of a codes-array lambda
-    is structurally impossible)."""
+    Spark shape (r17, the fused gram generator): each document's
+    tokens are coded ONCE into an in-row array, and one generator
+    emits (pos, w-code slice) structs — gh/vh are flat Horner
+    arithmetic over ``element_at`` of the exploded slice. No window,
+    so the (doc_id) exchange the lead() stack needed is GONE — gram
+    building is now embarrassingly parallel over the scan (guide
+    §2.4: remove shuffles outright). The two r15/r16 optimizer
+    hazards are both structurally avoided: the codes array lives in a
+    Project below the Generate (never inlined per reference — the
+    r15 CollapseProject blowup), and the explode is OUTER so
+    InferFiltersFromGenerate cannot push a computed-chain filter into
+    the scan (the r16 neardup_bucket_claims pathology; the
+    ``s IS NOT NULL`` filter above the generator keeps row parity
+    with the inner explode). Values are bit-identical to the lead()
+    form — same codes, same Horner chains (probe: 235,704 identical
+    rows at sf0.1).
+
+    DuckDB shape (unchanged — the oracle string must stay stable):
+    tokens explode to (doc_id, pos, code) rows, the w codes of each
+    gram line up as lead() columns over ONE (doc_id, pos) window, and
+    gh/vh are the same flat-column Horner arithmetic."""
     w = SPAN_GRAM_TOKENS
     toks = toks_expr("text", engine)
     gh, vh = span_gram_hash_exprs(w)
+    if engine == "spark":
+        code = span_token_code_expr("x", engine)
+        gh_s, vh_s = gh, vh
+        for j in range(w - 1, -1, -1):
+            gh_s = gh_s.replace(f"c{j}", f"element_at(s, {j + 1})")
+            vh_s = vh_s.replace(f"c{j}", f"element_at(s, {j + 1})")
+        return f"""sp_tok AS (
+  SELECT doc_id, {toks} AS t FROM {source}
+),
+sp_codes AS (
+  SELECT doc_id, transform(t, x -> {code}) AS codes
+  FROM sp_tok WHERE size(t) >= {w}
+),
+sp_sl AS (
+  SELECT doc_id, pos, s
+  FROM sp_codes
+  LATERAL VIEW OUTER posexplode(transform(sequence(0, size(codes) - {w}), p -> slice(codes, p + 1, {w}))) _pe AS pos, s
+),
+sp_pg AS (
+  SELECT doc_id, pos,
+         {gh_s} AS gh,
+         {vh_s} AS vh
+  FROM sp_sl WHERE s IS NOT NULL
+)"""
     leads = ",\n         ".join(
         f"lead(c, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS c{j}"
         for j in range(1, w)
     )
-    if engine == "spark":
-        explode = f"""sp_ct AS (
-  SELECT doc_id, pos, {span_token_code_expr('tok', engine)} AS c
-  FROM (SELECT doc_id, t FROM sp_tok WHERE size(t) >= {w}) _st
-  LATERAL VIEW posexplode(t) _pe AS pos, tok
-)"""
-    else:
-        explode = f"""sp_ct AS (
+    explode = f"""sp_ct AS (
   SELECT doc_id, i AS pos, {span_token_code_expr('t[i + 1]', engine)} AS c
   FROM sp_tok, unnest(range(len(t))) AS u(i)
   WHERE len(t) >= {w}

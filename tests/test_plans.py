@@ -348,11 +348,14 @@ def test_shuffle_budget(spark, name, max_exchanges):
 def test_span_runtime_plan_shares_one_gram_exchange(spark):
     """The r14 scale fix, pinned at RUNTIME: all four candidate-join
     sides of the capped span query must canonicalize to ONE gh
-    exchange (plus r15's single upstream doc_id lead-window exchange),
-    with the other sides ReusedExchange — the failure mode was
-    Catalyst BROADCASTING the corpus-sized raw gram relation when the
-    subtrees diverged, a silent 100 TB killer the static budget
-    cannot see."""
+    exchange, with the other sides ReusedExchange — the failure mode
+    was Catalyst BROADCASTING the corpus-sized raw gram relation when
+    the subtrees diverged, a silent 100 TB killer the static budget
+    cannot see. r17: the fused gram generator computes gh/vh in-row
+    from a per-document code array, so the upstream doc_id
+    lead-window exchange r15 needed is GONE — pinned at ZERO (a
+    reappearing doc_id exchange means the fused generator regressed
+    to the window form)."""
     from flink_wsr_project_spark.plans.registry import get
 
     df = get("shared_span_pairs_capped").spark_fn(spark, SF_DIR)
@@ -369,7 +372,7 @@ def test_span_runtime_plan_shares_one_gram_exchange(spark):
     doc_ex = sum(n.startswith("Exchange hashpartitioning(doc_id#") for n in nodes)
     reused = sum(n.startswith("ReusedExchange") for n in nodes)
     assert gh_ex == 1, f"expected ONE gh exchange, got {gh_ex}"
-    assert doc_ex == 1, f"expected ONE doc_id lead-window exchange, got {doc_ex}"
+    assert doc_ex == 0, f"expected NO doc_id lead-window exchange, got {doc_ex}"
     assert reused >= 3, f"expected >=3 ReusedExchange, got {reused}"
 
 
