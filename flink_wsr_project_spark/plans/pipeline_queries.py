@@ -5721,7 +5721,9 @@ def doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curation_funnel_sql(engine: str) -> str:
+def _curation_funnel_sql(
+    engine: str, neardup_rel: str | None = None, contam_rel: str | None = None
+) -> str:
     """The end-to-end curation funnel: every document is attributed to
     the FIRST stage that would drop it — quality gate (Gopher-style
     bounds), exact dedup (md5 keeper), near-dup dedup (LSH keep-list),
@@ -5732,11 +5734,26 @@ def _curation_funnel_sql(engine: str) -> str:
 
     Scale: each stage is its own bounded pipeline (see the member
     queries); the funnel adds only broadcast-sized joins of drop-lists
-    back to the corpus."""
+    back to the corpus.
+
+    ``neardup_rel``/``contam_rel`` (Spark side, r17): pre-materialized
+    member relations. The LSH keep-list and the contamination
+    self-join are independent heavy members, materialized concurrently
+    by the builder (guide §2.6); the contamination member additionally
+    reads the materialized distinct-gram relation (``decon_grams``)
+    the standalone query has used since r16, instead of inlining the
+    gram build once per self-join side. The oracle composes with both
+    None — string unchanged."""
     wt = toks_expr("text", engine)
     ln = "size" if engine == "spark" else "len"
-    keep_list = _dedup_keep_list_sql(engine)
-    contam = _decontaminate_sql(engine)
+    if neardup_rel is not None:
+        keep_list = f"SELECT doc_id, action FROM {neardup_rel}"
+    else:
+        keep_list = _dedup_keep_list_sql(engine)
+    if contam_rel is not None:
+        contam = f"SELECT * FROM {contam_rel}"
+    else:
+        contam = _decontaminate_sql(engine)
     return f"""
 WITH quality AS (
   SELECT doc_id,
@@ -5774,7 +5791,30 @@ GROUP BY d.source, stage
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_curation_funnel_sql("spark"))
+
+    # r17 (guide §2.6/§5): the LSH keep-list and the contamination
+    # member are independent; the contamination member reads the
+    # materialized gram relation (one gram build, not one per
+    # self-join side — the r16 standalone-query treatment, now shared
+    # by the funnel).
+    def _contam() -> DataFrame:
+        _materialize_once(
+            spark.sql(_decontaminate_grams_sql("spark")), "decon_grams"
+        ).createOrReplaceTempView("decon_grams")
+        return _materialize_once(
+            spark.sql(_decontaminate_tail("decon_grams")), "_cf_contam"
+        )
+
+    _run_view_builders(
+        spark,
+        {
+            "_cf_neardup": lambda: _materialize_once(
+                spark.sql(_dedup_keep_list_sql("spark")), "_cf_neardup"
+            ),
+            "_cf_contam": _contam,
+        },
+    )
+    return spark.sql(_curation_funnel_sql("spark", "_cf_neardup", "_cf_contam"))
 
 
 # ---------------------------------------------------------------------------
